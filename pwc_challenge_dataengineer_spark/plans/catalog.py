@@ -1,0 +1,83 @@
+"""Query/oracle registry backing the driver contract.
+
+Every query is a ``(spark, sf_dir) -> DataFrame`` callable registered under a
+stable name; ``ORACLES[name]`` holds the equivalent ANSI SQL that DuckDB runs
+over the same parquet tables. The driver hash-compares both sides
+(order-insensitive, columns sorted by name), so:
+
+- every computed column is aliased identically in both dialects;
+- floating aggregates are rounded (2dp money, 6dp ratios) on BOTH sides so
+  IEEE summation-order differences between engines can't flip the hash;
+- counts that DuckDB would widen to HUGEINT are cast back to BIGINT;
+- ranking windows always carry a deterministic tiebreaker key.
+
+Queries without an oracle (genuinely non-SQL-expressible: MinHash LSH,
+SimHash, ANN, streaming-stateful) register with ``oracle=None`` and get the
+driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (import side effects)."""
+    from . import gold  # noqa: F401
+
+    try:
+        from . import datamart  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import windows  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import joins_sets  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import quality_enrich  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import text_dedup  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import similarity  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import streaming_batch  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import incremental  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from . import star_schema  # noqa: F401
+    except ImportError:
+        pass
+
+
+_load_all()

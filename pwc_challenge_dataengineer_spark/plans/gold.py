@@ -1,0 +1,409 @@
+"""Gold analytics tables, re-expressed on the driver's TPC-H-ish testdata.
+
+Reference semantics (SURVEY.md §2.4/§2.5; src/etl/gold/spark_gold.py):
+- sales_summary      spark_gold.py:48-65   (groupBy country/year/month, 6 aggs + ratio)
+- product_analysis   spark_gold.py:68-90   (product aggs + revenue rank in country)
+- customer_metrics   spark_gold.py:97-111  (per-customer lifetime aggs + datediff)
+- time_series        spark_gold.py:144-166 (daily metrics + 7-day moving average)
+- cohort_analysis    spark_gold.py:169-198 (first-purchase cohort, months_between periods)
+- rfm_segmentation   spark_gold.py:113-135 (ntile(5) scores + segment mapping)
+- customer_segmentation spark_gold.py:252-259 (value-tier case mapping)
+
+Mapping (FIXTURES.md): country→nation, invoice→order, product→part,
+line grain→lineitem.
+
+Scale notes: the dimension joins (nation: 25 rows, region: 5, part: small)
+are explicitly broadcast. Aggregations are plain groupBy so Catalyst does
+partial (map-side) aggregation before the shuffle. The one structurally
+non-scalable construct in the reference — a GLOBAL ntile window for RFM — is
+kept for exact oracle parity at test SF, with the 100 TB path (approxQuantile
+bucket boundaries) implemented in operators/scalable.py.
+
+Float parity with the DuckDB oracle: see plans/_parity.py — money aggregates
+run in exact DECIMAL and are emitted as deterministic doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import load_table
+from ._parity import REV_DEC_SQL, REV_SUM_SQL, dec, money_sum, money_sum_sql, rev_dec, rev_sum
+from .catalog import register
+
+
+def _sales_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ nation star join.
+
+    orders/customer shuffle-join on their keys; nation is broadcast.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+
+
+_SALES_BASE_SQL = """
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+"""
+
+
+@register(
+    "sales_summary",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT)  AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           count(*) AS transaction_count,
+           {REV_SUM_SQL} AS total_revenue,
+           {REV_SUM_SQL} / count(*) AS avg_line_amount,
+           SUM(l_quantity) AS total_quantity,
+           COUNT(DISTINCT o_custkey) AS unique_customers,
+           COUNT(DISTINCT l_orderkey) AS unique_invoices,
+           {REV_SUM_SQL} / COUNT(DISTINCT o_custkey) AS revenue_per_customer
+    {_SALES_BASE_SQL}
+    GROUP BY 1, 2, 3
+    """,
+)
+def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _sales_base(spark, sf_dir)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("transaction_count"),
+            rev_sum().alias("total_revenue"),
+            (rev_sum() / F.count("*")).alias("avg_line_amount"),
+            F.sum("l_quantity").alias("total_quantity"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            F.countDistinct("l_orderkey").alias("unique_invoices"),
+            (rev_sum() / F.countDistinct("o_custkey")).alias("revenue_per_customer"),
+        )
+    )
+
+
+@register(
+    "product_analysis",
+    oracle=f"""
+    WITH prod AS (
+        SELECT p_partkey, p_name, p_brand,
+               {REV_SUM_SQL} AS total_revenue,
+               SUM(l_quantity) AS total_quantity,
+               count(*) AS times_sold,
+               COUNT(DISTINCT l_orderkey) AS unique_orders
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT *,
+           CAST(row_number() OVER (
+               PARTITION BY p_brand
+               ORDER BY total_revenue DESC, p_partkey) AS INT) AS revenue_rank
+    FROM prod
+    """,
+)
+def product_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    prod = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(
+            rev_sum().alias("total_revenue"),
+            F.sum("l_quantity").alias("total_quantity"),
+            F.count("*").alias("times_sold"),
+            F.countDistinct("l_orderkey").alias("unique_orders"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("total_revenue").desc(), F.col("p_partkey")
+    )
+    return prod.withColumn("revenue_rank", F.row_number().over(w))
+
+
+@register(
+    "customer_metrics",
+    oracle=f"""
+    SELECT c_custkey AS customer_id, c_name AS customer_name, n_name AS nation,
+           {money_sum_sql('o_totalprice')} AS total_spent,
+           COUNT(*) AS total_orders,
+           {money_sum_sql('o_totalprice')} / COUNT(*) AS avg_order_value,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order_date,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order_date,
+           CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS INT)
+               AS customer_lifespan_days
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            money_sum("o_totalprice").alias("total_spent"),
+            F.count("*").alias("total_orders"),
+            (money_sum("o_totalprice") / F.count("*")).alias("avg_order_value"),
+            F.min(F.to_date("o_orderdate")).alias("first_order_date"),
+            F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+                "customer_lifespan_days"
+            ),
+        )
+    )
+
+
+@register(
+    "time_series_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT n_name AS nation,
+               CAST(o_orderdate AS DATE) AS order_date,
+               SUM({REV_DEC_SQL}) AS rev_dec,
+               SUM(l_quantity) AS daily_quantity,
+               COUNT(DISTINCT l_orderkey) AS daily_orders
+        {_SALES_BASE_SQL}
+        GROUP BY 1, 2
+    )
+    SELECT nation, order_date,
+           CAST(rev_dec AS DOUBLE) AS daily_revenue,
+           daily_quantity, daily_orders,
+           CAST(SUM(rev_dec) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS revenue_ma7
+    FROM daily
+    WINDOW w AS (PARTITION BY nation ORDER BY order_date
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def time_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily metrics + 7-day moving average (spark_gold.py:144-166).
+
+    The moving average is SUM-over-frame / COUNT-over-frame with the sum in
+    exact decimal, so the value is order-independent and oracle-identical.
+    """
+    daily = (
+        _sales_base(spark, sf_dir)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+        .agg(
+            F.sum(rev_dec()).alias("rev_dec"),
+            F.sum("l_quantity").alias("daily_quantity"),
+            F.countDistinct("l_orderkey").alias("daily_orders"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("order_date").rowsBetween(-6, 0)
+    return daily.select(
+        "nation",
+        "order_date",
+        F.col("rev_dec").cast("double").alias("daily_revenue"),
+        "daily_quantity",
+        "daily_orders",
+        (F.sum("rev_dec").over(w).cast("double") / F.count("*").over(w)).alias(
+            "revenue_ma7"
+        ),
+    )
+
+
+@register(
+    "cohort_analysis",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort_month
+        FROM orders GROUP BY 1
+    )
+    SELECT cohort_month,
+           CAST((year(date_trunc('month', o_orderdate)) - year(cohort_month)) * 12
+              + (month(date_trunc('month', o_orderdate)) - month(cohort_month))
+              AS INT) AS period_number,
+           COUNT(DISTINCT o.o_custkey) AS active_customers,
+           {money_sum_sql('o_totalprice')} AS cohort_revenue
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cohort_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-purchase cohorts (spark_gold.py:169-198). The period number is
+    whole months between cohort month and order month, computed with integer
+    year/month arithmetic so Spark and the oracle agree exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias("cohort_month")
+    )
+    om = F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+    return (
+        orders.join(firsts, "o_custkey")
+        .withColumn(
+            "period_number",
+            (F.year(om) - F.year("cohort_month")) * 12
+            + (F.month(om) - F.month("cohort_month")),
+        )
+        .groupBy("cohort_month", "period_number")
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            money_sum("o_totalprice").alias("cohort_revenue"),
+        )
+    )
+
+
+# RFM: scores via global ntile(5) with deterministic tiebreaks. Recency is
+# anchored to the dataset's max order date (not wall-clock) for determinism.
+_RFM_SQL = f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+    base AS (
+        SELECT o_custkey AS customer_id,
+               CAST(date_diff('day', MAX(o_orderdate), (SELECT max_date FROM anchor)) AS INT)
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               {money_sum_sql('o_totalprice')} AS monetary
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT *,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, customer_id) AS INT) AS recency_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC,  customer_id) AS INT) AS frequency_score,
+           CAST(ntile(5) OVER (ORDER BY monetary ASC,   customer_id) AS INT) AS monetary_score
+        FROM base
+    )
+    SELECT *,
+           recency_score * 100 + frequency_score * 10 + monetary_score AS rfm_code,
+           CASE
+             WHEN recency_score >= 4 AND frequency_score >= 4 AND monetary_score >= 4
+                  THEN 'champion'
+             WHEN frequency_score >= 4 THEN 'loyal'
+             WHEN monetary_score >= 4 THEN 'big_spender'
+             WHEN recency_score <= 2 AND frequency_score >= 3 THEN 'at_risk'
+             WHEN recency_score <= 2 THEN 'hibernating'
+             ELSE 'regular'
+           END AS rfm_segment
+    FROM scored
+"""
+
+
+@register("rfm_segmentation", oracle=_RFM_SQL)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (spark_gold.py:113-135).
+
+    NOTE 100 TB: the unpartitioned ntile window sorts all customers through a
+    single task. This exact-quintile version exists for oracle parity; the
+    scale path is ``operators.scalable.quantile_bucket`` (approxQuantile
+    boundaries + broadcast range lookup), same segment mapping.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("max_date"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            money_sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("max_date", "last_order"))
+        .drop("last_order", "max_date")
+    )
+    scored = (
+        base.withColumn(
+            "recency_score",
+            F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "customer_id")),
+        )
+        .withColumn(
+            "frequency_score",
+            F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), "customer_id")),
+        )
+        .withColumn(
+            "monetary_score",
+            F.ntile(5).over(Window.orderBy(F.col("monetary").asc(), "customer_id")),
+        )
+    )
+    return scored.select(
+        "customer_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "recency_score",
+        "frequency_score",
+        "monetary_score",
+        (
+            F.col("recency_score") * 100
+            + F.col("frequency_score") * 10
+            + F.col("monetary_score")
+        ).alias("rfm_code"),
+        F.when(
+            (F.col("recency_score") >= 4)
+            & (F.col("frequency_score") >= 4)
+            & (F.col("monetary_score") >= 4),
+            "champion",
+        )
+        .when(F.col("frequency_score") >= 4, "loyal")
+        .when(F.col("monetary_score") >= 4, "big_spender")
+        .when((F.col("recency_score") <= 2) & (F.col("frequency_score") >= 3), "at_risk")
+        .when(F.col("recency_score") <= 2, "hibernating")
+        .otherwise("regular")
+        .alias("rfm_segment"),
+    )
+
+
+@register(
+    "customer_segmentation",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_custkey AS customer_id,
+               {money_sum_sql('o_totalprice')} AS total_spent,
+               COUNT(*) AS total_orders,
+               {money_sum_sql('o_totalprice')} / COUNT(*) AS avg_order_value
+        FROM orders GROUP BY 1
+    )
+    SELECT *,
+           CASE WHEN total_spent >= 300000 THEN 'high_value'
+                WHEN total_spent >= 150000 THEN 'medium_value'
+                ELSE 'low_value' END AS value_segment,
+           CASE WHEN total_orders >= 15 THEN 'frequent'
+                WHEN total_orders >= 8  THEN 'regular'
+                ELSE 'occasional' END AS frequency_segment
+    FROM m
+    """,
+)
+def customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-based value/frequency tiers (spark_gold.py:252-259 table 3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        money_sum("o_totalprice").alias("total_spent"),
+        F.count("*").alias("total_orders"),
+        (money_sum("o_totalprice") / F.count("*")).alias("avg_order_value"),
+    )
+    return m.select(
+        "*",
+        F.when(F.col("total_spent") >= 300000, "high_value")
+        .when(F.col("total_spent") >= 150000, "medium_value")
+        .otherwise("low_value")
+        .alias("value_segment"),
+        F.when(F.col("total_orders") >= 15, "frequent")
+        .when(F.col("total_orders") >= 8, "regular")
+        .otherwise("occasional")
+        .alias("frequency_segment"),
+    )

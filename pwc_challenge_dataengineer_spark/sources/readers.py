@@ -1,0 +1,135 @@
+"""Batch readers.
+
+Mirrors the reference's source surface (SURVEY.md §2.1) with the same option
+sets, re-expressed as thin wrappers over ``spark.read`` so Catalyst keeps
+pushdown/pruning:
+
+- CSV with the reference's options (reference: src/etl/bronze/spark_bronze.py:98-104,
+  src/etl/spark/enhanced_bronze.py:187-197)
+- large-file CSV path that skips inference (spark_bronze.py:119-146) — kept
+  for API parity, but we do NOT blind-repartition(8); AQE handles splits.
+- JSON (enhanced_bronze.py:199-205), Parquet (enhanced_bronze.py:207-209)
+- Excel via pandas (enhanced_bronze.py:211-219) — gated on openpyxl
+- JDBC (build_gold.py:240-244) — gated, partitioned-read aware
+- Delta time travel (delta_lake_manager.py:260-310) — stubbed (no Delta jars
+  in this environment); parquet is the storage format here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CSV_DEFAULT_OPTIONS = {
+    "header": "true",
+    "multiLine": "true",
+    "escape": '"',
+    "ignoreLeadingWhiteSpace": "true",
+    "ignoreTrailingWhiteSpace": "true",
+    "timestampFormat": "M/d/yyyy H:mm",
+}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer_schema: bool = False,
+    **options: str,
+) -> DataFrame:
+    """CSV scan. Explicit schema by default; inference is opt-in (it costs an
+    extra full pass over the file — unacceptable on 100 TB inputs)."""
+    opts = dict(CSV_DEFAULT_OPTIONS)
+    opts.update(options)
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_csv_large(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_columns: int = 50,
+    **options: str,
+) -> DataFrame:
+    """Large-file CSV path: schema mandatory (no inference pass), bounded
+    column count. Unlike the reference we do not hard-code repartition(8);
+    file splitting + AQE coalescing pick parallelism from the data size."""
+    return read_csv(spark, path, schema=schema, maxColumns=str(max_columns), **options)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read.option("multiLine", "true").option(
+        "allowComments", "true"
+    ).option("allowUnquotedFieldNames", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> DataFrame:
+    """Excel → pandas → Spark. Driver-side read: acceptable only for small
+    reference workbooks (the reference does the same)."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError as exc:  # openpyxl not installed
+        raise NotImplementedError(
+            "Excel reads require pandas+openpyxl; not available in this environment"
+        ) from exc
+    return spark.createDataFrame(pdf)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan. For any non-trivial table, pass a partition column so the
+    read parallelizes across executors instead of a single connection."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version_as_of: int | None = None,
+    timestamp_as_of: str | None = None,
+) -> DataFrame:
+    """Delta scan with time travel. Requires delta-spark jars on the
+    classpath; this environment ships parquet only."""
+    reader = spark.read.format("delta")
+    if version_as_of is not None:
+        reader = reader.option("versionAsOf", str(version_as_of))
+    if timestamp_as_of is not None:
+        reader = reader.option("timestampAsOf", timestamp_as_of)
+    try:
+        return reader.load(path)
+    except Exception as exc:  # pragma: no cover - jar-dependent
+        raise NotImplementedError(
+            "Delta reads require delta-spark on the classpath"
+        ) from exc
