@@ -1,0 +1,300 @@
+"""Window-function operator queries (SURVEY.md §2.5 / §2.6).
+
+Each query exercises one window construct from the reference with an exact
+DuckDB oracle:
+
+- dedup_latest        spark_silver.py:126-153 (row_number keep-latest)
+- running_total       windowing.py:153-159 (unbounded-preceding sum)
+- monthly_growth      materialized_views_manager.py:247-250 (LAG growth rate)
+- customer_rank       windowing.py:265-272 (dense_rank / percent_rank)
+- sessionization      realtime_gold_processor.py:550-580 batch equivalent
+- purchase_velocity_24h realtime_analytics_ml.py:997-1022 (rangeBetween -86400)
+- scd2_rebuild        windowing.py:94-108 (lag-hash change suppression +
+                      lead valid_to + version + is_current)
+- top3_per_nation     datamart_service.py:351-356 (top-N per group)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.dedup import dedup_keep_latest
+from ..operators.scd2 import scd2_rebuild
+from ..operators.sessionize import sessionize
+from ..schemas import load_table
+from ._parity import REV_SUM_SQL, dec, money_sum_sql, rev_sum
+from .catalog import register
+
+
+@register(
+    "dedup_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value, props
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest event per (user, event_type)."""
+    events = load_table(spark, sf_dir, "events")
+    return dedup_keep_latest(
+        events, keys=["user_id", "event_type"], order_col="ts", tiebreakers=["event_id"]
+    ).select("event_id", "user_id", "event_type", "ts", "value", "props")
+
+
+@register(
+    "running_total",
+    oracle="""
+    SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+    FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "monthly_growth",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               {money_sum_sql('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           revenue - lag(revenue) OVER (ORDER BY month) AS revenue_delta,
+           (revenue - lag(revenue) OVER (ORDER BY month))
+               / lag(revenue) OVER (ORDER BY month) AS growth_rate
+    FROM monthly
+    """,
+)
+def monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth via LAG. The single global window is
+    fine here: it runs over one row per month, not per event."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") - prev).alias("revenue_delta"),
+        ((F.col("revenue") - prev) / prev).alias("growth_rate"),
+    )
+
+
+@register(
+    "customer_rank",
+    oracle=f"""
+    WITH spend AS (
+        SELECT n_name AS nation, c_custkey AS customer_id,
+               {money_sum_sql('o_totalprice')} AS total_spent
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT *,
+           CAST(dense_rank() OVER (PARTITION BY nation ORDER BY total_spent DESC) AS INT)
+               AS spend_rank,
+           percent_rank() OVER (PARTITION BY nation ORDER BY total_spent DESC)
+               AS spend_percentile
+    FROM spend
+    """,
+)
+def customer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("c_custkey").alias("customer_id")
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total_spent"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("total_spent").desc())
+    return spend.select(
+        "*",
+        F.dense_rank().over(w).alias("spend_rank"),
+        F.percent_rank().over(w).alias("spend_percentile"),
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                   AS session_id
+        FROM marked
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+           CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_seconds
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) session aggregation, batch form of session_window."""
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(events, "user_id", "ts", gap_minutes=30, tiebreakers=["event_id"])
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("session_value"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_seconds"
+        ),
+    )
+
+
+@register(
+    "purchase_velocity_24h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS events_24h,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_24h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    """,
+)
+def purchase_velocity_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h behavioral window (rangeBetween on epoch seconds)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("events_24h"),
+        F.sum(dec("value")).over(w).cast("double").alias("value_24h"),
+    )
+
+
+@register(
+    "scd2_rebuild",
+    oracle="""
+    WITH hashed AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               md5(concat_ws(chr(31),
+                   coalesce(event_type, chr(0)),
+                   coalesce(CAST(value AS VARCHAR), chr(0)))) AS h
+        FROM events
+    ),
+    changed AS (
+        SELECT * FROM (
+            SELECT *, lag(h) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ph
+            FROM hashed
+        ) WHERE ph IS NULL OR h <> ph
+    )
+    SELECT user_id, event_type, value,
+           ts AS valid_from,
+           coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           CAST(row_number() OVER w AS INT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM changed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 full-history rebuild treating events as a user-state change log:
+    tracked attributes (event_type, value), change-suppressed via lag hash."""
+    events = load_table(spark, sf_dir, "events")
+    out = scd2_rebuild(
+        events,
+        key_cols=["user_id"],
+        attr_cols=["event_type", "value"],
+        ts_col="ts",
+        tiebreakers=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_type", "value", "valid_from", "valid_to", "version", "is_current"
+    )
+
+
+@register(
+    "top3_per_nation",
+    oracle=f"""
+    WITH spend AS (
+        SELECT n_name AS nation, c_custkey AS customer_id, c_name AS customer_name,
+               {money_sum_sql('o_totalprice')} AS total_spent
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT * FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY nation ORDER BY total_spent DESC, customer_id) AS INT) AS rank
+        FROM spend
+    ) WHERE rank <= 3
+    """,
+)
+def top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group: rank-and-filter. At scale Catalyst rewrites the
+    rank<=k filter into a per-partition top-k (WindowGroupLimit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total_spent"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("total_spent").desc(), "customer_id")
+    return spend.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)

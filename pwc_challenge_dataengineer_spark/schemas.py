@@ -129,7 +129,24 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-generated parquet table."""
+    """Load one driver-generated parquet table.
+
+    The ``events`` table stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects outright. We flip the legacy nanos-as-long conf (safe at
+    runtime, also on a caller-provided session), then rebuild an NTZ
+    timestamp at microsecond precision — ``DIV 1000`` in integer space so no
+    precision is lost through doubles, truncating exactly like DuckDB does.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

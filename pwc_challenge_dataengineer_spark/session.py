@@ -47,10 +47,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
-        # Parquet timestamps in the test data are tz-naive; read them as
-        # plain TIMESTAMP (session-TZ=UTC) rather than TIMESTAMP_NTZ so all
-        # date/window functions behave uniformly.
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # The events table stores TIMESTAMP(NANOS) which Spark rejects by
+        # default; read nanos as long and convert in schemas.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
