@@ -1,0 +1,319 @@
+"""Aggregation-variety queries (SURVEY.md §2.4).
+
+- pivot_returnflag     dataframe_ops.py:266-279 (groupBy().pivot().agg())
+- rollup_quarterly     datamart_service.py:459-472 — the reference aggregates
+                       months→quarters in a driver-side Python loop; here it
+                       is a real ROLLUP (grouping sets), fully distributed
+- cube_status          cube() over returnflag × linestatus (available-free
+                       analog, SURVEY §2.4 'grouping sets' row)
+- percentiles_disc     materialized_views_manager.py:251-252 PERCENTILE_CONT
+                       re-expressed as deterministic discrete percentiles
+                       (row_number index selection — engine-exact; the
+                       interpolating variants differ at ulp level between
+                       engines and live in quality functions instead)
+- histogram_totalprice stream_aggregations.py:375-453 histogram aggregator →
+                       floor-bucket groupBy
+- conditional_aggs     realtime_gold_processor.py:186-187 (sum(case when))
+- null_profile         spark_silver.py:203-206 per-column null loop → ONE
+                       aggregation pass over all columns
+- mode_per_user        advanced_features.py mode → count + row_number
+- grouped_stats        spark_silver.py:174-191 mean/stddev — stddev computed
+                       from exact decimal sums (sqrt((Σx²−(Σx)²/n)/(n−1)))
+                       so both engines emit bit-identical doubles
+- distinct_counts      spark_gold.py:59-60 exact countDistinct battery
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import load_table
+from ._parity import REV_DEC_SQL, REV_SUM_SQL, dec, money_sum_sql, rev_dec
+from .catalog import register
+
+
+@register(
+    "pivot_returnflag",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN {REV_DEC_SQL} END) AS DOUBLE) AS "A",
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN {REV_DEC_SQL} END) AS DOUBLE) AS "N",
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {REV_DEC_SQL} END) AS DOUBLE) AS "R"
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — never let Spark scan for distinct
+    pivot values at 100 TB."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(rev_dec()).cast("double"))
+    )
+
+
+@register(
+    "rollup_quarterly",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           COUNT(*) AS order_count,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP(1, 2)
+    """,
+)
+def rollup_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_quarter", F.quarter("o_orderdate"))
+        .rollup("order_year", "order_quarter")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "cube_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS line_count,
+           {REV_SUM_SQL} AS revenue,
+           SUM(l_quantity) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE(1, 2)
+    """,
+)
+def cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("line_count"),
+        F.sum(rev_dec()).cast("double").alias("revenue"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+
+
+@register(
+    "percentiles_disc",
+    oracle="""
+    WITH ranked AS (
+        SELECT n_name AS nation, o_totalprice,
+               row_number() OVER (PARTITION BY n_name ORDER BY o_totalprice, o_orderkey) AS idx,
+               COUNT(*) OVER (PARTITION BY n_name) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT nation,
+           MAX(CASE WHEN idx = CAST(ceil(0.25 * n) AS BIGINT) THEN o_totalprice END) AS p25,
+           MAX(CASE WHEN idx = CAST(ceil(0.50 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN idx = CAST(ceil(0.95 * n) AS BIGINT) THEN o_totalprice END) AS p95
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles via rank-index selection: picks actual data
+    values, so Spark and DuckDB agree exactly (no interpolation arithmetic).
+    The 100 TB path swaps this for percentile_approx behind the same API."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "o_totalprice", "o_orderkey")
+    )
+    w = Window.partitionBy("nation").orderBy("o_totalprice", "o_orderkey")
+    ranked = base.withColumn("idx", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("nation"))
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(
+                F.col("idx") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        )
+
+    return ranked.groupBy("nation").agg(
+        pick(0.25).alias("p25"), pick(0.50).alias("p50"), pick(0.95).alias("p95")
+    )
+
+
+@register(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 25000) * 25000 AS DOUBLE) AS bucket_low,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: floor-bucket groupBy (map-side combinable —
+    the scalable form of the reference's in-process histogram aggregator)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000)
+    return orders.groupBy(
+        bucket.cast("bigint").alias("bucket"),
+        (bucket * 25000).cast("double").alias("bucket_low"),
+    ).agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "conditional_aggs",
+    oracle="""
+    SELECT n_name AS nation,
+           COUNT(*) AS line_count,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS return_count,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS return_rate,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discounted_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    is_return = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum(is_return).alias("return_count"),
+            (F.sum(is_return).cast("double") / F.count("*")).alias("return_rate"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+                "discounted_count"
+            ),
+        )
+    )
+
+
+@register(
+    "null_profile",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props
+    FROM events
+    """,
+)
+def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null counts in ONE aggregation pass — replaces the
+    reference's per-column filter(isNull).count() loop (N full scans)."""
+    events = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("total_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        for c in events.columns
+    ]
+    return events.agg(*aggs)
+
+
+@register(
+    "mode_per_user",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS top_event_type, n AS occurrences
+    FROM counts
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+    """,
+)
+def mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mode = count + row_number (ties broken lexicographically)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("top_event_type"), F.col("n").alias("occurrences")
+        )
+    )
+
+
+@register(
+    "grouped_stats",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_price,
+           sqrt((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS stddev_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stddev per segment from exact decimal Σx and Σx² — deterministic
+    across engines, unlike streaming-variance stddev_samp."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    d = dec("o_totalprice")
+    sum_x = F.sum(d).cast("double")
+    sum_x2 = F.sum(d * d).cast("double")
+    n = F.count("*")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            n.alias("n"),
+            (sum_x / n).alias("mean_price"),
+            F.sqrt((sum_x2 - sum_x * sum_x / n) / (n - F.lit(1))).alias("stddev_price"),
+        )
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS customers_with_orders,
+           COUNT(DISTINCT o_orderkey) AS orders_cnt,
+           COUNT(DISTINCT o_orderpriority) AS priorities,
+           COUNT(DISTINCT CAST(year(o_orderdate) AS INT)) AS years_active
+    FROM orders
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count battery. At 100 TB swap for
+    approx_count_distinct (HLL) behind the approximate=True flag — flagged
+    divergence per SURVEY §2.4."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("customers_with_orders"),
+        F.countDistinct("o_orderkey").alias("orders_cnt"),
+        F.countDistinct("o_orderpriority").alias("priorities"),
+        F.countDistinct(F.year("o_orderdate").cast("int")).alias("years_active"),
+    )

@@ -38,46 +38,32 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+_QUERY_MODULES = (
+    "gold",
+    "windows",
+    "joins_sets",
+    "aggregates",
+    "datamart",
+    "quality_enrich",
+    "text_dedup",
+    "similarity",
+    "streaming_batch",
+    "incremental",
+    "star_schema",
+)
+
+
 def _load_all() -> None:
     """Import every module that registers queries (import side effects)."""
-    from . import gold  # noqa: F401
+    import importlib
 
-    try:
-        from . import datamart  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import windows  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import joins_sets  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import quality_enrich  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import text_dedup  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import similarity  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import streaming_batch  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import incremental  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import star_schema  # noqa: F401
-    except ImportError:
-        pass
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(f".{mod}", __package__)
+        except ModuleNotFoundError as exc:
+            if exc.name and exc.name.endswith(mod):
+                continue  # module not written yet
+            raise
 
 
 _load_all()
