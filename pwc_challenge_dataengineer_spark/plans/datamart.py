@@ -1,0 +1,271 @@
+"""Datamart / serving-layer queries (SURVEY.md §3.2, §2.6).
+
+The reference serves these through FastAPI → SQLAlchemy → Postgres
+(src/api/v1/services/datamart_service.py); here each endpoint is a
+parameterized function over the warehouse tables executed by Spark —
+same result surface, Catalyst instead of Postgres as the optimizer.
+
+- sales_analytics_quarterly  datamart_service.py:94-176 (+granularity map :585-597)
+- top10_products_by_qty      datamart_service.py:314-376 (top-N by metric)
+- country_performance        datamart_service.py:378-419 (share-of-total via
+                             window sum over unpartitioned frame — tiny input)
+- seasonal_trends            datamart_service.py:421-473 (month-of-year profile)
+- paginated_orders           sales_repository.py:65-110 (sort map + offset page)
+- keyset_orders_page         cursor_pagination.py (cursor predicate + limit)
+- purchase_history_last3     datamart_service.py:237-248 (per-customer drill-down)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.pagination import paginate_keyset, paginate_offset
+from ..schemas import load_table
+from ._parity import dec, money_sum_sql
+from .catalog import register
+
+
+@register(
+    "sales_analytics_quarterly",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS period_year,
+           CAST(quarter(o_orderdate) AS INT) AS period_quarter,
+           COUNT(*) AS order_count,
+           {money_sum_sql('o_totalprice')} AS revenue,
+           {money_sum_sql('o_totalprice')} / COUNT(*) AS avg_order_value,
+           COUNT(DISTINCT o_custkey) AS active_customers
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY 1, 2
+    """,
+)
+def sales_analytics_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sales_analytics(spark, sf_dir, granularity="quarter")
+
+
+def sales_analytics(
+    spark: SparkSession, sf_dir: str, granularity: str = "month"
+) -> DataFrame:
+    """Parameterized time-granularity analytics (year/quarter/month/day)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    keys = [F.year("o_orderdate").alias("period_year")]
+    if granularity == "quarter":
+        keys.append(F.quarter("o_orderdate").alias("period_quarter"))
+    elif granularity == "month":
+        keys.append(F.month("o_orderdate").alias("period_month"))
+    elif granularity == "day":
+        keys.append(F.to_date("o_orderdate").alias("period_date"))
+    return orders.groupBy(*keys).agg(
+        F.count("*").alias("order_count"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        (F.sum(dec("o_totalprice")).cast("double") / F.count("*")).alias(
+            "avg_order_value"
+        ),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
+
+
+@register(
+    "top10_products_by_qty",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand,
+           SUM(l_quantity) AS total_quantity,
+           COUNT(*) AS times_sold
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2, 3
+    ORDER BY total_quantity DESC, p_partkey
+    LIMIT 10
+    """,
+)
+def top10_products_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_products(spark, sf_dir, metric="quantity", n=10)
+
+
+def top_products(
+    spark: SparkSession, sf_dir: str, metric: str = "revenue", n: int = 10
+) -> DataFrame:
+    """Top-N products by a caller-selected metric. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-N, no global sort."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    from ._parity import rev_sum
+
+    metric_col = {
+        "revenue": rev_sum().alias("total_revenue"),
+        "quantity": F.sum("l_quantity").alias("total_quantity"),
+        "orders": F.countDistinct("l_orderkey").alias("unique_orders"),
+    }[metric]
+    sort_name = {"revenue": "total_revenue", "quantity": "total_quantity", "orders": "unique_orders"}[metric]
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "p_brand")
+        .agg(metric_col, F.count("*").alias("times_sold"))
+        .orderBy(F.col(sort_name).desc(), "p_partkey")
+        .limit(n)
+    )
+
+
+@register(
+    "country_performance",
+    oracle=f"""
+    WITH per_nation AS (
+        SELECT n_name AS nation, r_name AS region,
+               COUNT(DISTINCT o_orderkey) AS orders_cnt,
+               COUNT(DISTINCT o_custkey) AS customers_cnt,
+               {money_sum_sql('o_totalprice')} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT *,
+           revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER () AS DOUBLE)
+               AS revenue_share,
+           CAST(rank() OVER (ORDER BY revenue DESC, nation) AS INT) AS revenue_rank
+    FROM per_nation
+    """,
+)
+def country_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation performance with share-of-total. The unpartitioned window
+    runs over ≤ #nations rows (post-aggregation), so it is scale-safe."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("orders_cnt"),
+            F.countDistinct("o_custkey").alias("customers_cnt"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("revenue").desc(), "nation")
+    return per_nation.select(
+        "*",
+        (F.col("revenue") / F.sum(dec("revenue")).over(w_all).cast("double")).alias(
+            "revenue_share"
+        ),
+        F.rank().over(w_rank).alias("revenue_rank"),
+    )
+
+
+@register(
+    "seasonal_trends",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               {money_sum_sql('o_totalprice')} AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT order_month,
+           CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_monthly_revenue,
+           CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           COUNT(*) AS years_observed
+    FROM m GROUP BY 1
+    """,
+)
+def seasonal_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality profile (two-phase aggregation; the rev
+    re-cast to DECIMAL keeps the second sum exact too)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("order_month")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+    return m.groupBy("order_month").agg(
+        (F.sum(dec("rev")).cast("double") / F.count("*")).alias("avg_monthly_revenue"),
+        F.sum(dec("rev")).cast("double").alias("total_revenue"),
+        F.count("*").alias("years_observed"),
+    )
+
+
+@register(
+    "paginated_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 50 OFFSET 100
+    """,
+)
+def paginated_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset pagination, page 3 of size 50 (sort-mapped 'date:desc')."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.to_date("o_orderdate").alias("order_date")
+    )
+    return paginate_offset(
+        orders, sort_cols=[("order_date", "desc"), ("o_orderkey", "desc")], page=3, page_size=50
+    )
+
+
+@register(
+    "keyset_orders_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1999-06-01 00:00:00'
+       OR (o_orderdate = TIMESTAMP '1999-06-01 00:00:00' AND o_orderkey > 0)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 50
+    """,
+)
+def keyset_orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset page after cursor (1999-06-01, 0) — the predicate pushes down
+    to the parquet scan, unlike OFFSET."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    import datetime
+
+    return paginate_keyset(
+        orders,
+        sort_col="o_orderdate",
+        key_col="o_orderkey",
+        cursor=(datetime.datetime(1999, 6, 1), 0),
+        page_size=50,
+    )
+
+
+@register(
+    "purchase_history_last3",
+    oracle="""
+    SELECT o_custkey AS customer_id, o_orderkey, o_totalprice,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS INT) AS recency_rank
+    FROM orders
+    QUALIFY recency_rank <= 3
+    """,
+)
+def purchase_history_last3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer drill-down: 3 most recent orders for every customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("customer_id"),
+            "o_orderkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+        .withColumn(
+            "recency_rank",
+            F.row_number().over(
+                Window.partitionBy("customer_id").orderBy(
+                    F.col("order_date").desc(), F.col("o_orderkey").desc()
+                )
+            ),
+        )
+        .filter(F.col("recency_rank") <= 3)
+    )
