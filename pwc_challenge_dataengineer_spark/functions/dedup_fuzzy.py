@@ -1,0 +1,168 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Core LLM-training-data operators (BASELINE.json north star). All paths are
+pure DataFrame compositions — explode/groupBy/join — so they scale as
+shuffles, never driver loops:
+
+- word-shingle extraction (built-in `transform` over a `sequence`, no UDF)
+- MinHash: per-band signature = MIN(md5(band:shingle)). md5 hex strings are
+  uniformly distributed, so a lexicographic MIN is a valid minwise hash, and
+  it is reproducible across engines (the DuckDB oracle computes the same).
+- LSH: candidate pairs = docs sharing any band signature (self-join on the
+  tiny (band, signature) buckets, a<b to halve).
+- verification: exact Jaccard over distinct shingle sets via a shingle-level
+  equi-join (common count) + per-doc counts.
+- SimHash: 60-bit signature from md5 nibbles of each token, majority vote
+  per bit. 60 bits (15 hex chars) keeps the value inside BIGINT.
+
+Scale notes: the shingle explode multiplies rows by ~tokens/doc; partial
+aggregation collapses it back before any shuffle. Band count B trades recall
+vs candidate volume (B=4, r=1 here). For 100 TB, bucket-join skew (a viral
+shingle) is handled by AQE skew-join splitting; salting hooks are noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct lowercase word k-grams as an array column (0-based Spark
+    subscripts; the DuckDB oracle mirrors with 1-based)."""
+    toks = F.split(F.lower(F.trim(text_col)), "\\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def minhash_band_signatures(
+    shingles: DataFrame, id_col: str, n_bands: int = 4
+) -> DataFrame:
+    """One row per (doc, band): the band's minwise signature."""
+    bands = shingles.select(
+        id_col,
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
+        "shingle",
+    )
+    return bands.groupBy(id_col, "band").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("band").cast("string"), F.col("shingle")))).alias(
+            "signature"
+        )
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (a, b) a<b pairs sharing at least one band signature."""
+    left = signatures.select(
+        F.col(id_col).alias("id_a"), "band", "signature"
+    )
+    right = signatures.select(F.col(id_col).alias("id_b"), "band", "signature")
+    return (
+        left.join(right, ["band", "signature"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for each candidate pair over distinct shingle sets."""
+    counts = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full pipeline: shingle → band minhash → LSH buckets → exact verify."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    sig = minhash_band_signatures(sh, id_col, n_bands)
+    cand = lsh_candidate_pairs(sig, id_col)
+    verified = jaccard_verify(cand, sh, id_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document (fits BIGINT).
+
+    Token hash = first 15 hex nibbles of md5(token); per bit position the
+    tokens vote ±1; positive vote → bit set. All occurrences vote (frequency
+    weighting), matching the classic Charikar construction.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    # shiftleft with a column shift amount is SQL-only; the nibble→bit
+    # extraction mirrors the DuckDB oracle expression exactly.
+    bits = toks.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("p"),
+    ).withColumn(
+        "bit",
+        F.expr(
+            f"CAST(((instr('{_HEX}', substring(h, CAST(p DIV 4 AS INT) + 1, 1)) - 1)"
+            " & shiftleft(1, 3 - CAST(p % 4 AS INT))) > 0 AS INT)"
+        ),
+    )
+    votes = bits.groupBy(id_col, "p").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("vote")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two bigint signatures via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

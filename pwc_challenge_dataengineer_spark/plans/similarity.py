@@ -1,0 +1,168 @@
+"""Similarity-search + multimodal queries over the embeddings table.
+
+North-star LLM-pipeline operators (BASELINE.json):
+
+- vector_norms       per-vector L2 norm (sequential-fold dot product)
+- cosine_topk        brute-force exact top-5 cosine neighbors for the first
+                     5 vectors (cross join baseline; |Q| small by design)
+- centroid_dims      per-label centroid, emitted as (label, dim, value) rows
+- knn_label_vote     5-NN majority label vote for the query vectors
+- ann_lsh_topk       random-hyperplane LSH-bucketed approximate top-k —
+                     the 100 TB scale path (bucket equi-join instead of a
+                     cross join). Rows-only check: approximate by design.
+- multimodal_features binary media columns + Arrow-batched decode stub —
+                     rows-only (the fake decode is engine-specific Python).
+
+Float parity: cosine values are computed as sequential left folds over
+double-cast arrays in BOTH engines (Spark ``aggregate``; DuckDB
+``list_dot_product`` on DOUBLE[]), rounded to 6dp before ranking, with
+neighbor id as tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.multimodal import extract_image_features, synthesize_media
+from ..functions.similarity import ann_lsh_topk, as_double_array, cosine_topk_brute, l2_norm
+from ..schemas import load_table
+from .catalog import register
+
+_DOT_AA = "list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
+
+
+@register(
+    "vector_norms",
+    oracle=f"""
+    SELECT vec_id, label, round(sqrt({_DOT_AA}), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm(as_double_array(F.col("embedding"))), 6).alias("l2_norm"),
+    )
+
+
+_COS_SQL = """
+    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cosine_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({_COS_SQL}, 6) DESC, c.vec_id) AS INT) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_brute(
+        emb.filter(F.col("vec_id") < 5), emb, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+@register(
+    "centroid_dims",
+    oracle="""
+    SELECT label, CAST(i - 1 AS INT) AS dim,
+           round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+)
+def centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids as (label, dim, value) rows. SUM/COUNT instead of
+    AVG: float→double sums agree across engines to ~1 ulp and the 6dp round
+    absorbs it; at 100 TB this is one partial-aggregated shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(as_double_array(F.col("embedding"))).alias("dim", "val")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(F.sum("val") / F.count("*"), 6).alias("centroid_val"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH topk AS (
+        SELECT query_id, neighbor_label, cosine_sim, rank FROM (
+            SELECT q.vec_id AS query_id, c.label AS neighbor_label,
+                   round({_COS_SQL}, 6) AS cosine_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round({_COS_SQL}, 6) DESC, c.vec_id) AS INT) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+        ) WHERE rank <= 5
+    )
+    SELECT query_id, neighbor_label AS predicted_label, votes FROM (
+        SELECT query_id, neighbor_label, COUNT(*) AS votes,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY COUNT(*) DESC, MIN(rank), neighbor_label) AS rn
+        FROM topk GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN classification by majority vote (ties → best-ranked neighbor,
+    then label) for the first 20 vectors."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label"))
+    topk = cosine_topk_brute(
+        emb.filter(F.col("vec_id") < 20), emb, id_col="vec_id", vec_col="embedding", k=5
+    ).join(F.broadcast(labels), "neighbor_id")
+    votes = topk.groupBy("query_id", "neighbor_label").agg(
+        F.count("*").alias("votes"), F.min("rank").alias("best_rank")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), "best_rank", "neighbor_label"
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_label").alias("predicted_label"), "votes")
+    )
+
+
+@register("ann_lsh_topk")  # approximate by design → rows-only check
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        n_planes=6,
+        dims=64,
+    )
+
+
+@register("multimodal_features")  # Python decode stub → rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return extract_image_features(media)

@@ -1,0 +1,312 @@
+"""Text-analysis + deduplication queries over the documents table.
+
+North-star LLM-pipeline operators (BASELINE.json): each one is a pure
+DataFrame composition (no UDFs), with an exact DuckDB oracle — including the
+MinHash/LSH pipeline, whose md5-min band signatures are engine-reproducible.
+
+- text_stats            token/char/punct/stopword stats + quality score
+- lang_id               stopword-hit language heuristic
+- token_count_bpe       BPE-ish regex tokenizer counts
+- doc_fingerprint       normalized md5 fingerprint + dup-group size
+- exact_dedup_docs      hash-groupBy exact dedup survivors
+- minhash_lsh_pairs     shingle → per-band min-hash → LSH buckets → exact
+                        Jaccard verification (all candidate pairs emitted)
+- simhash_docs          60-bit SimHash signatures
+- ngram_jaccard_pairs   shingle-join exact Jaccard for pairs sharing ≥ 8
+                        shingles (bounded candidate set)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup_fuzzy import (
+    exploded_shingles,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_band_signatures,
+    simhash60,
+)
+from ..functions.text import add_text_stats, bpe_ish_tokens, detect_language, normalized_fingerprint
+from ..operators.dedup import exact_dedup
+from ..schemas import load_table
+from .catalog import register
+
+_SW_EN = "('the','and','of','to','a','is','in','that')"
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars_calc,
+               len({_TOKS}) AS n_tok,
+               len(list_filter({_TOKS}, x -> x IN {_SW_EN})) AS sw_hits,
+               length(trim(text)) - length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                   AS ws_chars,
+               length(text) - length(regexp_replace(text, '[.,!?;:()\\[\\]''"-]', '', 'g'))
+                   AS punct_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars_calc,
+           CAST(n_tok AS INT) AS n_tokens,
+           round(CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+                 / greatest(n_tok, 1), 6) AS avg_token_len,
+           round(CASE WHEN n_chars_calc > 0
+                      THEN CAST(punct_chars AS DOUBLE) / n_chars_calc ELSE 0e0 END, 6)
+               AS punct_ratio,
+           round(CASE WHEN n_chars_calc > 0
+                      THEN CAST(digit_chars AS DOUBLE) / n_chars_calc ELSE 0e0 END, 6)
+               AS digit_ratio,
+           round(CAST(sw_hits AS DOUBLE) / greatest(n_tok, 1), 6) AS stopword_ratio,
+           round(0.4e0 * (CASE WHEN n_tok >= 20 THEN 1.0e0 WHEN n_tok >= 5 THEN 0.5e0 ELSE 0.0e0 END)
+               + 0.3e0 * least((CAST(sw_hits AS DOUBLE) / greatest(n_tok, 1)) * 5, 1.0e0)
+               + 0.15e0 * (1 - least((CASE WHEN n_chars_calc > 0
+                        THEN CAST(punct_chars AS DOUBLE) / n_chars_calc ELSE 0e0 END) * 10, 1.0e0))
+               + 0.15e0 * (1 - least((CASE WHEN n_chars_calc > 0
+                        THEN CAST(digit_chars AS DOUBLE) / n_chars_calc ELSE 0e0 END) * 10, 1.0e0)),
+               6) AS quality_score
+    FROM base
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return add_text_stats(docs).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _lang_hits_sql(words: list[str]) -> str:
+    inlist = "(" + ",".join(f"'{w}'" for w in words) + ")"
+    return f"len(list_filter({_TOKS}, x -> x IN {inlist}))"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH hits AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {_lang_hits_sql(['the','and','of','to','a','is','in','that'])} AS h_en,
+               {_lang_hits_sql(['der','die','das','und','ist','nicht','ein'])} AS h_de,
+               {_lang_hits_sql(['le','la','les','et','est','un','une','dans'])} AS h_fr,
+               {_lang_hits_sql(['el','la','los','y','es','un','una','que'])} AS h_es
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN h_en >= 1 THEN 'en'
+                WHEN h_de >= 1 AND h_de > h_en THEN 'de'
+                WHEN h_fr >= 1 AND h_fr > h_en AND h_fr > h_de THEN 'fr'
+                WHEN h_es >= 1 AND h_es > h_en AND h_es > h_de AND h_es > h_fr THEN 'es'
+                ELSE 'unknown' END AS predicted_lang
+    FROM hits
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detect_language(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS INT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS dup_group_size
+    FROM fp
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint")
+    ).withColumn(
+        "dup_group_size", F.count("*").over(Window.partitionBy("fingerprint"))
+    )
+
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, content_cols=["text"], id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_SHINGLES_SQL = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+        WHERE len(t) >= 3
+    )
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    bands AS (
+        SELECT doc_id, band, shingle
+        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(md5(concat_ws(':', CAST(band AS VARCHAR), shingle))) AS signature
+        FROM bands GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.signature = b.signature AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT m.id_a, m.id_b, m.n_common,
+           round(CAST(m.n_common AS DOUBLE) / (na.n + nb.n - m.n_common), 6) AS jaccard
+    FROM common m
+    JOIN counts na ON na.doc_id = m.id_a
+    JOIN counts nb ON nb.doc_id = m.id_b
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with exact Jaccard verification (4 bands,
+    r=1). Threshold filtering is the caller's choice; all candidates emitted
+    here so the oracle checks the whole pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", k=3)
+    sig = minhash_band_signatures(sh, "doc_id", n_bands=4)
+    cand = lsh_candidate_pairs(sig, "doc_id")
+    return jaccard_verify(cand, sh, "doc_id")
+
+
+@register(
+    "simhash_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    bits AS (
+        SELECT doc_id, p,
+               -- NB: p // 4, not CAST(p/4 AS INT): DuckDB's double→int cast
+               -- ROUNDS (Spark truncates) — integer division on both sides.
+               CASE WHEN ((strpos('0123456789abcdef',
+                                  substr(h, CAST(p // 4 AS INT) + 1, 1)) - 1)
+                          & (1 << (3 - CAST(p % 4 AS INT)))) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM h, (SELECT unnest(range(0, 60)) AS p)
+    ),
+    votes AS (SELECT doc_id, p, SUM(bit * 2 - 1) AS vote FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM votes GROUP BY 1
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash60(docs, "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 8
+    )
+    SELECT m.id_a, m.id_b, m.n_common,
+           round(CAST(m.n_common AS DOUBLE) / (na.n + nb.n - m.n_common), 6) AS jaccard
+    FROM common m
+    JOIN counts na ON na.doc_id = m.id_a
+    JOIN counts nb ON nb.doc_id = m.id_b
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard restricted to pairs sharing ≥ 8 shingles
+    (the shingle-join naturally bounds candidates; at 100 TB prefer the
+    MinHash/LSH pipeline which avoids the quadratic shingle join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", k=3)
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 8)
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (
+        common.join(counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
