@@ -1,0 +1,250 @@
+"""Incremental / CDC queries (SURVEY.md §2.12 incremental row, §2.9 CDC).
+
+- high_watermark_events  incremental_etl_processor.py:92-120 — the watermark
+                         is a plain predicate → parquet rowgroup pruning
+- cdc_envelope_parse     cdc_processor.py:219 — Debezium envelope roundtrip
+                         (synthesized deterministically from events)
+- cdc_apply_latest       cdc_processor.py conflict resolution — last-write-
+                         wins collapse, deletes drop out
+- scd2_apply_emulation   delta_lake_manager.py:373-416 MERGE semantics as
+                         close-and-insert (fixing the reference bug where
+                         changed rows were closed but never re-inserted)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.incremental import high_watermark_filter
+from ..schemas import load_table
+from .catalog import register
+
+
+@register(
+    "high_watermark_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def high_watermark_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    import datetime
+
+    return high_watermark_filter(
+        events, "ts", datetime.datetime(2024, 1, 20)
+    ).select("event_id", "user_id", "event_type", "ts")
+
+
+# Deterministic synthetic Debezium envelopes: op from event_type, payload
+# from the event row. Built with string concat (NOT to_json) so the oracle
+# can build byte-identical JSON.
+_ENVELOPE_SQL = """
+    SELECT event_id,
+           '{"op":"' || CASE event_type WHEN 'signup' THEN 'c'
+                                        WHEN 'error' THEN 'd' ELSE 'u' END ||
+           '","ts_ms":' || CAST(epoch_ms(ts) AS VARCHAR) ||
+           ',"after":{"user_id":' || CAST(user_id AS VARCHAR) ||
+           ',"value":' || CAST(round(value, 2) AS VARCHAR) || '},' ||
+           '"before":{"user_id":' || CAST(user_id AS VARCHAR) || ',"value":0.0}}'
+               AS envelope
+    FROM events
+"""
+
+
+@register(
+    "cdc_envelope_parse",
+    oracle=f"""
+    WITH env AS ({_ENVELOPE_SQL})
+    SELECT event_id,
+           json_extract_string(envelope, '$.op') AS op,
+           CAST(json_extract(envelope, '$.ts_ms') AS BIGINT) AS ts_ms,
+           CAST(json_extract(envelope,
+                CASE WHEN json_extract_string(envelope, '$.op') = 'd'
+                     THEN '$.before.user_id' ELSE '$.after.user_id' END) AS BIGINT)
+               AS user_id,
+           CAST(json_extract(envelope,
+                CASE WHEN json_extract_string(envelope, '$.op') = 'd'
+                     THEN '$.before.value' ELSE '$.after.value' END) AS DOUBLE)
+               AS value
+    FROM env
+    """,
+)
+def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope parse: delete ops read ``before``, others ``after``
+    (streaming/cdc.py:parse_debezium over synthesized envelopes)."""
+    from ..streaming.cdc import parse_debezium
+
+    events = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    envelope = F.concat(
+        F.lit('{"op":"'), op,
+        F.lit('","ts_ms":'),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("bigint").cast("string"),
+        F.lit(',"after":{"user_id":'), F.col("user_id").cast("string"),
+        F.lit(',"value":'), F.round("value", 2).cast("string"),
+        F.lit('},"before":{"user_id":'), F.col("user_id").cast("string"),
+        F.lit(',"value":0.0}}'),
+    )
+    raw = events.select("event_id", envelope.alias("value"))
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    parsed = parse_debezium(raw.select("event_id", "value"), payload)
+    # parse_debezium drops non-payload cols; rejoin event_id for comparison
+    raw2 = raw.select("event_id", "value")
+    env = raw2.select(
+        "event_id",
+        F.from_json("value", T.StructType([
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("after", payload, True),
+            T.StructField("before", payload, True),
+        ])).alias("e"),
+    )
+    return env.select(
+        "event_id",
+        F.col("e.op").alias("op"),
+        F.col("e.ts_ms").alias("ts_ms"),
+        F.when(F.col("e.op") == "d", F.col("e.before.user_id"))
+        .otherwise(F.col("e.after.user_id"))
+        .alias("user_id"),
+        F.when(F.col("e.op") == "d", F.col("e.before.value"))
+        .otherwise(F.col("e.after.value"))
+        .alias("value"),
+    )
+
+
+@register(
+    "cdc_apply_latest",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+               value
+        FROM events
+    )
+    SELECT user_id, value AS latest_value, ts AS last_change_ts
+    FROM changes
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        AND op <> 'd'
+    """,
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins state: newest change per user wins; users whose
+    newest change is a delete disappear (streaming/cdc.py semantics)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("op"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") != "d"))
+        .select(
+            "user_id",
+            F.col("value").alias("latest_value"),
+            F.col("ts").alias("last_change_ts"),
+        )
+    )
+
+
+@register(
+    "scd2_apply_emulation",
+    oracle="""
+    WITH current AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+               TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+               1 AS version, TRUE AS is_current
+        FROM customer WHERE c_custkey % 10 <> 0
+    ),
+    incoming AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+                   AS c_acctbal
+        FROM customer WHERE c_custkey % 10 <> 1
+    ),
+    classified AS (
+        SELECT coalesce(i.c_custkey, c.c_custkey) AS key,
+               CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                    WHEN i.c_custkey IS NULL THEN 'delete'
+                    WHEN i.c_acctbal <> c.c_acctbal OR i.c_name <> c.c_name
+                         THEN 'update'
+                    ELSE 'unchanged' END AS change_type
+        FROM incoming i FULL OUTER JOIN current c ON i.c_custkey = c.c_custkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.valid_from,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_to,
+           c.version, FALSE AS is_current
+    FROM current c JOIN classified x
+      ON c.c_custkey = x.key AND x.change_type IN ('update', 'delete')
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, c.valid_from, c.valid_to,
+           c.version, c.is_current
+    FROM current c JOIN classified x
+      ON c.c_custkey = x.key AND x.change_type = 'unchanged'
+    UNION ALL
+    SELECT i.c_custkey, i.c_name, i.c_acctbal,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+           TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+           CASE WHEN x.change_type = 'update' THEN 2 ELSE 1 END AS version,
+           TRUE AS is_current
+    FROM incoming i JOIN classified x
+      ON i.c_custkey = x.key AND x.change_type IN ('insert', 'update')
+    """,
+)
+def scd2_apply_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close-and-insert SCD2 merge on synthetic snapshots (current =
+    custkey%10≠0 @v1; incoming = custkey%10≠1 with acctbal bump for %7=0).
+    Exercises operators/scd2.py:scd2_apply — the fixed MERGE semantics."""
+    from ..operators.scd2 import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    current = (
+        customer.filter(F.col("c_custkey") % 10 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+            F.lit("9999-12-31 00:00:00").cast("timestamp_ntz").alias("valid_to"),
+            F.lit(1).alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    incoming = customer.filter(F.col("c_custkey") % 10 != 1).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return scd2_apply(
+        current,
+        incoming,
+        key_cols=["c_custkey"],
+        attr_cols=["c_name", "c_acctbal"],
+        effective_ts="2024-06-01 00:00:00",
+    )

@@ -1,0 +1,117 @@
+"""Golden-row operator tests (the reference's one good test pattern:
+tests/test_silver_transform.py:8-53 — tiny fixed inputs, exact expectations)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pwc_challenge_dataengineer_spark.operators.dedup import dedup_keep_latest, exact_dedup
+from pwc_challenge_dataengineer_spark.operators.incremental import checksum_classify_changes
+from pwc_challenge_dataengineer_spark.operators.pagination import paginate_keyset, paginate_offset
+from pwc_challenge_dataengineer_spark.operators.scalable import quantile_bucket
+from pwc_challenge_dataengineer_spark.operators.scd2 import scd2_apply, scd2_rebuild
+from pwc_challenge_dataengineer_spark.operators.sessionize import sessionize
+
+TS = datetime.datetime
+
+
+def test_dedup_keeps_latest(spark):
+    df = spark.createDataFrame(
+        [
+            ("inv1", "sku1", TS(2024, 1, 1, 10), "old"),
+            ("inv1", "sku1", TS(2024, 1, 1, 12), "new"),
+            ("inv2", "sku1", TS(2024, 1, 1, 11), "only"),
+        ],
+        ["invoice_no", "stock_code", "ingestion_ts", "payload"],
+    )
+    out = dedup_keep_latest(df, ["invoice_no", "stock_code"], "ingestion_ts").collect()
+    assert len(out) == 2
+    assert {r.payload for r in out} == {"new", "only"}
+
+
+def test_exact_dedup_min_id_survives(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "  hello   world".replace("   ", " ")), (3, "other")],
+        ["id", "text"],
+    )
+    # normalize=True lowercases+trims: ids 1 and 2 collide → min id survives
+    out = exact_dedup(df, ["text"], "id").collect()
+    assert sorted(r.id for r in out) == [1, 3]
+
+
+def test_sessionize_gap(spark):
+    base = TS(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 1),
+        (1, base + datetime.timedelta(minutes=10), 2),
+        (1, base + datetime.timedelta(minutes=50), 3),  # 40-min gap → new session
+        (2, base, 4),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = {r.event_id: r.session_id for r in sessionize(df, "user_id", "ts", 30).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_scd2_rebuild_change_suppression(spark):
+    rows = [
+        (1, TS(2024, 1, 1), "A"),
+        (1, TS(2024, 1, 2), "A"),  # unchanged → suppressed
+        (1, TS(2024, 1, 3), "B"),  # change → v2
+    ]
+    df = spark.createDataFrame(rows, ["key", "ts", "attr"])
+    out = sorted(
+        scd2_rebuild(df, ["key"], ["attr"], "ts").collect(), key=lambda r: r.version
+    )
+    assert [r.attr for r in out] == ["A", "B"]
+    assert out[0].valid_to == out[1].valid_from
+    assert out[1].is_current and not out[0].is_current
+    assert [r.version for r in out] == [1, 2]
+
+
+def test_scd2_apply_close_and_insert(spark):
+    eot = TS(9999, 12, 31)
+    current = spark.createDataFrame(
+        [
+            (1, "alice", TS(2020, 1, 1), eot, 1, True),
+            (2, "bob", TS(2020, 1, 1), eot, 1, True),
+        ],
+        ["id", "name", "valid_from", "valid_to", "version", "is_current"],
+    )
+    incoming = spark.createDataFrame(
+        [(1, "alice2"), (3, "carol")], ["id", "name"]
+    )  # 1 updated, 2 deleted, 3 inserted
+    out = scd2_apply(current, incoming, ["id"], ["name"], "2024-06-01 00:00:00")
+    rows = {(r.id, r.name, r.is_current) for r in out.collect()}
+    # update: old closed + new current; delete: closed; insert: current
+    assert (1, "alice", False) in rows
+    assert (1, "alice2", True) in rows
+    assert (2, "bob", False) in rows
+    assert (3, "carol", True) in rows
+    versions = {(r.id, r.name): r.version for r in out.collect()}
+    assert versions[(1, "alice2")] == 2
+
+
+def test_checksum_classify(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["id", "v"])
+    new = spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], ["id", "v"])
+    out = {r.id: r.change_type for r in checksum_classify_changes(old, new, ["id"], ["v"]).collect()}
+    assert out == {1: "unchanged", 2: "update", 3: "delete", 4: "insert"}
+
+
+def test_quantile_bucket_matches_quintiles(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)], ["id", "v"])
+    out = quantile_bucket(df, "v", 5, relative_error=1e-6).collect()
+    buckets = {r.id: r.v_bucket for r in out}
+    assert buckets[1] == 1 and buckets[100] == 5
+    assert buckets[50] in (2, 3) and buckets[81] in (4, 5)
+    assert set(buckets.values()) == {1, 2, 3, 4, 5}
+
+
+def test_pagination(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 21)], ["id"])
+    page2 = paginate_offset(df, [("id", "asc")], page=2, page_size=5).collect()
+    assert [r.id for r in page2] == [6, 7, 8, 9, 10]
+    ks = paginate_keyset(df, "id", "id", cursor=(10, 10), page_size=3).collect()
+    assert [r.id for r in ks] == [11, 12, 13]

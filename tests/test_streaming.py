@@ -1,0 +1,179 @@
+"""True Structured Streaming tests: file source → transforms → sinks with
+availableNow triggers (bounded replay of the events table, per SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pwc_challenge_dataengineer_spark.schemas import TRANSACTION_EVENT_SCHEMA, load_table
+from pwc_challenge_dataengineer_spark.streaming.cdc import (
+    apply_changes_to_table,
+    latest_state_per_key,
+    parse_debezium,
+)
+from pwc_challenge_dataengineer_spark.streaming.sinks import (
+    AlertRule,
+    evaluate_alerts,
+    start_memory_sink,
+)
+from pwc_challenge_dataengineer_spark.streaming.transforms import (
+    dedup_within_watermark,
+    silver_clean_events,
+)
+from pwc_challenge_dataengineer_spark.streaming.windows import DEFAULT_SPECS, WindowAggSpec, build_window_agg
+
+# NB: watermarks require TIMESTAMP (not NTZ); with a UTC session the stored
+# micros read identically either way.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Re-write the events table as micro-batch-able parquet files."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_stream(spark, stream_df, name, mode="append"):
+    q = start_memory_sink(stream_df, name, output_mode=mode)
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
+    spec = WindowAggSpec(
+        name="hourly",
+        kind="tumbling",
+        ts_col="ts",
+        duration="1 hour",
+        group_cols=("event_type",),
+        aggs={"n_events": "count(*)"},
+        watermark="1 minute",
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(events_dir)
+    # complete mode: emit every window, incl. ones the final watermark has
+    # not yet finalized — append would drop the tail vs the batch run.
+    got = _run_stream(
+        spark, build_window_agg(stream, spec), "t_tumbling", mode="complete"
+    ).collect()
+    expected = build_window_agg(load_table(spark, sf_dir, "events"), spec).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_session_window_stream(spark, sf_dir, events_dir):
+    spec = WindowAggSpec(
+        name="sessions",
+        kind="session",
+        ts_col="ts",
+        duration="30 minutes",
+        group_cols=("user_id",),
+        aggs={"n_events": "count(*)"},
+        watermark="1 minute",
+    )
+    # complete mode: every merged session emitted (append would hold back
+    # sessions newer than the final watermark; update is unsupported here)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got = _run_stream(spark, build_window_agg(stream, spec), "t_sessions", mode="complete").collect()
+    expected = build_window_agg(load_table(spark, sf_dir, "events"), spec).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, "A"),
+        (1, base + datetime.timedelta(minutes=1), "A-dup"),
+        (2, base, "B"),
+    ]
+    src = str(tmp_path / "dup_events")
+    spark.createDataFrame(rows, ["key", "ts", "payload"]).write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("payload", T.StringType(), True),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedup_within_watermark(stream, ["key"], "ts", "10 minutes")
+    out = _run_stream(spark, deduped, "t_dedup").collect()
+    assert len(out) == 2  # one per key within the watermark horizon
+
+
+def test_silver_clean_stream(spark, tmp_path):
+    rows = [
+        ("inv1", "sku1", "widget", 2, 5.0, "123", "UK",
+         datetime.datetime(2024, 1, 1, 10)),
+        (None, "sku2", "gone", 1, 1.0, "x", "US",
+         datetime.datetime(2024, 1, 1, 10)),  # rejected: null invoice
+        ("inv3", "sku3", "RETURN damaged", -1, 2.0, "guest", "DE",
+         datetime.datetime(2024, 1, 1, 11)),
+    ]
+    src = str(tmp_path / "txn_events")
+    spark.createDataFrame(rows, TRANSACTION_EVENT_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(TRANSACTION_EVENT_SCHEMA).parquet(src)
+    out = _run_stream(spark, silver_clean_events(stream), "t_silver").collect()
+    by_inv = {r.invoice_no: r for r in out}
+    assert set(by_inv) == {"inv1", "inv3"}
+    assert by_inv["inv1"].line_total == 10.0 and not by_inv["inv1"].is_return
+    assert by_inv["inv3"].is_return and by_inv["inv3"].risk_score == 0.8
+    assert by_inv["inv3"].customer_id == "GUEST"
+
+
+def test_alert_rules(spark):
+    agg = spark.createDataFrame(
+        [("click", 500.0), ("error", 12000.0)], ["event_type", "total_value"]
+    )
+    fired = evaluate_alerts(
+        agg,
+        [
+            AlertRule("high_value", "total_value", ">", 10000.0, "critical"),
+            AlertRule("negative", "total_value", "<", 0.0),
+        ],
+    )
+    assert fired == [{"rule": "high_value", "severity": "critical", "violations": 1}]
+
+
+def test_cdc_parse_and_apply(spark):
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    envelopes = [
+        ('{"op":"c","ts_ms":1,"after":{"id":1,"v":"a"},"before":null}',),
+        ('{"op":"u","ts_ms":2,"after":{"id":1,"v":"a2"},"before":{"id":1,"v":"a"}}',),
+        ('{"op":"d","ts_ms":3,"before":{"id":2,"v":"b"},"after":null}',),
+        ('{"op":"c","ts_ms":4,"after":{"id":3,"v":"c"},"before":null}',),
+    ]
+    raw = spark.createDataFrame(envelopes, ["value"])
+    changes = parse_debezium(raw, payload)
+    assert {r.op for r in changes.collect()} == {"c", "u", "d"}
+
+    latest = {r.id: r.v for r in latest_state_per_key(changes, ["id"]).collect()}
+    assert latest == {1: "a2", 3: "c"}  # id 2's latest op is delete
+
+    target = spark.createDataFrame([(2, "b"), (9, "z")], ["id", "v"])
+    merged = {r.id: r.v for r in apply_changes_to_table(target, changes, ["id"]).collect()}
+    assert merged == {1: "a2", 3: "c", 9: "z"}  # 2 deleted, 9 untouched
+
+
+def test_default_specs_build(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").withColumnRenamed("ts", "kafka_timestamp")
+    for spec in DEFAULT_SPECS:
+        df = build_window_agg(events, spec)
+        assert df.count() > 0, spec.name
