@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the heaviest representatives of each operator family —
+star-join aggregation, window functions, sessionization, fuzzy dedup
+(MinHash LSH), similarity top-k, streaming windows in batch form.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "sales_summary",
+    "product_analysis",
+    "customer_metrics",
+    "time_series_daily",
+    "cohort_analysis",
+    "rfm_segmentation",
+    "star_join_filtered",
+    "top3_per_nation",
+    "sessionization",
+    "purchase_velocity_24h",
+    "cube_status",
+    "tumbling_hourly",
+    "sliding_10m_5m",
+    "session_window_30m",
+    "quality_score_lineitem",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "cosine_topk",
+    "scd2_rebuild",
+    "cdc_apply_latest",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pwc_challenge_dataengineer_spark.plans.catalog import QUERIES
+    from pwc_challenge_dataengineer_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # JVM/session warmup on the smallest table so q1 doesn't pay startup cost
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # materialize the full result without driver transfer
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -226,7 +226,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r=1). Threshold filtering is the caller's choice; all candidates emitted
     here so the oracle checks the whole pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, "doc_id", "text", k=3)
+    # The shingle explode is the expensive scan; it feeds the signature pass
+    # AND both sides of the Jaccard verify join — persist it once.
+    sh = exploded_shingles(docs, "doc_id", "text", k=3).persist()
     sig = minhash_band_signatures(sh, "doc_id", n_bands=4)
     cand = lsh_candidate_pairs(sig, "doc_id")
     return jaccard_verify(cand, sh, "doc_id")
