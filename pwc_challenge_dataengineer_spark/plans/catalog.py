@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "streaming_batch",
     "incremental",
     "star_schema",
+    "ml_analytics",
 )
 
 

@@ -1,0 +1,583 @@
+"""dbt-macro analytics + ML feature surface (SURVEY.md §2.10, §2.12).
+
+The reference ships its "advanced analytics UDF library" as dbt SQL macros
+and pandas feature builders; here each is a distributed DataFrame plan:
+
+- clv_estimate        dbt/macros/dimensional_modeling.sql:3-109 (CLV =
+                      AOV x frequency x 0.3 margin x horizon x (1-churn));
+                      divergence: the macro ROUNDs to 2dp after a division,
+                      we keep full doubles so the oracle hash can't flake on
+                      half-cent ties (see plans/_parity.py)
+- churn_scoring       dbt/macros/advanced_analytics.sql:3-141 (4 risk
+                      components 0-5 -> composite 0-20 -> probability tier)
+- basket_features     src/etl/transformations/advanced_features.py:236-271
+                      (per-invoice size/diversity/value + size category)
+- customer_behavior   advanced_features.py:172-234 (tenure, AOV, diversity,
+                      loyalty score) — groupBy, never a pandas merge-back
+- kmeans_segments     advanced_features.py:364-408 + realtime_analytics_ml
+                      .py:536-595 (k=5, seed=42, standardized features via
+                      pyspark.ml; rows-only check — iterative, non-SQL)
+- referential_integrity  dbt/macros/data_quality_checks.sql FK orphan tests
+                      re-expressed as left_anti counts
+- freshness_by_type   data_quality_checks.sql:1-5 test_data_freshness
+- rowcount_anomaly    data_quality_checks.sql:8-35 test_row_count_anomaly
+                      (daily-count variance vs trailing mean, >50% flagged)
+- intersect_customers / except_customers  full-row set ops (SURVEY §2.7 —
+                      absent in reference, Spark intersect()/except())
+
+All "current_date" anchors are a fixed AS_OF (2001-09-01, just past the
+testdata's max order date) so results are deterministic and oracle-stable.
+At 100 TB every query here stays a single shuffle-by-key aggregation (or a
+co-partitioned orderkey join); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import load_table
+from ._parity import dec, money_sum_sql
+from .catalog import register
+
+AS_OF = "2001-09-01"
+_AS_OF_SQL = f"DATE '{AS_OF}'"
+
+
+def _customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order rollup shared by clv/churn (one shuffle on custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.min(F.to_date("o_orderdate")).alias("first_purchase_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_purchase_date"),
+        F.count("*").alias("total_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_spent"),
+    )
+
+
+_CUSTOMER_ORDERS_SQL = f"""
+    SELECT o_custkey AS customer_id,
+           CAST(MIN(o_orderdate) AS DATE) AS first_purchase_date,
+           CAST(MAX(o_orderdate) AS DATE) AS last_purchase_date,
+           COUNT(*) AS total_orders,
+           {money_sum_sql('o_totalprice')} AS total_spent
+    FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "clv_estimate",
+    oracle=f"""
+    WITH cm AS ({_CUSTOMER_ORDERS_SQL}),
+    m AS (
+        SELECT *,
+               total_spent / total_orders AS avg_order_value,
+               date_diff('day', first_purchase_date, {_AS_OF_SQL}) AS lifetime_days,
+               CAST(total_orders AS DOUBLE)
+                   / date_diff('day', first_purchase_date, {_AS_OF_SQL})
+                   AS purchase_frequency_per_day,
+               CAST(CASE WHEN date_diff('day', last_purchase_date, {_AS_OF_SQL}) <= 30 THEN 0.1
+                    WHEN date_diff('day', last_purchase_date, {_AS_OF_SQL}) <= 90 THEN 0.3
+                    WHEN date_diff('day', last_purchase_date, {_AS_OF_SQL}) <= 180 THEN 0.6
+                    WHEN date_diff('day', last_purchase_date, {_AS_OF_SQL}) <= 365 THEN 0.8
+                    ELSE 0.95 END AS DOUBLE) AS churn_probability
+        FROM cm WHERE total_orders > 0
+    )
+    SELECT customer_id,
+           total_spent AS historical_value,
+           avg_order_value * (purchase_frequency_per_day * 360) * 0.3
+               * (1 - churn_probability) AS predicted_clv,
+           total_spent + avg_order_value * (purchase_frequency_per_day * 360) * 0.3
+               * (1 - churn_probability) AS total_clv,
+           CASE WHEN total_spent + avg_order_value * (purchase_frequency_per_day * 360)
+                     * 0.3 * (1 - churn_probability) >= 1000 THEN 'High Value'
+                WHEN total_spent + avg_order_value * (purchase_frequency_per_day * 360)
+                     * 0.3 * (1 - churn_probability) >= 500 THEN 'Medium Value'
+                WHEN total_spent + avg_order_value * (purchase_frequency_per_day * 360)
+                     * 0.3 * (1 - churn_probability) >= 100 THEN 'Low Value'
+                ELSE 'Minimal Value' END AS clv_segment,
+           purchase_frequency_per_day,
+           churn_probability,
+           CAST(lifetime_days AS BIGINT) AS lifetime_days
+    FROM m
+    """,
+)
+def clv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    as_of = F.lit(AS_OF).cast("date")
+    m = (
+        _customer_orders(spark, sf_dir)
+        .filter(F.col("total_orders") > 0)
+        .withColumn("avg_order_value", F.col("total_spent") / F.col("total_orders"))
+        .withColumn("lifetime_days", F.datediff(as_of, "first_purchase_date"))
+        .withColumn(
+            "purchase_frequency_per_day",
+            F.col("total_orders").cast("double") / F.col("lifetime_days"),
+        )
+        .withColumn("recency_days", F.datediff(as_of, "last_purchase_date"))
+        .withColumn(
+            "churn_probability",
+            F.when(F.col("recency_days") <= 30, 0.1)
+            .when(F.col("recency_days") <= 90, 0.3)
+            .when(F.col("recency_days") <= 180, 0.6)
+            .when(F.col("recency_days") <= 365, 0.8)
+            .otherwise(0.95),
+        )
+    )
+    predicted = (
+        F.col("avg_order_value")
+        * (F.col("purchase_frequency_per_day") * F.lit(360))
+        * F.lit(0.3)
+        * (F.lit(1) - F.col("churn_probability"))
+    )
+    total_clv = F.col("total_spent") + predicted
+    return m.select(
+        "customer_id",
+        F.col("total_spent").alias("historical_value"),
+        predicted.alias("predicted_clv"),
+        total_clv.alias("total_clv"),
+        F.when(total_clv >= 1000, "High Value")
+        .when(total_clv >= 500, "Medium Value")
+        .when(total_clv >= 100, "Low Value")
+        .otherwise("Minimal Value")
+        .alias("clv_segment"),
+        "purchase_frequency_per_day",
+        "churn_probability",
+        F.col("lifetime_days").cast("long").alias("lifetime_days"),
+    )
+
+
+@register(
+    "churn_scoring",
+    oracle=f"""
+    WITH act AS (
+        SELECT o_custkey AS customer_id,
+               CAST(MIN(o_orderdate) AS DATE) AS first_purchase_date,
+               COUNT(*) AS total_orders,
+               {money_sum_sql('o_totalprice')} AS total_spent,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE), {_AS_OF_SQL})
+                   AS days_since_last,
+               {money_sum_sql(f"CASE WHEN o_orderdate >= {_AS_OF_SQL} - INTERVAL 90 DAY THEN o_totalprice ELSE 0 END")}
+                   AS recent_revenue,
+               COUNT(CASE WHEN o_orderdate >= {_AS_OF_SQL} - INTERVAL 90 DAY THEN 1 END)
+                   AS recent_transactions,
+               {money_sum_sql(f"CASE WHEN o_orderdate >= {_AS_OF_SQL} - INTERVAL 180 DAY AND o_orderdate < {_AS_OF_SQL} - INTERVAL 90 DAY THEN o_totalprice ELSE 0 END")}
+                   AS previous_period_revenue,
+               COUNT(*) * 30.0
+                   / GREATEST(date_diff('day', CAST(MIN(o_orderdate) AS DATE), {_AS_OF_SQL}), 1)
+                   AS purchase_frequency_monthly
+        FROM orders GROUP BY 1
+    ),
+    risk AS (
+        SELECT *,
+               CASE WHEN days_since_last <= 7 THEN 0 WHEN days_since_last <= 30 THEN 1
+                    WHEN days_since_last <= 60 THEN 2 WHEN days_since_last <= 90 THEN 3
+                    WHEN days_since_last <= 180 THEN 4 ELSE 5 END AS recency_risk,
+               CASE WHEN purchase_frequency_monthly >= 2 THEN 0
+                    WHEN purchase_frequency_monthly >= 1 THEN 1
+                    WHEN purchase_frequency_monthly >= 0.5 THEN 2
+                    WHEN purchase_frequency_monthly >= 0.25 THEN 3
+                    WHEN purchase_frequency_monthly >= 0.1 THEN 4 ELSE 5 END AS frequency_risk,
+               CASE WHEN recent_revenue > previous_period_revenue * 1.2 THEN 0
+                    WHEN recent_revenue > previous_period_revenue * 0.8 THEN 1
+                    WHEN recent_revenue > previous_period_revenue * 0.5 THEN 2
+                    WHEN recent_revenue > previous_period_revenue * 0.2 THEN 3
+                    WHEN recent_revenue > 0 THEN 4 ELSE 5 END AS revenue_trend_risk,
+               CASE WHEN recent_transactions >= 5 THEN 0 WHEN recent_transactions >= 3 THEN 1
+                    WHEN recent_transactions >= 2 THEN 2 WHEN recent_transactions >= 1 THEN 3
+                    WHEN recent_transactions = 0 AND days_since_last <= 180 THEN 4
+                    ELSE 5 END AS activity_risk
+        FROM act
+    )
+    SELECT customer_id, total_orders, total_spent,
+           CAST(days_since_last AS BIGINT) AS days_since_last,
+           purchase_frequency_monthly,
+           CAST(recency_risk AS INT) AS recency_risk,
+           CAST(frequency_risk AS INT) AS frequency_risk,
+           CAST(revenue_trend_risk AS INT) AS revenue_trend_risk,
+           CAST(activity_risk AS INT) AS activity_risk,
+           CAST(recency_risk + frequency_risk + revenue_trend_risk + activity_risk AS INT)
+               AS churn_risk_score,
+           CAST(CASE WHEN recency_risk + frequency_risk + revenue_trend_risk + activity_risk <= 4 THEN 0.1
+                WHEN recency_risk + frequency_risk + revenue_trend_risk + activity_risk <= 8 THEN 0.3
+                WHEN recency_risk + frequency_risk + revenue_trend_risk + activity_risk <= 12 THEN 0.6
+                WHEN recency_risk + frequency_risk + revenue_trend_risk + activity_risk <= 16 THEN 0.8
+                ELSE 0.95 END AS DOUBLE) AS churn_probability,
+           CASE WHEN recency_risk + frequency_risk + revenue_trend_risk + activity_risk <= 4 THEN 'Low Risk'
+                WHEN recency_risk + frequency_risk + revenue_trend_risk + activity_risk <= 8 THEN 'Medium Risk'
+                WHEN recency_risk + frequency_risk + revenue_trend_risk + activity_risk <= 12 THEN 'High Risk'
+                ELSE 'Critical Risk' END AS churn_risk_category,
+           CASE WHEN recency_risk >= 4 THEN 'Re-engagement Campaign'
+                WHEN frequency_risk >= 4 THEN 'Increase Purchase Frequency'
+                WHEN revenue_trend_risk >= 4 THEN 'Value Recovery Campaign'
+                WHEN activity_risk >= 4 THEN 'Activity Stimulation'
+                ELSE 'Monitor' END AS recommended_action
+    FROM risk
+    """,
+)
+def churn_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    as_of = F.lit(AS_OF).cast("date")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = F.col("o_orderdate") >= F.date_sub(as_of, 90)
+    previous = (F.col("o_orderdate") >= F.date_sub(as_of, 180)) & (
+        F.col("o_orderdate") < F.date_sub(as_of, 90)
+    )
+    act = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.min(F.to_date("o_orderdate")).alias("first_purchase_date"),
+        F.count("*").alias("total_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_spent"),
+        F.datediff(as_of, F.max(F.to_date("o_orderdate"))).alias("days_since_last"),
+        F.sum(F.when(recent, dec("o_totalprice")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("recent_revenue"),
+        F.count(F.when(recent, 1)).alias("recent_transactions"),
+        F.sum(F.when(previous, dec("o_totalprice")).otherwise(F.lit(0).cast("decimal(18,2)")))
+        .cast("double")
+        .alias("previous_period_revenue"),
+    )
+    act = act.withColumn(
+        "purchase_frequency_monthly",
+        F.col("total_orders")
+        * F.lit(30.0)
+        / F.greatest(F.datediff(as_of, "first_purchase_date"), F.lit(1)),
+    )
+    d, fq, rr, rt = (
+        F.col("days_since_last"),
+        F.col("purchase_frequency_monthly"),
+        F.col("recent_revenue"),
+        F.col("recent_transactions"),
+    )
+    risk = (
+        act.withColumn(
+            "recency_risk",
+            F.when(d <= 7, 0).when(d <= 30, 1).when(d <= 60, 2).when(d <= 90, 3)
+            .when(d <= 180, 4).otherwise(5),
+        )
+        .withColumn(
+            "frequency_risk",
+            F.when(fq >= 2, 0).when(fq >= 1, 1).when(fq >= 0.5, 2).when(fq >= 0.25, 3)
+            .when(fq >= 0.1, 4).otherwise(5),
+        )
+        .withColumn(
+            "revenue_trend_risk",
+            F.when(rr > F.col("previous_period_revenue") * 1.2, 0)
+            .when(rr > F.col("previous_period_revenue") * 0.8, 1)
+            .when(rr > F.col("previous_period_revenue") * 0.5, 2)
+            .when(rr > F.col("previous_period_revenue") * 0.2, 3)
+            .when(rr > 0, 4)
+            .otherwise(5),
+        )
+        .withColumn(
+            "activity_risk",
+            F.when(rt >= 5, 0).when(rt >= 3, 1).when(rt >= 2, 2).when(rt >= 1, 3)
+            .when((rt == 0) & (d <= 180), 4).otherwise(5),
+        )
+    )
+    score = (
+        F.col("recency_risk")
+        + F.col("frequency_risk")
+        + F.col("revenue_trend_risk")
+        + F.col("activity_risk")
+    )
+    return risk.select(
+        "customer_id",
+        "total_orders",
+        "total_spent",
+        F.col("days_since_last").cast("long").alias("days_since_last"),
+        "purchase_frequency_monthly",
+        F.col("recency_risk").cast("int").alias("recency_risk"),
+        F.col("frequency_risk").cast("int").alias("frequency_risk"),
+        F.col("revenue_trend_risk").cast("int").alias("revenue_trend_risk"),
+        F.col("activity_risk").cast("int").alias("activity_risk"),
+        score.cast("int").alias("churn_risk_score"),
+        F.when(score <= 4, 0.1).when(score <= 8, 0.3).when(score <= 12, 0.6)
+        .when(score <= 16, 0.8).otherwise(0.95).alias("churn_probability"),
+        F.when(score <= 4, "Low Risk").when(score <= 8, "Medium Risk")
+        .when(score <= 12, "High Risk").otherwise("Critical Risk")
+        .alias("churn_risk_category"),
+        F.when(F.col("recency_risk") >= 4, "Re-engagement Campaign")
+        .when(F.col("frequency_risk") >= 4, "Increase Purchase Frequency")
+        .when(F.col("revenue_trend_risk") >= 4, "Value Recovery Campaign")
+        .when(F.col("activity_risk") >= 4, "Activity Stimulation")
+        .otherwise("Monitor")
+        .alias("recommended_action"),
+    )
+
+
+@register(
+    "basket_features",
+    oracle=f"""
+    WITH b AS (
+        SELECT l_orderkey AS invoice_no,
+               COUNT(*) AS basket_size,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS basket_diversity,
+               SUM(l_quantity) AS basket_total_quantity,
+               {money_sum_sql('l_extendedprice')} / COUNT(*) AS basket_avg_price
+        FROM lineitem GROUP BY 1
+    )
+    SELECT *,
+           basket_total_quantity * basket_avg_price AS basket_total_value,
+           CASE WHEN basket_size <= 1 THEN 'Single' WHEN basket_size <= 3 THEN 'Small'
+                WHEN basket_size <= 10 THEN 'Medium' ELSE 'Large' END
+               AS basket_size_category
+    FROM b
+    """,
+)
+def basket_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rollup. One shuffle on orderkey; the size category is
+    the reference's pd.cut bins [0,1,3,10,inf]."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    b = lineitem.groupBy(F.col("l_orderkey").alias("invoice_no")).agg(
+        F.count("*").alias("basket_size"),
+        F.countDistinct("l_partkey").alias("basket_diversity"),
+        F.sum("l_quantity").alias("basket_total_quantity"),
+        (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias(
+            "basket_avg_price"
+        ),
+    )
+    return b.select(
+        "*",
+        (F.col("basket_total_quantity") * F.col("basket_avg_price")).alias(
+            "basket_total_value"
+        ),
+        F.when(F.col("basket_size") <= 1, "Single")
+        .when(F.col("basket_size") <= 3, "Small")
+        .when(F.col("basket_size") <= 10, "Medium")
+        .otherwise("Large")
+        .alias("basket_size_category"),
+    )
+
+
+@register(
+    "customer_behavior",
+    oracle=f"""
+    SELECT o_custkey AS customer_id,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS product_diversity,
+           {money_sum_sql('l_extendedprice')} AS total_spend,
+           {money_sum_sql('l_extendedprice')} / COUNT(DISTINCT o_orderkey)
+               AS avg_order_value,
+           CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                          CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS tenure_days,
+           CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                          CAST(MAX(o_orderdate) AS DATE)) AS DOUBLE)
+               / COUNT(DISTINCT o_orderkey) AS avg_days_between_orders,
+           CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+               / GREATEST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                                    CAST(MAX(o_orderdate) AS DATE)), 1) * 100
+               AS loyalty_score
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def customer_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenure/AOV/diversity/loyalty per customer. orders ⋈ lineitem is a
+    co-partitioned shuffle join on orderkey (both sides hash the same key, so
+    at 100 TB this is one exchange each, no broadcast needed), then a single
+    groupBy(custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    j = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+    g = j.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.countDistinct("o_orderkey").alias("order_count"),
+        F.countDistinct("l_partkey").alias("product_diversity"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("total_spend"),
+        F.min(F.to_date("o_orderdate")).alias("first_order"),
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+    )
+    tenure = F.datediff("last_order", "first_order")
+    return g.select(
+        "customer_id",
+        "order_count",
+        "product_diversity",
+        "total_spend",
+        (F.col("total_spend") / F.col("order_count")).alias("avg_order_value"),
+        tenure.cast("long").alias("tenure_days"),
+        (tenure.cast("double") / F.col("order_count")).alias("avg_days_between_orders"),
+        (F.col("order_count").cast("double") / F.greatest(tenure, F.lit(1)) * 100).alias(
+            "loyalty_score"
+        ),
+    )
+
+
+@register("kmeans_segments", oracle=None)  # iterative pyspark.ml — rows-only check
+def kmeans_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMeans customer segmentation, k=5 seed=42 on standardized RFM features
+    (advanced_features.py:364-408 semantics via pyspark.ml — distributed
+    Lloyd iterations instead of sklearn on the driver). Returns per-cluster
+    sizes + centroid-ish means; cluster IDs are not stable across runs, so
+    rows are ordered by size for the rows-only check."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    rfm = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit(AS_OF).cast("date"), F.max(F.to_date("o_orderdate"))
+            ).cast("double").alias("recency"),
+            F.count("*").cast("double").alias("frequency"),
+            F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+        )
+    )
+    assembled = VectorAssembler(
+        inputCols=["recency", "frequency", "monetary"], outputCol="raw"
+    ).transform(rfm)
+    scaled = (
+        StandardScaler(inputCol="raw", outputCol="features", withMean=True)
+        .fit(assembled)
+        .transform(assembled)
+    )
+    model = KMeans(k=5, seed=42, featuresCol="features").fit(scaled)
+    return (
+        model.transform(scaled)
+        .groupBy("prediction")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.avg("recency").alias("avg_recency"),
+            F.avg("frequency").alias("avg_frequency"),
+            F.avg("monetary").alias("avg_monetary"),
+        )
+        .orderBy(F.col("cluster_size").desc(), "prediction")
+        .drop("prediction")
+    )
+
+
+@register(
+    "referential_integrity",
+    oracle="""
+    SELECT 'lineitem_orderkey' AS check_name,
+           CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS orphan_count
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_partkey',
+           CAST(COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'orders_custkey',
+           CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer_nationkey',
+           CAST(COUNT(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan counts (dbt relationship-test semantics) as left_anti
+    aggregates — each check is one anti-join count, unioned lazily."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "part", "customer", "nation")}
+
+    def orphans(name: str, child: DataFrame, parent: DataFrame, ck: str, pk: str) -> DataFrame:
+        anti = child.join(parent, child[ck] == parent[pk], "left_anti")
+        return anti.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("orphan_count")
+        )
+
+    checks = [
+        orphans("lineitem_orderkey", t["lineitem"], t["orders"], "l_orderkey", "o_orderkey"),
+        orphans("lineitem_partkey", t["lineitem"], t["part"], "l_partkey", "p_partkey"),
+        orphans("orders_custkey", t["orders"], t["customer"], "o_custkey", "c_custkey"),
+        orphans("customer_nationkey", t["customer"], t["nation"], "c_nationkey", "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "freshness_by_type",
+    oracle=f"""
+    SELECT event_type,
+           MAX(ts) AS latest_event,
+           CAST((epoch(TIMESTAMP '2001-09-01 00:00:00')
+                 - epoch(date_trunc('hour', MAX(ts)))) / 3600 AS BIGINT) AS hours_stale,
+           (epoch(TIMESTAMP '2001-09-01 00:00:00')
+            - epoch(date_trunc('hour', MAX(ts)))) / 3600 <= 24 AS is_fresh
+    FROM events GROUP BY 1
+    """,
+)
+def freshness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """test_data_freshness per event_type against the fixed AS_OF anchor.
+    Staleness is hour-truncated epoch arithmetic (boundary-crossing count),
+    identical on both engines; the NTZ→TZ cast is identity under the
+    session's UTC timezone."""
+    events = load_table(spark, sf_dir, "events")
+    as_of_s = F.lit(f"{AS_OF} 00:00:00").cast("timestamp").cast("long")
+    latest = F.max("ts")
+    latest_hr_s = F.date_trunc("hour", latest).cast("timestamp").cast("long")
+    stale = ((as_of_s - latest_hr_s) / 3600).cast("long")
+    return events.groupBy("event_type").agg(
+        latest.alias("latest_event"),
+        stale.alias("hours_stale"),
+        (stale <= 24).alias("is_fresh"),
+    )
+
+
+@register(
+    "rowcount_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS daily_count
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT *,
+               CAST(SUM(daily_count) OVER () AS DOUBLE) / COUNT(*) OVER () AS avg_count
+        FROM daily
+    )
+    SELECT event_date, daily_count, avg_count,
+           ABS(daily_count - avg_count) / avg_count * 100 AS variance_pct
+    FROM stats
+    WHERE ABS(daily_count - avg_count) / avg_count * 100 > 50
+    """,
+)
+def rowcount_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """test_row_count_anomaly: days whose event count deviates >50% from the
+    overall daily mean. The unpartitioned window runs over #days rows
+    (post-aggregation) — scale-safe."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("daily_count")
+    )
+    w = Window.partitionBy()
+    stats = daily.withColumn(
+        "avg_count",
+        F.sum("daily_count").over(w).cast("double") / F.count("*").over(w),
+    )
+    variance = F.abs(F.col("daily_count") - F.col("avg_count")) / F.col("avg_count") * 100
+    return stats.select(
+        "event_date", "daily_count", "avg_count", variance.alias("variance_pct")
+    ).filter(variance > 50)
+
+
+_Y2000 = "SELECT DISTINCT o_custkey AS customer_id FROM orders WHERE year(o_orderdate) = 2000"
+_Y2001 = "SELECT DISTINCT o_custkey AS customer_id FROM orders WHERE year(o_orderdate) = 2001"
+
+
+def _year_customers(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.year("o_orderdate") == year)
+        .select(F.col("o_custkey").alias("customer_id"))
+        .distinct()
+    )
+
+
+@register("intersect_customers", oracle=f"{_Y2000} INTERSECT {_Y2001}")
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row INTERSECT (customers active in both 2000 and 2001)."""
+    return _year_customers(spark, sf_dir, 2000).intersect(
+        _year_customers(spark, sf_dir, 2001)
+    )
+
+
+@register("except_customers", oracle=f"{_Y2000} EXCEPT {_Y2001}")
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row EXCEPT (2000 customers who lapsed in 2001)."""
+    return _year_customers(spark, sf_dir, 2000).exceptAll(
+        _year_customers(spark, sf_dir, 2001)
+    ).distinct()
