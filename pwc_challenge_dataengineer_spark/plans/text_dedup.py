@@ -226,9 +226,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r=1). Threshold filtering is the caller's choice; all candidates emitted
     here so the oracle checks the whole pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    # The shingle explode is the expensive scan; it feeds the signature pass
-    # AND both sides of the Jaccard verify join — persist it once.
-    sh = exploded_shingles(docs, "doc_id", "text", k=3).persist()
+    # The shingle explode feeds the signature pass AND the Jaccard verify;
+    # recomputing it beats persist() here (measured: materializing the
+    # exploded rows costs more than two extra codegen'd scans). At 100 TB
+    # swap in a checkpoint of `sh` if the source scan dominates.
+    sh = exploded_shingles(docs, "doc_id", "text", k=3)
     sig = minhash_band_signatures(sh, "doc_id", n_bands=4)
     cand = lsh_candidate_pairs(sig, "doc_id")
     return jaccard_verify(cand, sh, "doc_id")
