@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "incremental",
     "star_schema",
     "ml_analytics",
+    "matview_alerts",
 )
 
 
