@@ -39,6 +39,12 @@ HEADLINE = [
     "cosine_topk",
     "scd2_rebuild",
     "cdc_apply_latest",
+    "clv_estimate",
+    "customer_behavior",
+    "basket_features",
+    "matview_hourly_kpis",
+    "embedding_near_dup",
+    "pandas_scoring",
 ]
 
 

@@ -152,3 +152,84 @@ def ann_lsh_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dup_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup via block-matrix multiplication.
+
+    The naive pair join evaluates the dot-product fold per pair — O(n²·d)
+    interpreted lambda steps (63 s for 5 k vectors at sf0.1). Here vectors
+    are hashed into B blocks, the B·(B+1)/2 block pairs become rows of a
+    small cross join, and each block pair runs ONE numpy GEMM inside an
+    Arrow-batched ``mapInPandas`` (~10⁴× fewer interpreter transitions).
+    This is the standard distributed exact-similarity layout: work scales as
+    O(n²·d / cores) flops in BLAS, shuffle volume as O(n·d·B) (each block
+    ships to B partners), and B tunes the memory-per-task envelope.
+    Emitted pairs are (min_id, max_id) so each unordered pair appears once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    blocks = (
+        emb.select(
+            F.col(id_col).alias("vid"),
+            as_double_array(F.col(vec_col)).alias("v"),
+            (F.col(id_col) % n_blocks).alias("block"),
+        )
+        .groupBy("block")
+        .agg(F.collect_list(F.struct("vid", "v")).alias("items"))
+    )
+    pairs = (
+        blocks.select(
+            F.col("block").alias("block_a"), F.col("items").alias("items_a")
+        )
+        .join(
+            blocks.select(
+                F.col("block").alias("block_b"), F.col("items").alias("items_b")
+            ),
+            F.col("block_a") <= F.col("block_b"),
+        )
+        # spread the B*(B+1)/2 GEMM tasks across the cluster
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def gemm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ia = np.asarray([x["vid"] for x in row["items_a"]], dtype=np.int64)
+                ib = np.asarray([x["vid"] for x in row["items_b"]], dtype=np.int64)
+                ma = np.vstack([np.asarray(x["v"], dtype=np.float64) for x in row["items_a"]])
+                mb = np.vstack([np.asarray(x["v"], dtype=np.float64) for x in row["items_b"]])
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                cos = np.round(ma @ mb.T, 6)
+                same = row["block_a"] == row["block_b"]
+                ii, jj = np.nonzero(cos >= threshold)
+                if same:
+                    keep = ia[ii] < ib[jj]
+                else:
+                    keep = ia[ii] != ib[jj]
+                ii, jj = ii[keep], jj[keep]
+                lo = np.minimum(ia[ii], ib[jj])
+                hi = np.maximum(ia[ii], ib[jj])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cosine_sim": cos[ii, jj]}
+                )
+
+    return pairs.mapInPandas(gemm, out_schema)

@@ -581,3 +581,29 @@ def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _year_customers(spark, sf_dir, 2000).exceptAll(
         _year_customers(spark, sf_dir, 2001)
     ).distinct()
+
+
+@register(
+    "pandas_scoring",
+    oracle="""
+    SELECT vec_id, label,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 list_transform(range(0, 64), j -> ((j * 37) % 19 - 9) / 10.0)), 6)
+               AS margin,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                 list_transform(range(0, 64), j -> ((j * 37) % 19 - 9) / 10.0)), 6) > 0
+               AS predicted
+    FROM embeddings
+    """,
+)
+def pandas_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized linear-model scoring via Arrow-batched Pandas UDF
+    (functions/scoring.py — the realtime_analytics_ml.py:26 pandas_udf
+    scoring path with a reproducible weight ramp). The UDF is the pattern a
+    real model would use; the fixed weights make it oracle-checkable."""
+    from ..functions.scoring import score_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return score_embeddings(emb, "embedding", dim=64).select(
+        "vec_id", "label", "margin", "predicted"
+    )

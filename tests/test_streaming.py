@@ -177,3 +177,31 @@ def test_default_specs_build(spark, sf_dir):
     for spec in DEFAULT_SPECS:
         df = build_window_agg(events, spec)
         assert df.count() > 0, spec.name
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState running per-user totals: the final emitted
+    snapshot per key must equal the batch groupBy over all micro-batches."""
+    import datetime
+
+    from pwc_challenge_dataengineer_spark.streaming.stateful import running_user_totals
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 7, "click", 10.50, "{}"),
+        (2, base, 7, "view", 2.25, "{}"),
+        (3, base, 8, "click", 5.00, "{}"),
+        (4, base, 7, "purchase", 1.25, "{}"),
+    ]
+    src = str(tmp_path / "stateful_events")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = _run_stream(spark, running_user_totals(stream), "t_stateful", mode="update")
+    # update mode re-emits a row per key per touching batch; last one wins
+    snap = {}
+    for r in out.collect():
+        snap[r.user_id] = (r.n_events, r.total_value)
+    assert snap[7] == (3, 14.0)
+    assert snap[8] == (1, 5.0)
