@@ -121,7 +121,9 @@ def read_delta(
     timestamp_as_of: str | None = None,
 ) -> DataFrame:
     """Delta scan with time travel. Requires delta-spark jars on the
-    classpath; this environment ships parquet only."""
+    classpath; this environment ships parquet only — use
+    ``sources.versioned_store.VersionedTable`` for the same semantics
+    (versionAsOf/timestampAsOf/MERGE/history/VACUUM) over plain parquet."""
     reader = spark.read.format("delta")
     if version_as_of is not None:
         reader = reader.option("versionAsOf", str(version_as_of))

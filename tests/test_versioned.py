@@ -1,0 +1,84 @@
+"""Versioned-store (Delta-semantics emulation) golden-row tests.
+
+Pins the semantics SURVEY §7.3.2 calls out: MERGE must close AND re-insert
+changed rows in one commit (the reference's Delta MERGE at
+delta_lake_manager.py:387-410 loses the re-insert leg)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pwc_challenge_dataengineer_spark.sources.versioned_store import (
+    VersionedTable,
+    scd2_merge,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tt"))
+    v0 = t.write(spark.createDataFrame([(1, "a")], ["id", "v"]))
+    v1 = t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    assert (v0, v1) == (0, 1)
+    assert t.read().count() == 2
+    assert _rows(t.read(version_as_of=0), "id", "v") == [(1, "a")]
+    ts0 = t.history().filter(F.col("version") == 0).first().ts
+    assert _rows(t.read(timestamp_as_of=ts0), "id", "v") == [(1, "a")]
+    assert [r.operation for r in t.history().orderBy("version").collect()] == [
+        "write",
+        "write",
+    ]
+
+
+def test_merge_upsert(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "m"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    t.merge(spark.createDataFrame([(2, "B2"), (3, "c")], ["id", "v"]), keys=["id"])
+    # matched row updated AND unmatched inserted — one commit
+    assert _rows(t.read(), "id", "v") == [(1, "a"), (2, "B2"), (3, "c")]
+    assert _rows(t.read(version_as_of=0), "id", "v") == [(1, "a"), (2, "b")]
+
+
+def test_delete_and_vacuum(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "d"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    t.delete_where(F.col("id") == 1)
+    assert _rows(t.read(), "id", "v") == [(2, "b")]
+    dropped = t.vacuum(keep_last=1)
+    assert dropped == [0]
+    try:
+        t.read(version_as_of=0)
+        raise AssertionError("expected vacuumed version to be unreadable")
+    except ValueError:
+        pass
+
+
+def test_scd2_merge_close_and_insert(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "scd2"))
+    base = spark.createDataFrame(
+        [(1, "x", "2000-01-01 00:00:00", None, True),
+         (2, "y", "2000-01-01 00:00:00", None, True)],
+        "id BIGINT, attr STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN",
+    ).select(
+        "id",
+        "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    t.write(base)
+    scd2_merge(
+        t,
+        spark.createDataFrame([(1, "x2"), (3, "z")], ["id", "attr"]),
+        keys=["id"],
+        tracked_cols=["attr"],
+    )
+    out = t.read()
+    cur = {r.id: r.attr for r in out.filter("is_current").collect()}
+    assert cur == {1: "x2", 2: "y", 3: "z"}  # changed + unchanged + new
+    closed = out.filter(~F.col("is_current")).collect()
+    assert len(closed) == 1 and closed[0].id == 1 and closed[0].attr == "x"
+    assert closed[0].valid_to is not None  # closed leg got its end date
