@@ -233,3 +233,74 @@ def cosine_near_dup_blocked(
                 )
 
     return pairs.mapInPandas(gemm, out_schema)
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer + cell-restricted scan.
+
+    The inverted-file alternative to hyperplane LSH (``ann_lsh_topk``):
+    a k-means pass learns ``n_cells`` centroids (pyspark.ml — distributed
+    Lloyd, seed 42); every corpus vector lands in its nearest cell; a query
+    probes its ``n_probe`` closest cells and scores exact cosine only there.
+    At scale each probe touches ~|corpus|·n_probe/n_cells rows, and the
+    centroid table (n_cells × d doubles) broadcasts. Train-once/probe-many:
+    the model fit is the indexing pass a real deployment would persist.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("cv"),
+    ).withColumn("features", array_to_vector(F.col("cv")))
+    model = KMeans(k=n_cells, seed=42, featuresCol="features").fit(c)
+    assigned = model.transform(c).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    )
+    # squared euclidean to each centroid (KMeans' metric); keep n_probe cells
+    d2 = F.aggregate(
+        F.zip_with("qv", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("cell_rank", F.row_number().over(probe_w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = (
+        probed.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

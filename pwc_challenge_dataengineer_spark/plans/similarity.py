@@ -166,3 +166,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
     return extract_image_features(media)
+
+
+@register("ann_ivf_topk", oracle=None)  # KMeans quantizer is iterative — rows-only
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate top-5 for the first 5 vectors
+    (functions/similarity.py ann_ivf_topk — the inverted-file scale path;
+    exactness checked indirectly by tests/test_operators.py recall test)."""
+    from ..functions.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(
+        emb.filter(F.col("vec_id") < 5), emb, id_col="vec_id", vec_col="embedding", k=5
+    )

@@ -115,3 +115,24 @@ def test_pagination(spark):
     assert [r.id for r in page2] == [6, 7, 8, 9, 10]
     ks = paginate_keyset(df, "id", "id", cursor=(10, 10), page_size=3).collect()
     assert [r.id for r in ks] == [11, 12, 13]
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    """IVF with 2/8 cells probed must recover most exact top-5 neighbors."""
+    from pyspark.sql import functions as F
+
+    from pwc_challenge_dataengineer_spark.functions.similarity import (
+        ann_ivf_topk,
+        cosine_topk_brute,
+    )
+    from pwc_challenge_dataengineer_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk_brute(q, emb).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(q, emb, n_cells=8, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
