@@ -38,3 +38,54 @@ def quantile_bucket(
     if descending:
         expr = (F.lit(n_buckets + 1) - expr).cast("int")
     return df.withColumn(out_col, expr.cast("int"))
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    salt_source: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the large side, replicate the small side.
+
+    When one join key dominates (a viral product, country=UK...), hash
+    partitioning funnels that key's rows into one task. Salting splits each
+    key into ``n_salts`` subkeys — the large side derives a deterministic
+    salt from ``salt_source`` (a high-cardinality column; never rand(), so
+    the plan stays reproducible), the small side is replicated ×n_salts via
+    explode. Result rows are identical to the plain join; the hot key now
+    spreads over n_salts tasks. AQE's skew-join split handles moderate skew
+    automatically — this operator is for the pathological keys AQE can't
+    split (e.g. a single key larger than an executor's memory).
+    Cost: small side shuffles ×n_salts — keep n_salts ≲ 32.
+    """
+    salted_l = large.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts)).cast("int")
+    )
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    salted_s = small.withColumn("__salt", F.explode(salts))
+    out = salted_l.join(salted_s, keys + ["__salt"])
+    return out.drop("__salt")
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    agg_cols: dict[str, str],
+    salt_source: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skewed aggregation: groupBy(keys+salt) partial sums, then
+    groupBy(keys) final sums. Spark's hash aggregate already does map-side
+    partial aggregation, so this only pays off when a single group's partial
+    rows still overwhelm one reducer (billions of rows per key at 100 TB);
+    ``agg_cols`` maps output name -> input column (sums only — reassociable)."""
+    partial = df.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+    ).groupBy(*keys, "__salt").agg(
+        *[F.sum(src).alias(name) for name, src in agg_cols.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(name).alias(name) for name in agg_cols]
+    )

@@ -136,3 +136,64 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pwc_challenge_dataengineer_spark.operators.scalable import salted_join, salted_sum
+    from pwc_challenge_dataengineer_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(customer, ["o_custkey"]).select("o_orderkey", "c_name")
+    salted = salted_join(
+        orders, customer, keys=["o_custkey"], salt_source="o_orderkey", n_salts=8
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    plain_agg = orders.groupBy("o_orderstatus").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    salted_agg = salted_sum(
+        orders, ["o_orderstatus"], {"rev": "o_totalprice"},
+        salt_source="o_orderkey", n_salts=8,
+    )
+    got = {r.o_orderstatus: round(r.rev, 2) for r in salted_agg.collect()}
+    want = {r.o_orderstatus: round(r.rev, 2) for r in plain_agg.collect()}
+    assert got == want
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
+    """Pre-bucketing both join sides on the key removes the shuffle: the
+    physical plan must contain no Exchange over the bucketed scans."""
+    from pwc_challenge_dataengineer_spark.schemas import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).option("path", str(tmp_path / "b_orders")).saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).option("path", str(tmp_path / "b_lineitem")).saveAsTable("b_lineitem")
+    # force the shuffle-join path (at sf0.001 AQE would just broadcast,
+    # which bypasses bucketing entirely — at scale neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
