@@ -71,6 +71,13 @@ def main() -> None:
         .withColumn("rn", F.row_number().over(Window.orderBy(F.col("c").desc(), "r_name")))
         .count()
     )
+    # warm the text/array codegen paths (split/sequence/transform/md5/explode)
+    # on the 25-row nation table so the dedup queries measure work, not JIT
+    (
+        nation.select(F.explode(F.split(F.lower("n_name"), "")).alias("ch"))
+        .select(F.md5(F.concat_ws(":", F.lit("w"), "ch")).alias("h"))
+        .groupBy("h").count().count()
+    )
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -317,3 +317,33 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").alias("priorities"),
         F.countDistinct(F.year("o_orderdate").cast("int")).alias("years_active"),
     )
+
+
+@register(
+    "grouping_sets_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS order_count,
+           {money_sum_sql('o_totalprice')} AS revenue,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    """,
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.4 — absent in the reference, free in
+    Spark): per-status, per-priority, cross, and grand-total aggregates in
+    one shuffle pass, with grouping() flags disambiguating NULL keys."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+    """)
