@@ -194,3 +194,54 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two bigint signatures via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components by min-label propagation (for dedup clustering:
+    one representative per near-duplicate cluster).
+
+    Each node starts labeled with its own id; every iteration joins labels
+    across edges (both directions) and keeps the per-node minimum; stops at
+    fixpoint. Iterations needed = graph diameter (near-dup clusters are
+    small and dense, so ~2-4 in practice); each iteration is one shuffle
+    join + one groupBy — fully distributed, no driver-side graph. The loop
+    itself runs on the driver but only moves a single convergence count per
+    pass (an accepted pattern for iterative algorithms — same shape as
+    pyspark.ml's Lloyd iterations). For web-scale graphs swap in the
+    large-star/small-star variant; the contract (node -> component) holds.
+
+    Returns (node_id, component_id) where component_id = min node id
+    reachable — deterministic on any engine.
+    """
+    both = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        both.select(F.col("u").alias("node_id"))
+        .distinct()
+        .withColumn("component_id", F.col("node_id"))
+    )
+    for _ in range(max_iter):
+        # candidate labels arriving over edges, merged with current labels
+        incoming = (
+            both.join(labels, both.v == labels.node_id)
+            .select(F.col("u").alias("node_id"), "component_id")
+        )
+        new_labels = (
+            labels.unionByName(incoming)
+            .groupBy("node_id")
+            .agg(F.min("component_id").alias("component_id"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per iter
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

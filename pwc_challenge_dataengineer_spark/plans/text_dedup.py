@@ -14,6 +14,9 @@ MinHash/LSH pipeline, whose md5-min band signatures are engine-reproducible.
 - simhash_docs          60-bit SimHash signatures
 - ngram_jaccard_pairs   shingle-join exact Jaccard for pairs sharing ≥ 8
                         shingles (bounded candidate set)
+- dedup_components      near-dup clusters: MinHash pairs → connected
+                        components (min-label propagation vs a DuckDB
+                        recursive-CTE oracle); representative = min doc_id
 """
 
 from __future__ import annotations
@@ -313,4 +316,73 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    bands AS (
+        SELECT doc_id, band, shingle
+        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(md5(concat_ws(':', CAST(band AS VARCHAR), shingle))) AS signature
+        FROM bands GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.signature = b.signature AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT m.id_a, m.id_b
+        FROM common m
+        JOIN counts na ON na.doc_id = m.id_a
+        JOIN counts nb ON nb.doc_id = m.id_b
+        WHERE round(CAST(m.n_common AS DOUBLE) / (na.n + nb.n - m.n_common), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+    )
+    SELECT id AS node_id,
+           MIN(comp) AS component_id,
+           MIN(comp) = id AS is_representative
+    FROM reach GROUP BY 1
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: MinHash pairs (Jaccard ≥ 0.5) become an
+    undirected graph; each doc gets its component's min doc_id as cluster id
+    (functions/dedup_fuzzy.connected_components — iterative min-label
+    propagation, one shuffle join per iteration, diameter-bounded). The
+    LLM-pipeline "keep one per duplicate cluster" step: filter
+    is_representative."""
+    from ..functions.dedup_fuzzy import connected_components, minhash_lsh_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(docs, "doc_id", "text", threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(
+        "node_id",
+        "component_id",
+        (F.col("component_id") == F.col("node_id")).alias("is_representative"),
     )
