@@ -347,3 +347,51 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority), ())
     """)
+
+
+@register(
+    "time_series_gapfill",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, c.d AS event_date,
+           COALESCE(daily.rev, CAST(0 AS DOUBLE)) AS revenue,
+           daily.rev IS NULL AS gap_filled
+    FROM cal c
+    CROSS JOIN types t
+    LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = c.d
+    """,
+)
+def time_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type: missing calendar days filled with
+    zero revenue (warehouse resample/gap-fill — the dashboard op the
+    reference fakes client-side). The calendar derives from a single-row
+    min/max agg exploded via sequence(); the spine (days × types) is tiny
+    and broadcast into the left join against the daily aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("rev"))
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    types = events.select("event_type").distinct()
+    spine = cal.crossJoin(types)
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.col("d").alias("event_date"),
+            F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+            F.col("rev").isNull().alias("gap_filled"),
+        )
+    )

@@ -240,3 +240,41 @@ def broadcast_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("s_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "asof_purchase_click",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, CAST(MAX(value) AS DOUBLE) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_value AS asof_click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each purchase event picks up
+    the user's latest click value at or before it — union-sort trick, one
+    shuffle on user_id, vs DuckDB's native ASOF JOIN as the oracle. The
+    right side is pre-deduped per (user, ts) so tie semantics are unambiguous
+    on both engines."""
+    from ..operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return asof_join_backward(
+        purchases, clicks, keys=["user_id"], ts_col="ts", right_cols=["click_value"]
+    ).select("event_id", "user_id", "ts", "value", "asof_click_value")
