@@ -45,6 +45,9 @@ HEADLINE = [
     "matview_hourly_kpis",
     "embedding_near_dup",
     "pandas_scoring",
+    "dedup_components",
+    "asof_purchase_click",
+    "time_series_gapfill",
 ]
 
 
