@@ -278,3 +278,38 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_backward(
         purchases, clicks, keys=["user_id"], ts_col="ts", right_cols=["click_value"]
     ).select("event_id", "user_id", "ts", "value", "asof_click_value")
+
+
+@register(
+    "range_join_purchase_errors",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+           p.user_id, p.ts AS purchase_ts, e.ts AS error_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND epoch(e.ts) >= epoch(p.ts) - 3600
+     AND epoch(e.ts) <= epoch(p.ts) + 3600
+    """,
+)
+def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: error events within ±1 h of each purchase, same user
+    (operators/asof.py range_join_banded — banded equi-join, not a per-key
+    nested loop; the DuckDB oracle states the raw inequality form)."""
+    from ..operators.asof import range_join_banded
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    out = range_join_banded(
+        p, e, keys=["user_id"], left_ts="p_ts", right_ts="e_ts",
+        lower_s=-3600, upper_s=3600,
+    )
+    return out.select(
+        "purchase_id", "error_id", "user_id",
+        F.col("p_ts").alias("purchase_ts"), F.col("e_ts").alias("error_ts"),
+    )
