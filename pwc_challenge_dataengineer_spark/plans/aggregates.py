@@ -395,3 +395,52 @@ def time_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").isNull().alias("gap_filled"),
         )
     )
+
+
+@register(
+    "hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT date_trunc('day', bucket) AS bucket,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM hourly GROUP BY 1
+    ),
+    monthly AS (
+        SELECT date_trunc('month', bucket) AS bucket,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(total_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM daily GROUP BY 1
+    )
+    SELECT 'hour' AS level, * FROM hourly
+    UNION ALL SELECT 'day', * FROM daily
+    UNION ALL SELECT 'month', * FROM monthly
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical continuous aggregate (the hypertable/TimescaleDB rollup
+    pattern): each coarser level re-aggregates the FINER AGGREGATE, never
+    the raw events — at 100 TB the daily rollup reads #hours rows, not the
+    event table, and the chain shares one scan + one wide shuffle. Sums
+    re-enter DECIMAL at each level so the chain stays bit-exact (see
+    plans/_parity.py)."""
+    events = load_table(spark, sf_dir, "events")
+    vdec = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").alias("n_events"), vdec.alias("total_value")
+    )
+    def up(df, unit):
+        return df.groupBy(F.date_trunc(unit, "bucket").alias("bucket")).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    daily = up(hourly, "day")
+    monthly = up(daily, "month")
+    lvl = lambda df, name: df.select(F.lit(name).alias("level"), "bucket", "n_events", "total_value")
+    return lvl(hourly, "hour").unionByName(lvl(daily, "day")).unionByName(lvl(monthly, "month"))
