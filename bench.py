@@ -48,6 +48,10 @@ HEADLINE = [
     "dedup_components",
     "asof_purchase_click",
     "time_series_gapfill",
+    "range_join_purchase_errors",
+    "hypertable_rollup",
+    "grouping_sets_status_priority",
+    "cms_event_counts",
 ]
 
 

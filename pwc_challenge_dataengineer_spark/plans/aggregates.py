@@ -444,3 +444,52 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = up(daily, "month")
     lvl = lambda df, name: df.select(F.lit(name).alias("level"), "bucket", "n_events", "total_value")
     return lvl(hourly, "hour").unionByName(lvl(daily, "day")).unionByName(lvl(monthly, "month"))
+
+
+def _cms_col_sql(row: int, key: str = "event_type") -> str:
+    return f"CAST(('0x' || substr(md5('{row}:' || {key}), 1, 8))::BIGINT % 64 AS INT)"
+
+
+@register(
+    "cms_event_counts",
+    oracle=f"""
+    WITH cells AS (
+        SELECT r.row, CASE r.row
+            WHEN 0 THEN {_cms_col_sql(0)} WHEN 1 THEN {_cms_col_sql(1)}
+            WHEN 2 THEN {_cms_col_sql(2)} WHEN 3 THEN {_cms_col_sql(3)} END AS col
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS row) r
+    ),
+    sketch AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    probes AS (
+        SELECT DISTINCT event_type FROM events
+    ),
+    probe_cells AS (
+        SELECT p.event_type, r.row, CASE r.row
+            WHEN 0 THEN {_cms_col_sql(0, 'p.event_type')}
+            WHEN 1 THEN {_cms_col_sql(1, 'p.event_type')}
+            WHEN 2 THEN {_cms_col_sql(2, 'p.event_type')}
+            WHEN 3 THEN {_cms_col_sql(3, 'p.event_type')} END AS col
+        FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS row) r
+    )
+    SELECT pc.event_type,
+           MIN(COALESCE(s.cnt, 0)) AS estimated_count,
+           (SELECT COUNT(*) FROM events e WHERE e.event_type = pc.event_type)
+               AS true_count
+    FROM probe_cells pc LEFT JOIN sketch s ON s.row = pc.row AND s.col = pc.col
+    GROUP BY 1
+    """,
+)
+def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimates vs exact counts
+    (functions/sketches.py — d=4, w=64, md5 hash rows; cell tables are
+    additive so sketches built per-partition/per-day merge by union+sum).
+    With 5 distinct keys and w=64 the estimates equal the true counts unless
+    rows collide — the oracle proves the sketch algebra, not luck."""
+    from ..functions.sketches import cms_build, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    sketch = cms_build(events, "event_type")
+    probes = events.select("event_type").distinct()
+    est = cms_estimate(sketch, probes, "event_type")
+    true_counts = events.groupBy("event_type").agg(F.count("*").alias("true_count"))
+    return est.join(true_counts, "event_type")
