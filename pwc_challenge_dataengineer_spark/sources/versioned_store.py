@@ -122,10 +122,13 @@ class VersionedTable:
         (delta_lake_manager.py:387-410).
         """
         target = self.read()
-        kept = target.join(source, keys, "left_anti")
-        parts = [kept]
         if when_matched_update:
-            parts.append(source.join(target.select(*keys).distinct(), keys, "left_semi"))
+            # matched target rows are replaced by their source versions
+            kept = target.join(source, keys, "left_anti")
+            parts = [kept, source.join(target.select(*keys).distinct(), keys, "left_semi")]
+        else:
+            # no update leg: matched target rows stay as they are
+            parts = [target]
         if when_not_matched_insert:
             parts.append(source.join(target.select(*keys).distinct(), keys, "left_anti"))
         out = parts[0]
@@ -137,8 +140,10 @@ class VersionedTable:
         return self.write(merged, operation="merge")
 
     def delete_where(self, condition) -> int:
-        """Delta DELETE: new snapshot without matching rows."""
-        kept = self.read().filter(~condition)
+        """Delta DELETE: new snapshot without matching rows. Rows where the
+        condition evaluates NULL are kept (SQL DELETE removes only
+        condition=true rows; a bare ~cond would drop the NULLs too)."""
+        kept = self.read().filter(~F.coalesce(condition, F.lit(False)))
         return self.write(kept.localCheckpoint(eager=True), operation="delete")
 
     # -- retention ---------------------------------------------------------

@@ -82,3 +82,24 @@ def test_scd2_merge_close_and_insert(spark, tmp_path):
     closed = out.filter(~F.col("is_current")).collect()
     assert len(closed) == 1 and closed[0].id == 1 and closed[0].attr == "x"
     assert closed[0].valid_to is not None  # closed leg got its end date
+
+
+def test_merge_insert_only(spark, tmp_path):
+    """when_matched_update=False must keep matched TARGET rows untouched
+    (regression: they used to vanish — dropped from kept with no update leg)."""
+    t = VersionedTable(spark, str(tmp_path / "mi"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]))
+    t.merge(
+        spark.createDataFrame([(2, "IGNORED"), (3, "c")], ["id", "v"]),
+        keys=["id"],
+        when_matched_update=False,
+    )
+    assert _rows(t.read(), "id", "v") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_delete_where_null_condition(spark, tmp_path):
+    """DELETE keeps rows where the predicate evaluates NULL."""
+    t = VersionedTable(spark, str(tmp_path / "dn"))
+    t.write(spark.createDataFrame([(1, "x"), (2, None), (3, "y")], ["id", "v"]))
+    t.delete_where(F.col("v") == "x")
+    assert _rows(t.read(), "id") == [(2,), (3,)]  # NULL-v row survives
