@@ -38,6 +38,8 @@ def score_embeddings(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
 
     @pandas_udf(T.DoubleType())
     def margin_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch (empty partition)
+            return pd.Series([], dtype="float64")
         mat = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
         return pd.Series(np.round(mat @ w, 6))
 

@@ -336,17 +336,17 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     """Explicit GROUPING SETS (SURVEY §2.4 — absent in the reference, free in
     Spark): per-status, per-priority, cross, and grand-total aggregates in
     one shuffle pass, with grouping() flags disambiguating NULL keys."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(f"""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS order_count,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-               CAST(grouping(o_orderstatus) AS INT) AS g_status,
-               CAST(grouping(o_orderpriority) AS INT) AS g_priority
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                                (o_orderstatus, o_orderpriority), ())
-    """)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("order_count"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
 
 
 @register(
