@@ -102,3 +102,38 @@ def start_foreach_batch(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def start_console_sink(
+    df: DataFrame,
+    output_mode: str = "append",
+    trigger: dict | None = None,
+    num_rows: int = 20,
+) -> StreamingQuery:
+    """Console sink (debug only — serializes through the driver)."""
+    return (
+        df.writeStream.format("console")
+        .outputMode(output_mode)
+        .option("numRows", str(num_rows))
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def start_kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Kafka sink (requires spark-sql-kafka jars; the caller provides a
+    DataFrame with a ``value`` column — use to_json for struct payloads)."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"processingTime": "30 seconds"}))
+        .start()
+    )
