@@ -205,3 +205,22 @@ def test_stateful_running_totals(spark, tmp_path):
         snap[r.user_id] = (r.n_events, r.total_value)
     assert snap[7] == (3, 14.0)
     assert snap[8] == (1, 5.0)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_dir):
+    spec = WindowAggSpec(
+        name="sliding",
+        kind="sliding",
+        ts_col="ts",
+        duration="2 hours",
+        slide="1 hour",
+        group_cols=("event_type",),
+        aggs={"n_events": "count(*)"},
+        watermark="1 minute",
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got = _run_stream(
+        spark, build_window_agg(stream, spec), "t_sliding", mode="complete"
+    ).collect()
+    expected = build_window_agg(load_table(spark, sf_dir, "events"), spec).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
