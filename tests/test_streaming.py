@@ -199,10 +199,13 @@ def test_stateful_running_totals(spark, tmp_path):
         "maxFilesPerTrigger", "1"
     ).parquet(src)
     out = _run_stream(spark, running_user_totals(stream), "t_stateful", mode="update")
-    # update mode re-emits a row per key per touching batch; last one wins
+    # update mode re-emits a row per key per touching batch; the running
+    # count is monotone, so the max-count row per key IS the final snapshot
+    # (no reliance on sink insertion order)
     snap = {}
     for r in out.collect():
-        snap[r.user_id] = (r.n_events, r.total_value)
+        if r.user_id not in snap or r.n_events > snap[r.user_id][0]:
+            snap[r.user_id] = (r.n_events, r.total_value)
     assert snap[7] == (3, 14.0)
     assert snap[8] == (1, 5.0)
 
