@@ -9,7 +9,8 @@ North-star LLM-pipeline operators (BASELINE.json):
 - knn_label_vote     5-NN majority label vote for the query vectors
 - ann_lsh_topk       random-hyperplane LSH-bucketed approximate top-k —
                      the 100 TB scale path (bucket equi-join instead of a
-                     cross join). Rows-only check: approximate by design.
+                     cross join). Oracle-verified: the md5-parity planes
+                     and bucket ranking are reproducible in SQL.
 - multimodal_features binary media columns + Arrow-batched decode stub —
                      rows-only (the fake decode is engine-specific Python).
 
@@ -147,7 +148,36 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # approximate by design → rows-only check
+@register(
+    "ann_lsh_topk",
+    # approximate vs BRUTE FORCE, but deterministic end-to-end: the md5-
+    # parity hyperplanes, buckets, and in-bucket ranking are reproducible
+    # in SQL, so the oracle checks the LSH pipeline exactly.
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               CAST(1 * (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, 64), d -> CASE WHEN substr(md5('0:' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) > 0 THEN 1 ELSE 0 END) + 2 * (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, 64), d -> CASE WHEN substr(md5('1:' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) > 0 THEN 1 ELSE 0 END) + 4 * (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, 64), d -> CASE WHEN substr(md5('2:' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) > 0 THEN 1 ELSE 0 END) + 8 * (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, 64), d -> CASE WHEN substr(md5('3:' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) > 0 THEN 1 ELSE 0 END) + 16 * (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, 64), d -> CASE WHEN substr(md5('4:' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) > 0 THEN 1 ELSE 0 END) + 32 * (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), list_transform(range(0, 64), d -> CASE WHEN substr(md5('5:' || CAST(d AS VARCHAR)), 1, 1) < '8' THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings
+    )
+    SELECT query_id, neighbor_id, bucket, cosine_sim, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+               round(
+    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+, 6) AS cosine_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(
+    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+, 6) DESC, c.vec_id) AS INT) AS rank
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 20
+    ) WHERE rank <= 5
+""",
+)
 def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(
