@@ -12,7 +12,8 @@ North-star LLM-pipeline operators (BASELINE.json):
                      cross join). Oracle-verified: the md5-parity planes
                      and bucket ranking are reproducible in SQL.
 - multimodal_features binary media columns + Arrow-batched decode stub —
-                     rows-only (the fake decode is engine-specific Python).
+                     oracle-verified (the deterministic fake decode is
+                     rebuilt byte-for-byte in SQL).
 
 Float parity: cosine values are computed as sequential left folds over
 double-cast arrays in BOTH engines (Spark ``aggregate``; DuckDB
@@ -191,7 +192,29 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # Python decode stub → rows-only check
+@register(
+    "multimodal_features",
+    # the decode is a STUB, but a deterministic one (features derive from
+    # the md5 payload bytes), so even the Arrow-batched mapInPandas path is
+    # oracle-checkable — byte extraction rebuilt in SQL. A real codec swap
+    # (functions/multimodal.py) would drop this oracle and go rows-only.
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+    bytes AS (
+        SELECT media_id, h,
+               list_transform(range(0, 16),
+                   i -> ('0x' || substr(h, CAST(i AS INT) * 2 + 1, 2))::INT) AS bs
+        FROM m
+    )
+    SELECT media_id,
+           CAST(16 AS INT) AS n_bytes,
+           substr(h, 1, 8) AS header_hex,
+           CAST(64 + bs[1] % 192 AS INT) AS fake_width,
+           CAST(64 + bs[2] % 192 AS INT) AS fake_height,
+           round(CAST(list_sum(bs) AS DOUBLE) / 16 / 255, 6) AS fake_mean_intensity
+    FROM bytes
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
