@@ -197,3 +197,19 @@ def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min property: estimate(key) >= true count, and with few keys
+    vs a 4x64 sketch, equality for present keys; absent keys >= 0."""
+    from pwc_challenge_dataengineer_spark.functions.sketches import cms_build, cms_estimate
+
+    rows = [(k,) for k in "aabbbbccccccddddddddd"]
+    df = spark.createDataFrame(rows, ["k"])
+    sketch = cms_build(df, "k")
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)], ["k"])
+    est = {r.k: r.estimated_count for r in cms_estimate(sketch, probes, "k").collect()}
+    true = {"a": 2, "b": 4, "c": 6, "d": 9}
+    for k, t in true.items():
+        assert est[k] >= t
+    assert est["zz"] >= 0

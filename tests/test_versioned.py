@@ -103,3 +103,25 @@ def test_delete_where_null_condition(spark, tmp_path):
     t.write(spark.createDataFrame([(1, "x"), (2, None), (3, "y")], ["id", "v"]))
     t.delete_where(F.col("v") == "x")
     assert _rows(t.read(), "id") == [(2,), (3,)]  # NULL-v row survives
+
+
+def test_merge_sequence_matches_dict_semantics(spark, tmp_path):
+    """A random-ish sequence of merges must leave the table equal to a plain
+    dict upsert-reduce of the same operations (pinned, deterministic)."""
+    ops = [
+        [(1, "a"), (2, "b")],
+        [(2, "b2"), (3, "c")],
+        [(1, "a2"), (4, "d"), (5, "e")],
+        [(5, "e2")],
+        [(6, "f"), (3, "c2"), (2, "b3")],
+    ]
+    t = VersionedTable(spark, str(tmp_path / "seq"))
+    t.write(spark.createDataFrame(ops[0], ["id", "v"]))
+    expected = dict(ops[0])
+    for batch in ops[1:]:
+        t.merge(spark.createDataFrame(batch, ["id", "v"]), keys=["id"])
+        expected.update(dict(batch))
+    assert _rows(t.read(), "id", "v") == sorted(expected.items())
+    # every intermediate version still time-travels to its own state
+    expected0 = dict(ops[0])
+    assert _rows(t.read(version_as_of=0), "id", "v") == sorted(expected0.items())
