@@ -298,3 +298,42 @@ def top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("nation").orderBy(F.col("total_spent").desc(), "customer_id")
     return spend.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+@register(
+    "rank_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           first_value(o_totalprice) OVER w AS min_in_status,
+           last_value(o_totalprice) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS max_in_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (percent_rank / cume_dist / ntile /
+    first_value / last_value) per order status — the §2.5 surface the other
+    queries don't touch. last_value needs the full-partition frame (the
+    default frame ends at CURRENT ROW); orderkey tiebreak keeps both engines'
+    orderings identical."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_totalprice").over(w).alias("min_in_status"),
+        F.last("o_totalprice").over(w_full).alias("max_in_status"),
+    )
