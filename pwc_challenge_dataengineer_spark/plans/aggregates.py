@@ -493,3 +493,46 @@ def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_estimate(sketch, probes, "event_type")
     true_counts = events.groupBy("event_type").agg(F.count("*").alias("true_count"))
     return est.join(true_counts, "event_type")
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM long GROUP BY 1, 2
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the lineitem measures then re-aggregate —
+    the inverse of pivot_returnflag. DataFrame.unpivot emits the long form
+    in ONE pass over the scan (no 4× self-union); the aggregate shuffles on
+    (returnflag, measure)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    long = lineitem.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
