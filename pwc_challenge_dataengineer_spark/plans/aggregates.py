@@ -536,3 +536,26 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@register(
+    "collect_set_priorities",
+    oracle="""
+    SELECT o_custkey AS customer_id,
+           array_to_string(array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority), ',')
+               AS priorities_csv,
+           CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_priorities
+    FROM orders GROUP BY 1
+    """,
+)
+def collect_set_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the distinct order priorities per customer as a
+    sorted CSV (collect_set is unordered — sort_array makes it deterministic
+    before serialization, the invariant every array-agg query here follows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities_csv"
+        ),
+        F.countDistinct("o_orderpriority").cast("int").alias("n_priorities"),
+    )
