@@ -213,3 +213,35 @@ def test_cms_never_underestimates(spark):
     for k, t in true.items():
         assert est[k] >= t
     assert est["zz"] >= 0
+
+
+def test_asof_join_property(spark):
+    """asof_join_backward equals the brute-force per-row maximum over
+    eligible right rows, across a pinned grid of tricky cases (ties, misses,
+    multiple keys, right rows after left)."""
+    import datetime
+
+    from pwc_challenge_dataengineer_spark.operators.asof import asof_join_backward
+
+    B = datetime.datetime(2024, 1, 1)
+    m = lambda minutes: B + datetime.timedelta(minutes=minutes)
+    left = [  # (key, ts)
+        (1, m(10)), (1, m(20)), (1, m(5)),
+        (2, m(0)),             # before any right row -> NULL
+        (3, m(50)),            # key with no right rows at all -> NULL
+        (1, m(15)),            # exact tie with right row at 15
+    ]
+    right = [  # (key, ts, payload)
+        (1, m(0), 100.0), (1, m(15), 150.0), (1, m(30), 300.0),
+        (2, m(5), 200.0),
+    ]
+    ldf = spark.createDataFrame(left, ["k", "ts"])
+    rdf = spark.createDataFrame(right, ["k", "ts", "p"])
+    got = {
+        (r.k, r.ts): r.asof_p
+        for r in asof_join_backward(ldf, rdf, ["k"], "ts", ["p"]).collect()
+    }
+    for k, ts in left:
+        eligible = [(rts, p) for rk, rts, p in right if rk == k and rts <= ts]
+        expected = max(eligible)[1] if eligible else None
+        assert got[(k, ts)] == expected, (k, ts, got[(k, ts)], expected)
