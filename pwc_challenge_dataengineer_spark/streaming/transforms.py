@@ -42,3 +42,43 @@ def silver_clean_events(df: DataFrame) -> DataFrame:
         .withColumn("risk_score", risk_score(amount, qty, is_ret))
         .filter(F.col("invoice_no").isNotNull() & (F.trim("invoice_no") != ""))
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame, reference: DataFrame, keys: list[str], how: str = "left"
+) -> DataFrame:
+    """Stream–static enrichment join (reference data loaded once per
+    micro-batch; Spark auto-broadcasts small static sides —
+    realtime_silver_processor.py:478-509 semantics)."""
+    return stream.join(reference, keys, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    join_window: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream–stream equi-join bounded by a time window (beyond the
+    reference's surface, but core Structured Streaming: both sides buffer in
+    the state store; the watermarks + the time-range predicate bound how
+    long each side's rows are retained — without the range condition the
+    state never expires).
+
+    Matches pairs where right_ts ∈ [left_ts - join_window, left_ts].
+    """
+    l = left.withWatermark(left_ts, max_delay)
+    r = right.withWatermark(right_ts, max_delay)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (l[k] == r[k])
+    cond = (
+        cond
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {join_window}"))
+        & (r[right_ts] <= l[left_ts])
+    )
+    return l.join(r, cond, how)

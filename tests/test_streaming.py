@@ -227,3 +227,34 @@ def test_sliding_stream_matches_batch(spark, sf_dir, events_dir):
     ).collect()
     expected = build_window_agg(load_table(spark, sf_dir, "events"), spec).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream windowed join: purchases matched to clicks within the
+    preceding hour per user; result equals the batch inequality join."""
+    import datetime
+
+    from pwc_challenge_dataengineer_spark.streaming.transforms import stream_stream_join
+
+    B = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mins = lambda n: B + datetime.timedelta(minutes=n)
+    purchases = [(1, mins(60)), (1, mins(200)), (2, mins(30))]
+    clicks = [(1, mins(10)), (1, mins(55)), (1, mins(190)), (2, mins(29)), (2, mins(100))]
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    spark.createDataFrame(purchases, ["user_id", "p_ts"]).write.parquet(pdir)
+    spark.createDataFrame(clicks, ["user_id", "c_ts"]).write.parquet(cdir)
+    p_schema = "user_id BIGINT, p_ts TIMESTAMP"
+    c_schema = "user_id BIGINT, c_ts TIMESTAMP"
+    ps = spark.readStream.schema(p_schema).parquet(pdir)
+    cs = spark.readStream.schema(c_schema).parquet(cdir)
+    joined = stream_stream_join(
+        ps, cs, keys=["user_id"], left_ts="p_ts", right_ts="c_ts"
+    ).select(ps["user_id"], "p_ts", "c_ts")
+    got = sorted(map(tuple, _run_stream(spark, joined, "t_ssj").collect()))
+    expected = sorted(
+        (u, pt, ct)
+        for u, pt in purchases
+        for cu, ct in clicks
+        if cu == u and pt - datetime.timedelta(hours=1) <= ct <= pt
+    )
+    assert got == expected
