@@ -104,3 +104,77 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+        T.StructField("content_resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize operator: same mapInPandas batch shape a PIL/opencv resize
+    would use. STUB kernel: the "resized" payload is the byte stream cycled
+    to width*height/64 bytes (deterministic, size-correct); swap the inner
+    lambda for a real interpolating resize."""
+    import pandas as pd
+
+    n_out = max(1, width * height // 64)
+
+    def batches(it):
+        for pdf in it:
+            content = pdf["content"].map(
+                lambda b: bytes((bytes(b) * (n_out // len(b) + 1))[:n_out])
+                if b is not None
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "content_resized": content,
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame-sampling operator (video → rows of frames): the one-to-many
+    batch shape (each input row yields a variable number of output rows)
+    ffmpeg frame extraction needs. STUB: frame count = content[2] % 4 + 1,
+    frame payload stands in as md5(hex(content) + ':' + idx)."""
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "frame_hash": []}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                if b is None:
+                    continue
+                bb = bytes(b)
+                for i in range(bb[2] % 4 + 1):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_hash"].append(
+                        hashlib.md5(f"{bb.hex()}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAMES_SCHEMA)

@@ -232,3 +232,60 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(
         emb.filter(F.col("vec_id") < 5), emb, id_col="vec_id", vec_col="embedding", k=5
     )
+
+
+@register(
+    "multimodal_resize",
+    # the stub resize is deterministic byte-cycling, so the plumbing is
+    # oracle-checkable (compare the output size + header; the full payload
+    # compare would need BLOB hashing parity, skipped)
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(32 AS INT) AS out_width,
+           CAST(32 AS INT) AS out_height,
+           CAST(16 AS INT) AS n_bytes_out,
+           substr(md5(text), 1, 8) AS header_hex
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over synthetic media (functions/multimodal.py
+    resize_images): 32×32 → 16-byte fake payload (1024//64). The oracle pins
+    the size contract and that the resized stream starts with the source
+    bytes (cycled), i.e. header bytes survive."""
+    from ..functions.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    resized = resize_images(media, width=32, height=32)
+    return resized.select(
+        "media_id",
+        "out_width",
+        "out_height",
+        F.length("content_resized").cast("int").alias("n_bytes_out"),
+        F.hex(F.substring("content_resized", 1, 4)).alias("header_hex"),
+    ).withColumn("header_hex", F.lower("header_hex"))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, md5(text) AS h,
+               ('0x' || substr(md5(text), 5, 2))::INT % 4 + 1 AS n_frames
+        FROM documents
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           md5(h || ':' || CAST(i AS VARCHAR)) AS frame_hash
+    FROM m, LATERAL (SELECT unnest(range(0, n_frames)) AS i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (functions/multimodal.py sample_frames): the
+    one-to-many mapInPandas shape, frame count from byte 2 of the payload
+    (= hex chars 5-6 of md5(text) — the oracle rebuilds exactly that)."""
+    from ..functions.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return sample_frames(media)
