@@ -13,6 +13,8 @@ same result surface, Catalyst instead of Postgres as the optimizer.
 - paginated_orders           sales_repository.py:65-110 (sort map + offset page)
 - keyset_orders_page         cursor_pagination.py (cursor predicate + limit)
 - purchase_history_last3     datamart_service.py:237-248 (per-customer drill-down)
+- customer_drilldown         datamart_service.py:217-312 (profile + favorite brand)
+- sort_mapped_orders         sales_repository.py:65-77 (sort=field:dir whitelist)
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from pyspark.sql.window import Window
 
 from ..operators.pagination import paginate_keyset, paginate_offset
 from ..schemas import load_table
-from ._parity import dec, money_sum_sql
+from ._parity import REV_SUM_SQL, dec, money_sum_sql, rev_sum
 from .catalog import register
 
 
@@ -269,3 +271,116 @@ def purchase_history_last3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("recency_rank") <= 3)
     )
+
+
+@register(
+    "customer_drilldown",
+    oracle=f"""
+    WITH o AS (SELECT * FROM orders WHERE o_custkey <= 300),
+    summary AS (
+        SELECT o_custkey AS customer_id,
+               COUNT(*) AS total_orders,
+               {money_sum_sql('o_totalprice')} AS total_spent,
+               {money_sum_sql('o_totalprice')} / COUNT(*) AS avg_order_value,
+               CAST(MIN(o_orderdate) AS DATE) AS first_order_date,
+               CAST(MAX(o_orderdate) AS DATE) AS last_order_date
+        FROM o GROUP BY 1
+    ),
+    brand_spend AS (
+        SELECT o_custkey AS customer_id, p_brand, {REV_SUM_SQL} AS spend
+        FROM o
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2
+    ),
+    fav AS (
+        SELECT customer_id, p_brand AS favorite_brand
+        FROM brand_spend
+        QUALIFY row_number() OVER (
+            PARTITION BY customer_id ORDER BY spend DESC, p_brand) = 1
+    )
+    SELECT s.*, f.favorite_brand
+    FROM summary s LEFT JOIN fav f USING (customer_id)
+    """,
+)
+def customer_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer drill-down profile (datamart_service.py:217-312): order
+    totals, AOV, tenure dates, plus favorite brand by net spend (window
+    rank 1). The custkey predicate pushes to both parquet scans; lineitem
+    rows for other customers are dropped by the join on the pre-filtered
+    order keys, never scanned into the aggregation."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    summary = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.count("*").alias("total_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_spent"),
+        (F.sum(dec("o_totalprice")).cast("double") / F.count("*")).alias(
+            "avg_order_value"
+        ),
+        F.min(F.to_date("o_orderdate")).alias("first_order_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+    )
+    brand_spend = (
+        lineitem.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), lineitem.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("o_custkey").alias("customer_id"), "p_brand")
+        .agg(rev_sum().alias("spend"))
+    )
+    fav = (
+        brand_spend.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("customer_id").orderBy(
+                    F.col("spend").desc(), "p_brand"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("customer_id", F.col("p_brand").alias("favorite_brand"))
+    )
+    return summary.join(fav, "customer_id", "left")
+
+
+# Whitelist of API sort fields → physical columns (sales_repository.py:65-77).
+# Unknown fields raise instead of silently sorting by nothing.
+_ORDER_SORT_FIELDS = {
+    "date": "o_orderdate",
+    "total": "o_totalprice",
+    "customer": "o_custkey",
+    "id": "o_orderkey",
+}
+
+
+def sort_mapped_orders_page(
+    spark: SparkSession, sf_dir: str, sort: str = "total:desc", n: int = 20
+) -> DataFrame:
+    """API `sort=field:dir` mapping: parse, whitelist-map, apply with a
+    deterministic key tiebreak. orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-N, no global sort)."""
+    field, _, direction = sort.partition(":")
+    if field not in _ORDER_SORT_FIELDS:
+        raise ValueError(f"unsupported sort field: {field!r}")
+    col = F.col(_ORDER_SORT_FIELDS[field])
+    col = col.desc() if direction == "desc" else col.asc()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    return orders.orderBy(col, "o_orderkey").limit(n)
+
+
+@register(
+    "sort_mapped_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_mapped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sort_mapped_orders_page(spark, sf_dir, sort="total:desc", n=20)
