@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "star_schema",
     "ml_analytics",
     "matview_alerts",
+    "behavior",
 )
 
 
