@@ -386,3 +386,43 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id",
         (F.col("component_id") == F.col("node_id")).alias("is_representative"),
     )
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+                AS BIGINT) AS bucket,
+           CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
+                   THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90
+                   THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-free key
+    hash (bucket = first 16 bits of md5(doc_id) mod 100) — the training-data
+    pipeline's split step. Hash-based assignment is stable under reruns,
+    repartitioning, and incremental appends (a new doc never moves an old
+    one between splits), unlike rand()-based sampling. Pure row-local
+    projection: no shuffle, no RNG state, pushes the doc_id-only read down
+    to the parquet scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

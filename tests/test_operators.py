@@ -245,3 +245,37 @@ def test_asof_join_property(spark):
         eligible = [(rts, p) for rk, rts, p in right if rk == k and rts <= ts]
         expected = max(eligible)[1] if eligible else None
         assert got[(k, ts)] == expected, (k, ts, got[(k, ts)], expected)
+
+
+def test_funnel_ordering_semantics(spark):
+    """Funnel stages require at-or-after progression: a purchase BEFORE the
+    user's first view must not count, a same-instant next stage must."""
+    import datetime
+
+    import pytest as _pytest
+
+    from pwc_challenge_dataengineer_spark.operators.funnel import funnel
+
+    B = datetime.datetime(2024, 1, 1)
+    m = lambda minutes: B + datetime.timedelta(minutes=minutes)
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, m(0), "view"), (1, m(1), "click"), (1, m(2), "purchase"),
+        # u2: purchase BEFORE any view; then view+click but no later purchase
+        (2, m(0), "purchase"), (2, m(1), "view"), (2, m(2), "click"),
+        # u3: view and click at the SAME instant (tie counts), no purchase
+        (3, m(5), "view"), (3, m(5), "click"),
+        # u4: click only — never enters the funnel
+        (4, m(0), "click"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.stage: (r.users, r.conversion_from_prev, r.conversion_from_first)
+        for r in funnel(events, ["view", "click", "purchase"]).collect()
+    }
+    assert got["view"] == (3, None, 1.0)
+    assert got["click"] == (3, 1.0, 1.0)          # u1, u2, u3 all click >= view
+    assert got["purchase"][0] == 1                # only u1
+    assert got["purchase"][1] == _pytest.approx(1 / 3)
+    with _pytest.raises(ValueError):
+        funnel(events, [])
