@@ -279,3 +279,18 @@ def test_funnel_ordering_semantics(spark):
     assert got["purchase"][1] == _pytest.approx(1 / 3)
     with _pytest.raises(ValueError):
         funnel(events, [])
+
+
+def test_split_plan_is_shuffle_free(spark, sf_dir):
+    """train_val_test_split must compile to a pure projection over the scan —
+    any Exchange in the plan means an accidental shuffle at 100 TB; and
+    customer_drilldown's dim joins must broadcast, not shuffle-join."""
+    from pwc_challenge_dataengineer_spark.plans.catalog import QUERIES
+
+    split_df = QUERIES["train_val_test_split"](spark, sf_dir)
+    plan = split_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    drill = QUERIES["customer_drilldown"](spark, sf_dir)
+    dplan = drill._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in dplan
