@@ -21,7 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-END_OF_TIME = "9999-12-31 00:00:00"
+# Open rows carry valid_to = NULL (not a far-future sentinel): the classic
+# 9999-12-31 overflows pandas' ns-epoch (Timestamp.max is 2262-04-11), which
+# breaks any toPandas()/Arrow consumer of the open rows. ``is_current`` is an
+# explicit boolean derived from valid_to IS NULL.
 
 
 def _attr_hash(attr_cols: list[str]):
@@ -51,17 +54,9 @@ def scd2_rebuild(
     w2 = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), *[F.col(t) for t in (tiebreakers or [])])
     return (
         changed.withColumn("valid_from", F.col(ts_col))
-        .withColumn(
-            "valid_to",
-            F.coalesce(
-                F.lead("valid_from").over(w2),
-                F.lit(END_OF_TIME).cast("timestamp"),
-            ),
-        )
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
         .withColumn("version", F.row_number().over(w2))
-        .withColumn(
-            "is_current", F.col("valid_to") == F.lit(END_OF_TIME).cast("timestamp")
-        )
+        .withColumn("is_current", F.col("valid_to").isNull())
         .select(*key_cols, *attr_cols, "valid_from", "valid_to", "version", "is_current")
     )
 
@@ -119,7 +114,6 @@ def scd2_apply(
     closing_keys = changes.filter(F.col("change_type").isin("update", "delete")).select(key_cols)
     new_keys = changes.filter(F.col("change_type").isin("update", "insert")).select(key_cols)
 
-    eot = F.lit(END_OF_TIME).cast("timestamp")
     closed = (
         current.join(closing_keys, key_cols, "left_semi")
         .filter(F.col("is_current"))
@@ -129,12 +123,13 @@ def scd2_apply(
     untouched_current = current.join(closing_keys, key_cols, "left_anti")
     history = current.filter(~F.col("is_current"))
 
+    valid_to_type = current.schema["valid_to"].dataType
     max_ver = current.groupBy(*key_cols).agg(F.max("version").alias("__mv"))
     inserted = (
         incoming.join(new_keys, key_cols, "left_semi")
         .join(max_ver, key_cols, "left")
         .withColumn("valid_from", F.lit(effective_ts).cast("timestamp"))
-        .withColumn("valid_to", eot)
+        .withColumn("valid_to", F.lit(None).cast(valid_to_type))
         .withColumn("version", (F.coalesce(F.col("__mv"), F.lit(0)) + 1).cast("int"))
         .withColumn("is_current", F.lit(True))
         .drop("__mv")

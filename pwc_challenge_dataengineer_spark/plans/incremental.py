@@ -176,7 +176,7 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH current AS (
         SELECT c_custkey, c_name, c_acctbal,
                TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
-               TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
                1 AS version, TRUE AS is_current
         FROM customer WHERE c_custkey % 10 <> 0
     ),
@@ -208,7 +208,7 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT i.c_custkey, i.c_name, i.c_acctbal,
            TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
-           TIMESTAMP '9999-12-31 00:00:00' AS valid_to,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
            CASE WHEN x.change_type = 'update' THEN 2 ELSE 1 END AS version,
            TRUE AS is_current
     FROM incoming i JOIN classified x
@@ -229,7 +229,7 @@ def scd2_apply_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_acctbal",
             F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
-            F.lit("9999-12-31 00:00:00").cast("timestamp_ntz").alias("valid_to"),
+            F.lit(None).cast("timestamp_ntz").alias("valid_to"),
             F.lit(1).alias("version"),
             F.lit(True).alias("is_current"),
         )

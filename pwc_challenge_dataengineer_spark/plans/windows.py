@@ -239,7 +239,7 @@ def purchase_velocity_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_type, value,
            ts AS valid_from,
-           coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           lead(ts) OVER w AS valid_to,
            CAST(row_number() OVER w AS INT) AS version,
            (lead(ts) OVER w IS NULL) AS is_current
     FROM changed

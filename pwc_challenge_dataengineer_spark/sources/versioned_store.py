@@ -54,11 +54,21 @@ class VersionedTable:
         except FileNotFoundError:
             return []
 
+    def _write_manifest(self, entries: list[dict]) -> None:
+        # Atomic commit: write to a temp file then os.replace() so a crash
+        # mid-write never leaves a torn manifest. Single-writer assumption:
+        # unlike Delta's optimistic concurrency, two concurrent committers
+        # can still lose an entry (last replace wins) — this store emulates
+        # Delta's table semantics, not its commit protocol.
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh)
+        os.replace(tmp, self._manifest_path())
+
     def _append_manifest(self, entry: dict) -> None:
         entries = self._load_manifest()
         entries.append(entry)
-        with open(self._manifest_path(), "w") as fh:
-            json.dump(entries, fh)
+        self._write_manifest(entries)
 
     # -- write / read ------------------------------------------------------
     def latest_version(self) -> int | None:
@@ -156,8 +166,7 @@ class VersionedTable:
         drop, keep = entries[:-keep_last], entries[-keep_last:]
         for e in drop:
             shutil.rmtree(os.path.join(self.path, f"v={e['version']}"), ignore_errors=True)
-        with open(self._manifest_path(), "w") as fh:
-            json.dump(keep, fh)
+        self._write_manifest(keep)
         return [e["version"] for e in drop]
 
 
@@ -177,11 +186,23 @@ def scd2_merge(
     target = table.read()
     cmp_keys = keys + tracked_cols
     cur = target.filter(F.col(current_col))
-    changed_or_new = source.join(cur.select(*cmp_keys).distinct(), cmp_keys, "left_anti")
-    to_close = cur.join(changed_or_new.select(*keys).distinct(), keys, "left_semi")
+    # Closed history must survive every merge: only the CURRENT slice is
+    # classified/closed; non-current rows pass through unconditionally.
+    history = target.filter(~F.col(current_col))
+    # Null-safe change detection: a NULL tracked value must match an
+    # identical NULL in the current row (plain equality never matches NULL,
+    # which would close+reinsert the same version on every run).
+    cur_cmp = cur.select(*cmp_keys).distinct().alias("__t")
+    src = source.alias("__s")
+    anti_cond = [
+        F.col(f"__s.{c}").eqNullSafe(F.col(f"__t.{c}")) for c in cmp_keys
+    ]
+    changed_or_new = src.join(cur_cmp, anti_cond, "left_anti")
+    to_close_keys = changed_or_new.select(*keys).distinct()
+    to_close = cur.join(to_close_keys, keys, "left_semi")
     eff = F.lit(effective_ts).cast("timestamp")
     closed = to_close.withColumn(end_col, eff).withColumn(current_col, F.lit(False))
-    untouched = target.join(to_close.select(*keys).distinct(), keys, "left_anti")
+    untouched_current = cur.join(to_close_keys, keys, "left_anti")
     inserts = changed_or_new.select(
         *keys,
         *tracked_cols,
@@ -189,5 +210,9 @@ def scd2_merge(
         F.lit(None).cast("timestamp").alias(end_col),
         F.lit(True).alias(current_col),
     )
-    out = untouched.unionByName(closed).unionByName(inserts)
+    out = (
+        history.unionByName(untouched_current)
+        .unionByName(closed)
+        .unionByName(inserts)
+    )
     return table.write(out.localCheckpoint(eager=True), operation="scd2_merge")

@@ -71,13 +71,13 @@ def test_scd2_rebuild_change_suppression(spark):
 
 
 def test_scd2_apply_close_and_insert(spark):
-    eot = TS(9999, 12, 31)
     current = spark.createDataFrame(
         [
-            (1, "alice", TS(2020, 1, 1), eot, 1, True),
-            (2, "bob", TS(2020, 1, 1), eot, 1, True),
+            (1, "alice", TS(2020, 1, 1), None, 1, True),
+            (2, "bob", TS(2020, 1, 1), None, 1, True),
         ],
-        ["id", "name", "valid_from", "valid_to", "version", "is_current"],
+        "id BIGINT, name STRING, valid_from TIMESTAMP, valid_to TIMESTAMP,"
+        " version INT, is_current BOOLEAN",
     )
     incoming = spark.createDataFrame(
         [(1, "alice2"), (3, "carol")], ["id", "name"]

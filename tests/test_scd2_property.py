@@ -23,7 +23,7 @@ import datetime
 from hypothesis import HealthCheck, given, seed, settings
 from hypothesis import strategies as st
 
-from pwc_challenge_dataengineer_spark.operators.scd2 import END_OF_TIME, scd2_rebuild
+from pwc_challenge_dataengineer_spark.operators.scd2 import scd2_rebuild
 
 KEYS = ["k1", "k2"]
 ATTRS = ["a", "b", "c"]
@@ -59,12 +59,11 @@ def test_scd2_rebuild_invariants(spark, log):
         by_key.setdefault(r.key, []).append(r)
 
     assert set(by_key) == {k for k, _, _ in log}
-    eot = datetime.datetime.fromisoformat(END_OF_TIME.replace(" ", "T"))
     for k, versions in by_key.items():
         versions.sort(key=lambda r: r.valid_from)
-        # 1: exactly one current row
+        # 1: exactly one current row (open-ended: valid_to is NULL)
         assert sum(1 for r in versions if r.is_current) == 1
-        assert versions[-1].is_current and versions[-1].valid_to == eot
+        assert versions[-1].is_current and versions[-1].valid_to is None
         # 2: intervals tile the timeline
         for prev, nxt in zip(versions, versions[1:]):
             assert prev.valid_to == nxt.valid_from

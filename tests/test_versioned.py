@@ -125,3 +125,64 @@ def test_merge_sequence_matches_dict_semantics(spark, tmp_path):
     # every intermediate version still time-travels to its own state
     expected0 = dict(ops[0])
     assert _rows(t.read(version_as_of=0), "id", "v") == sorted(expected0.items())
+
+
+def test_scd2_merge_preserves_closed_history_across_merges(spark, tmp_path):
+    """Two consecutive merges on the SAME key: every closed version must
+    survive (regression: untouched used to anti-join the full target on key
+    alone, deleting all prior versions of any changed key)."""
+    t = VersionedTable(spark, str(tmp_path / "scd2hist"))
+    base = spark.createDataFrame(
+        [(1, "v1", "2000-01-01 00:00:00", None, True)],
+        "id BIGINT, attr STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN",
+    ).select(
+        "id",
+        "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    t.write(base)
+    scd2_merge(
+        t, spark.createDataFrame([(1, "v2")], ["id", "attr"]),
+        keys=["id"], tracked_cols=["attr"], effective_ts="2001-01-01 00:00:00",
+    )
+    scd2_merge(
+        t, spark.createDataFrame([(1, "v3")], ["id", "attr"]),
+        keys=["id"], tracked_cols=["attr"], effective_ts="2002-01-01 00:00:00",
+    )
+    out = sorted(t.read().collect(), key=lambda r: r.valid_from)
+    assert [(r.attr, r.is_current) for r in out] == [
+        ("v1", False), ("v2", False), ("v3", True),
+    ]
+    # closed rows keep their close timestamps; open row stays NULL
+    assert out[0].valid_to is not None and out[1].valid_to is not None
+    assert out[2].valid_to is None
+
+
+def test_scd2_merge_null_tracked_value_is_stable(spark, tmp_path):
+    """A NULL tracked attribute must NOT churn: re-merging an identical
+    source with a NULL value leaves the table unchanged (regression: plain
+    equality classified NULL-attributed rows as changed every run)."""
+    t = VersionedTable(spark, str(tmp_path / "scd2null"))
+    base = spark.createDataFrame(
+        [(1, None, "2000-01-01 00:00:00", None, True)],
+        "id BIGINT, attr STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN",
+    ).select(
+        "id",
+        "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    t.write(base)
+    src = spark.createDataFrame(
+        [(1, None)], "id BIGINT, attr STRING"
+    )
+    scd2_merge(t, src, keys=["id"], tracked_cols=["attr"],
+               effective_ts="2001-01-01 00:00:00")
+    out = t.read().collect()
+    assert len(out) == 1 and out[0].is_current and out[0].attr is None
+    scd2_merge(t, src, keys=["id"], tracked_cols=["attr"],
+               effective_ts="2002-01-01 00:00:00")
+    assert t.read().count() == 1  # still exactly one version
