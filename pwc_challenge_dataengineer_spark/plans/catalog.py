@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "ml_analytics",
     "matview_alerts",
     "behavior",
+    "schema_evolution",
 )
 
 
