@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "matview_alerts",
     "behavior",
     "schema_evolution",
+    "feature_pipeline",
 )
 
 
