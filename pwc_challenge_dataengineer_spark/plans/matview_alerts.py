@@ -284,3 +284,68 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_blocked(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.3, n_blocks=8
     )
+
+
+@register(
+    "alert_eval_cooldown",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+        SELECT date_trunc('hour', ts) AS window_start,
+               {_VAL_DEC} AS total_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    viol AS (
+        SELECT rule_id, severity, cooldown_min, window_start, metric_value,
+               row_number() OVER (PARTITION BY rule_id ORDER BY window_start) AS rn
+        FROM (
+            SELECT 'high_revenue_spike' AS rule_id, 'high' AS severity,
+                   360 AS cooldown_min, window_start,
+                   total_revenue AS metric_value
+            FROM m WHERE total_revenue > 1000.0
+            UNION ALL
+            SELECT 'volume_drop', 'medium', 720, window_start,
+                   CAST(n_events AS DOUBLE)
+            FROM m WHERE n_events < 8
+        )
+    ),
+    scan AS (
+        SELECT rule_id, severity, cooldown_min, window_start, metric_value,
+               rn, window_start AS last_fired, true AS fired
+        FROM viol WHERE rn = 1
+        UNION ALL
+        SELECT v.rule_id, v.severity, v.cooldown_min, v.window_start,
+               v.metric_value, v.rn,
+               CASE WHEN v.window_start >= s.last_fired
+                         + to_minutes(CAST(s.cooldown_min AS BIGINT))
+                    THEN v.window_start ELSE s.last_fired END,
+               v.window_start >= s.last_fired
+                   + to_minutes(CAST(s.cooldown_min AS BIGINT))
+        FROM scan s JOIN viol v
+          ON v.rule_id = s.rule_id AND v.rn = s.rn + 1
+    )
+    SELECT rule_id, severity, window_start, metric_value
+    FROM scan WHERE fired
+    """,
+)
+def alert_eval_cooldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert rules with severity + event-time cooldown
+    (realtime_gold_processor.py:97-118, 608-689: the reference suppresses
+    re-fires with a driver-side cache TTL; streaming/alerts.py re-expresses
+    that as kept-based suppression over the metric series — deterministic
+    and replayable). Oracle: recursive CTE advancing one violation at a
+    time, carrying the last-KEPT fire time per rule."""
+    from ..streaming.alerts import CooldownAlertRule, evaluate_with_cooldown
+
+    events = load_table(spark, sf_dir, "events")
+    m = events.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_revenue"),
+        F.count("*").alias("n_events"),
+    )
+    rules = [
+        CooldownAlertRule("high_revenue_spike", "total_revenue", ">", 1000.0,
+                          severity="high", cooldown_minutes=360),
+        CooldownAlertRule("volume_drop", "n_events", "<", 8, severity="medium",
+                          cooldown_minutes=720),
+    ]
+    return evaluate_with_cooldown(m, rules, "window_start")
