@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "behavior",
     "schema_evolution",
     "feature_pipeline",
+    "dbt_checks",
 )
 
 

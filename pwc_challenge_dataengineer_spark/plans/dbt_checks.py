@@ -1,0 +1,208 @@
+"""dbt-macro-style data-quality checks, batch 2 (VERDICT r01 gap #6;
+reference dbt/macros/data_quality_checks.sql:1-352 + the dbt accepted_values
+/ unique schema tests its models use).
+
+Batch 1 (referential_integrity, freshness_by_type, rowcount_anomaly) lives
+in plans/ml_analytics.py:447-520. This module adds:
+
+- accepted_values_check  dbt's accepted_values: distinct out-of-domain
+  values with counts, per (table, column).
+- uniqueness_check       test_duplicate_records as a per-key summary:
+  total vs distinct vs duplicated rows for each declared business key.
+- value_range_check      distribution guard: per numeric rule, violation
+  count + observed min/max (exact order statistics).
+
+All three are single-pass grouped aggregations (map-side combined), so they
+cost one scan of each table at any scale; none collects row-level data to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .catalog import register
+
+# (table, column, accepted values) — events deliberately excludes 'error'
+# so the check demonstrates a real out-of-domain hit on the fixture data.
+ACCEPTED_VALUES: list[tuple[str, str, tuple[str, ...]]] = [
+    ("events", "event_type", ("click", "signup", "view", "purchase")),
+    ("orders", "o_orderstatus", ("O", "F", "P")),
+    ("lineitem", "l_returnflag", ("A", "N", "R")),
+]
+
+
+def _sql_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+@register(
+    "accepted_values_check",
+    oracle=f"""
+    SELECT 'events' AS table_name, 'event_type' AS column_name,
+           event_type AS invalid_value, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_type NOT IN ({_sql_list(ACCEPTED_VALUES[0][2])})
+    GROUP BY 3
+    UNION ALL
+    SELECT 'orders', 'o_orderstatus', o_orderstatus, CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus NOT IN ({_sql_list(ACCEPTED_VALUES[1][2])})
+    GROUP BY 3
+    UNION ALL
+    SELECT 'lineitem', 'l_returnflag', l_returnflag, CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_returnflag NOT IN ({_sql_list(ACCEPTED_VALUES[2][2])})
+    GROUP BY 3
+    """,
+)
+def accepted_values_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt accepted_values over three declared domains: every distinct
+    out-of-domain value with its row count. NULLs are not violations (dbt
+    semantics: accepted_values ignores NULL; pair with not_null)."""
+    parts = []
+    for table, column, accepted in ACCEPTED_VALUES:
+        df = load_table(spark, sf_dir, table)
+        parts.append(
+            df.filter(~F.col(column).isin(*accepted) & F.col(column).isNotNull())
+            .groupBy(F.col(column).alias("invalid_value"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.lit(table).alias("table_name"),
+                F.lit(column).alias("column_name"),
+                "invalid_value",
+                "n",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# (table, key columns) — business keys the warehouse declares unique.
+UNIQUE_KEYS: list[tuple[str, tuple[str, ...]]] = [
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+]
+
+
+@register(
+    "uniqueness_check",
+    oracle="""
+    SELECT 'orders' AS table_name, 'o_orderkey' AS key_columns,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS duplicate_rows
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_orderkey,l_linenumber', CAST(COUNT(*) AS BIGINT),
+           CAST(cnt AS BIGINT), CAST(COUNT(*) - cnt AS BIGINT)
+    FROM lineitem,
+         (SELECT COUNT(*) AS cnt
+          FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+    GROUP BY cnt
+    UNION ALL
+    SELECT 'events', 'event_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents', 'doc_id', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    """,
+)
+def uniqueness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt test_duplicate_records as a per-key summary
+    (data_quality_checks.sql:76-83). The composite lineitem key genuinely
+    has ~1.4k duplicate keys in the fixture, so this check is non-vacuous.
+    count_distinct over a composite key = distinct-aggregate on a struct —
+    one shuffle per table, no row-level collection."""
+    parts = []
+    for table, keys in UNIQUE_KEYS:
+        df = load_table(spark, sf_dir, table)
+        key_struct = F.struct(*[F.col(k) for k in keys])
+        parts.append(
+            df.agg(
+                F.count("*").alias("total_rows"),
+                F.countDistinct(key_struct).alias("distinct_keys"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                F.lit(",".join(keys)).alias("key_columns"),
+                "total_rows",
+                "distinct_keys",
+                (F.col("total_rows") - F.col("distinct_keys")).alias("duplicate_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "value_range_check",
+    oracle="""
+    SELECT 'lineitem.l_quantity' AS target, 'between 1 and 50' AS rule,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations,
+           MIN(l_quantity) AS min_observed, MAX(l_quantity) AS max_observed
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_discount', 'between 0 and 0.1',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.l_extendedprice', 'greater than 0',
+           CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events.value', 'not negative',
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           MIN(value), MAX(value)
+    FROM events
+    """,
+)
+def value_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/value-range guard (the dbt business-rule-validation
+    pattern, data_quality_checks.sql:96-103): declared numeric invariants →
+    violation counts + observed exact min/max. Conditional sums fuse into
+    one aggregate per table (both lineitem rules share one scan under
+    Catalyst's repeated-subplan reuse)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def rule(df, target, rule_desc, viol_cond, col):
+        return df.agg(
+            F.sum(F.when(viol_cond, 1).otherwise(0)).cast("bigint").alias("violations"),
+            F.min(col).cast("double").alias("min_observed"),
+            F.max(col).cast("double").alias("max_observed"),
+        ).select(
+            F.lit(target).alias("target"),
+            F.lit(rule_desc).alias("rule"),
+            "violations",
+            "min_observed",
+            "max_observed",
+        )
+
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+    p = F.col("l_extendedprice")
+    v = F.col("value")
+    out = rule(lineitem, "lineitem.l_quantity", "between 1 and 50",
+               (q < 1) | (q > 50), q)
+    out = out.unionByName(
+        rule(lineitem, "lineitem.l_discount", "between 0 and 0.1",
+             (d < 0) | (d > 0.1), d)
+    )
+    out = out.unionByName(
+        rule(lineitem, "lineitem.l_extendedprice", "greater than 0", p <= 0, p)
+    )
+    out = out.unionByName(rule(events, "events.value", "not negative", v < 0, v))
+    return out
