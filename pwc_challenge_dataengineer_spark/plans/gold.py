@@ -407,3 +407,125 @@ def customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("occasional")
         .alias("frequency_segment"),
     )
+
+
+_RFM_SCALED_SQL = f"""
+    WITH base AS (
+        SELECT o_custkey AS customer_id,
+               CAST(date_diff('day', MAX(o_orderdate),
+                    (SELECT MAX(o_orderdate) FROM orders)) AS INT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               {money_sum_sql('o_totalprice')} AS monetary
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT quantile_disc(CAST(recency_days AS DOUBLE), 0.2) AS r1,
+               quantile_disc(CAST(recency_days AS DOUBLE), 0.4) AS r2,
+               quantile_disc(CAST(recency_days AS DOUBLE), 0.6) AS r3,
+               quantile_disc(CAST(recency_days AS DOUBLE), 0.8) AS r4,
+               quantile_disc(CAST(frequency AS DOUBLE), 0.2) AS f1,
+               quantile_disc(CAST(frequency AS DOUBLE), 0.4) AS f2,
+               quantile_disc(CAST(frequency AS DOUBLE), 0.6) AS f3,
+               quantile_disc(CAST(frequency AS DOUBLE), 0.8) AS f4,
+               quantile_disc(monetary, 0.2) AS m1,
+               quantile_disc(monetary, 0.4) AS m2,
+               quantile_disc(monetary, 0.6) AS m3,
+               quantile_disc(monetary, 0.8) AS m4
+        FROM base
+    ),
+    scored AS (
+        SELECT customer_id, recency_days, frequency, monetary,
+               CAST(6 - (CASE WHEN recency_days > r4 THEN 5
+                              WHEN recency_days > r3 THEN 4
+                              WHEN recency_days > r2 THEN 3
+                              WHEN recency_days > r1 THEN 2
+                              ELSE 1 END) AS INT) AS recency_score,
+               CAST(CASE WHEN frequency > f4 THEN 5
+                         WHEN frequency > f3 THEN 4
+                         WHEN frequency > f2 THEN 3
+                         WHEN frequency > f1 THEN 2
+                         ELSE 1 END AS INT) AS frequency_score,
+               CAST(CASE WHEN monetary > m4 THEN 5
+                         WHEN monetary > m3 THEN 4
+                         WHEN monetary > m2 THEN 3
+                         WHEN monetary > m1 THEN 2
+                         ELSE 1 END AS INT) AS monetary_score
+        FROM base CROSS JOIN b
+    )
+    SELECT *,
+           recency_score * 100 + frequency_score * 10 + monetary_score AS rfm_code,
+           CASE WHEN recency_score >= 4 AND frequency_score >= 4
+                     AND monetary_score >= 4 THEN 'champion'
+                WHEN frequency_score >= 4 THEN 'loyal'
+                WHEN monetary_score >= 4 THEN 'big_spender'
+                WHEN recency_score <= 2 AND frequency_score >= 3 THEN 'at_risk'
+                WHEN recency_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS rfm_segment
+    FROM scored
+"""
+
+
+@register("rfm_segmentation_scaled", oracle=_RFM_SCALED_SQL)
+def rfm_segmentation_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB RFM path (SURVEY §7.3.1 divergence note): quintiles from
+    approxQuantile boundaries + a codegen'd CASE lookup instead of the
+    exact path's three unpartitioned ntile sorts. Cost: one boundary
+    aggregation per feature + one scan — no global sort anywhere.
+
+    Divergence vs exact ntile: customers tied ON a boundary value all land
+    in the lower bucket (ntile splits ties by the customer_id tiebreaker to
+    equalize bucket sizes), so bucket populations differ near ties —
+    especially for the small-integer frequency feature. The oracle pins the
+    SAME boundary semantics via quantile_disc, verified value-exact against
+    approxQuantile(ε=1e-6) on this data."""
+    from ..operators.scalable import quantile_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("max_date"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            money_sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("max_date", "last_order"))
+        .drop("last_order", "max_date")
+    )
+    scored = quantile_bucket(
+        base, "recency_days", 5, out_col="recency_score",
+        relative_error=1e-6, descending=True,
+    )
+    scored = quantile_bucket(
+        scored, "frequency", 5, out_col="frequency_score", relative_error=1e-6
+    )
+    scored = quantile_bucket(
+        scored, "monetary", 5, out_col="monetary_score", relative_error=1e-6
+    )
+    return scored.select(
+        "customer_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "recency_score",
+        "frequency_score",
+        "monetary_score",
+        (
+            F.col("recency_score") * 100
+            + F.col("frequency_score") * 10
+            + F.col("monetary_score")
+        ).alias("rfm_code"),
+        F.when(
+            (F.col("recency_score") >= 4)
+            & (F.col("frequency_score") >= 4)
+            & (F.col("monetary_score") >= 4),
+            "champion",
+        )
+        .when(F.col("frequency_score") >= 4, "loyal")
+        .when(F.col("monetary_score") >= 4, "big_spender")
+        .when((F.col("recency_score") <= 2) & (F.col("frequency_score") >= 3), "at_risk")
+        .when(F.col("recency_score") <= 2, "hibernating")
+        .otherwise("regular")
+        .alias("rfm_segment"),
+    )
