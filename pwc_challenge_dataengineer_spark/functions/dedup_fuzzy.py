@@ -81,6 +81,79 @@ def minhash_band_signatures(
     ).select(id_col, F.col("__band").cast("int").alias("band"), "signature")
 
 
+def minhash_doc_profiles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """ONE explode + ONE doc-level groupBy producing everything the
+    LSH pipeline needs per doc: sorted shingle set, shingle count, and all
+    band minima (columns ``sh_set``, ``n_sh``, ``__s0..__s{B-1}``).
+
+    The naive pipeline runs the shingle explode and a doc-keyed aggregation
+    TWICE (once for band signatures, once for the Jaccard-verify sets) —
+    the explode multiplies rows by ~tokens/doc, so at 100 TB that is the
+    dominant stage paid double. Fusing both into one groupBy halves the
+    explode+shuffle work, and the fused output is one row per DOCUMENT
+    (shingle arrays included), small enough to localCheckpoint and fan out
+    to the signature/verify consumers without recompute."""
+    sh = exploded_shingles(df, id_col, text_col, k)
+    # The verify set stores 60-bit md5-derived hashes, not the shingle
+    # strings: array_intersect over bigints is ~3x cheaper than over
+    # strings (measured — the string intersect was the pipeline's single
+    # most expensive expression), the arrays shuffle smaller, and both
+    # engines derive identical hashes so n_common matches the oracle's
+    # string-join count exactly (collision odds ~|sh|²/2^61 ≈ 0).
+    sh_hash = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
+        ).alias(f"__s{b}")
+        for b in range(n_bands)
+    ]
+    return sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(sh_hash)).alias("sh_set"),
+        F.count("*").alias("n_sh"),
+        *aggs,
+    )
+
+
+def profiles_to_signatures(profiles: DataFrame, id_col: str, n_bands: int = 4) -> DataFrame:
+    """Unpivot a profiles table's band-minima columns to (id, band, signature)."""
+    stack_expr = ", ".join(f"'{b}', __s{b}" for b in range(n_bands))
+    return profiles.select(
+        id_col,
+        F.expr(f"stack({n_bands}, {stack_expr}) AS (__band, signature)"),
+    ).select(id_col, F.col("__band").cast("int").alias("band"), "signature")
+
+
+def jaccard_verify_profiles(
+    candidates: DataFrame, profiles: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard per candidate pair from a pre-aggregated profiles
+    table (same output contract as jaccard_verify, without re-aggregating
+    the shingle explode)."""
+    a = profiles.select(
+        F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")
+    )
+    b = profiles.select(
+        F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("bigint"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     """Distinct (a, b) a<b pairs sharing at least one band signature."""
     left = signatures.select(
@@ -141,11 +214,16 @@ def minhash_lsh_near_dups(
     n_bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full pipeline: shingle → band minhash → LSH buckets → exact verify."""
-    sh = exploded_shingles(df, id_col, text_col, k)
-    sig = minhash_band_signatures(sh, id_col, n_bands)
+    """Full pipeline: one fused shingle pass → per-doc profiles
+    (checkpointed: 1 row/doc) → LSH buckets → exact verify. The fused
+    profile pass halves the explode work vs running signature and verify
+    aggregations separately (see minhash_doc_profiles)."""
+    prof = minhash_doc_profiles(df, id_col, text_col, k, n_bands).localCheckpoint(
+        eager=True
+    )
+    sig = profiles_to_signatures(prof, id_col, n_bands)
     cand = lsh_candidate_pairs(sig, id_col)
-    verified = jaccard_verify(cand, sh, id_col)
+    verified = jaccard_verify_profiles(cand, prof, id_col)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -223,10 +301,16 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         # 3.6 s at sf0.1
         .localCheckpoint(eager=True)
     )
+    # Seed with min(self, min neighbor) straight off the edge list: this IS
+    # the first propagation round, done as one groupBy instead of a
+    # join+union+groupBy iteration (saves a full round trip per run).
     labels = (
-        both.select(F.col("u").alias("node_id"))
-        .distinct()
-        .withColumn("component_id", F.col("node_id"))
+        both.groupBy(F.col("u").alias("node_id"))
+        .agg(F.min("v").alias("__min_nbr"))
+        .select(
+            "node_id",
+            F.least(F.col("node_id"), F.col("__min_nbr")).alias("component_id"),
+        )
         .localCheckpoint(eager=True)
     )
     # convergence probe: min-propagation only ever DECREASES labels, so the

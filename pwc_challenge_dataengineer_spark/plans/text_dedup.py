@@ -227,16 +227,24 @@ _SHINGLES_SQL = f"""
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs with exact Jaccard verification (4 bands,
     r=1). Threshold filtering is the caller's choice; all candidates emitted
-    here so the oracle checks the whole pipeline."""
+    here so the oracle checks the whole pipeline.
+
+    Plan: ONE fused shingle explode + doc-level groupBy computes band
+    minima AND verify sets together (functions/dedup_fuzzy.py:
+    minhash_doc_profiles) — the naive two-aggregation pipeline pays the
+    explode twice, and caching the raw exploded rows instead was measured
+    SLOWER than recompute (materializing ~tokens/doc × docs rows costs more
+    than a second codegen'd scan). The fused profile table is one row per
+    doc, checkpointed, and fanned out to buckets + verify."""
+    from ..functions.dedup_fuzzy import jaccard_verify_profiles, minhash_doc_profiles, profiles_to_signatures
+
     docs = load_table(spark, sf_dir, "documents")
-    # The shingle explode feeds the signature pass AND the Jaccard verify;
-    # recomputing it beats persist() here (measured: materializing the
-    # exploded rows costs more than two extra codegen'd scans). At 100 TB
-    # swap in a checkpoint of `sh` if the source scan dominates.
-    sh = exploded_shingles(docs, "doc_id", "text", k=3)
-    sig = minhash_band_signatures(sh, "doc_id", n_bands=4)
+    prof = minhash_doc_profiles(docs, "doc_id", "text", k=3, n_bands=4).localCheckpoint(
+        eager=True
+    )
+    sig = profiles_to_signatures(prof, "doc_id", n_bands=4)
     cand = lsh_candidate_pairs(sig, "doc_id")
-    return jaccard_verify(cand, sh, "doc_id")
+    return jaccard_verify_profiles(cand, prof, "doc_id")
 
 
 @register(
