@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "schema_evolution",
     "feature_pipeline",
     "dbt_checks",
+    "storage_layout",
 )
 
 

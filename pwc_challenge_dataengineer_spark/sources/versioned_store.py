@@ -156,6 +156,36 @@ class VersionedTable:
         kept = self.read().filter(~F.coalesce(condition, F.lit(False)))
         return self.write(kept.localCheckpoint(eager=True), operation="delete")
 
+    # -- optimize (compaction + Z-ORDER) -----------------------------------
+    def optimize(
+        self,
+        zorder_by: list[str] | None = None,
+        n_files: int = 4,
+        bits_per_col: int = 8,
+    ) -> int:
+        """Delta ``OPTIMIZE [ZORDER BY]`` analog (delta_lake_manager.py:
+        312-321): rewrite the current snapshot into ``n_files`` right-sized
+        files; with ``zorder_by``, cluster rows along the Morton (Z-order)
+        curve of those columns first, so per-file min/max spans shrink on
+        EVERY listed column and parquet rowgroup/file skipping works for
+        predicates on any of them (not just the first sort key).
+
+        Layout pass = one stats agg (min/max per column, broadcast back) +
+        one range repartition + in-partition sort on the interleaved code —
+        the same cost shape Delta's OPTIMIZE pays. Data content is
+        unchanged; only layout. Commits a new version ("optimize")."""
+        df = self.read()
+        if zorder_by:
+            code = zorder_code(df, zorder_by, bits_per_col)
+            clustered = (
+                code.repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            clustered = df.coalesce(n_files)
+        return self.write(clustered.localCheckpoint(eager=True), operation="optimize")
+
     # -- retention ---------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (Delta VACUUM).
@@ -168,6 +198,50 @@ class VersionedTable:
             shutil.rmtree(os.path.join(self.path, f"v={e['version']}"), ignore_errors=True)
         self._write_manifest(keep)
         return [e["version"] for e in drop]
+
+
+def zorder_code(
+    df: DataFrame, cols: list[str], bits_per_col: int = 8
+) -> DataFrame:
+    """Append ``__z``: the Morton (bit-interleaved) code of the given
+    numeric columns, each linearly bucketed to ``bits_per_col`` bits over
+    its observed [min, max].
+
+    Linear min/max bucketing (not quantiles) keeps the code a pure,
+    engine-deterministic expression: one stats aggregate broadcast back,
+    then integer bit arithmetic — no sampling, no RNG. Skewed columns get
+    uneven bucket occupancy; for those, rank-bucket first (operators.
+    scalable.quantile_bucket) and z-order the bucket ids. Up to
+    floor(63/bits_per_col) columns fit in a BIGINT code."""
+    n_cols = len(cols)
+    if n_cols * bits_per_col > 63:
+        raise ValueError(
+            f"{n_cols} cols × {bits_per_col} bits exceeds a 63-bit code"
+        )
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    max_bucket = (1 << bits_per_col) - 1
+    buckets = []
+    for c in cols:
+        lo, hi = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        scaled = F.when(
+            hi > lo,
+            F.floor(
+                (F.col(c).cast("double") - lo) / (hi - lo) * F.lit(max_bucket)
+            ),
+        ).otherwise(F.lit(0))
+        buckets.append(F.least(scaled, F.lit(max_bucket)).cast("bigint"))
+    z = F.lit(0).cast("bigint")
+    for b in range(bits_per_col):
+        for i, bucket in enumerate(buckets):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("bigint"))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n_cols + i))
+    return out.withColumn("__z", z).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )
 
 
 def scd2_merge(

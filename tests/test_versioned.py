@@ -186,3 +186,49 @@ def test_scd2_merge_null_tracked_value_is_stable(spark, tmp_path):
     scd2_merge(t, src, keys=["id"], tracked_cols=["attr"],
                effective_ts="2002-01-01 00:00:00")
     assert t.read().count() == 1  # still exactly one version
+
+
+def test_optimize_compacts_and_zorders(spark, tmp_path):
+    """OPTIMIZE ZORDER: content unchanged, version bumped, and per-file
+    min/max spans shrink on BOTH z-ordered columns vs the shuffled layout
+    (the property parquet data skipping depends on)."""
+    import glob
+    import random
+
+    t = VersionedTable(spark, str(tmp_path / "opt"))
+    rng = random.Random(42)
+    rows = [(i, rng.randrange(0, 1000), rng.random() * 100.0) for i in range(4000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id BIGINT, k BIGINT, v DOUBLE").repartition(8)
+    t.write(df)
+    v = t.optimize(zorder_by=["k", "v"], n_files=4)
+    assert v == 1
+    assert [r.operation for r in t.history().orderBy("version").collect()][-1] == "optimize"
+    out = t.read()
+    assert out.count() == 4000
+    assert sorted(r.id for r in out.select("id").collect()) == sorted(r[0] for r in rows)
+
+    def avg_spans(version):
+        files = glob.glob(str(tmp_path / "opt" / f"v={version}" / "part-*.parquet"))
+        spans_k, spans_v = [], []
+        for f in files:
+            pf = spark.read.parquet(f)
+            mm = pf.agg(F.min("k"), F.max("k"), F.min("v"), F.max("v")).first()
+            spans_k.append(mm[1] - mm[0])
+            spans_v.append(mm[3] - mm[2])
+        return sum(spans_k) / len(spans_k), sum(spans_v) / len(spans_v)
+
+    k0, v0 = avg_spans(0)  # shuffled layout: every file spans ~full range
+    k1, v1 = avg_spans(1)  # z-ordered: both dims localized per file
+    assert k1 < k0 * 0.7 and v1 < v0 * 0.7
+
+
+def test_optimize_without_zorder_compacts(spark, tmp_path):
+    import glob
+
+    t = VersionedTable(spark, str(tmp_path / "opt2"))
+    t.write(spark.range(100).repartition(16).withColumnRenamed("id", "x"))
+    t.optimize(n_files=2)
+    files = glob.glob(str(tmp_path / "opt2" / "v=1" / "part-*.parquet"))
+    assert len(files) <= 2
+    assert t.read().count() == 100
