@@ -124,3 +124,35 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("quality_score", text_quality_score(c))
     )
+
+
+# --- PII redaction ----------------------------------------------------------
+# Patterns restricted to syntax both Java regex (Spark) and RE2 (DuckDB)
+# support identically: no lookaround, no backrefs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\+\d{1,3}-\d{3}-\d{4}", "[PHONE]"),
+}
+
+_PII_ORDER = ("email", "ipv4", "phone")
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email / IPv4 / phone matches with typed placeholders, in a
+    fixed order (email first: an address contains dots that the IP pattern
+    could otherwise half-match). Pure regexp_replace chain — codegen'd,
+    no UDF."""
+    out = col
+    for name in _PII_ORDER:
+        pat, repl = PII_PATTERNS[name]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Match counts per PII category (regexp_extract_all sizes)."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[name][0]), 0))
+        for name in _PII_ORDER
+    }

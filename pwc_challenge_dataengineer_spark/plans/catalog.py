@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "feature_pipeline",
     "dbt_checks",
     "storage_layout",
+    "pii_text",
 )
 
 
