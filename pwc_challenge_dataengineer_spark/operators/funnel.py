@@ -29,6 +29,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    persist_stages: bool | None = None,
 ) -> DataFrame:
     """Per-stage funnel counts with conversion ratios.
 
@@ -40,9 +41,17 @@ def funnel(
     conversion_from_prev double — NULL on stage 0, conversion_from_first
     double). The ratio divisions run on exact longs cast to double, never
     rounded (see plans/_parity.py rationale).
+
+    ``persist_stages``: each stage's count aggregate re-walks the reach-set
+    chain below it, so an unpersisted k-stage funnel does O(k²) subtree work.
+    Default (None) auto-persists the intermediate reach-sets for funnels
+    deeper than 3 stages (where the quadratic recompute starts to dominate);
+    shallow funnels skip the cache-materialization overhead. Persisted sets
+    stay cached for the job and are evicted LRU by Spark afterwards.
     """
     if not stages:
         raise ValueError("funnel requires at least one stage")
+    do_persist = persist_stages if persist_stages is not None else len(stages) > 3
     reached: DataFrame | None = None
     stage_counts: list[DataFrame] = []
     for i, stage in enumerate(stages):
@@ -56,6 +65,8 @@ def funnel(
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("t_reach"))
             )
+        if do_persist and i < len(stages) - 1:
+            reached = reached.persist()
         stage_counts.append(
             reached.agg(
                 F.lit(i).alias("stage_index"),

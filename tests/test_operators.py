@@ -294,3 +294,22 @@ def test_split_plan_is_shuffle_free(spark, sf_dir):
     drill = QUERIES["customer_drilldown"](spark, sf_dir)
     dplan = drill._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in dplan
+
+
+def test_deep_funnel_persist_same_result(spark):
+    """5-stage funnel (auto-persist path) must equal the unpersisted plan."""
+    from pwc_challenge_dataengineer_spark.operators.funnel import funnel
+
+    base = TS(2024, 1, 1)
+    rows = []
+    for u in range(20):
+        depth = u % 6
+        for i, st in enumerate(["a", "b", "c", "d", "e"][: depth + 1]):
+            rows.append((u, st, base + datetime.timedelta(minutes=i)))
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    stages = ["a", "b", "c", "d", "e"]
+    fast = funnel(df, stages).orderBy("stage_index").collect()
+    slow = funnel(df, stages, persist_stages=False).orderBy("stage_index").collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+    # depths cycle 0..5 over 20 users → reach counts per stage:
+    assert [r.users for r in fast] == [20, 16, 12, 9, 6]
