@@ -99,3 +99,15 @@ def test_conform_rejects_narrowing_and_missing_required(spark):
         conform_to(df, _st(("id", T.IntegerType(), True)))
     with pytest.raises(ValueError, match="required column"):
         conform_to(df, _st(("id", T.LongType(), True), ("k", T.StringType(), False)))
+
+
+def test_evolve_read_plan_is_shuffle_free(spark):
+    """Evolve-on-read is projections + union: the physical plan must carry
+    ZERO exchanges, so it costs the same as reading the generations raw."""
+    gen1 = spark.range(10).selectExpr("CAST(id AS INT) AS id", "'x' AS label")
+    gen2 = spark.range(10, 20).selectExpr("id", "'y' AS name", "CAST(id AS DOUBLE) AS score")
+    target = _st(("id", T.LongType(), True), ("name", T.StringType(), True),
+                 ("score", T.DoubleType(), True))
+    out = evolve_read(spark, [gen1, gen2], target, renames={"label": "name"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
