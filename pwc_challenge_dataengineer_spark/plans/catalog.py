@@ -58,6 +58,8 @@ _QUERY_MODULES = (
     "dbt_checks",
     "storage_layout",
     "pii_text",
+    "text_retrieval",
+    "sampling",
 )
 
 

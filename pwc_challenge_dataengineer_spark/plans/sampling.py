@@ -1,0 +1,149 @@
+"""Deterministic sampling + distribution-shape operators — the corpus-curation
+half of a training-data pipeline (extending SURVEY §2's quality/profiling
+family; reference analog: the profiling/suitability checks of
+src/etl/spark/data_profiler.py, plus the sampling every dataset-curation run
+needs but the reference leaves to ad-hoc SQL).
+
+- stratified_sample_docs  per-stratum hash sampling with different rates per
+  stratum (md5 bucket — shuffle-free, RNG-free, append-stable, the same
+  idiom as the train/val/test split in plans/text_dedup.py).
+- per_key_event_sample    deterministic "reservoir" of 3 events per user
+  (row_number over an md5 ordering — a seeded random sample that is
+  reproducible across engines and reruns).
+- event_type_entropy      Shannon entropy of each user's event-type
+  distribution — the behavioral-diversity feature used for bot filtering
+  and stratification.
+
+Scale posture: the hash sample is a pure filter (pushes to the scan, zero
+shuffle); the per-key sample is one window over the user-partitioned
+ordering (single shuffle on user_id); entropy is a two-level groupBy whose
+first level map-side combines to |users|x|types| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import load_table
+from .catalog import register
+
+# Per-stratum sampling rates in tenths: src0 keeps 3/10, everything else 1/10.
+_RATES_SQL = "CASE WHEN source = 'src0' THEN 3 ELSE 1 END"
+
+
+def _md5_bucket_sql(key: str, mod: int) -> str:
+    return f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {mod}"
+
+
+def _md5_bucket(col: F.Column, mod: int) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % mod
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST({_md5_bucket_sql('doc_id', 10)} AS INT) AS bucket
+    FROM documents
+    WHERE {_md5_bucket_sql('doc_id', 10)} < {_RATES_SQL}
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sample of the documents corpus: 30% of src0, 10% of
+    every other source. The md5 bucket is a pure column expression, so the
+    sample is a filter over the scan — no shuffle, no RNG state, and the
+    same rows survive when the corpus is appended to (hash depends only on
+    doc_id). At 100 TB this is the only sampling shape that is both
+    reproducible and restart-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id"), 10)
+    rate = F.when(F.col("source") == "src0", 3).otherwise(1)
+    return (
+        docs.select("doc_id", "source", bucket.cast("int").alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@register(
+    "per_key_event_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def per_key_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key sample: 3 events per user, chosen by ordering
+    on md5(event_id) — statistically uniform (hash is independent of any
+    event attribute) yet fully reproducible, unlike rand()-based reservoir
+    sampling. One window over the user_id partitioning; at scale this is a
+    single shuffle and the per-partition sort early-outs after rank 3 via
+    the rank filter (WindowGroupLimit pushes rn <= 3 into the sort)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "event_type_entropy",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_types
+        FROM cnt GROUP BY 1
+    )
+    SELECT t.user_id, t.total, t.n_types,
+           round(COALESCE(-SUM(
+               (CAST(c.c AS DOUBLE) / t.total)
+               * ln(CAST(c.c AS DOUBLE) / t.total)), 0.0), 6) AS entropy
+    FROM cnt c JOIN tot t USING (user_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type distribution, plus
+    total event count and distinct-type count. Two-level aggregation: the
+    (user, type) counts map-side combine, so the entropy pass sees at most
+    |users| x |event types| rows. The float sum runs over <=|event types|
+    terms (~5), so cross-order error is ~1e-15 — far below the 6dp round.
+    Low entropy with high volume is the classic bot / scripted-traffic
+    signature used to filter behavioral training data."""
+    events = load_table(spark, sf_dir, "events")
+    cnt = events.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("user_id").agg(
+        F.sum("c").alias("total"), F.count("*").alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("total")
+    return (
+        cnt.join(tot, "user_id")
+        .groupBy("user_id", "total", "n_types")
+        .agg(
+            F.round(
+                F.coalesce(-F.sum(p * F.log(p)), F.lit(0.0)), 6
+            ).alias("entropy")
+        )
+    )

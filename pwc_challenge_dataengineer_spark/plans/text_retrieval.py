@@ -1,0 +1,292 @@
+"""Text retrieval / corpus-analysis operators over the documents table —
+TF-IDF term weighting, BM25 keyword scoring, and benchmark-contamination
+detection (LLM training-data hygiene, extending the SURVEY §2 text-analysis
+family; reference analog: the text-quality rules of the silver layer,
+src/etl/spark/enhanced_silver.py quality scoring, generalized to the
+retrieval-style scoring every pretraining corpus pipeline runs).
+
+- tfidf_top_terms        sklearn-style smoothed TF-IDF, top-3 terms per doc.
+- bm25_keyword_search    Okapi BM25 (k1=1.2, b=0.75) for a fixed query-term
+  set, scored as ordered column additions (no float-sum reordering).
+- contamination_overlap  fraction of each candidate doc's distinct 5-gram
+  shingles that appear in a held-out "benchmark" subset — the standard
+  train/test contamination check.
+
+Scale posture: everything is explode→groupBy with map-side partial
+aggregation; document-frequency and corpus-stat tables are tiny (|vocab|,
+1 row) and broadcast into the scoring join. The benchmark shingle set in the
+contamination check is the held-out corpus — orders of magnitude smaller
+than the training corpus — so its join side is broadcast; at 100 TB the
+candidate side streams through without a shuffle on the shingle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .catalog import register
+
+# One tokenizer, byte-identical on both engines.
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _toks(df: DataFrame) -> DataFrame:
+    """(doc_id, tok) rows, empty tokens dropped."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) * tf.tf AS score
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, tok, tf, df, round(score, 6) AS tfidf,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((1+N)/(1+df))+1,
+    sklearn convention). tf and df collapse in map-side combined groupBys;
+    the |vocab|-sized df table and the 1-row corpus count are broadcast, so
+    scoring adds no shuffle beyond the (doc,tok) aggregation. Ranking ties
+    (identical tf and df) break on the term itself, deterministically."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _toks(docs).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (
+        F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+        + F.lit(1.0)
+    ) * F.col("tf")
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", "tf", "df", score.alias("score"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round("score", 6).alias("tfidf"),
+            "rnk",
+        )
+    )
+
+
+# Fixed query-term set for the BM25 demo (ordered — scores sum in this order).
+_BM25_TERMS = ("spark", "query", "join", "fast")
+_K1, _B = 1.2, 0.75
+
+
+@register(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    qdf AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        WHERE tok IN {_BM25_TERMS!r} GROUP BY 1
+    ),
+    qtf AS (
+        SELECT doc_id,
+               {" , ".join(
+                   f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN tf END), 0)"
+                   f" AS tf_{t}" for t in _BM25_TERMS)}
+        FROM tf WHERE tok IN {_BM25_TERMS!r} GROUP BY 1
+    ),
+    scored AS (
+        SELECT q.doc_id, d.dl,
+               {" + ".join(
+                   f"(ln(1.0 + (c.n_docs - idf_{t}.df + 0.5) / (idf_{t}.df + 0.5))"
+                   f" * (q.tf_{t} * ({_K1} + 1.0))"
+                   f" / (q.tf_{t} + {_K1} * (1.0 - {_B} + {_B} * d.dl / c.avgdl)))"
+                   for t in _BM25_TERMS)} AS score
+        FROM qtf q
+        JOIN dl d USING (doc_id)
+        CROSS JOIN corpus c
+        {" ".join(
+            f"LEFT JOIN qdf idf_{t} ON idf_{t}.tok = '{t}'"
+            for t in _BM25_TERMS)}
+    )
+    SELECT doc_id, dl, round(score, 6) AS bm25
+    FROM scored WHERE score > 0
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 score of every document against the fixed query
+    {spark, query, join, fast}. Per-term contributions are materialized as
+    separate columns (conditional aggregation) and added in a fixed order,
+    so the float sum is order-deterministic across engines and partitions —
+    a plain SUM over an exploded term join would not be. Corpus stats
+    (n_docs, avgdl) and per-term document frequencies are 1-row / 4-row
+    broadcasts; dl comes from the same (doc,tok) aggregate as tf."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = _toks(docs).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qtf_rows = tf.filter(F.col("tok").isin(*_BM25_TERMS))
+    qdf = qtf_rows.groupBy("tok").agg(F.count("*").alias("df"))
+    qtf = qtf_rows.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tok") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    # df per query term as 1-row broadcast columns (left joins on constants).
+    scored = qtf.join(dl, "doc_id").crossJoin(F.broadcast(corpus))
+    for t in _BM25_TERMS:
+        scored = scored.join(
+            F.broadcast(
+                qdf.filter(F.col("tok") == t).select(
+                    F.col("df").alias(f"df_{t}")
+                )
+            ),
+            how="left",
+        )
+    term_score = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        contrib = (
+            idf
+            * (F.col(f"tf_{t}") * F.lit(_K1 + 1.0))
+            / (
+                F.col(f"tf_{t}")
+                + F.lit(_K1)
+                * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        term_score = contrib if term_score is None else term_score + contrib
+    return (
+        scored.select("doc_id", "dl", term_score.alias("score"))
+        .filter(F.col("score") > 0)
+        .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
+    )
+
+
+_SHINGLE_K = 5
+_SHINGLES_SQL = (
+    f"list_transform(range(1, len(toks) - {_SHINGLE_K - 2}),"
+    f" i -> array_to_string(toks[i:i+{_SHINGLE_K - 1}], ' '))"
+)
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks, doc_id % 50 = 0 AS is_bench
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, is_bench, unnest({_SHINGLES_SQL}) AS shingle
+        FROM base
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE is_bench),
+    cand AS (
+        SELECT s.doc_id, s.shingle, b.shingle IS NOT NULL AS hit
+        FROM sh s LEFT JOIN bench b USING (shingle)
+        WHERE NOT s.is_bench
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           round(CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS contamination_ratio,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               > 0.5 AS flagged
+    FROM cand GROUP BY 1
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every candidate document, the
+    fraction of its distinct 5-gram word shingles that also occur in the
+    held-out benchmark subset (here doc_id % 50 == 0). Candidates with >50%
+    overlap are flagged for removal — the standard decontamination pass
+    before pretraining. The benchmark shingle set is broadcast (held-out
+    sets are tiny relative to the corpus), so candidates stream map-side;
+    the only shuffle is the per-doc count aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("toks"),
+        (F.col("doc_id") % 50 == 0).alias("is_bench"),
+    )
+    shingles = F.expr(
+        f"transform(sequence(1, size(toks) - {_SHINGLE_K - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {_SHINGLE_K})))"
+    )
+    sh = (
+        base.select("doc_id", "is_bench", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    bench = (
+        sh.filter("is_bench").select("shingle").distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    cand = (
+        sh.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench), "shingle", "left")
+        .select("doc_id", F.coalesce("hit", F.lit(False)).alias("hit"))
+    )
+    n_hit = F.sum(F.when(F.col("hit"), 1).otherwise(0))
+    return cand.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        n_hit.alias("n_contaminated"),
+        F.round(n_hit.cast("double") / F.count("*"), 6).alias(
+            "contamination_ratio"
+        ),
+        (n_hit.cast("double") / F.count("*") > 0.5).alias("flagged"),
+    )
