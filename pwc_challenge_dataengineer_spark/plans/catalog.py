@@ -60,6 +60,7 @@ _QUERY_MODULES = (
     "pii_text",
     "text_retrieval",
     "sampling",
+    "scale_patterns",
 )
 
 

@@ -1,0 +1,156 @@
+"""Scale-pattern operators proven equal to their naive formulations —
+the 100 TB playbook (salting, mergeable partial aggregates, exact-decimal
+statistics) registered as oracle queries so the driver's correctness gate
+continuously certifies that the skew-safe / incremental plan computes the
+SAME answer as the textbook plan (reference analog: the Spark tuning layer,
+src/etl/spark/spark_config_optimizer.py, which sets AQE/skew knobs but never
+restructures a plan — these operators are the restructurings).
+
+- salted_skew_join            operators/scalable.py:salted_join driven
+  end-to-end; oracle is the plain join+aggregate.
+- matview_incremental_refresh merge of partial aggregates (old matview +
+  delta partition) vs full recompute — the algebra behind incremental
+  materialized-view maintenance: SUM/COUNT are commutative monoids, so the
+  refresh touches only the delta.
+- price_qty_corr              Pearson correlation from exact DECIMAL moment
+  sums (sum x, y, xy, x^2, y^2) — order-insensitive, engine-exact; a plain
+  corr() over doubles is neither.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scalable import salted_join
+from ..schemas import load_table
+from .catalog import register
+from ._parity import money_sum, money_sum_sql
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join of the events fact to the customer dim via
+    operators/scalable.py:salted_join (16 deterministic salts from
+    event_id, small side replicated x16), then a per-nation rollup. The
+    oracle is the textbook join — the whole point is that salting is
+    result-invariant. At 100 TB this is the shape for a key too hot for
+    AQE's skew split (a single user with billions of events): the hot key
+    fans over 16 tasks instead of one."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(
+        events, customer, keys=["user_id"], salt_source="event_id", n_salts=16
+    )
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_events"),
+        money_sum("value").alias("total_value"),
+    )
+
+
+_CUTOFF = "2000-01-01"
+
+
+@register(
+    "matview_incremental_refresh",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {money_sum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the monthly-KPI matview is
+    rebuilt by MERGING the pre-existing aggregate (orders before
+    {_CUTOFF}) with a partial aggregate of only the delta partition
+    (orders on/after it), then summing the mergeable partials. The oracle
+    recomputes from scratch — equality certifies the refresh algebra.
+    DECIMAL partial sums make the merge exact regardless of split point or
+    order. At 100 TB the delta is one day of partitions; the refresh cost
+    is O(delta), not O(history) — this is why every agg in the matview
+    layer is restricted to commutative monoids (SUM/COUNT/MIN/MAX)."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        )
+
+    old = partial(orders.filter(F.col("o_orderdate") < _CUTOFF))
+    delta = partial(orders.filter(F.col("o_orderdate") >= _CUTOFF))
+    merged = old.unionByName(delta)
+    return merged.groupBy("month").agg(
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("rev_dec").cast("double").alias("revenue"),
+    )
+
+
+_MOMS = """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4)))
+                    AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1
+"""
+
+
+@register(
+    "price_qty_corr",
+    oracle=f"""
+    WITH m AS ({_MOMS})
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS corr_qty_price
+    FROM m
+    """,
+)
+def price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    from exact DECIMAL moment sums (n, sum x, sum y, sum xy, sum x^2,
+    sum y^2). Decimal sums are integers underneath — identical in any
+    partition order and engine — so the closed-form corr of their double
+    casts is bit-deterministic, where corr_samp over doubles is not.
+    Single map-side-combined aggregation; the moments are also mergeable,
+    so this corr can be maintained incrementally like the matview above."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity").cast("decimal(18,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum((qd * pd_).cast("decimal(30,4)")).cast("double").alias("sxy"),
+        F.sum((qd * qd).cast("decimal(30,4)")).cast("double").alias("sxx"),
+        F.sum((pd_ * pd_).cast("decimal(30,4)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )
