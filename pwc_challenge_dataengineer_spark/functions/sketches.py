@@ -30,6 +30,100 @@ def _cell(key: Column, row: int, width: int) -> Column:
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % width).cast("int")
 
 
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """HyperLogLog register table per group: (group_cols..., bucket, max_rank)
+    over a dense 2^p-bucket grid (empty buckets present with max_rank 0).
+
+    A from-first-principles HLL with an md5 hash, so the whole sketch is
+    reproducible in ANSI SQL (the same trick as the CMS above — Spark's
+    approx_count_distinct is also HLL but its internal hash can't be
+    replayed by an oracle). Hash = 60-bit md5 prefix; low p bits pick the
+    bucket, the remaining 60-p bits yield the rank (position of the first
+    set bit, counting from the MSB of that field; an all-zero field ranks
+    61-p). Registers are mergeable: union two register tables and groupBy
+    max — the same monoid HLL uses — so per-partition / per-day sketches
+    roll up without rescanning."""
+    m = 1 << p
+    key = F.col(key_col)
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    rest = F.shiftrightunsigned(h, p)
+    rank = F.when(rest == 0, F.lit(61 - p)).otherwise(
+        F.lit(61 - p) - F.length(F.bin(rest))
+    )
+    observed = (
+        df.select(*group_cols, (h % m).cast("int").alias("bucket"), rank.alias("r"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("max_rank"))
+    )
+    grid = (
+        df.select(*group_cols)
+        .distinct()
+        .select(*group_cols, F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"))
+    )
+    return grid.join(observed, group_cols + ["bucket"], "left").select(
+        *group_cols, "bucket", F.coalesce("max_rank", F.lit(0)).alias("max_rank")
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 8) -> DataFrame:
+    """Cardinality estimate from a register table: the standard bias-corrected
+    harmonic mean, with linear counting when the raw estimate is small and
+    empty buckets remain (the regime of every group at test scale). The
+    alpha constant is written as the same arithmetic expression the oracle
+    uses, so both engines fold it to the identical double."""
+    m = 1 << p
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("harm"),
+        F.sum(F.when(F.col("max_rank") == 0, 1).otherwise(0)).alias("v_empty"),
+    )
+    raw = alpha * F.lit(float(m * m)) / F.col("harm")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v_empty") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_empty")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("v_empty").cast("bigint").alias("v_empty"),
+        est.alias("hll_raw"),
+    )
+
+
+def bloom_positions(df: DataFrame, key_col: str, k: int = 3, m: int = 1024) -> DataFrame:
+    """Distinct Bloom-filter bit positions set by ``df[key_col]`` — the
+    filter itself, as a table. Hash family is the CMS row family (md5 of
+    "row:key"), so an oracle can rebuild the identical filter."""
+    key = F.col(key_col)
+    return (
+        df.select(
+            F.explode(F.array(*[_cell(key, i, m) for i in range(k)])).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    facts: DataFrame, key_col: str, bits: DataFrame, k: int = 3, m: int = 1024
+) -> DataFrame:
+    """Append ``bloom_pass`` to ``facts``: true iff all k hash positions of
+    the key are set. The position set is collected into one array row and
+    broadcast — at 100 TB the filter is m bits regardless of data size,
+    which is the entire point: the probe is a map-side predicate, no
+    shuffle, applied before the real (expensive) join."""
+    key = F.col(key_col)
+    bits_row = F.broadcast(bits.agg(F.sort_array(F.collect_set("pos")).alias("bits")))
+    probed = facts.crossJoin(bits_row)
+    passed = None
+    for i in range(k):
+        hit = F.array_contains(F.col("bits"), _cell(key, i, m))
+        passed = hit if passed is None else passed & hit
+    return probed.withColumn("bloom_pass", passed).drop("bits")
+
+
 def cms_build(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 64
 ) -> DataFrame:

@@ -61,6 +61,7 @@ _QUERY_MODULES = (
     "text_retrieval",
     "sampling",
     "scale_patterns",
+    "sketch_parity",
 )
 
 

@@ -1,0 +1,191 @@
+"""Oracle-reproducible distributed sketches #2: HyperLogLog and Bloom filter
+(joining the Count-Min query in plans/aggregates.py). Spark ships both
+natively (approx_count_distinct, the runtime BloomFilter join pruning), but
+their internal hashes can't be replayed in ANSI SQL — these md5-based
+constructions can, so the driver's DuckDB gate verifies the sketch math
+itself, register by register (reference analog: the approx-distinct and
+pre-join pruning the serving layer leans on, src/api via warehouse SQL).
+
+- hll_distinct_users  per-event-type HyperLogLog (p=8, 256 registers) with
+  linear-counting small-range correction, emitted next to the exact
+  distinct count so the estimate error is visible in the result.
+- bloom_filter_prune  Bloom filter (m=1024, k=3) built over high-balance
+  customers, probed by every order: per-priority counts of bloom passes,
+  true members, and false positives — the measurable FP-rate of the
+  pre-join pruning pattern.
+
+Scale posture: HLL registers are a fixed 2^p rows per group and merge by
+max (per-day sketches roll up without rescans); the Bloom bit set is m bits
+regardless of build-side size, broadcast, and applied map-side BEFORE any
+shuffle — exactly how Spark's own runtime filters cut shuffle volume on
+selective joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sketches import (
+    bloom_positions,
+    bloom_probe,
+    hll_estimate,
+    hll_registers,
+)
+from ..schemas import load_table
+from .catalog import register
+
+_P = 8
+_M_HLL = 1 << _P
+_ALPHA_SQL = f"(0.7213 / (1.0 + 1.079 / {float(_M_HLL)}))"
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events
+    ),
+    obs AS (
+        SELECT event_type, h % {_M_HLL} AS bucket,
+               MAX(CASE WHEN (h >> {_P}) = 0 THEN {61 - _P}
+                   ELSE {61 - _P} - length(bin(h >> {_P})) END) AS max_rank
+        FROM h GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT e.event_type, g.range AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) e
+        CROSS JOIN range({_M_HLL}) g
+    ),
+    regs AS (
+        SELECT g.event_type, g.bucket, COALESCE(o.max_rank, 0) AS max_rank
+        FROM grid g LEFT JOIN obs o
+          ON g.event_type = o.event_type AND g.bucket = o.bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               SUM(power(2.0, -max_rank)) AS harm,
+               CAST(SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_empty
+        FROM regs GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT a.event_type, ex.n_exact, a.v_empty,
+           round(CASE WHEN {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / a.harm
+                           <= {2.5 * _M_HLL} AND a.v_empty > 0
+                 THEN {float(_M_HLL)} * ln({float(_M_HLL)} / a.v_empty)
+                 ELSE {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / a.harm
+                 END, 6) AS hll_estimate
+    FROM agg a JOIN ex ON a.event_type = ex.event_type
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct-user estimate next to the exact count.
+    The register table (functions/sketches.py:hll_registers) is the
+    mergeable artifact: at 100 TB you keep per-partition register tables
+    and roll them up by max — this query certifies the estimator math the
+    rollup would feed. Linear counting engages at test scale (many empty
+    registers), and both branches are written identically in both engines
+    so the driver's hash compare pins the full piecewise estimator."""
+    events = load_table(spark, sf_dir, "events")
+    regs = hll_registers(events, "user_id", ["event_type"], p=_P)
+    est = hll_estimate(regs, ["event_type"], p=_P)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "v_empty",
+        F.round("hll_raw", 6).alias("hll_estimate"),
+    )
+
+
+_K, _M_BLOOM, _BAL = 3, 1024, 7000
+
+
+def _pos_sql(key: str, r: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' ||"
+        f" CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {_M_BLOOM}"
+    )
+
+
+@register(
+    "bloom_filter_prune",
+    oracle=f"""
+    WITH s AS (
+        SELECT c_custkey AS key FROM customer WHERE c_acctbal > {_BAL}
+    ),
+    pos AS (
+        SELECT DISTINCT {_pos_sql('key', 0)} AS pos FROM s
+        UNION SELECT DISTINCT {_pos_sql('key', 1)} FROM s
+        UNION SELECT DISTINCT {_pos_sql('key', 2)} FROM s
+    ),
+    bits AS (SELECT list(pos ORDER BY pos) AS bits FROM pos),
+    probe AS (
+        SELECT o.o_orderpriority,
+               list_contains(b.bits, {_pos_sql('o.o_custkey', 0)})
+               AND list_contains(b.bits, {_pos_sql('o.o_custkey', 1)})
+               AND list_contains(b.bits, {_pos_sql('o.o_custkey', 2)})
+                   AS bloom_pass,
+               s.key IS NOT NULL AS is_member
+        FROM orders o
+        CROSS JOIN bits b
+        LEFT JOIN (SELECT DISTINCT key FROM s) s ON o.o_custkey = s.key
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_member,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           round(CAST(SUM(CASE WHEN bloom_pass AND NOT is_member
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END)),
+                 6) AS fp_rate
+    FROM probe GROUP BY 1
+    """,
+)
+def bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, measured: build a 1024-bit / 3-hash filter
+    over high-balance customers, probe every order map-side, and report per
+    priority how many orders pass the filter vs truly join — n_false_pos /
+    fp_rate is the wasted-shuffle fraction the filter's m and k trade
+    against. The filter is a broadcast array independent of build-side
+    cardinality; the probe is a scan-side predicate (zero shuffle), the
+    exact shape of Spark's own runtime BloomFilter pushdown — rebuilt on an
+    md5 family so the oracle can replay every bit."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = customer.filter(F.col("c_acctbal") > _BAL).select(
+        F.col("c_custkey").alias("key")
+    )
+    bits = bloom_positions(dim, "key", k=_K, m=_M_BLOOM)
+    probed = bloom_probe(orders, "o_custkey", bits, k=_K, m=_M_BLOOM)
+    member = dim.distinct().withColumn("is_member", F.lit(True))
+    probe = probed.join(
+        F.broadcast(member), probed.o_custkey == member.key, "left"
+    ).select(
+        "o_orderpriority",
+        "bloom_pass",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    n_fp = F.sum(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0))
+    n_mem = F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+    return probe.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        n_mem.alias("n_member"),
+        n_fp.alias("n_false_pos"),
+        F.round(
+            n_fp.cast("double") / (F.count("*") - n_mem), 6
+        ).alias("fp_rate"),
+    )

@@ -1,0 +1,60 @@
+"""Sketch-algebra tests: the merge properties the 100 TB rollup story
+depends on (register-max for HLL, cell-sum for CMS, position-union for
+Bloom) hold exactly — merged partial sketches equal the sketch built in
+one pass over the whole input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pwc_challenge_dataengineer_spark.functions.sketches import (
+    bloom_positions,
+    bloom_probe,
+    cms_build,
+    hll_registers,
+)
+
+
+def _regs_dict(df):
+    return {(r["grp"], r["bucket"]): r["max_rank"] for r in df.collect()}
+
+
+def test_hll_registers_merge_by_max(spark):
+    rows = [("a", i % 37) for i in range(200)] + [("b", i % 11) for i in range(50)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    whole = hll_registers(df, "key", ["grp"], p=4)
+
+    # split into two "partitions", sketch each, merge registers by max
+    left = hll_registers(df.filter("key % 2 = 0"), "key", ["grp"], p=4)
+    right = hll_registers(df.filter("key % 2 = 1"), "key", ["grp"], p=4)
+    merged = (
+        left.unionByName(right)
+        .groupBy("grp", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    assert _regs_dict(merged) == _regs_dict(whole)
+
+
+def test_cms_cells_merge_by_sum(spark):
+    df = spark.createDataFrame([(i % 13,) for i in range(300)], ["key"])
+    whole = cms_build(df, "key", depth=3, width=16)
+    parts = [df.filter("key < 7"), df.filter("key >= 7")]
+    merged = (
+        cms_build(parts[0], "key", depth=3, width=16)
+        .unionByName(cms_build(parts[1], "key", depth=3, width=16))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    as_dict = lambda d: {(r["row"], r["col"]): r["cnt"] for r in d.collect()}
+    assert as_dict(merged) == as_dict(whole)
+
+
+def test_bloom_no_false_negatives(spark):
+    dim = spark.createDataFrame([(i * 3,) for i in range(40)], ["key"])
+    facts = spark.createDataFrame([(i,) for i in range(120)], ["k"])
+    bits = bloom_positions(dim, "key", k=3, m=256)
+    out = bloom_probe(facts, "k", bits, k=3, m=256).collect()
+    members = {i * 3 for i in range(40)}
+    for r in out:
+        if r["k"] in members:
+            assert r["bloom_pass"], f"false negative for {r['k']}"
