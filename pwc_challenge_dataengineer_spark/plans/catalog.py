@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "sampling",
     "scale_patterns",
     "sketch_parity",
+    "python_surface",
 )
 
 

@@ -1,0 +1,127 @@
+"""Python execution surface beyond scalar pandas_udf — a grouped-agg pandas
+UDAF and a Python UDTF, each proven equal to its relational formulation by
+the DuckDB oracle. The reference has NO UDAF/UDTF anywhere (SURVEY §2.10);
+these close the remaining PySpark Python-API surface so a user migrating
+custom aggregations/table functions has a tested template.
+
+- weighted_median_udaf  Arrow grouped-agg pandas_udf (true UDAF): weighted
+  median of extended price by quantity per return flag. All arithmetic is
+  integer-exact inside doubles (quantities are integral), so the pandas
+  fold and the oracle's window SQL agree bit-for-bit.
+- udtf_token_positions  Python UDTF (Spark 4 lateral table function)
+  emitting (token, position) rows; oracle is the zipped-unnest SQL.
+
+Scale posture: the UDAF ships one Arrow batch per group — fine while every
+group fits an executor (here: 3 return flags x ~2M rows/group at sf100 —
+use the sort-based window formulation beside it when groups outgrow
+memory). The UDTF is the row-at-a-time slow path by construction; the
+oracle-equal explode formulation (plans/pii_text.py, plans/text_retrieval
+tokenizers) is the production path — this query exists to keep the API
+template tested, pinned to the fast path's semantics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..schemas import load_table
+from .catalog import register
+
+
+# NB: @pandas_udf / @udtf parse their DDL return types eagerly, which needs
+# an active SparkSession — so both are constructed inside the query
+# functions, not at import time. (pd stays module-imported: the UDF's type
+# hints must resolve against the module-level pandas.)
+
+
+def _make_weighted_median():
+    @pandas_udf("double")
+    def _weighted_median(v: pd.Series, w: pd.Series) -> float:
+        """Smallest v whose cumulative weight reaches half the total (the
+        lower weighted median — the same convention as the oracle SQL)."""
+        d = pd.DataFrame({"v": v, "w": w}).sort_values("v", kind="mergesort")
+        cw = d["w"].cumsum()
+        return float(d.loc[cw >= d["w"].sum() * 0.5, "v"].iloc[0])
+
+    return _weighted_median
+
+
+@register(
+    "weighted_median_udaf",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+        FROM lineitem
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median
+    FROM t WHERE cw >= 0.5 * tot GROUP BY 1
+    """,
+)
+def weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per return flag via a
+    grouped-agg pandas UDF — the PySpark UDAF. Weights are integral, so
+    cumulative sums are exact in doubles and the threshold comparison
+    cannot flake across engines or tie orders (equal-v ties all carry the
+    same v, so the crossing row's value is order-invariant). The oracle
+    computes the identical lower weighted median with window SQL — which
+    is also the formulation to use when a single group outgrows executor
+    memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wmed = _make_weighted_median()
+    return li.groupBy("l_returnflag").agg(
+        wmed("l_extendedprice", "l_quantity").alias("weighted_median")
+    )
+
+
+def _make_token_positions():
+    @udtf(returnType="tok: string, pos: int")
+    class _TokenPositions:
+        """Yield (token, 0-based position) for a whitespace-tokenized string."""
+
+        def eval(self, text: str):  # noqa: D102
+            if text is None:
+                return
+            for i, tok in enumerate(text.lower().strip().split()):
+                yield tok, i
+
+    return _TokenPositions
+
+
+@register(
+    "udtf_token_positions",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(t) AS tok,
+               CAST(unnest(range(len(t))) AS INT) AS pos
+        FROM toks
+    ) WHERE pos < 5
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First five (token, position) rows per document via a Python UDTF in
+    a lateral join — the Spark 4 table-function surface. Python's
+    str.split() on whitespace equals the '\\s+' regex split of the
+    relational path, and the oracle's zipped unnest pins that equivalence.
+    Production tokenization stays on explode (JVM-side); this keeps the
+    UDTF template correct and continuously tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("token_positions", _make_token_positions())
+    docs.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok, t.pos
+        FROM udtf_docs_v d, LATERAL token_positions(d.text) t
+        WHERE t.pos < 5
+        """
+    )
