@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "scale_patterns",
     "sketch_parity",
     "python_surface",
+    "graph",
 )
 
 

@@ -1,0 +1,115 @@
+"""Graph analytics over the warehouse: PageRank on the bipartite
+customer↔supplier graph induced by lineitems (beyond reference — the
+reference has no graph operators; joining connected-components in
+functions/dedup_fuzzy.py as the second iterative graph algorithm).
+
+PageRank is the canonical "iterative joins + aggregation" workload: each
+iteration is rank-contribution join → per-destination sum. Three fixed
+iterations with damping 0.85 keep the computation deterministic AND
+ANSI-SQL-expressible (the oracle unrolls the iterations as CTEs), so
+unlike most iterative ML this one is hash-verified end-to-end, not
+rows-only.
+
+Scale posture: the edge list is built once and reused every iteration — on
+a cluster you localCheckpoint it (as dedup_components does) so the lineage
+doesn't re-scan lineitem 3x; each iteration is exactly one shuffle (the
+groupBy dst), and the degree table joins broadcast. Ranks are emitted
+normalized (x N, mean 1.0) so the 6-dp hash compare keeps full precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .catalog import register
+
+_D = 0.85
+_ITERS = 3
+
+
+def _oracle() -> str:
+    head = """
+    WITH e AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ed AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM ed GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    r0 AS (SELECT deg.src AS node, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn)
+    """
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(f"""
+    r{i} AS (
+        SELECT ed.dst AS node,
+               (1.0 - {_D}) / ANY_VALUE(nn.n) + {_D} * SUM(p.rank / deg.outdeg)
+                   AS rank
+        FROM ed
+        JOIN r{i - 1} p ON ed.src = p.node
+        JOIN deg ON ed.src = deg.src
+        CROSS JOIN nn
+        GROUP BY ed.dst
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT r.node, round(r.rank * nn.n, 6) AS norm_rank
+    FROM r{_ITERS} r CROSS JOIN nn
+    """
+    )
+
+
+@register("pagerank_bipartite", oracle=_oracle())
+def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) on the undirected bipartite graph
+    customer—supplier, edges = distinct trading pairs from lineitem x
+    orders. Every node has degree >= 1 by construction, so there is no
+    dangling-mass term and each iteration is exactly: contribution join,
+    one shuffle on the destination key, per-node sum. The float sum over
+    in-neighbors reorders across engines/partitions at ~1e-15 relative —
+    far below the 6-dp pin on the normalized rank."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ed = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ed = ed.localCheckpoint()  # reused every iteration — cut the lineage once
+    deg = ed.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nn = deg.agg(F.count("*").alias("n"))
+
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .join(F.broadcast(deg), "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(1.0 - _D) / F.col("n") + F.lit(_D) * F.col("s")).alias(
+                    "rank"
+                ),
+            )
+        )
+    return (
+        ranks.crossJoin(F.broadcast(nn))
+        .select("node", F.round(F.col("rank") * F.col("n"), 6).alias("norm_rank"))
+    )
