@@ -116,3 +116,52 @@ def user_retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cohort_users").cast("double")
         ).alias("retention"),
     )
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(list_reduce(
+               list(value ORDER BY ts, event_id),
+               (acc, x) -> 0.7::DOUBLE * acc + 0.3::DOUBLE * x), 6)
+               AS ewma_last
+    FROM events GROUP BY 1
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (alpha=0.3), computed as a genuinely sequential fold inside
+    applyInPandas — the template for order-dependent per-key state that no
+    relational operator expresses (reference analog: the running ML
+    feature state of src/streaming/realtime_analytics_ml.py, batch form).
+    The oracle replays the identical IEEE recursion with DuckDB's
+    list_reduce, so even this stateful loop is hash-verified, not
+    rows-only: y_t = 0.7*y_{t-1} + 0.3*x_t, seeded with the first value,
+    same float ops in the same order on both engines.
+
+    Scale: one shuffle on user_id; each group's fold is O(n) in a single
+    Arrow batch. A key whose history exceeds one batch graduates to
+    transformWithState/applyInPandasWithState (streaming/stateful.py) —
+    same recursion, checkpointed."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        y = None
+        for x in pdf["value"].astype("float64"):
+            y = x if y is None else 0.7 * y + 0.3 * x
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_last": [round(y, 6)],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(fold, "user_id bigint, n_events bigint, ewma_last double")

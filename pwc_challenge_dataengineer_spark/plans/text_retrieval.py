@@ -290,3 +290,52 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (n_hit.cast("double") / F.count("*") > 0.5).alias("flagged"),
     )
+
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    starts AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {_STRIDE})) AS s
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {_STRIDE} AS INT) AS chunk_idx,
+           CAST(least({_CHUNK}, len(toks) - s + 1) AS INT) AS n_tok,
+           md5(array_to_string(toks[s:s+{_CHUNK - 1}], ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking ({_CHUNK}-token windows, stride
+    {_STRIDE}) — the standard pretraining prep step that turns documents
+    into training sequences. Chunk starts are a sequence() per doc (one
+    narrow explode, no shuffle at all: everything is per-row), and the
+    chunk content is emitted as an md5 fingerprint so the result stays
+    compact at any scale while still pinning every token of every chunk
+    through the hash compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("toks")
+    )
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(1, size(toks), {_STRIDE})")
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / _STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK), F.size("toks") - F.col("s") + 1)
+        .cast("int")
+        .alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.expr(f"slice(toks, s, {_CHUNK})"))).alias(
+            "chunk_hash"
+        ),
+    )
