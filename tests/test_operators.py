@@ -313,3 +313,35 @@ def test_deep_funnel_persist_same_result(spark):
     assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
     # depths cycle 0..5 over 20 users → reach counts per stage:
     assert [r.users for r in fast] == [20, 16, 12, 9, 6]
+
+
+def test_new_operator_plans_stay_exchange_lean(spark, sf_dir):
+    """Scale-posture audit for the round-2 additions: the hash sample and
+    the chunker must compile with NO Exchange (pure scan-side work); the
+    Bloom probe must broadcast its bit set (no shuffle before the final
+    agg); the salted join must broadcast the replicated small side."""
+    from pwc_challenge_dataengineer_spark.plans.catalog import QUERIES
+
+    sample_plan = (
+        QUERIES["stratified_sample_docs"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in sample_plan, sample_plan
+
+    chunk_plan = (
+        QUERIES["doc_chunks"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in chunk_plan, chunk_plan
+
+    bloom_plan = (
+        QUERIES["bloom_filter_prune"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in bloom_plan or "BroadcastHashJoin" in bloom_plan
+
+    salted_plan = (
+        QUERIES["salted_skew_join"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in salted_plan, salted_plan
