@@ -189,3 +189,87 @@ def bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_fp.cast("double") / (F.count("*") - n_mem), 6
         ).alias("fp_rate"),
     )
+
+
+def _cms_pos_sql(r: int, key: str, width: int = 64) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{r}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {width} AS INT)"
+    )
+
+
+def _cms_cells_sql(table: str, key: str) -> str:
+    cases = " ".join(
+        f"WHEN {r} THEN {_cms_pos_sql(r, key)}" for r in range(4)
+    )
+    return f"""
+        SELECT r.row, CASE r.row {cases} END AS col, COUNT(*) AS cnt
+        FROM {table}, (SELECT unnest([0, 1, 2, 3]) AS row) r
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "cms_join_cardinality",
+    oracle=f"""
+    WITH so AS ({_cms_cells_sql('orders', 'o_custkey')}),
+    se AS ({_cms_cells_sql('events', 'user_id')}),
+    est_rows AS (
+        SELECT so.row, SUM(so.cnt * se.cnt) AS ip
+        FROM so JOIN se ON so.row = se.row AND so.col = se.col
+        GROUP BY 1
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_estimate FROM est_rows),
+    ex AS (
+        SELECT CAST(SUM(o.c * e.c) AS BIGINT) AS exact_join_size
+        FROM (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1) o
+        JOIN (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1) e
+          ON o.k = e.k
+    )
+    SELECT ex.exact_join_size, est.cms_estimate,
+           round(CAST(est.cms_estimate AS DOUBLE) / ex.exact_join_size, 6)
+               AS overestimate_ratio
+    FROM ex CROSS JOIN est
+    """,
+)
+def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation by Count-Min inner product — the sketch trick
+    cost-based optimizers use to size a join without running it:
+    |A join B| = sum_k cntA(k)*cntB(k), and the CMS inner product
+    (per-hash-row dot product of the two cell tables, min across rows)
+    upper-bounds it using only 4x64 counters per side. Both the exact
+    count and the estimate are integer arithmetic end-to-end, so the
+    oracle pins the estimator bit-for-bit. At 100 TB each side's sketch
+    builds in one map-side-combined pass (shuffle volume = sketch size)
+    and sketches of disjoint partitions merge by cell-sum
+    (tests/test_sketches.py)."""
+    from ..functions.sketches import cms_build
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key")
+    )
+    so = cms_build(orders, "key", depth=4, width=64)
+    se = cms_build(events, "key", depth=4, width=64)
+    est = (
+        so.alias("a")
+        .join(se.alias("b"), ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("cms_estimate"))
+    )
+    exact = (
+        orders.groupBy("key")
+        .agg(F.count("*").alias("c"))
+        .join(events.groupBy("key").agg(F.count("*").alias("ce")), "key")
+        .agg(F.sum(F.col("c") * F.col("ce")).cast("bigint").alias("exact_join_size"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_size",
+        "cms_estimate",
+        F.round(
+            F.col("cms_estimate").cast("double") / F.col("exact_join_size"), 6
+        ).alias("overestimate_ratio"),
+    )
