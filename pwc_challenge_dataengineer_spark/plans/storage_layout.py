@@ -61,3 +61,124 @@ def zorder_code_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits_per_col=_BITS,
     )
     return coded.select("o_orderkey", F.col("__z").alias("zcode"))
+
+
+_ROWS_PER_FILE = 1000
+# The 2-D probe predicate zone maps are judged against.
+_CK_LO, _CK_HI = 0, 749
+_TP_LO, _TP_HI = 0.0, 150000.0
+
+_ZCODE_CTE = f"""
+    stats AS (
+        SELECT CAST(MIN(o_custkey) AS DOUBLE) AS mn1,
+               CAST(MAX(o_custkey) AS DOUBLE) AS mx1,
+               MIN(o_totalprice) AS mn2, MAX(o_totalprice) AS mx2
+        FROM orders
+    ),
+    coded AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST({{interleave}} AS BIGINT) AS zcode
+        FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   LEAST(CAST(FLOOR((CAST(o_custkey AS DOUBLE) - mn1)
+                                    / (mx1 - mn1) * 255) AS BIGINT), 255) AS b1,
+                   LEAST(CAST(FLOOR((o_totalprice - mn2)
+                                    / (mx2 - mn2) * 255) AS BIGINT), 255) AS b2
+            FROM orders CROSS JOIN stats
+        )
+    )
+"""
+
+
+def _layout_sql(name: str, order_by: str) -> str:
+    return f"""
+        SELECT '{name}' AS layout,
+               CAST((row_number() OVER (ORDER BY {order_by}) - 1)
+                    // {_ROWS_PER_FILE} AS BIGINT) AS file_id,
+               o_custkey, o_totalprice
+        FROM coded
+    """
+
+
+@register(
+    "zone_map_effectiveness",
+    oracle=f"""
+    WITH {_ZCODE_CTE.format(interleave=_interleave_sql('b1', 'b2', _BITS))},
+    placed AS (
+        {_layout_sql('linear_custkey', 'o_custkey, o_orderkey')}
+        UNION ALL
+        {_layout_sql('zorder', 'zcode, o_orderkey')}
+    ),
+    zones AS (
+        SELECT layout, file_id,
+               MIN(o_custkey) AS mn_ck, MAX(o_custkey) AS mx_ck,
+               MIN(o_totalprice) AS mn_tp, MAX(o_totalprice) AS mx_tp
+        FROM placed GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN mn_ck > {_CK_HI} OR mx_ck < {_CK_LO}
+                          OR mn_tp > {_TP_HI} OR mx_tp < {_TP_LO}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           round(CAST(SUM(CASE WHEN mn_ck > {_CK_HI} OR mx_ck < {_CK_LO}
+                               OR mn_tp > {_TP_HI} OR mx_tp < {_TP_LO}
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS prune_fraction
+    FROM zones GROUP BY 1
+    """,
+)
+def zone_map_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness of Z-order vs single-column clustering,
+    measured: place orders into {_ROWS_PER_FILE}-row files under (a) a
+    plain o_custkey sort and (b) the Morton-code sort that
+    VersionedTable.optimize(zorder_by=...) performs, build each file's
+    zone map (min/max of both probe columns), and count the files a 2-D
+    range predicate can skip. Single-dim sort prunes perfectly on its own
+    column and not at all on the other; Z-order trades a little of the
+    first for most of the second — this query turns that claim into a
+    hash-pinned number. The global row_number here is the measurement
+    harness, not the write path (the real rewrite sorts distributedly via
+    repartitionByRange in versioned_store.optimize)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    coded = zorder_code(
+        orders, ["o_custkey", "o_totalprice"], bits_per_col=_BITS
+    )
+
+    def placed(name: str, *order_cols):
+        w = Window.orderBy(*order_cols)
+        return coded.select(
+            F.lit(name).alias("layout"),
+            ((F.row_number().over(w) - 1) / _ROWS_PER_FILE)
+            .cast("bigint")
+            .alias("file_id"),
+            "o_custkey",
+            "o_totalprice",
+        )
+
+    both = placed("linear_custkey", "o_custkey", "o_orderkey").unionByName(
+        placed("zorder", "__z", "o_orderkey")
+    )
+    zones = both.groupBy("layout", "file_id").agg(
+        F.min("o_custkey").alias("mn_ck"),
+        F.max("o_custkey").alias("mx_ck"),
+        F.min("o_totalprice").alias("mn_tp"),
+        F.max("o_totalprice").alias("mx_tp"),
+    )
+    prunable = (
+        (F.col("mn_ck") > _CK_HI)
+        | (F.col("mx_ck") < _CK_LO)
+        | (F.col("mn_tp") > _TP_HI)
+        | (F.col("mx_tp") < _TP_LO)
+    )
+    n_pruned = F.sum(F.when(prunable, 1).otherwise(0))
+    return zones.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        n_pruned.alias("n_pruned"),
+        F.round(n_pruned.cast("double") / F.count("*"), 6).alias(
+            "prune_fraction"
+        ),
+    )
