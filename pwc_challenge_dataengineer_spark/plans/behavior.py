@@ -165,3 +165,55 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("user_id", "ts", "event_id", "value").groupBy(
         "user_id"
     ).applyInPandas(fold, "user_id bigint, n_events bigint, ewma_last double")
+
+
+@register(
+    "event_pattern_match",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(length(seq) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vp')) AS INT) AS n_view_then_buy,
+           regexp_matches(seq, 'v.*c.*p') AS converted_path
+    FROM seqs
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining over each user's ordered event stream — the
+    MATCH_RECOGNIZE-style operator warehouses bolt on for path analysis,
+    expressed relationally: collapse the stream to one ordered initials
+    string per user (collect_list + array_sort with full tiebreakers, so
+    the sequence is deterministic), then regexp for (a) immediate
+    view→purchase adjacencies and (b) the view…click…purchase conversion
+    subsequence. Complements funnel_stages: the funnel counts stage
+    reachability, this classifies each user's full path shape. One
+    shuffle (the groupBy); the regex runs once per user, not per event."""
+    events = load_table(spark, sf_dir, "events")
+    seqs = events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("ini"),
+                        )
+                    )
+                ),
+                lambda s: s["ini"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        F.regexp_count("seq", F.lit("vp")).cast("int").alias("n_view_then_buy"),
+        F.col("seq").rlike("v.*c.*p").alias("converted_path"),
+    )

@@ -206,3 +206,59 @@ def value_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.unionByName(rule(events, "events.value", "not negative", v < 0, v))
     return out
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        -- FLOOR before the BIGINT cast: DuckDB's double->int cast rounds,
+        -- Spark's truncates.
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT o.digit, o.n_obs,
+           round(CAST(o.n_obs AS DOUBLE) / t.n, 6) AS obs_freq,
+           round(log10(1.0 + 1.0 / o.digit), 6) AS benford_freq,
+           round(power(CAST(o.n_obs AS DOUBLE) / t.n
+                       - log10(1.0 + 1.0 / o.digit), 2)
+                 / log10(1.0 + 1.0 / o.digit), 6) AS chi2_term
+    FROM obs o CROSS JOIN tot t
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the forensic
+    data-quality test for fabricated or truncated numeric columns
+    (extending the dbt distribution checks; reference analog: the
+    value-range guards of dbt/macros/data_quality_checks.sql, which stop
+    at min/max). Emits per-digit observed vs expected log10(1+1/d)
+    frequency and the chi-square contribution; a synthetic uniform price
+    column fails loudly (uniform [1k,500k] is nothing like Benford),
+    which is exactly what it should do on this testdata. Integer first
+    digit via string head of the truncated BIGINT — identical in both
+    engines; all ratios are divisions of deterministic values."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    freq = F.col("n_obs").cast("double") / F.col("n")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(freq, 6).alias("obs_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(F.pow(freq - benford, F.lit(2)) / benford, 6).alias(
+            "chi2_term"
+        ),
+    )
