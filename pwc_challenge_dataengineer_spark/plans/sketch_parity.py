@@ -273,3 +273,105 @@ def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cms_estimate").cast("double") / F.col("exact_join_size"), 6
         ).alias("overestimate_ratio"),
     )
+
+
+_NBINS = 64
+
+
+@register(
+    "histogram_quantile_approx",
+    oracle=f"""
+    WITH stats AS (
+        SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((o_totalprice - mn) / (mx - mn) * {_NBINS})
+                          AS BIGINT), {_NBINS - 1}) AS bin
+        FROM orders CROSS JOIN stats
+    ),
+    hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY 1),
+    cum AS (
+        SELECT bin, c,
+               SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM hist
+    ),
+    med_bin AS (
+        SELECT MIN(bin) AS bin FROM cum, stats WHERE cum_c >= 0.5 * n
+    ),
+    approx AS (
+        SELECT s.mn + (m.bin + 0.5) * (s.mx - s.mn) / {_NBINS} AS approx_median
+        FROM med_bin m CROSS JOIN stats s
+    ),
+    ex AS (
+        SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+            AS exact_median
+        FROM orders
+    )
+    SELECT round(a.approx_median, 6) AS approx_median,
+           e.exact_median,
+           round(abs(a.approx_median - e.exact_median)
+                 / e.exact_median, 6) AS rel_error
+    FROM approx a CROSS JOIN ex e
+    """,
+)
+def histogram_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median estimation from a 64-bin equi-width histogram (bin-midpoint
+    rule) next to the exact percentile_disc and the realized relative
+    error. The histogram is the quantile sketch that actually rolls up at
+    100 TB: per-partition/per-day histograms merge by bin-sum (same
+    monoid as the matview refresh), where approxQuantile's GK sketch
+    must be rebuilt. Bin assignment, cumulative crossing, and the
+    midpoint estimate are identical arithmetic on both engines, so the
+    estimator — including its error — is hash-pinned."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    binned = orders.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * _NBINS
+            ).cast("bigint"),
+            F.lit(_NBINS - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum_c", F.sum("c").over(w))
+    med_bin = (
+        cum.crossJoin(F.broadcast(stats))
+        .filter(F.col("cum_c") >= 0.5 * F.col("n"))
+        .agg(F.min("bin").alias("bin"))
+    )
+    approx = med_bin.crossJoin(F.broadcast(stats)).select(
+        (
+            F.col("mn")
+            + (F.col("bin") + 0.5) * (F.col("mx") - F.col("mn")) / _NBINS
+        ).alias("approx_median")
+    )
+    # percentile_disc equivalent: smallest value with cume_dist >= 0.5
+    exact = orders.select(
+        F.col("o_totalprice"),
+        F.cume_dist()
+        .over(Window.orderBy("o_totalprice"))
+        .alias("cd"),
+    ).filter(F.col("cd") >= 0.5).agg(
+        F.min("o_totalprice").alias("exact_median")
+    )
+    return approx.crossJoin(exact).select(
+        F.round("approx_median", 6).alias("approx_median"),
+        "exact_median",
+        F.round(
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            / F.col("exact_median"),
+            6,
+        ).alias("rel_error"),
+    )
