@@ -147,3 +147,56 @@ def event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy")
         )
     )
+
+
+# Target corpus mix by source family: src0 is "high quality" and should be
+# 40% of the training mix; the rest split evenly.
+_MIX_SQL = "CASE WHEN source = 'src0' THEN 0.40 ELSE 0.15 END"
+
+
+@register(
+    "corpus_mix_rates",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per_source)
+    SELECT p.source, p.n_docs, p.n_chars,
+           round(CAST({_MIX_SQL} AS DOUBLE), 6) AS target_share,
+           round(CAST(p.n_docs AS DOUBLE) / t.n, 6) AS current_share,
+           round(LEAST(1.0, {_MIX_SQL} * t.n / p.n_docs), 6) AS keep_rate,
+           ({_MIX_SQL} * t.n / p.n_docs) > 1.0 AS needs_upsampling
+    FROM per_source p CROSS JOIN tot t
+    """,
+)
+def corpus_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing planner: given a target share per source family, derive
+    the per-source keep rate that turns the observed corpus composition
+    into the target mix (the step between quality scoring and sampling in
+    every pretraining pipeline — the computed keep_rate feeds the
+    stratified hash sampler above). Sources whose target exceeds their
+    supply are flagged needs_upsampling instead of silently capping the
+    mix. One tiny aggregation; the rate table is a broadcast input to the
+    actual sampling pass at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    tot = per_source.agg(F.sum("n_docs").alias("n"))
+    target = F.when(F.col("source") == "src0", F.lit(0.40)).otherwise(
+        F.lit(0.15)
+    )
+    raw_rate = target * F.col("n") / F.col("n_docs")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(target, 6).alias("target_share"),
+        F.round(F.col("n_docs").cast("double") / F.col("n"), 6).alias(
+            "current_share"
+        ),
+        F.round(F.least(F.lit(1.0), raw_rate), 6).alias("keep_rate"),
+        (raw_rate > 1.0).alias("needs_upsampling"),
+    )

@@ -58,3 +58,45 @@ def test_bloom_no_false_negatives(spark):
     for r in out:
         if r["k"] in members:
             assert r["bloom_pass"], f"false negative for {r['k']}"
+
+
+def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
+    """Incremental HLL: fold each micro-batch's register table into a
+    running store via foreachBatch (merge = groupBy max), and the final
+    registers must equal the one-shot batch sketch — the 100 TB rollup
+    contract, exercised through Structured Streaming itself."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("g", i * 7 % 97, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "key", "ts"])
+    src = str(tmp_path / "hll_events")
+    df.repartition(4).write.parquet(src)
+
+    store = {}
+
+    def fold_batch(batch_df, _batch_id):
+        regs = hll_registers(batch_df, "key", ["grp"], p=4)
+        for r in regs.collect():
+            k = (r["grp"], r["bucket"])
+            store[k] = max(store.get(k, 0), r["max_rank"])
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(fold_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    batch = {
+        (r["grp"], r["bucket"]): r["max_rank"]
+        for r in hll_registers(df, "key", ["grp"], p=4).collect()
+    }
+    assert store == batch
