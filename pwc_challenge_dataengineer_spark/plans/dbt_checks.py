@@ -262,3 +262,120 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS med
+        FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+        SELECT l.l_returnflag, l.l_extendedprice, m.med,
+               abs(l.l_extendedprice - m.med) AS adev
+        FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+        SELECT l_returnflag,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           d.med AS median_price,
+           m.mad,
+           CAST(SUM(CASE WHEN abs(d.l_extendedprice - d.med)
+                              > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY 1, 3, 4
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    quality check that survives the heavy tails that break the 3-sigma
+    rule (functions/quality.py:outlier_3sigma is the parametric sibling;
+    both stay registered so users can compare). Exact per-group medians
+    come from the cume_dist >= 0.5 crossing (the percentile_disc
+    convention, same trick as histogram_quantile_approx), so no
+    approxQuantile nondeterminism enters the oracle compare. Two window
+    passes + one join — at scale each is a single shuffle on the group
+    key, and the 1.4826 consistency constant makes MAD sigma-comparable
+    under normality."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+
+    def disc_median(df, val, out):
+        w = Window.partitionBy("l_returnflag").orderBy(val)
+        return (
+            df.withColumn("_cd", F.cume_dist().over(w))
+            .filter(F.col("_cd") >= 0.5)
+            .groupBy("l_returnflag")
+            .agg(F.min(val).alias(out))
+        )
+
+    med = disc_median(li, "l_extendedprice", "med")
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = disc_median(dev, "adev", "mad")
+    joined = dev.join(F.broadcast(mad), "l_returnflag")
+    is_out = F.abs(F.col("l_extendedprice") - F.col("med")) > 3 * 1.4826 * F.col(
+        "mad"
+    )
+    return joined.groupBy(
+        "l_returnflag", F.col("med").alias("median_price"), "mad"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+    ).select("l_returnflag", "n", "median_price", "mad", "n_outliers")
+
+
+@register(
+    "monotonicity_check",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               lag(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_id IS NOT NULL AND event_id < prev_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           SUM(CASE WHEN prev_id IS NOT NULL AND event_id < prev_id
+                    THEN 1 ELSE 0 END) = 0 AS is_monotonic
+    FROM seq GROUP BY 1
+    """,
+)
+def monotonicity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style monotonicity test: within each user's time-ordered
+    stream, event ids must be non-decreasing (an inversion means
+    out-of-order ingestion or clock skew upstream). One window pass with
+    full tiebreakers, then a per-user rollup — the generic template for
+    'ordered by X, monotone in Y' assertions on append-only tables."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "ts", "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    inv = F.sum(
+        F.when(
+            F.col("prev_id").isNotNull() & (F.col("event_id") < F.col("prev_id")),
+            1,
+        ).otherwise(0)
+    )
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        inv.alias("n_inversions"),
+        (inv == 0).alias("is_monotonic"),
+    )
