@@ -106,6 +106,56 @@ class VersionedTable:
             v = entries[-1]["version"]
         return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
 
+    def diff(
+        self, keys: list[str], from_version: int, to_version: int
+    ) -> DataFrame:
+        """Change-data-feed between two snapshots: one row per changed key
+        with ``_change_type`` in {insert, delete, update_postimage} —
+        the read side of Delta's CDF (delta_lake_manager.py reads
+        ``table_changes``; here the diff is computed from the snapshots,
+        which is what CDF degrades to when the feed wasn't enabled at
+        write time). Keys join with eqNullSafe; attribute comparison uses
+        a null-safe hash over all non-key columns. Both snapshots stream
+        through one full-outer join on the key — no driver-side state."""
+        old = self.read(version_as_of=from_version)
+        new = self.read(version_as_of=to_version)
+        attr_cols = [c for c in new.columns if c not in keys]
+
+        def attr_hash(df: DataFrame):
+            return F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in attr_cols
+                    ],
+                )
+            )
+
+        o = old.select(
+            *[F.col(k).alias(f"_ok_{k}") for k in keys],
+            attr_hash(old).alias("_oh"),
+        )
+        n = new.select(*keys, attr_hash(new).alias("_nh"), *attr_cols)
+        cond = None
+        for k in keys:
+            c = F.col(f"_ok_{k}").eqNullSafe(F.col(k))
+            cond = c if cond is None else cond & c
+        j = o.join(n, cond, "full_outer")
+        change = (
+            F.when(F.col("_oh").isNull(), F.lit("insert"))
+            .when(F.col("_nh").isNull(), F.lit("delete"))
+            .when(F.col("_oh") != F.col("_nh"), F.lit("update_postimage"))
+        )
+        out_keys = [
+            F.coalesce(F.col(k), F.col(f"_ok_{k}")).alias(k) for k in keys
+        ]
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_keys, *attr_cols, "_change_type")
+        )
+
     def history(self) -> DataFrame:
         return self.spark.createDataFrame(
             [(e["version"], float(e["ts"]), e["operation"]) for e in self._load_manifest()],

@@ -232,3 +232,37 @@ def test_optimize_without_zorder_compacts(spark, tmp_path):
     files = glob.glob(str(tmp_path / "opt2" / "v=1" / "part-*.parquet"))
     assert len(files) <= 2
     assert t.read().count() == 100
+
+
+def test_snapshot_diff_cdf(spark, tmp_path):
+    """diff(v1, v2) must classify inserts/deletes/updates exactly, with
+    NULL-attributed rows neither phantom-updating (eqNullSafe hash) nor
+    disappearing."""
+    t = VersionedTable(spark, str(tmp_path / "cdf_tbl"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+            "id INT, name STRING, score DOUBLE",
+        )
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b2", None), (4, "d", 40.0)],
+            "id INT, name STRING, score DOUBLE",
+        )
+    )
+    got = {
+        r["id"]: r["_change_type"]
+        for r in t.diff(["id"], from_version=0, to_version=1).collect()
+    }
+    # id 1 unchanged -> absent; 2 updated; 3 deleted; 4 inserted
+    assert got == {2: "update_postimage", 3: "delete", 4: "insert"}
+
+    # identical snapshots diff to empty (NULL score must not churn)
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b2", None), (4, "d", 40.0)],
+            "id INT, name STRING, score DOUBLE",
+        )
+    )
+    assert t.diff(["id"], from_version=1, to_version=2).count() == 0
