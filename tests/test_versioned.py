@@ -266,3 +266,69 @@ def test_snapshot_diff_cdf(spark, tmp_path):
         )
     )
     assert t.diff(["id"], from_version=1, to_version=2).count() == 0
+
+
+def test_streaming_merge_into_versioned_store(spark, tmp_path):
+    """Streaming medallion end-to-end: a file stream upserted micro-batch
+    by micro-batch into the versioned store via foreachBatch MERGE must
+    converge to the same keep-latest snapshot a single batch pass
+    produces — the exactly-once sink pattern (idempotent MERGE on keys)
+    over the Delta-semantics emulation."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # key, payload, seq — later seq wins; keys repeat across batches
+        (k, f"p{seq}", seq, base + datetime.timedelta(minutes=seq))
+        for seq, k in enumerate([1, 2, 3, 1, 2, 4, 1, 5, 3, 6])
+    ]
+    df = spark.createDataFrame(rows, "id INT, payload STRING, seq INT, ts TIMESTAMP")
+    src = str(tmp_path / "merge_stream_src")
+    # one file per seq-ordered slice so micro-batches arrive in order
+    for i in range(0, 10, 2):
+        df.filter((F.col("seq") >= i) & (F.col("seq") < i + 2)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    t = VersionedTable(spark, str(tmp_path / "merge_tbl"))
+    t.write(spark.createDataFrame([], "id INT, payload STRING, seq INT, ts TIMESTAMP"))
+
+    def upsert(batch_df, _batch_id):
+        # keep-latest within the batch, then MERGE on the key
+        latest = (
+            batch_df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.desc("seq"))
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        t.merge(latest, keys=["id"])
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = {r["id"]: (r["payload"], r["seq"]) for r in t.read().collect()}
+    expected = {
+        r["id"]: (r["payload"], r["seq"])
+        for r in df.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("seq"))
+            ),
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+        .collect()
+    }
+    assert got == expected
