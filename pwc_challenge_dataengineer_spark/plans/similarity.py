@@ -289,3 +289,51 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
     return sample_frames(media)
+
+
+@register(
+    "hof_array_pipeline",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS n
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(n AS INT) AS n_dims,
+           CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+           round(sqrt(list_reduce(list_prepend(0.0::DOUBLE, v),
+                                  (acc, x) -> acc + x * x)), 6) AS l2_norm,
+           round(list_reduce(
+                     list_prepend(0.0::DOUBLE,
+                         list_transform(range(1, n + 1),
+                                        i -> v[i] * v[n - i + 1])),
+                     (acc, x) -> acc + x), 6) AS dot_reversed
+    FROM e
+    """,
+)
+def hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over the array<float> embedding
+    column: transform (element cast), filter (positive-dim count),
+    aggregate (zero-seeded left fold for the L2 norm), zip_with (dot
+    product with the reversed vector). Spark's aggregate() folds left to
+    right deterministically and the oracle replays the identical fold via
+    list_reduce with a prepended zero seed, so even the float sums are
+    bit-matched — the template for keeping per-row vector math inside
+    whole-stage codegen instead of a Python UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    e = emb.select("vec_id", v.alias("v"), F.size("embedding").alias("n"))
+    l2 = F.sqrt(
+        F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")
+    )
+    dot_rev = F.expr(
+        "aggregate(zip_with(v, reverse(v), (x, y) -> x * y),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    return e.select(
+        "vec_id",
+        F.col("n").cast("int").alias("n_dims"),
+        F.size(F.expr("filter(v, x -> x > 0)")).alias("n_pos"),
+        F.round(l2, 6).alias("l2_norm"),
+        F.round(dot_rev, 6).alias("dot_reversed"),
+    )
