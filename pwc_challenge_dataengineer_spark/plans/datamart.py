@@ -384,3 +384,46 @@ def sort_mapped_orders_page(
 )
 def sort_mapped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sort_mapped_orders_page(spark, sf_dir, sort="total:desc", n=20)
+
+
+@register(
+    "yoy_revenue_growth",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue, 12) OVER (ORDER BY month) AS revenue_prev_year,
+           round((revenue - lag(revenue, 12) OVER (ORDER BY month))
+                 / lag(revenue, 12) OVER (ORDER BY month), 6) AS yoy_growth
+    FROM m
+    """,
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth — the other classic
+    period-comparison window (monthly_growth covers MoM): lag 12 over the
+    month series, growth as a ratio of the exact DECIMAL-summed revenues.
+    The window is over the ~80-row month aggregate, so the unpartitioned
+    sort is a non-issue at any source scale — the shuffle happens on the
+    month key during aggregation, map-side combined."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("revenue_prev_year"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
+    )
