@@ -607,3 +607,100 @@ def pandas_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_embeddings(emb, "embedding", dim=64).select(
         "vec_id", "label", "margin", "predicted"
     )
+
+
+@register(
+    "score_decile_lift",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend
+        FROM orders GROUP BY 1
+    ),
+    flagged AS (
+        SELECT s.custkey, s.total_spend,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o
+                   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_custkey = s.custkey AND l.l_returnflag = 'R'
+               ) THEN 1 ELSE 0 END AS is_returner
+        FROM spend s
+    ),
+    ranked AS (
+        SELECT *, ntile(10) OVER (ORDER BY total_spend DESC, custkey) AS decile
+        FROM flagged
+    ),
+    base AS (
+        SELECT CAST(SUM(is_returner) AS DOUBLE) / COUNT(*) AS base_rate,
+               CAST(SUM(is_returner) AS BIGINT) AS total_pos
+        FROM ranked
+    )
+    SELECT r.decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r.is_returner) AS BIGINT) AS n_returners,
+           round(CAST(SUM(r.is_returner) AS DOUBLE) / COUNT(*), 6)
+               AS decile_rate,
+           round(CAST(SUM(r.is_returner) AS DOUBLE) / b.total_pos, 6)
+               AS capture_rate,
+           round((CAST(SUM(r.is_returner) AS DOUBLE) / COUNT(*))
+                 / b.base_rate, 6) AS lift
+    FROM ranked r CROSS JOIN base b
+    GROUP BY 1, b.total_pos, b.base_rate
+    """,
+)
+def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the standard scored-model evaluation artifact
+    (reference analog: the churn/CLV scoring macros feed exactly this
+    report downstream): customers ranked by exact-decimal total spend
+    into deciles, each decile's returner rate vs the base rate (lift) and
+    its share of all returners (capture). The ntile runs over the
+    |customers|-sized aggregate with a full tiebreaker, so ordering — and
+    therefore every decile boundary — is engine-deterministic. Replace
+    total_spend with any model score (e.g. functions/scoring.py's pandas
+    UDF output) and the same plan evaluates it."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    returners = (
+        orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+        .withColumn("is_returner", F.lit(1))
+    )
+    spend = spend.join(F.broadcast(returners), "custkey", "left").withColumn(
+        "is_returner", F.coalesce("is_returner", F.lit(0))
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("custkey"))
+    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    base = ranked.agg(
+        (F.sum("is_returner").cast("double") / F.count("*")).alias("base_rate"),
+        F.sum("is_returner").alias("total_pos"),
+    )
+    g = ranked.crossJoin(F.broadcast(base)).groupBy(
+        "decile", "total_pos", "base_rate"
+    )
+    rate = F.sum("is_returner").cast("double") / F.count("*")
+    return g.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("is_returner").alias("n_returners"),
+        F.round(rate, 6).alias("decile_rate"),
+        F.round(
+            F.sum("is_returner").cast("double") / F.col("total_pos"), 6
+        ).alias("capture_rate"),
+        F.round(rate / F.col("base_rate"), 6).alias("lift"),
+    ).select(
+        "decile",
+        "n_customers",
+        "n_returners",
+        "decile_rate",
+        "capture_rate",
+        "lift",
+    )
