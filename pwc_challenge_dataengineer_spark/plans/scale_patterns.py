@@ -154,3 +154,61 @@ def price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+@register(
+    "pareto_skyline_customers",
+    oracle="""
+    WITH pts AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT p.custkey, p.total_spend, p.n_orders
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.total_spend >= p.total_spend AND q.n_orders >= p.n_orders
+          AND (q.total_spend > p.total_spend OR q.n_orders > p.n_orders)
+    )
+    """,
+)
+def pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of customers over (total spend, order
+    count): customers no one dominates on both dimensions. The oracle
+    states the textbook quadratic NOT-EXISTS definition; the Spark plan
+    implements the O(n log n) sweep instead — sort by spend desc (orders
+    desc, key as tiebreakers) and keep each point whose order count
+    strictly exceeds the running max of everything before it, plus ties
+    of frontier points. The hash compare proves the sweep computes the
+    definition — the same prove-the-restructuring pattern as
+    salted_skew_join. At scale the sweep is one window over the
+    |customers| aggregate; the quadratic self-join never runs."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    w = (
+        Window.orderBy(
+            F.desc("total_spend"), F.desc("n_orders"), F.asc("custkey")
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = pts.withColumn("prev_max_orders", F.max("n_orders").over(w))
+    # A point survives if nothing before it (higher or equal spend, sorted
+    # first) has >= its order count — except exact (spend, orders) ties
+    # with a frontier point, which are mutually non-dominating and stay.
+    frontier = swept.filter(
+        F.col("prev_max_orders").isNull()
+        | (F.col("n_orders") > F.col("prev_max_orders"))
+    ).select("total_spend", "n_orders").distinct()
+    return pts.join(
+        F.broadcast(frontier), ["total_spend", "n_orders"], "left_semi"
+    ).select("custkey", "total_spend", "n_orders")
