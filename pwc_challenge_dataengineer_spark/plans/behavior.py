@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.funnel import funnel
+from ..operators.sessionize import sessionize
 from ..schemas import load_table
 from .catalog import register
 
@@ -216,4 +217,76 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").cast("int").alias("seq_len"),
         F.regexp_count("seq", F.lit("vp")).cast("int").alias("n_view_then_buy"),
         F.col("seq").rlike("v.*c.*p").alias("converted_path"),
+    )
+
+
+@register(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+        FROM sess GROUP BY 1, 2
+    ),
+    sweep AS (
+        SELECT s AS t, 1 AS delta FROM intervals
+        UNION ALL SELECT e, -1 FROM intervals
+    ),
+    running AS (
+        SELECT t, delta,
+               SUM(delta) OVER (ORDER BY t, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS concurrency
+        FROM sweep
+    )
+    SELECT CAST(t AS DATE) AS day,
+           CAST(MAX(concurrency) AS INT) AS max_concurrent
+    FROM running GROUP BY 1
+    """,
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the interval sweep: sessionize
+    (30-min gap, same semantics as the `sessionization` query), collapse
+    each session to [start, end], emit +1/-1 endpoint events, and take the
+    running sum ordered by (time, +1 before -1) so coincident start/end
+    counts as overlap — the standard concurrency/occupancy operator.
+    Within a timestamp tie the running sum is monotone, so the per-day max
+    is order-deterministic without further tiebreakers. The sweep is
+    2x|sessions| rows; its global window is the measurement-scale
+    formulation — at 100 TB partition the sweep by day and add a
+    carried-in count of sessions spanning midnight (same monoid)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    sess = sessionize(events, "user_id", "ts", gap_minutes=30,
+                      tiebreakers=["event_id"])
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    sweep = intervals.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        intervals.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy(F.asc("t"), F.desc("delta")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = sweep.withColumn("concurrency", F.sum("delta").over(w))
+    return running.groupBy(F.col("t").cast("date").alias("day")).agg(
+        F.max("concurrency").cast("int").alias("max_concurrent")
     )
