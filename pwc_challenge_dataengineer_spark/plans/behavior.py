@@ -290,3 +290,53 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.groupBy(F.col("t").cast("date").alias("day")).agg(
         F.max("concurrency").cast("int").alias("max_concurrent")
     )
+
+
+@register(
+    "itemset_pairs_support",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events)
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_cooccur,
+           round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n.n_users), 6) AS support
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    CROSS JOIN n
+    GROUP BY 1, 2
+    """,
+)
+def itemset_pairs_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining, the 2-itemset pass: per event-type pair,
+    how many users exhibit both (support). This is the first (and at k=2,
+    usually only affordable) level of Apriori/FP-growth on behavioral
+    data; the pre-distinct (user, item) projection keeps the self-join at
+    |users| x |itemsets-per-user choose 2| — item vocabularies are small,
+    so the pair explosion is bounded per user, and the heavy lifting is
+    one user-keyed shuffle. Complements basket_features (per-customer
+    stats) with the cross-population co-occurrence view."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    n = events.agg(F.count_distinct("user_id").alias("n_users"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("item_a"),
+        F.col("b.event_type").alias("item_b"),
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_cooccur"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "n_cooccur",
+            F.round(
+                F.col("n_cooccur").cast("double") / F.col("n_users"), 6
+            ).alias("support"),
+        )
+    )

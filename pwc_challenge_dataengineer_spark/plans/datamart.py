@@ -427,3 +427,56 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("revenue_prev_year"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("yoy_growth"),
     )
+
+
+@register(
+    "nation_share_of_region",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))))
+                        OVER (PARTITION BY r.r_name) AS DOUBLE), 6)
+               AS share_of_region
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region —
+    the window-over-aggregate idiom (SUM(SUM(..)) OVER) that every BI
+    layer generates. Decimal-exact inner sums; the share divides the
+    nation's deterministic double by the region's (a window over the
+    25-row aggregate, so the unpartitioned concern never arises). Dims
+    broadcast; one fact shuffle on the nation key."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    from pyspark.sql.window import Window
+
+    j = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    agg = j.groupBy(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    w = Window.partitionBy("region")
+    return agg.select(
+        "nation",
+        "region",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double"),
+            6,
+        ).alias("share_of_region"),
+    )
