@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "sketch_parity",
     "python_surface",
     "graph",
+    "tpch",
 )
 
 

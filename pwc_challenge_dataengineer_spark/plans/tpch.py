@@ -1,0 +1,338 @@
+"""TPC-H classics, adapted to the simplified testdata star schema.
+
+The reference's analytics services compute ad-hoc variants of these shapes
+(src/api/v1/services/datamart_service.py, src/etl/gold/build_gold.py); the
+canonical TPC-H formulations are the industry-standard statement of the same
+operator mix — scan + filter + star join + grouped aggregate + top-N — so we
+register them verbatim (modulo columns the synthetic schema omits:
+o_shippriority -> o_orderpriority in Q3; address/phone/comment dropped in
+Q10; no partsupp/ship columns, so Q2/Q12/Q19-style predicates are out of
+scope). Every money aggregate follows plans/_parity.py: DECIMAL-exact
+sums/products cast to double at the end, divisions of deterministic doubles,
+never ROUND after a division.
+
+Scale notes (100 TB): each query is one fact-table scan with filters pushed
+to parquet, broadcast dims (customer/supplier/nation/region all fit in a
+few GB at SF100k; customer is broadcast here and would become a shuffle join
+at true scale — Catalyst/AQE makes that call from stats, the plan shape is
+unchanged), and a single hash-aggregate shuffle on the group keys. Q18's
+having-clause pre-aggregates lineitem by orderkey BEFORE joining orders
+(semi-join reduction), so the join input is |orders-over-threshold|, not
+|lineitem|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from ._parity import REV_DEC_SQL, REV_SUM_SQL, dec, money_sum, money_sum_sql, rev_dec, rev_sum
+from .catalog import register
+
+# (1 +/- x) factors for discount/tax stay in DECIMAL(4,2) so the Q1 triple
+# product extprice*(1-disc)*(1+tax) lands at DECIMAL(30,6) — exact, inside
+# Spark's 38-digit cap (DECIMAL(18,2) factors would overflow it and trigger
+# precision-loss truncation that DuckDB doesn't mirror).
+_D42 = "decimal(4,2)"
+
+
+def _one_minus_disc() -> F.Column:
+    return F.lit(1).cast(_D42) - F.col("l_discount").cast(_D42)
+
+
+def _one_plus_tax() -> F.Column:
+    return F.lit(1).cast(_D42) + F.col("l_tax").cast(_D42)
+
+
+_CHARGE_SQL = (
+    "(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2))))"
+    " * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+)
+
+
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           {money_sum_sql('l_extendedprice')} AS sum_base_price,
+           {REV_SUM_SQL} AS sum_disc_price,
+           CAST(SUM({_CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical map-side-combinable grouped
+    aggregate. 2 group keys x 8 aggregates over the full fact scan; the
+    shipdate filter pushes to the parquet reader. At scale this is the
+    best-case shape: partial aggregation collapses each task to ~|groups|
+    rows (6 here) before the single tiny shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    charge = (dec("l_extendedprice") * _one_minus_disc()) * _one_plus_tax()
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        rev_sum().alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").cast("bigint").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {REV_SUM_SQL} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-15'
+      AND l_shipdate > TIMESTAMP '1997-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (o_shippriority -> o_orderpriority: the
+    synthetic orders table has no shippriority column). Top-10 unshipped
+    orders by revenue for one market segment. The segment filter reduces
+    customer to ~1/5 before the broadcast; l_orderkey tiebreak makes the
+    LIMIT deterministic across engines."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev_sum().alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name, {REV_SUM_SQL} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the 6-table star join with the
+    c_nationkey = s_nationkey co-location predicate (revenue only counts
+    when customer and supplier share a nation). All dims broadcast; the
+    only shuffle is lineitem->orders (and the final 5-row aggregate).
+    Region filter prunes nation before it ever touches the fact side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(rev_sum().alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure scan-filter-sum, zero
+    joins — the query that exists to prove filter pushdown + vectorized
+    scan. All four predicates reach the parquet reader (shipdate range is
+    a row-group min/max prune at scale). The discount BETWEEN compares the
+    raw doubles identically in both engines; the product goes decimal for
+    the exact sum."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice") * F.col("l_discount").cast(_D42))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, {REV_SUM_SQL} AS revenue, c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting (address/phone/comment columns
+    dropped — absent from the synthetic schema): top-20 customers by
+    revenue lost to returns in one quarter. Return-flag + quarter filters
+    cut the fact before the join; c_custkey tiebreak pins the LIMIT."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev_sum().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REV_DEC_SQL}
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100
+           / {REV_SUM_SQL} AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional-aggregate ratio over a
+    fact->part join (p_type is a flat category here, so the LIKE 'PROMO%'
+    of stock TPC-H becomes equality). Part broadcasts; the month filter
+    prunes the scan. (a*100)/b on the two deterministic doubles — no
+    post-division rounding."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev_dec()).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    ).cast("double")
+    return joined.agg(
+        (promo * 100 / rev_sum()).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: the having-subquery shape. The
+    scale-critical move is aggregating lineitem by orderkey FIRST and
+    filtering on the threshold — the orders/customer join then sees only
+    the surviving keys (a semi-join reduction), not the raw fact. The
+    per-order qty sum is reused as both the filter and the output
+    aggregate, so lineitem is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
