@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "python_surface",
     "graph",
     "tpch",
+    "training_prep",
 )
 
 

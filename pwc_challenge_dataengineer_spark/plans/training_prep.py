@@ -1,0 +1,278 @@
+"""Training-corpus preparation operators: sequence packing, quality-filter
+cascade, incremental corpus dedup, fuzzy entity matching.
+
+These extend the LLM-data-pipeline surface (SURVEY.md "beyond the reference"
+scope; reference analog is the document-processing half of
+src/etl/spark/enhanced_silver.py's quality gates) with the ops a pretraining
+pipeline runs between raw crawl and tokenizer:
+
+- pack_docs_greedy   sequence packing: fill fixed token budgets greedily per
+                     shard — the step that turns documents into training rows
+- c4_quality_filter  C4-style rule cascade with first-failing-rule attribution
+- incremental_dedup_loose
+                     dedup NEW docs against an existing corpus on a blocking
+                     fingerprint (the incremental form of exact_dedup_docs)
+- fuzzy_part_name_pairs
+                     blocked Levenshtein self-join — entity-resolution step
+                     for catalog/name canonicalization
+
+Scale posture: packing shards by hash bucket so each task packs an
+independent stream (no global sequential dependency); the filter cascade is
+pure column expressions; incremental dedup is a broadcast-or-shuffle semi
+join on the fingerprint; the fuzzy join is blocked on the head noun so the
+quadratic edit-distance only runs inside small blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .catalog import register
+
+_PACK_BUDGET = 600
+_PACK_BUCKETS = 8
+
+
+@register(
+    "pack_docs_greedy",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT CAST(doc_id % {_PACK_BUCKETS} AS INT) AS bucket, doc_id, n_chars,
+               CAST(row_number() OVER (PARTITION BY doc_id % {_PACK_BUCKETS}
+                                       ORDER BY doc_id) AS INT) AS rn
+        FROM documents
+    ), rec AS (
+        SELECT bucket, doc_id, n_chars, rn,
+               CAST(0 AS INT) AS bin_id, n_chars AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.bucket, d.doc_id, d.n_chars, d.rn,
+               CASE WHEN rec.fill + d.n_chars > {_PACK_BUDGET}
+                    THEN rec.bin_id + 1 ELSE rec.bin_id END,
+               CASE WHEN rec.fill + d.n_chars > {_PACK_BUDGET}
+                    THEN d.n_chars ELSE rec.fill + d.n_chars END
+        FROM rec JOIN d ON d.bucket = rec.bucket AND d.rn = rec.rn + 1
+    )
+    SELECT bucket, doc_id,
+           CAST(bin_id AS INT) AS bin_id,
+           CAST(fill - n_chars AS INT) AS bin_offset
+    FROM rec
+    """,
+)
+def pack_docs_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to a training bin of budget
+    600 chars, filling greedily in doc_id order within a hash shard. The
+    op that turns a deduped corpus into fixed-length training rows without
+    padding waste. Packing is inherently sequential, so it shards first
+    (bucket = doc_id % 8) and runs the greedy fold per shard inside
+    applyInPandas — at 100 TB the shard count scales with the cluster and
+    each task packs one shard in one pass; no global order dependency
+    exists by construction. The oracle replays the identical fold as a
+    DuckDB recursive CTE (integer arithmetic, so parity is exact)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _PACK_BUCKETS).cast("int").alias("bucket"),
+        "doc_id",
+        "n_chars",
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        bin_id, fill = 0, 0
+        bins, offsets = [], []
+        first = True
+        for n in pdf["n_chars"].astype("int64"):
+            if first:
+                fill = int(n)
+                first = False
+            elif fill + n > _PACK_BUDGET:
+                bin_id += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            bins.append(bin_id)
+            offsets.append(fill - int(n))
+        out = pdf[["bucket", "doc_id"]].copy()
+        out["bin_id"] = bins
+        out["bin_offset"] = offsets
+        return out
+
+    return docs.groupBy("bucket").applyInPandas(
+        pack, "bucket int, doc_id bigint, bin_id int, bin_offset int"
+    )
+
+
+@register(
+    "c4_quality_filter",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS distinct_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_words, round(distinct_ratio, 6) AS distinct_ratio,
+           CASE WHEN n_chars < 100 THEN 'too_short'
+                WHEN n_words < 20 THEN 'too_few_words'
+                WHEN distinct_ratio < 0.40 THEN 'high_repetition'
+                ELSE 'keep' END AS verdict
+    FROM feats
+    """,
+)
+def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality-filter cascade with first-failing-rule attribution:
+    every document gets the name of the first rule that rejects it (or
+    'keep'), so drop rates are auditable per rule — the operational form a
+    crawl-cleaning pipeline needs, vs a bare boolean. Rules are ordered
+    cheap-to-expensive and the whole cascade is one pass of column
+    expressions (no UDF), so at scale it fuses into the scan's codegen
+    stage. distinct_ratio compares the identical double in both engines
+    (count/count division), so the threshold test is parity-safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(words).cast("bigint").alias("n_words"),
+        (
+            F.size(F.array_distinct(words)).cast("double")
+            / F.size(words)
+        ).alias("distinct_ratio"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.when(F.col("n_chars") < 100, "too_short")
+        .when(F.col("n_words") < 20, "too_few_words")
+        .when(F.col("distinct_ratio") < 0.40, "high_repetition")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+
+
+_FPRINT_SQL = (
+    "md5(concat_ws('|', lang, array_to_string("
+    "list_sort(list_distinct(string_split(text, ' ')))[1:5], ' ')))"
+)
+
+
+@register(
+    "incremental_dedup_loose",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, {_FPRINT_SQL} AS fingerprint,
+               doc_id % 7 = 0 AS incoming
+        FROM documents
+    ),
+    corpus AS (
+        SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS corpus_matches
+        FROM fp WHERE NOT incoming GROUP BY 1
+    )
+    SELECT f.doc_id, f.fingerprint,
+           COALESCE(c.corpus_matches, 0) AS corpus_matches,
+           c.fingerprint IS NOT NULL AS is_dup
+    FROM fp f LEFT JOIN corpus c USING (fingerprint)
+    WHERE f.incoming
+    """,
+)
+def incremental_dedup_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: screen a NEW batch of documents
+    (doc_id % 7 = 0 stands in for the fresh crawl) against the existing
+    corpus on a loose blocking fingerprint — lang + first 5 sorted
+    distinct tokens — reporting per incoming doc whether (and how often)
+    the corpus already covers it. This is the day-2 form of
+    exact_dedup_docs: at 100 TB you never re-dedup the whole corpus, you
+    fingerprint the delta and semi-join the (much smaller, pre-aggregated)
+    fingerprint index. The aggregate-then-left-join shape keeps the join
+    input at |distinct fingerprints|, and the index side is exactly what
+    a production pipeline would persist between runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fprint = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("lang"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
+                    1,
+                    5,
+                ),
+                " ",
+            ),
+        )
+    )
+    fp = docs.select(
+        "doc_id",
+        fprint.alias("fingerprint"),
+        (F.col("doc_id") % 7 == 0).alias("incoming"),
+    )
+    corpus = (
+        fp.filter(~F.col("incoming"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").cast("bigint").alias("corpus_matches"))
+    )
+    return (
+        fp.filter(F.col("incoming"))
+        .join(corpus.withColumnRenamed("fingerprint", "fp_c"),
+              F.col("fingerprint") == F.col("fp_c"), "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.coalesce("corpus_matches", F.lit(0).cast("bigint")).alias(
+                "corpus_matches"
+            ),
+            F.col("fp_c").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH names AS (
+        SELECT DISTINCT p_name,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: candidate near-duplicate part names within
+    an edit distance of 3, blocked on the head noun (last token) so the
+    O(block^2) Levenshtein comparison never goes corpus-wide — the
+    standard blocking-key pattern of entity resolution. Distinct names
+    first: the join runs on |distinct names|, not |part|. Both engines
+    compute classic Levenshtein, so the distance column is integer-exact
+    parity. At scale, blocks are the shuffle key and a skewed block (one
+    very common noun) would salt-split exactly like salted_skew_join."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("block")
+    ).distinct()
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("int")
+            .alias("edit_dist"),
+        )
+    )
