@@ -340,3 +340,110 @@ def itemset_pairs_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("support"),
         )
     )
+
+
+@register(
+    "ab_test_zscore",
+    oracle="""
+    WITH agg AS (
+        SELECT
+            CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS BIGINT) AS n_ctrl,
+            CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS BIGINT) AS n_treat,
+            CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                                     AND value > 200 THEN user_id END) AS BIGINT) AS conv_ctrl,
+            CAST(COUNT(DISTINCT CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                                     AND value > 200 THEN user_id END) AS BIGINT) AS conv_treat
+        FROM events
+    )
+    SELECT n_ctrl, n_treat, conv_ctrl, conv_treat,
+           CAST(conv_ctrl AS DOUBLE) / n_ctrl AS p_ctrl,
+           CAST(conv_treat AS DOUBLE) / n_treat AS p_treat,
+           (CAST(conv_treat AS DOUBLE) / n_treat - CAST(conv_ctrl AS DOUBLE) / n_ctrl)
+           / sqrt((CAST(conv_ctrl + conv_treat AS DOUBLE) / (n_ctrl + n_treat))
+                  * (1 - CAST(conv_ctrl + conv_treat AS DOUBLE) / (n_ctrl + n_treat))
+                  * (CAST(1 AS DOUBLE) / n_ctrl + CAST(1 AS DOUBLE) / n_treat))
+               AS z_score
+    FROM agg
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (variant = user_id parity,
+    conversion = a high-value purchase, value > 200 — every user has SOME
+    purchase in the synthetic data, which would pool to p=1 and a zero
+    standard error): the experimentation primitive every growth stack
+    computes. One pass of conditional distinct counts, then
+    closed-form pooled z. Every float op after the exact integer counts is
+    a division/multiply/sqrt of identical operands in identical order —
+    sqrt is IEEE correctly-rounded in both engines — so even the test
+    statistic hash-matches. At scale the distinct counts are the only
+    shuffle (4 conditional aggregates share one pass)."""
+    events = load_table(spark, sf_dir, "events")
+    is_ctrl = F.col("user_id") % 2 == 0
+    is_conv = (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    agg = events.agg(
+        F.count_distinct(F.when(is_ctrl, F.col("user_id"))).cast("bigint").alias("n_ctrl"),
+        F.count_distinct(F.when(~is_ctrl, F.col("user_id"))).cast("bigint").alias("n_treat"),
+        F.count_distinct(F.when(is_ctrl & is_conv, F.col("user_id")))
+        .cast("bigint")
+        .alias("conv_ctrl"),
+        F.count_distinct(F.when(~is_ctrl & is_conv, F.col("user_id")))
+        .cast("bigint")
+        .alias("conv_treat"),
+    )
+    p_ctrl = F.col("conv_ctrl").cast("double") / F.col("n_ctrl")
+    p_treat = F.col("conv_treat").cast("double") / F.col("n_treat")
+    p_pool = (F.col("conv_ctrl") + F.col("conv_treat")).cast("double") / (
+        F.col("n_ctrl") + F.col("n_treat")
+    )
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1) - p_pool)
+        * (
+            F.lit(1).cast("double") / F.col("n_ctrl")
+            + F.lit(1).cast("double") / F.col("n_treat")
+        )
+    )
+    return agg.select(
+        "n_ctrl",
+        "n_treat",
+        "conv_ctrl",
+        "conv_treat",
+        p_ctrl.alias("p_ctrl"),
+        p_treat.alias("p_treat"),
+        ((p_treat - p_ctrl) / se).alias("z_score"),
+    )
+
+
+@register(
+    "distinct_users_7d",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id FROM events)
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_7d
+    FROM days JOIN pairs ON uday BETWEEN day - 6 AND day
+    GROUP BY day
+    """,
+)
+def distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) that plain window frames can't express (distinct isn't
+    decomposable over frames). Implemented as the scale-correct expansion:
+    pre-distinct (day, user) pairs, then a banded spine join multiplies
+    the data by at most 7, and one hash aggregate finishes it. The
+    sketch-based alternative for when exactness can yield is
+    hll_distinct_users (mergeable registers; union the 7 daily sketches
+    instead of re-joining)."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(F.col("ts").cast("date").alias("day")).distinct()
+    pairs = events.select(
+        F.col("ts").cast("date").alias("uday"), "user_id"
+    ).distinct()
+    return (
+        days.join(
+            pairs,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("users_7d"))
+    )

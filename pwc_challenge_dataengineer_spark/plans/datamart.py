@@ -480,3 +480,58 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_region"),
     )
+
+
+@register(
+    "time_decay_revenue",
+    oracle="""
+    SELECT o_custkey AS customer_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(
+               CAST(o_totalprice AS DECIMAL(18,2))
+               * CAST(power(2.0, 10 - least(
+                     CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-08-01') AS BIGINT) // 180,
+                     10)) AS BIGINT)
+           ) * 100 AS BIGINT) AS decayed_q,
+           CAST(CAST(SUM(
+               CAST(o_totalprice AS DECIMAL(18,2))
+               * CAST(power(2.0, 10 - least(
+                     CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-08-01') AS BIGINT) // 180,
+                     10)) AS BIGINT)
+           ) * 100 AS BIGINT) AS DOUBLE) / 102400.0 AS decayed_revenue
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def time_decay_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted customer value: revenue decayed by a half-life of
+    180 days (weight = 2^-floor(age/180), capped at 2^-10) — the feature
+    every churn/propensity model wants instead of raw lifetime sums.
+    Parity trick: summing cents * DECIMAL(12,10) weights is exact but the
+    final decimal->double conversions of the two engines can disagree by
+    1 ulp, which flips 6-dp formatting on the half-ties binary weights
+    produce systematically. So the sum is kept INTEGER end-to-end —
+    weights scaled to 2^(10-k) (an int), money to cents — giving a
+    BIGINT quantum `decayed_q`, and the currency-unit view divides that
+    one integer by 102400.0 (cents * 2^10): a single IEEE division of
+    identical operands. One map-side-combinable aggregate; no joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    age_days = F.datediff(
+        F.lit("2001-08-01").cast("timestamp"), F.col("o_orderdate")
+    )
+    k = F.least(F.floor(age_days / 180), F.lit(10))
+    weight_int = F.pow(F.lit(2.0), F.lit(10) - k).cast("bigint")
+    q = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * weight_int) * 100
+    ).cast("bigint")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            q.alias("decayed_q"),
+        )
+        .withColumn(
+            "decayed_revenue",
+            F.col("decayed_q").cast("double") / F.lit(102400.0),
+        )
+    )
