@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.funnel import funnel
 from ..operators.sessionize import sessionize
@@ -446,4 +447,56 @@ def distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.count_distinct("user_id").cast("bigint").alias("users_7d"))
+    )
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INT) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island,
+               CAST(COUNT(*) AS BIGINT) AS streak_len,
+               MIN(day) AS streak_start
+        FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MAX(streak_len) AS longest_streak,
+           MIN(streak_start) AS first_active_day
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-active-day streaks per user via the
+    classic date-minus-row_number island key (pure integer/date
+    arithmetic — exact in both engines). Distinct (user, day) first so
+    the window runs over at most |users| x |days| rows, then two hash
+    aggregates. The canonical sequence-analytics operator that
+    sessionization (time-gap based) doesn't cover: calendar-grain
+    continuity."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+        F.min("streak_start").alias("first_active_day"),
     )

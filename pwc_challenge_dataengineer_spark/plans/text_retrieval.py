@@ -347,3 +347,92 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_hash"
         ),
     )
+
+
+@register(
+    "bigram_lift",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    ),
+    bg AS (
+        SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM bigrams GROUP BY 1
+    ),
+    uni AS (
+        SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks, unnest(t) AS u(tok) GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tok,
+               (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bg) AS n_big
+        FROM uni
+    )
+    SELECT bigram, c_ab,
+           (CAST(c_ab AS DOUBLE) / n_big)
+           / ((CAST(a.c AS DOUBLE) / n_tok) * (CAST(b.c AS DOUBLE) / n_tok))
+               AS lift
+    FROM bg
+    JOIN uni a ON a.tok = string_split(bigram, ' ')[1]
+    JOIN uni b ON b.tok = string_split(bigram, ' ')[2]
+    CROSS JOIN totals
+    WHERE c_ab >= 10
+    """,
+)
+def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: corpus-wide bigram lift
+    p(ab) / (p(a)*p(b)) — the ratio form of PMI (no log, so every float
+    op is a division/multiply of identical integer-derived doubles and
+    the statistic hash-matches; taking log would hit libm's 1-ulp
+    nondeterminism across engines). Bigrams come from a higher-order
+    array transform over the token array (no UDF, no per-row Python);
+    unigram and bigram counts are two hash aggregates, and the final
+    lift join touches only the >=10-count survivors. At 100 TB the
+    bigram vocabulary is the only state that grows; the threshold prunes
+    before the join, and a CMS sketch (cms_event_counts pattern) is the
+    fallback when even that vocabulary must be bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    bg = bigrams.groupBy("bigram").agg(F.count("*").cast("bigint").alias("c_ab"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    totals = uni.agg(F.sum("c").cast("bigint").alias("n_tok")).crossJoin(
+        bg.agg(F.sum("c_ab").cast("bigint").alias("n_big"))
+    )
+    first_tok = F.element_at(F.split(F.col("bigram"), " "), 1)
+    second_tok = F.element_at(F.split(F.col("bigram"), " "), 2)
+    a = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    return (
+        bg.filter(F.col("c_ab") >= 10)
+        .join(F.broadcast(a), first_tok == F.col("tok_a"))
+        .join(F.broadcast(b), second_tok == F.col("tok_b"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bigram",
+            "c_ab",
+            (
+                (F.col("c_ab").cast("double") / F.col("n_big"))
+                / (
+                    (F.col("c_a").cast("double") / F.col("n_tok"))
+                    * (F.col("c_b").cast("double") / F.col("n_tok"))
+                )
+            ).alias("lift"),
+        )
+    )

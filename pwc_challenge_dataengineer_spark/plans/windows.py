@@ -24,7 +24,7 @@ from ..operators.dedup import dedup_keep_latest
 from ..operators.scd2 import scd2_rebuild
 from ..operators.sessionize import sessionize
 from ..schemas import load_table
-from ._parity import REV_SUM_SQL, dec, money_sum_sql, rev_sum
+from ._parity import REV_SUM_SQL, dec, money_sum_sql, rev_dec, rev_sum
 from .catalog import register
 
 
@@ -336,4 +336,121 @@ def rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.first("o_totalprice").over(w).alias("min_in_status"),
         F.last("o_totalprice").over(w_full).alias("max_in_status"),
+    )
+
+
+@register(
+    "gini_by_nation",
+    oracle="""
+    WITH cust_rev AS (
+        SELECT c_nationkey, o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, rev_dec,
+               CAST(row_number() OVER (PARTITION BY c_nationkey
+                                       ORDER BY rev_dec, o_custkey) AS BIGINT) AS i
+        FROM cust_rev
+    )
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_dec) AS DOUBLE) AS total_revenue,
+           2 * CAST(SUM(i * rev_dec) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(rev_dec) AS DOUBLE))
+               - (CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*)) AS gini
+    FROM ranked JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per nation —
+    the inequality metric behind 'whale' analysis. Uses the closed
+    rank-sum form G = 2*Sum(i*x_i)/(n*Sum(x_i)) - (n+1)/n over ascending
+    revenues, so the whole statistic reduces to two exact decimal sums
+    (rank * DECIMAL stays decimal) and a fixed arithmetic tail on
+    deterministic doubles. Rank ties broken by custkey so both engines
+    rank identically. One shuffle for the per-customer rollup, one
+    bounded per-nation window."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev_dec", "o_custkey")
+    ranked = cust_rev.withColumn("i", F.row_number().over(w).cast("bigint"))
+    n = F.count("*").cast("bigint")
+    sx = F.sum("rev_dec").cast("double")
+    sixi = F.sum(F.col("i") * F.col("rev_dec")).cast("double")
+    return (
+        ranked.join(F.broadcast(nation), ranked.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            n.alias("n_customers"),
+            sx.alias("total_revenue"),
+            (
+                F.lit(2) * sixi / (n.cast("double") * sx)
+                - ((n + F.lit(1)).cast("double") / n)
+            ).alias("gini"),
+        )
+    )
+
+
+@register(
+    "abc_classification",
+    oracle="""
+    WITH prod_rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev_dec) AS total_dec FROM prod_rev),
+    cum AS (
+        SELECT l_partkey, rev_dec,
+               SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_dec
+        FROM prod_rev
+    )
+    SELECT l_partkey,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum CROSS JOIN tot
+    """,
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: products ranked by revenue,
+    cut at 80% / 95% cumulative share. The cumulative sum runs in exact
+    decimal over a (rev DESC, partkey) total order, and each row's share
+    divides the same two deterministic doubles in both engines, so even
+    rows sitting exactly on a boundary classify identically. The global
+    ordered window is the scale caveat — the registered scale path for
+    unpartitioned ntile/cumsum shapes is quantile_bucket
+    (operators/scalable.py): pre-bucket by range, cumsum per bucket, add
+    bucket offsets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prod_rev = li.groupBy("l_partkey").agg(F.sum(rev_dec()).alias("rev_dec"))
+    w = (
+        Window.orderBy(F.desc("rev_dec"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = prod_rev.withColumn("cum_dec", F.sum("rev_dec").over(w))
+    tot = prod_rev.agg(F.sum("rev_dec").alias("total_dec"))
+    share = F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
     )
