@@ -559,3 +559,69 @@ def collect_set_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("o_orderpriority").cast("int").alias("n_priorities"),
     )
+
+
+@register(
+    "order_ship_lag",
+    oracle="""
+    WITH lags AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS lag_days,
+               l_orderkey, l_linenumber
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ranked AS (
+        SELECT o_orderpriority, lag_days,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY lag_days, l_orderkey, l_linenumber)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+        FROM lags
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           MIN(lag_days) AS min_lag,
+           MAX(lag_days) AS max_lag,
+           CAST(SUM(lag_days) AS DOUBLE) / MAX(n) AS avg_lag,
+           MIN(CASE WHEN rn = (n + 1) // 2 THEN lag_days END) AS p50_lag,
+           MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_days END) AS p90_lag
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def order_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority class: min/max/avg plus
+    EXACT discrete p50/p90 — computed by explicit position pick
+    (row_number against (n+1)//2 and ceil(0.9n), full tiebreakers) rather
+    than each engine's quantile function, whose interpolation/selection
+    conventions differ. Integer day arithmetic end-to-end; the only
+    doubles are the avg division of identical operands. One fact join,
+    one per-priority sort window, one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lags = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("lag_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "lag_days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = lags.select(
+        "o_orderpriority",
+        "lag_days",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    p50_pos = F.expr("(n + 1) div 2")
+    p90_pos = F.expr("(9 * n + 9) div 10")
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_lines"),
+        F.min("lag_days").alias("min_lag"),
+        F.max("lag_days").alias("max_lag"),
+        (F.sum("lag_days").cast("double") / F.max("n")).alias("avg_lag"),
+        F.min(F.when(F.col("rn") == p50_pos, F.col("lag_days"))).alias("p50_lag"),
+        F.min(F.when(F.col("rn") == p90_pos, F.col("lag_days"))).alias("p90_lag"),
+    )

@@ -500,3 +500,51 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").alias("longest_streak"),
         F.min("streak_start").alias("first_active_day"),
     )
+
+
+@register(
+    "forward_fill_value",
+    oracle="""
+    WITH masked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT user_id, event_id,
+           v IS NULL AS was_gap,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM masked
+    """,
+)
+def forward_fill_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) per user: error
+    events report no reading (masked to NULL here — the synthetic table
+    has no physical NULLs), and each gap inherits the most recent
+    non-null value. This is the IGNORE NULLS window form — the one
+    LAST_VALUE variant plain frames don't give you by default — via
+    Spark's last(col, ignorenulls=True) over an unbounded-preceding
+    frame. Values pass through unchanged (no arithmetic), so parity is
+    exact. One shuffle on user_id; the running state is O(1) per
+    partition at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    masked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "user_id",
+        "event_id",
+        F.col("v").isNull().alias("was_gap"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )

@@ -535,3 +535,48 @@ def time_decay_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decayed_q").cast("double") / F.lit(102400.0),
         )
     )
+
+
+@register(
+    "brand_cross_sell",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    """,
+)
+def brand_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-purchase matrix: for every brand pair, how many orders
+    contain both — the cross-sell signal behind 'frequently bought
+    together'. Pre-distinct (order, brand) caps the self-join blowup at
+    |brands-per-order choose 2| (brands are a 25-value dim, so <=300
+    pairs per order worst-case); the heavy lifting is one order-keyed
+    shuffle. Same 2-itemset shape as itemset_pairs_support but over a
+    joined dimension attribute rather than a raw event column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )

@@ -704,3 +704,190 @@ def score_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "capture_rate",
         "lift",
     )
+
+
+@register(
+    "classifier_eval",
+    oracle="""
+    WITH y96 AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    ),
+    y97 AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    lab AS (
+        SELECT c_custkey,
+               COALESCE(y96.n, 0) >= 3 AS pred,
+               COALESCE(y97.n, 0) >= 3 AS actual
+        FROM customer
+        LEFT JOIN y96 ON c_custkey = y96.o_custkey
+        LEFT JOIN y97 ON c_custkey = y97.o_custkey
+    ),
+    cm AS (
+        SELECT
+            CAST(COUNT(CASE WHEN pred AND actual THEN 1 END) AS BIGINT) AS tp,
+            CAST(COUNT(CASE WHEN pred AND NOT actual THEN 1 END) AS BIGINT) AS fp,
+            CAST(COUNT(CASE WHEN NOT pred AND actual THEN 1 END) AS BIGINT) AS fn,
+            CAST(COUNT(CASE WHEN NOT pred AND NOT actual THEN 1 END) AS BIGINT) AS tn
+        FROM lab
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+           CAST(tp AS DOUBLE) / (tp + fn) AS recall_,
+           2 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+             / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn))
+               AS f1
+    FROM cm
+    """,
+)
+def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix evaluation of the naive persistence model 'a
+    customer active in 1996 (>=3 orders) stays active in 1997' —
+    the TP/FP/FN/TN + precision/recall/F1 scorecard every model-serving
+    pipeline emits (reference analog: the model-evaluation half of
+    src/streaming/realtime_analytics_ml.py). Label construction is two
+    filtered pre-aggregations left-joined onto the customer dim, so the
+    shuffles run on |customers-with-orders|, not |orders|. All metrics
+    are divisions of identical integer-derived doubles in identical
+    order — F1 included — so the whole scorecard hash-matches."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def year_counts(y0: str, y1: str, name: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(name))
+        )
+
+    lab = (
+        customer.join(
+            year_counts("1996-01-01", "1997-01-01", "n96"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .drop("o_custkey")
+        .join(
+            year_counts("1997-01-01", "1998-01-01", "n97"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .select(
+            (F.coalesce("n96", F.lit(0)) >= 3).alias("pred"),
+            (F.coalesce("n97", F.lit(0)) >= 3).alias("actual"),
+        )
+    )
+    cm = lab.agg(
+        F.count(F.when(F.col("pred") & F.col("actual"), 1)).cast("bigint").alias("tp"),
+        F.count(F.when(F.col("pred") & ~F.col("actual"), 1)).cast("bigint").alias("fp"),
+        F.count(F.when(~F.col("pred") & F.col("actual"), 1)).cast("bigint").alias("fn"),
+        F.count(F.when(~F.col("pred") & ~F.col("actual"), 1)).cast("bigint").alias("tn"),
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.alias("precision_"),
+        rec.alias("recall_"),
+        (F.lit(2) * prec * rec / (prec + rec)).alias("f1"),
+    )
+
+
+@register(
+    "chisq_segment_priority",
+    oracle="""
+    WITH cells AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT seg, pri, o,
+               SUM(o) OVER (PARTITION BY seg) AS r,
+               SUM(o) OVER (PARTITION BY pri) AS c,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT seg, pri,
+               CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                   AS term
+        FROM tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT pri) - 1) AS BIGINT)
+               AS dof,
+           list_reduce(
+               list_prepend(0.0::DOUBLE, list(term ORDER BY seg, pri)),
+               (acc, x) -> acc + x) AS chi2
+    FROM terms
+    """,
+)
+def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and order
+    priority. The statistic is rearranged to the all-integer form
+    (o*N - r*c)^2 / (N*r*c) per cell — numerator and denominator exact —
+    and the 25 per-cell terms are summed by an ORDERED fold (sorted
+    array + aggregate() in Spark, list_reduce over an ORDER BY list in
+    DuckDB) rather than a SUM(), because a parallel double sum commits
+    to no addition order and the hash compare demands one. The contingency
+    table is tiny post-aggregation; everything after the one fact shuffle
+    is a 25-row computation."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    tot = cells.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("r"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    d = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    terms = tot.select(
+        "seg",
+        "pri",
+        (
+            d * d
+            / (
+                F.col("n").cast("double")
+                * F.col("r").cast("double")
+                * F.col("c").cast("double")
+            )
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
+        ).cast("bigint").alias("dof"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("seg", "pri", "term"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2"),
+    )
