@@ -580,3 +580,58 @@ def brand_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_orders"))
     )
+
+
+@register(
+    "dow_seasonality_index",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(isodow(o_orderdate) AS INT) AS dow,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        FROM orders GROUP BY 1, 2
+    ),
+    per_dow AS (
+        SELECT dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rev_dec) AS DOUBLE) AS rev,
+               CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS avg_daily_rev
+        FROM daily GROUP BY 1
+    ),
+    overall AS (
+        SELECT CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS overall_avg
+        FROM daily
+    )
+    SELECT dow, n_days, avg_daily_rev,
+           avg_daily_rev / overall_avg AS seasonality_index
+    FROM per_dow CROSS JOIN overall
+    """,
+)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: average daily revenue per ISO
+    weekday divided by the overall average daily revenue — the
+    multiplicative seasonal factor a forecasting pipeline divides out
+    before trend fitting. ISO weekday (Mon=1) on both engines (Spark's
+    dayofweek() is Sunday-1, so weekday()+1 aligns with DuckDB's
+    isodow). Two-level exact-decimal aggregation; the index is a
+    division of two deterministic doubles. Everything after the one
+    date-grain shuffle is a 7-row computation."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow"),
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("rev_dec").cast("double").alias("rev"),
+        (F.sum("rev_dec").cast("double") / F.count("*")).alias("avg_daily_rev"),
+    )
+    overall = daily.agg(
+        (F.sum("rev_dec").cast("double") / F.count("*")).alias("overall_avg")
+    )
+    return per_dow.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        "avg_daily_rev",
+        (F.col("avg_daily_rev") / F.col("overall_avg")).alias("seasonality_index"),
+    )

@@ -113,3 +113,41 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.crossJoin(F.broadcast(nn))
         .select("node", F.round(F.col("rank") * F.col("n"), 6).alias("norm_rank"))
     )
+
+
+@register(
+    "degree_distribution",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    degrees AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM edges GROUP BY 1
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM degrees GROUP BY 1
+    """,
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer-supplier bipartite graph (how
+    many distinct suppliers each customer transacts with, histogrammed) —
+    the first diagnostic run on any large graph before choosing a
+    partitioning strategy, because a heavy-tailed degree histogram is
+    exactly the skew signal that forces salting in the downstream joins
+    (see pagerank_bipartite / salted_skew_join). Two hash aggregates over
+    the distinct edge set; integer-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    degrees = edges.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("degree")
+    )
+    return degrees.groupBy("degree").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )

@@ -891,3 +891,88 @@ def chisq_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x["term"],
         ).alias("chi2"),
     )
+
+
+@register(
+    "cusum_monthly_revenue",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+        SELECT n_name,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT n_name, CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS mu
+        FROM monthly GROUP BY 1
+    ),
+    ranked AS (
+        SELECT m.n_name, m.month, m.rev, s.mu,
+               CAST(row_number() OVER (PARTITION BY m.n_name ORDER BY m.month)
+                    AS INT) AS rn
+        FROM monthly m JOIN stats s ON m.n_name = s.n_name
+    ),
+    rec AS (
+        SELECT n_name, month, rev, mu, rn,
+               greatest(0.0::DOUBLE, rev - mu) AS cusum
+        FROM ranked WHERE rn = 1
+        UNION ALL
+        SELECT r.n_name, r.month, r.rev, r.mu, r.rn,
+               greatest(0.0::DOUBLE, rec.cusum + (r.rev - r.mu))
+        FROM rec JOIN ranked r ON r.n_name = rec.n_name AND r.rn = rec.rn + 1
+    )
+    SELECT n_name AS nation, month, rev, round(cusum, 6) AS cusum
+    FROM rec
+    """,
+)
+def cusum_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector over each nation's monthly revenue:
+    s_t = max(0, s_{t-1} + (x_t - mean)) — the classic changepoint
+    statistic whose reset-at-zero makes it inexpressible as any window
+    frame (it is not a prefix sum). Runs as a per-nation sequential fold
+    in applyInPandas (the ewma_user_value template); the oracle replays
+    the identical IEEE recursion as a recursive CTE, so the whole
+    detector path is hash-verified. The mean is an exact-decimal two-pass
+    statistic broadcast back onto the series. 25 nations x ~80 months:
+    the fold is trivially partition-local; at scale the number of
+    parallel series is the parallelism."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+    )
+    stats = monthly.groupBy("n_name").agg(
+        (
+            F.sum(F.col("rev").cast("decimal(18,2)")).cast("double") / F.count("*")
+        ).alias("mu")
+    )
+    joined = monthly.join(stats, "n_name").select("n_name", "month", "rev", "mu")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month", kind="mergesort")
+        s = 0.0
+        out = []
+        mu = float(pdf["mu"].iloc[0])
+        for x in pdf["rev"].astype("float64"):
+            s = max(0.0, s + (x - mu))
+            out.append(round(s, 6))
+        res = pdf[["n_name", "month", "rev"]].copy()
+        res["cusum"] = out
+        return res.rename(columns={"n_name": "nation"})
+
+    return joined.groupBy("n_name").applyInPandas(
+        fold, "nation string, month date, rev double, cusum double"
+    )

@@ -200,3 +200,41 @@ def corpus_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.lit(1.0), raw_rate), 6).alias("keep_rate"),
         (raw_rate > 1.0).alias("needs_upsampling"),
     )
+
+
+@register(
+    "importance_sample_docs",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS weight,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM documents
+    )
+    SELECT doc_id, round(weight, 6) AS weight,
+           h < weight * 4294967296.0 AS kept
+    FROM feats
+    """,
+)
+def importance_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (importance) sampling: each document is kept with
+    probability equal to its lexical-diversity score, decided by comparing
+    a 32-bit md5 hash of the doc id against weight * 2^32 — deterministic,
+    seedless, append-stable (re-running over a grown corpus never flips
+    prior decisions, unlike rand()). This is how a pretraining pipeline
+    downsamples low-quality text without an RNG coordination problem
+    across 1000 executors: the decision is a pure column expression on
+    each row. The weight itself is a count/count division, identical in
+    both engines, so even the boundary comparisons hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    weight = F.size(F.array_distinct(words)).cast("double") / F.size(words)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.round(weight, 6).alias("weight"),
+        (h < weight * F.lit(4294967296.0)).alias("kept"),
+    )

@@ -276,3 +276,59 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("edit_dist"),
         )
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, n_chars, {_FPRINT_SQL} AS fingerprint
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, fingerprint,
+               row_number() OVER (PARTITION BY fingerprint
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+                   AS group_size
+        FROM fp
+    )
+    SELECT doc_id, fingerprint, n_chars, group_size
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection: within each near-dup group (the
+    same loose blocking fingerprint as incremental_dedup_loose), keep the
+    single best document — longest text, doc_id as tiebreaker — instead
+    of an arbitrary first. The step after dedup grouping that decides
+    WHICH copy survives into the training set. One shuffle on the
+    fingerprint, one window; the rn=1 filter means the sort inside each
+    group short-circuits to a top-1 (Spark evaluates it as a running
+    max, not a full sort, under AQE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fprint = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("lang"),
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.split(F.col("text"), " "))),
+                    1,
+                    5,
+                ),
+                " ",
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    fp = docs.select("doc_id", "n_chars", fprint.alias("fingerprint"))
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("n_chars"), "doc_id")
+    wg = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(wg).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "n_chars", "group_size")
+    )
