@@ -625,3 +625,144 @@ def order_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn") == p50_pos, F.col("lag_days"))).alias("p50_lag"),
         F.min(F.when(F.col("rn") == p90_pos, F.col("lag_days"))).alias("p90_lag"),
     )
+
+
+@register(
+    "supplier_hhi",
+    oracle=f"""
+    WITH srev AS (
+        SELECT s_nationkey, l_suppkey,
+               SUM({REV_DEC_SQL}) AS rev_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT s_nationkey, CAST(SUM(rev_dec) AS DOUBLE) AS t
+        FROM srev GROUP BY 1
+    ),
+    shares AS (
+        SELECT s.s_nationkey, s.l_suppkey,
+               (CAST(s.rev_dec AS DOUBLE) / t.t)
+               * (CAST(s.rev_dec AS DOUBLE) / t.t) AS sh2
+        FROM srev s JOIN tot t ON s.s_nationkey = t.s_nationkey
+    )
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           round(list_reduce(
+               list_prepend(0.0::DOUBLE, list(sh2 ORDER BY l_suppkey)),
+               (acc, x) -> acc + x), 6) AS hhi
+    FROM shares JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation: sum of squared market shares — the antitrust/market-structure
+    statistic. Each share squares a deterministic double (exact decimal
+    revenue / exact decimal total), and the per-nation sum of those
+    squares runs as an ORDERED fold keyed by suppkey (same device as
+    chisq_segment_priority) because squared shares are irrational doubles
+    whose parallel summation order Spark doesn't pin. Rounded to 6dp at
+    the end — a presentation round on an already-deterministic value,
+    not a tie-breaker. One fact shuffle; everything after is per-nation
+    supplier lists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    srev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(rev_dec()).alias("rev_dec"))
+    )
+    tot = srev.groupBy("s_nationkey").agg(
+        F.sum("rev_dec").cast("double").alias("t")
+    )
+    share = F.col("rev_dec").cast("double") / F.col("t")
+    shares = srev.join(tot, "s_nationkey").select(
+        "s_nationkey", "l_suppkey", (share * share).alias("sh2")
+    )
+    return (
+        shares.join(F.broadcast(nation), shares.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("l_suppkey", "sh2"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["sh2"],
+                ),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
+@register(
+    "winsorized_mean_price",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               CAST(row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+                                                l_orderkey, l_linenumber)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT l_returnflag,
+               MIN(CASE WHEN rn = (n + 19) // 20 THEN price END) AS lo,
+               MIN(CASE WHEN rn = (19 * n + 19) // 20 THEN price END) AS hi
+        FROM ranked GROUP BY 1
+    )
+    SELECT r.l_returnflag,
+           CAST(MAX(r.n) AS BIGINT) AS n_lines,
+           CAST(MAX(b.lo) AS DOUBLE) AS p05,
+           CAST(MAX(b.hi) AS DOUBLE) AS p95,
+           CAST(SUM(LEAST(GREATEST(r.price, b.lo), b.hi)) AS DOUBLE) / MAX(r.n)
+               AS winsorized_mean
+    FROM ranked r JOIN bounds b ON r.l_returnflag = b.l_returnflag
+    GROUP BY r.l_returnflag
+    """,
+)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5%/95%) of extended price per return flag: clamp
+    outliers to exact discrete percentile bounds (position-picked ranks,
+    full tiebreakers — not engine quantile functions) and average the
+    clamped values in exact decimal. The robust-statistics companion to
+    mad_outliers: trims influence instead of flagging. The clamp happens
+    in DECIMAL so the final sum/count division is the only float op.
+    One per-group sort window, a 3-row bounds join back, one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = dec("l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        price, "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        price.alias("price"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("price"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("price"))
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi"))
+    return (
+        ranked.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n_lines"),
+            F.max("lo").cast("double").alias("p05"),
+            F.max("hi").cast("double").alias("p95"),
+            (F.sum(clamped).cast("double") / F.max("n")).alias("winsorized_mean"),
+        )
+    )

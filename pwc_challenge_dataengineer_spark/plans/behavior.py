@@ -548,3 +548,231 @@ def forward_fill_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("was_gap"),
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM counts
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: count (current, next) adjacent pairs via a lead() window with
+    full tiebreakers, then row-normalize into transition probabilities.
+    The behavioral-model primitive behind next-action prediction and
+    anomalous-path scoring. Integer counts; each probability divides the
+    same two exact integers. One user-keyed sort window + one tiny
+    aggregate; the normalizing window runs over the 25-cell matrix."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double")
+        ).alias("p"),
+    )
+
+
+@register(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    ),
+    activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT a.day,
+           CAST(COUNT(CASE WHEN a.day = f.first_day THEN 1 END) AS BIGINT)
+               AS new_users,
+           CAST(COUNT(CASE WHEN a.day > f.first_day THEN 1 END) AS BIGINT)
+               AS returning_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the first chart on every
+    product dashboard. Pre-distinct (user, day) activity joined to each
+    user's first-seen day, classified by comparison, two conditional
+    counts. Both aggregations share the user_id shuffle key and the
+    final aggregate runs on |days| groups."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    activity = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("first_day"), 1))
+            .cast("bigint")
+            .alias("new_users"),
+            F.count(F.when(F.col("day") > F.col("first_day"), 1))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+    )
+
+
+@register(
+    "power_user_share",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT user_id, n_events,
+               CAST(row_number() OVER (ORDER BY n_events DESC, user_id)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_users
+        FROM per_user
+    )
+    SELECT MAX(n_users) AS n_users,
+           CAST(COUNT(CASE WHEN rn <= (n_users + 99) // 100 THEN 1 END)
+                AS BIGINT) AS n_power_users,
+           CAST(SUM(CASE WHEN rn <= (n_users + 99) // 100 THEN n_events
+                         ELSE 0 END) AS BIGINT) AS power_events,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(SUM(CASE WHEN rn <= (n_users + 99) // 100 THEN n_events
+                         ELSE 0 END) AS DOUBLE) / SUM(n_events)
+               AS power_share
+    FROM ranked
+    """,
+)
+def power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user concentration: what share of all events comes from the
+    top 1% most-active users (ceil(n/100) by exact rank, user_id
+    tiebreak). The engagement-inequality companion to gini_by_nation,
+    computed with integer ranks and counts end-to-end; the single
+    division at the end is deterministic. The global rank runs over
+    |users| pre-aggregated rows, not raw events."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    ranked = per_user.select(
+        "user_id",
+        "n_events",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n_users"),
+    )
+    is_power = F.col("rn") <= F.expr("(n_users + 99) div 100")
+    return ranked.agg(
+        F.max("n_users").alias("n_users"),
+        F.count(F.when(is_power, 1)).cast("bigint").alias("n_power_users"),
+        F.sum(F.when(is_power, F.col("n_events")).otherwise(0))
+        .cast("bigint")
+        .alias("power_events"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        (
+            F.sum(F.when(is_power, F.col("n_events")).otherwise(0)).cast("double")
+            / F.sum("n_events")
+        ).alias("power_share"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_buy
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    lags AS (
+        SELECT p.user_id,
+               CAST(floor(epoch(p.t_buy)) AS BIGINT)
+                   - CAST(floor(epoch(v.t_view)) AS BIGINT) AS lag_s
+        FROM p JOIN v ON p.user_id = v.user_id
+    ),
+    ranked AS (
+        SELECT user_id, lag_s,
+               CAST(row_number() OVER (ORDER BY lag_s, user_id) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM lags
+    )
+    SELECT MAX(n) AS n_converted,
+           MIN(lag_s) AS min_s,
+           MAX(lag_s) AS max_s,
+           CAST(SUM(lag_s) AS DOUBLE) / MAX(n) AS avg_s,
+           MIN(CASE WHEN rn = (n + 1) // 2 THEN lag_s END) AS p50_s
+    FROM ranked
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view->purchase funnel: per
+    user, seconds from first view to first purchase at-or-after it, then
+    min/avg/max and an exact discrete median by position pick. Completes
+    funnel_stages (which counts WHO converts) with HOW FAST. Epoch-second
+    arithmetic is integer-exact; the avg is one division of identical
+    operands. Two min-aggregates share the user shuffle; the global rank
+    runs over |converted users|."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        events.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_view"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    lags = p.join(v, "user_id").select(
+        "user_id",
+        (F.unix_timestamp("t_buy") - F.unix_timestamp("t_view"))
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+    ranked = lags.select(
+        "lag_s",
+        F.row_number().over(Window.orderBy("lag_s", "user_id")).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        F.min("lag_s").alias("min_s"),
+        F.max("lag_s").alias("max_s"),
+        (F.sum("lag_s").cast("double") / F.max("n")).alias("avg_s"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lag_s"))).alias(
+            "p50_s"
+        ),
+    )
