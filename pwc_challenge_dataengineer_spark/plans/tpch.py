@@ -336,3 +336,365 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {REV_SUM_SQL} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping: bilateral trade revenue between two
+    nations (NATION_9/NATION_10 — the busiest trading pair in the
+    synthetic dim, which has no real country names) by ship year. The nation dim joins twice under different
+    aliases (supplier side and customer side) with a disjunctive
+    cross-filter — the canonical aliased-dimension pattern. Both nation
+    copies broadcast; the disjunction evaluates post-join on two
+    broadcast-resolved attributes, and the 2-year shipdate range pushes
+    to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_9")
+                & (F.col("cust_nation") == "NATION_10")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_10")
+                & (F.col("cust_nation") == "NATION_9")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(rev_sum().alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    WITH all_sales AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               {REV_DEC_SQL} AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: one nation's (NATION_9 — the synthetic
+    dim has no real country names) share of ECONOMY-part revenue sold
+    into the EUROPE customer market, per year (LIKE-style p_type
+    predicate flattened to equality for the synthetic category dim). The conditional-sum-over-sum ratio on exact
+    decimals; 7-table join where every dim broadcasts and the fact
+    shuffles once for the orders join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    sales = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_dec().alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_9", F.col("volume")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: the left-join-then-
+    histogram shape whose whole point is keeping zero-order customers
+    (COUNT(o_orderkey) over a left join counts non-null matches, so
+    orderless customers land in the c_count=0 bucket instead of
+    vanishing). Two cascaded aggregates; the first shuffles on custkey,
+    the second on the tiny count domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no, {REV_SUM_SQL} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: argmax via self-referencing scalar
+    subquery — revenue view computed once, its MAX broadcast back as a
+    filter. The decimal-exact revenue makes the equality comparison safe
+    (both engines derive the identical double for every supplier and for
+    the max). Spark shape: aggregate, cross-join the 1-row max, filter,
+    then broadcast-join supplier names."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        rev_sum().alias("total_revenue")
+    )
+    mx = revenue0.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue0.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey AS pk,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*)) AS threshold
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN avg_qty ON l_partkey = pk
+    WHERE p_brand = 'red' AND l_quantity < threshold
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated aggregate
+    subquery (per-part 20%-of-average-quantity threshold) decorrelated
+    into an aggregate-then-join — the rewrite Catalyst itself applies to
+    correlated scalar subqueries, made explicit. The threshold is
+    0.2 * (exact-decimal sum / count): identical double both engines, so
+    the < comparison is deterministic. Brand filter narrows the probe
+    side before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "red")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT {REV_SUM_SQL} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'red' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'blue' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'green' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue under disjunctive predicates
+    (shipmode/container clauses dropped — absent columns): three
+    brand/size/quantity bands OR-ed together across both join sides.
+    The optimizer test here is that the part-side conjuncts (brand,
+    size) still prune the broadcast build side: Catalyst extracts the
+    common disjunct per side rather than evaluating the whole OR
+    post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "red")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "blue")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "green")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        rev_sum().alias("revenue"), F.count("*").cast("bigint").alias("n_lines")
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0
+    ),
+    eligible AS (
+        SELECT c_custkey, c_nationkey % 10 AS cntrycode, c_acctbal
+        FROM customer CROSS JOIN avg_bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01')
+    )
+    SELECT CAST(cntrycode AS INT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM eligible
+    GROUP BY 1
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity: rich customers (balance above
+    the positive-balance average — scalar subquery) with no orders since
+    1999 (anti join; every synthetic customer has SOME order, so the
+    stock 'never ordered' predicate is vacuous here), grouped by country code (nationkey%10 stands in for the
+    phone-prefix code the synthetic schema lacks). Composes the scalar-
+    subquery broadcast and the left_anti join in one query; the average
+    is exact-decimal-derived so the > threshold comparison is
+    deterministic in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("*")).alias("ab")
+    )
+    eligible = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+            ),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+    )
+    return eligible.groupBy(
+        (F.col("c_nationkey") % 10).cast("int").alias("cntrycode")
+    ).agg(
+        F.count("*").cast("bigint").alias("numcust"),
+        F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
