@@ -567,7 +567,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     JOIN avg_qty ON l_partkey = pk
-    WHERE p_brand = 'red' AND l_quantity < threshold
+    WHERE p_brand = 'Brand#3' AND l_quantity < threshold
     """,
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,7 +579,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     the < comparison is deterministic. Brand filter narrows the probe
     side before the join."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "red")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         (
             F.lit(0.2)
@@ -604,11 +604,11 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT {REV_SUM_SQL} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE (p_brand = 'red' AND p_size BETWEEN 1 AND 15
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 11)
-       OR (p_brand = 'blue' AND p_size BETWEEN 1 AND 25
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
            AND l_quantity >= 10 AND l_quantity <= 20)
-       OR (p_brand = 'green' AND p_size BETWEEN 1 AND 35
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
            AND l_quantity >= 20 AND l_quantity <= 30)
     """,
 )
@@ -625,17 +625,17 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     band = (
         (
-            (F.col("p_brand") == "red")
+            (F.col("p_brand") == "Brand#1")
             & F.col("p_size").between(1, 15)
             & F.col("l_quantity").between(1, 11)
         )
         | (
-            (F.col("p_brand") == "blue")
+            (F.col("p_brand") == "Brand#2")
             & F.col("p_size").between(1, 25)
             & F.col("l_quantity").between(10, 20)
         )
         | (
-            (F.col("p_brand") == "green")
+            (F.col("p_brand") == "Brand#3")
             & F.col("p_size").between(1, 35)
             & F.col("l_quantity").between(20, 30)
         )
