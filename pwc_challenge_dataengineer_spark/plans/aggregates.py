@@ -766,3 +766,66 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(clamped).cast("double") / F.max("n")).alias("winsorized_mean"),
         )
     )
+
+
+@register(
+    "nested_order_lines",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_orderkey,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber,
+                                           CAST(l_quantity AS BIGINT),
+                                           CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS rn
+        FROM lineitem
+    )
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(SUM(qty) AS BIGINT) AS total_qty,
+           CAST(MAX(price) AS DOUBLE) AS max_price,
+           CAST(MIN(CASE WHEN rn = 1 THEN qty END) AS BIGINT) AS first_line_qty
+    FROM ranked
+    GROUP BY l_orderkey
+    """,
+)
+def nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nest-then-compute over complex types: collect each order's lines
+    into a sorted ARRAY<STRUCT>, then derive stats purely with
+    higher-order functions (aggregate / transform / array_max /
+    element_at) — the document-model pipeline shape (orders as nested
+    records, as a Delta/Iceberg silver table would store them). The
+    oracle computes the same stats relationally, so parity proves the
+    nested path is lossless: integer fold for quantity, decimal max for
+    price, element_at(1) for the first line after the deterministic
+    array_sort (linenumbers repeat within synthetic orders, so the sort
+    key — and the oracle's matching row_number — is the full
+    (ln, qty, price) struct order, not linenumber alone). At scale the collect_list is bounded by lines-per-order
+    (~7), not data size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("ln"),
+                    F.col("l_quantity").cast("bigint").alias("qty"),
+                    dec("l_extendedprice").alias("price"),
+                )
+            )
+        ).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("lines").cast("int").alias("n_lines"),
+        F.aggregate(
+            F.transform("lines", lambda x: x["qty"]),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_qty"),
+        F.array_max(F.transform("lines", lambda x: x["price"]))
+        .cast("double")
+        .alias("max_price"),
+        F.element_at("lines", 1)["qty"].alias("first_line_qty"),
+    )

@@ -248,3 +248,81 @@ def scd2_apply_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_cols=["c_name", "c_acctbal"],
         effective_ts="2024-06-01 00:00:00",
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value / 100) AS BIGINT) AS tier
+        FROM events WHERE event_type = 'purchase'
+    ),
+    changed AS (
+        SELECT * FROM (
+            SELECT user_id, ts, event_id, tier,
+                   lag(tier) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS ptier
+            FROM purchases
+        ) WHERE ptier IS NULL OR tier <> ptier
+    ),
+    dim AS (
+        SELECT user_id, tier, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM changed
+    )
+    SELECT c.event_id, c.user_id, d.tier,
+           d.valid_from IS NOT NULL AS matched
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    LEFT JOIN dim d
+      ON c.user_id = d.user_id
+     AND c.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (effective-dated) dimension lookup: every click
+    event joins the SCD2 version of its user's purchase tier that was
+    valid AT the click's timestamp — the query pattern SCD2 history
+    exists to serve, composed from the same scd2_rebuild operator the
+    rebuild query registers (operators/scd2.py; reference
+    dbt/macros/scd2_helpers.sql). The versioned ranges are half-open
+    [valid_from, valid_to), so exactly one version matches (left join
+    keeps pre-first-purchase clicks with NULL tier). The banded join is
+    user-keyed first, so the range predicate only scans that user's few
+    versions — same shape as operators/asof.py's range join."""
+    from ..operators.scd2 import scd2_rebuild
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 100).cast("bigint").alias("tier"),
+    )
+    dim = scd2_rebuild(
+        purchases,
+        key_cols=["user_id"],
+        attr_cols=["tier"],
+        ts_col="ts",
+        tiebreakers=["event_id"],
+    ).select(
+        F.col("user_id").alias("d_user"), "tier", "valid_from", "valid_to"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return clicks.join(
+        dim,
+        (clicks.user_id == dim.d_user)
+        & (clicks.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (clicks.ts < dim.valid_to)),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "tier",
+        F.col("valid_from").isNotNull().alias("matched"),
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.multimodal import extract_image_features, synthesize_media
 from ..functions.similarity import ann_lsh_topk, as_double_array, cosine_topk_brute, l2_norm
@@ -336,4 +337,55 @@ def hof_array_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("filter(v, x -> x > 0)")).alias("n_pos"),
         F.round(l2, 6).alias("l2_norm"),
         F.round(dot_rev, 6).alias("dot_reversed"),
+    )
+
+
+@register(
+    "quantile_normalize_embeddings",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT vec_id, dim, val,
+               CAST(row_number() OVER (PARTITION BY dim ORDER BY val, vec_id)
+                    AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+        FROM dims
+    )
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(rnk AS DOUBLE) / (n + 1) AS pct_rank
+    FROM ranked
+    """,
+)
+def quantile_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile normalization of the embedding corpus: each
+    coordinate is replaced by its rank-based percentile rank/(n+1) within
+    that dimension — the preprocessing that makes cosine/L2 robust to
+    per-dimension scale drift between embedding model versions. posexplode
+    turns the vector column into (vec_id, dim, val) triples (DuckDB's
+    parallel unnest-with-range zips identically, 0-based both sides);
+    the per-dim rank has a vec_id tiebreak so equal values order
+    deterministically. One explode + one dim-keyed window: at scale dims
+    are the partition key, so the sort is |corpus| per dim, spread over
+    64 parallel partitions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    )
+    w = Window.partitionBy("dim").orderBy("val", "vec_id")
+    wn = Window.partitionBy("dim")
+    ranked = dims.select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    return ranked.select(
+        "vec_id",
+        "dim",
+        (F.col("rnk").cast("double") / (F.col("n") + 1)).alias("pct_rank"),
     )
