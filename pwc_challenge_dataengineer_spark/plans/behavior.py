@@ -776,3 +776,98 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_s"
         ),
     )
+
+
+@register(
+    "cuped_adjusted_lift",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DECIMAL(18,2)) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                             THEN CAST(value AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DECIMAL(18,2)) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pooled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx
+        FROM per_user
+    ),
+    theta AS (
+        SELECT n, sx,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS th
+        FROM pooled
+    )
+    SELECT CAST(p.variant AS INT) AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(p.y) AS DOUBLE) / COUNT(*) AS mean_y,
+           CAST(SUM(p.y) AS DOUBLE) / COUNT(*)
+             - ANY_VALUE(t.th)
+               * (CAST(SUM(p.x) AS DOUBLE) / COUNT(*)
+                  - ANY_VALUE(t.sx) / ANY_VALUE(t.n)) AS mean_y_cuped
+    FROM per_user p CROSS JOIN theta t
+    GROUP BY p.variant
+    """,
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: adjust each
+    variant's outcome mean (second-half-of-month spend) by
+    theta * (pre-period mean - global pre-period mean), with theta =
+    cov(x,y)/var(x) estimated from pooled exact-decimal moment sums —
+    the standard trick that cuts experiment variance using pre-exposure
+    behavior. Per-user totals re-cast to DECIMAL(18,2) (scale already 2,
+    so no rounding) keep the cross-moments inside the 38-digit cap;
+    every post-aggregation float op is the identical expression tree in
+    both engines. Complements ab_test_zscore: same split, adjusted
+    estimator."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    vdec = F.col("value").cast("decimal(18,2)")
+    per_user = events.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.sum(F.when(F.col("ts") < cutoff, vdec).otherwise(zero))
+        .cast("decimal(18,2)")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, vdec).otherwise(zero))
+        .cast("decimal(18,2)")
+        .alias("y"),
+    )
+    pooled = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    theta = pooled.select(
+        "n",
+        "sx",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+    )
+    mean_y = F.sum("y").cast("double") / F.count("*")
+    mean_x = F.sum("x").cast("double") / F.count("*")
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy(F.col("variant").cast("int").alias("variant"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            mean_y.alias("mean_y"),
+            (
+                mean_y
+                - F.any_value("th") * (mean_x - F.any_value("sx") / F.any_value("n"))
+            ).alias("mean_y_cuped"),
+        )
+    )

@@ -635,3 +635,81 @@ def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_daily_rev",
         (F.col("avg_daily_rev") / F.col("overall_avg")).alias("seasonality_index"),
     )
+
+
+@register(
+    "basket_jaccard_yoy",
+    oracle="""
+    WITH b96 AS (
+        SELECT DISTINCT o_custkey AS cust, p_brand
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    b97 AS (
+        SELECT DISTINCT o_custkey AS cust, p_brand
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    u AS (
+        SELECT COALESCE(a.cust, b.cust) AS cust,
+               a.p_brand IS NOT NULL AS in96,
+               b.p_brand IS NOT NULL AS in97
+        FROM b96 a FULL OUTER JOIN b97 b
+          ON a.cust = b.cust AND a.p_brand = b.p_brand
+    )
+    SELECT cust,
+           CAST(COUNT(CASE WHEN in96 THEN 1 END) AS BIGINT) AS n96,
+           CAST(COUNT(CASE WHEN in97 THEN 1 END) AS BIGINT) AS n97,
+           CAST(COUNT(CASE WHEN in96 AND in97 THEN 1 END) AS BIGINT) AS n_both,
+           CAST(COUNT(CASE WHEN in96 AND in97 THEN 1 END) AS DOUBLE)
+               / COUNT(*) AS jaccard
+    FROM u GROUP BY cust
+    """,
+)
+def basket_jaccard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year brand-basket stability: per customer, the Jaccard
+    similarity between the set of brands bought in 1996 and in 1997 —
+    the loyalty/assortment-drift metric. Set algebra runs as a full
+    outer join on (customer, brand) with presence flags (|union| is the
+    row count, |intersect| the both-flag count), so no array
+    materialization and one shuffle on the composite key. Integer
+    counts; one division. Customers active in only one year score 0."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def brands(y0: str, y1: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(y0).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(y1).cast("timestamp"))
+            )
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .select(F.col("o_custkey").alias("cust"), "p_brand")
+            .distinct()
+        )
+    a = brands("1996-01-01", "1997-01-01").withColumnRenamed("p_brand", "brand_a")
+    b = brands("1997-01-01", "1998-01-01").select(
+        F.col("cust").alias("cust_b"), F.col("p_brand").alias("brand_b")
+    )
+    u = a.join(
+        b,
+        (a.cust == b.cust_b) & (F.col("brand_a") == F.col("brand_b")),
+        "full_outer",
+    ).select(
+        F.coalesce("cust", "cust_b").alias("cust"),
+        F.col("brand_a").isNotNull().alias("in96"),
+        F.col("brand_b").isNotNull().alias("in97"),
+    )
+    both = F.count(F.when(F.col("in96") & F.col("in97"), 1))
+    return u.groupBy("cust").agg(
+        F.count(F.when(F.col("in96"), 1)).cast("bigint").alias("n96"),
+        F.count(F.when(F.col("in97"), 1)).cast("bigint").alias("n97"),
+        both.cast("bigint").alias("n_both"),
+        (both.cast("double") / F.count("*")).alias("jaccard"),
+    )

@@ -454,3 +454,75 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "rolling_corr_rev_orders",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    framed AS (
+        SELECT day,
+               CAST(row_number() OVER w_ord AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(rev) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(CAST(cnt AS DECIMAL(18,0))) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(rev * CAST(cnt AS DECIMAL(18,0))) OVER w AS DOUBLE) AS sxy,
+               CAST(SUM(rev * rev) OVER w AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(cnt AS DECIMAL(18,0))
+                        * CAST(cnt AS DECIMAL(18,0))) OVER w AS DOUBLE) AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+               w_ord AS (ORDER BY day)
+    )
+    SELECT day,
+           (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS corr_7d
+    FROM framed WHERE rn >= 7
+    """,
+)
+def rolling_corr_rev_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling Pearson correlation between daily revenue
+    and daily order count — the co-movement diagnostic behind 'is average
+    order value drifting'. Every frame statistic (Σx, Σy, Σxy, Σx², Σy²)
+    accumulates in exact DECIMAL inside the window (decimal window sums
+    are exact integers underneath in both engines, immune to each
+    engine's frame-evaluation order), and the correlation closed form
+    then runs identical IEEE ops — sqrt is correctly-rounded — on
+    identical doubles. Partial leading frames (rn < 7) are excluded so
+    no zero-variance division arises. One date-grain aggregate, one
+    ordered window over |days| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(dec("o_totalprice")).alias("rev"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    cnt_dec = F.col("cnt").cast("decimal(18,0)")
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    w_ord = Window.orderBy("day")
+    framed = daily.select(
+        "day",
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("rev").over(w).cast("double").alias("sx"),
+        F.sum(cnt_dec).over(w).cast("double").alias("sy"),
+        F.sum(F.col("rev") * cnt_dec).over(w).cast("double").alias("sxy"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).cast("double").alias("sxx"),
+        F.sum(cnt_dec * cnt_dec).over(w).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return framed.filter(F.col("rn") >= 7).select(
+        "day",
+        (
+            (n * F.col("sxy") - sx * sy)
+            / (
+                F.sqrt(n * F.col("sxx") - sx * sx)
+                * F.sqrt(n * F.col("syy") - sy * sy)
+            )
+        ).alias("corr_7d"),
+    )
