@@ -871,3 +871,61 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_y_cuped"),
         )
     )
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, ts, event_id,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_ts
+        FROM events
+    ),
+    spans AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(floor(epoch(next_ts)) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) AS dur_s
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS total_secs,
+           CAST(SUM(v * CAST(dur_s AS DECIMAL(10,0))) AS DOUBLE) / SUM(dur_s)
+               AS twap
+    FROM spans GROUP BY user_id
+    """,
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each reading is
+    weighted by how long it stayed current (until the next event), the
+    estimator that de-biases irregular sampling — a burst of readings in
+    one minute no longer dominates a quiet day. Complements
+    ewma_user_value (recency weighting) with duration weighting. The
+    value x duration products stay decimal x integer = exact; the final
+    division is one double op. One user-keyed window + one aggregate on
+    the same key — a single shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    spans = seq.select(
+        "user_id",
+        "v",
+        (F.unix_timestamp("next_ts") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("dur_s"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("dur_s").cast("bigint").alias("total_secs"),
+        (
+            F.sum(F.col("v") * F.col("dur_s").cast("decimal(10,0)")).cast("double")
+            / F.sum("dur_s")
+        ).alias("twap"),
+    )

@@ -529,3 +529,71 @@ def rfm_segmentation_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
         .alias("rfm_segment"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+        FROM orders GROUP BY 1
+    ),
+    cohort_sizes AS (
+        SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM firsts GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort_m,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+                   AS month_n,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort_m AS INT) AS cohort_m,
+           CAST(r.month_n AS INT) AS month_n,
+           s.cohort_users,
+           CAST(SUM(r.rev_dec) OVER (PARTITION BY r.cohort_m ORDER BY r.month_n
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / s.cohort_users AS cum_ltv_per_user
+    FROM rev r JOIN cohort_sizes s ON r.cohort_m = s.cohort_m
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV triangle: for each acquisition cohort (first-order
+    month), revenue per cohort member accumulated over months-since-
+    acquisition — the curve whose plateau IS the LTV estimate, the
+    payback-period chart every subscription/retail business draws.
+    Months are compared as year*12+month integers (Spark months_between
+    is fractional and DuckDB date_diff('month') is calendar-boundary —
+    neither matches the other; explicit integer arithmetic matches
+    itself). Decimal cumsum inside the per-cohort window; one division
+    by the integer cohort size. Shuffles: custkey (firsts), cohort join,
+    cohort-keyed window — each over progressively tinier data."""
+    orders = load_table(spark, sf_dir, "orders")
+    month_idx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(F.min(month_idx).alias("cohort_m"))
+    cohort_sizes = firsts.groupBy("cohort_m").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    rev = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_m", (month_idx - F.col("cohort_m")).alias("month_n")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.join(F.broadcast(cohort_sizes), "cohort_m").select(
+        F.col("cohort_m").cast("int").alias("cohort_m"),
+        F.col("month_n").cast("int").alias("month_n"),
+        "cohort_users",
+        (F.sum("rev_dec").over(w).cast("double") / F.col("cohort_users")).alias(
+            "cum_ltv_per_user"
+        ),
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.incremental import checksum_classify_changes
 from ..schemas import load_table
@@ -312,4 +313,50 @@ def range_join_purchase_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "purchase_id", "error_id", "user_id",
         F.col("p_ts").alias("purchase_ts"), F.col("e_ts").alias("error_ts"),
+    )
+
+
+@register(
+    "multi_source_merge",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, event_type, ts, value,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS src_priority
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts, value,
+           CAST(src_priority AS INT) AS src_priority
+    FROM tagged
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY src_priority, ts DESC, event_id DESC) = 1
+    """,
+)
+def multi_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source conflict resolution: when the same logical record
+    arrives from several feeds (even event_ids stand in for the
+    authoritative source, odd for the backfill), keep one row per
+    (user, event_type) by source priority first, recency second — the
+    golden-record survivorship rule of every MDM/ingest-merge pipeline.
+    A single composite-ordered window over the unioned feeds; at scale
+    this is one shuffle on the merge key regardless of source count
+    (sources union before the window, they don't join)."""
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(2).cast("int").alias(
+            "src_priority"
+        ),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "src_priority", F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

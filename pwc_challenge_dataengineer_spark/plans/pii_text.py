@@ -129,3 +129,54 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top, 6).alias("top_token_ratio"),
         ((ttr < 0.3) | (top > 0.1)).alias("is_repetitive"),
     )
+
+
+@register(
+    "k_anonymity_check",
+    oracle="""
+    WITH qi AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bucket
+        FROM customer
+    ),
+    joined AS (
+        SELECT q.c_nationkey, q.c_mktsegment, q.bal_bucket,
+               q.c_custkey, o.o_orderpriority
+        FROM qi q LEFT JOIN orders o ON q.c_custkey = o.o_custkey
+    )
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l,
+           COUNT(DISTINCT c_custkey) < 5 AS k_violation,
+           COUNT(DISTINCT o_orderpriority) < 3 AS l_violation
+    FROM joined
+    GROUP BY 1, 2, 3
+    """,
+)
+def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the quasi-identifier tuple
+    (nation, market segment, balance bucket): k = how many customers
+    share each QI combination (re-identification risk when k < 5), l =
+    how many distinct sensitive values (order priority) appear inside the
+    group (attribute-disclosure risk when l < 3). The privacy gate a
+    training-data pipeline runs before releasing per-customer features —
+    complements pii_redact (which scrubs direct identifiers; this audits
+    the indirect ones). Two distinct-counts share one QI-keyed shuffle;
+    integer thresholds, exact parity."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    qi = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_bucket"),
+    )
+    joined = qi.join(orders, qi.c_custkey == orders.o_custkey, "left")
+    k = F.count_distinct("c_custkey")
+    l = F.count_distinct("o_orderpriority")
+    return joined.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        k.cast("bigint").alias("k"),
+        l.cast("bigint").alias("l"),
+        (k < 5).alias("k_violation"),
+        (l < 3).alias("l_violation"),
+    )
