@@ -336,3 +336,99 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("k").cast("double") / F.count("*")).alias("avg_k"),
         F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
     )
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    WITH line_totals AS (
+        SELECT l_orderkey,
+               SUM((CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                   * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS charge_dec
+        FROM lineitem GROUP BY 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN charge_dec IS NULL THEN 1 END) AS BIGINT)
+               AS n_missing_lines,
+           CAST(COUNT(CASE WHEN abs(CAST(o_totalprice AS DECIMAL(18,2))
+                                    - charge_dec) <= CAST(0.01 AS DECIMAL(18,2))
+                           THEN 1 END) AS BIGINT) AS n_reconciled,
+           CAST(MAX(abs(CAST(o_totalprice AS DECIMAL(18,2)) - charge_dec))
+                AS DOUBLE) AS max_abs_diff
+    FROM orders LEFT JOIN line_totals ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: does each order header's total match the
+    sum of its line charges (extprice * (1-disc) * (1+tax)) within a
+    cent? The audit-balancing control every finance-grade pipeline runs
+    between fact grains — reported per order status as reconciled /
+    missing-lines / max divergence. All comparisons happen in exact
+    DECIMAL (the tolerance is a decimal literal), so the verdict is
+    engine-exact. One orderkey aggregate + one co-keyed left join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ) * (F.lit(1).cast("decimal(4,2)") + F.col("l_tax").cast("decimal(4,2)"))
+    line_totals = li.groupBy("l_orderkey").agg(F.sum(charge).alias("charge_dec"))
+    j = orders.join(line_totals, orders.o_orderkey == line_totals.l_orderkey, "left")
+    diff = F.abs(
+        F.col("o_totalprice").cast("decimal(18,2)") - F.col("charge_dec")
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.count(F.when(F.col("charge_dec").isNull(), 1))
+        .cast("bigint")
+        .alias("n_missing_lines"),
+        F.count(F.when(diff <= F.lit("0.01").cast("decimal(18,2)"), 1))
+        .cast("bigint")
+        .alias("n_reconciled"),
+        F.max(diff).cast("double").alias("max_abs_diff"),
+    )
+
+
+@register(
+    "cross_field_consistency",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(CASE WHEN l_shipdate < o_orderdate THEN 1 END) AS BIGINT)
+               AS n_ship_before_order,
+           CAST(COUNT(CASE WHEN l_shipdate >= o_orderdate
+                            AND date_diff('day', o_orderdate, l_shipdate) <= 180
+                           THEN 1 END) AS BIGINT) AS n_within_sla,
+           CAST(COUNT(CASE WHEN l_shipdate >= o_orderdate
+                            AND date_diff('day', o_orderdate, l_shipdate) <= 180
+                           THEN 1 END) AS DOUBLE) / COUNT(*) AS sla_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def cross_field_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field (inter-table) consistency rule: a line must not ship
+    before its order exists, and should ship within the 180-day SLA —
+    the temporal-integrity check that single-column dbt tests
+    (value_range_check, accepted_values_check) can't express because it
+    relates two columns across a join. Reported per priority class with
+    violation and SLA-hit counts; integer day arithmetic, one division.
+    One co-keyed join + aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    before = F.col("l_shipdate") < F.col("o_orderdate")
+    within = (~before) & (
+        F.datediff("l_shipdate", "o_orderdate") <= 180
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.count(F.when(before, 1)).cast("bigint").alias("n_ship_before_order"),
+        F.count(F.when(within, 1)).cast("bigint").alias("n_within_sla"),
+        (F.count(F.when(within, 1)).cast("double") / F.count("*")).alias(
+            "sla_rate"
+        ),
+    )

@@ -168,3 +168,68 @@ def fact_sale_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             (profit / total).alias("margin_percentage"),
         )
     )
+
+
+@register(
+    "late_dim_repair",
+    oracle="""
+    WITH partial_dim AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    phase1 AS (
+        SELECT o_orderkey,
+               COALESCE(d.c_custkey, -1) AS member_key_p1
+        FROM orders LEFT JOIN partial_dim d ON o_custkey = d.c_custkey
+    ),
+    phase2 AS (
+        SELECT p.o_orderkey, p.member_key_p1,
+               COALESCE(d.c_custkey, -1) AS member_key_p2
+        FROM phase1 p
+        JOIN orders o ON p.o_orderkey = o.o_orderkey
+        LEFT JOIN customer d ON o.o_custkey = d.c_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_facts,
+           CAST(COUNT(CASE WHEN member_key_p1 = -1 THEN 1 END) AS BIGINT)
+               AS unknown_after_load,
+           CAST(COUNT(CASE WHEN member_key_p1 = -1 AND member_key_p2 <> -1
+                           THEN 1 END) AS BIGINT) AS repaired,
+           CAST(COUNT(CASE WHEN member_key_p2 = -1 THEN 1 END) AS BIGINT)
+               AS still_unknown
+    FROM phase2
+    """,
+)
+def late_dim_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling: facts loaded before their
+    dimension member exists take the 'unknown member' (-1) surrogate,
+    then a repair pass re-resolves them once the dim catches up — the
+    standard inferred-member pattern (Kimball) behind every streaming
+    star schema. Simulated by hiding every 11th customer during phase 1
+    and restoring the full dim in phase 2; the report counts
+    unknown->repaired transitions. Both phases are broadcast dim joins;
+    the repair re-touches only rows, not history rewrites."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    partial = cust.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("p1_key")
+    )
+    full = cust.select(F.col("c_custkey").alias("p2_key"))
+    j = (
+        orders.join(F.broadcast(partial), orders.o_custkey == F.col("p1_key"), "left")
+        .join(F.broadcast(full), orders.o_custkey == F.col("p2_key"), "left")
+        .select(
+            F.coalesce("p1_key", F.lit(-1)).alias("m1"),
+            F.coalesce("p2_key", F.lit(-1)).alias("m2"),
+        )
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_facts"),
+        F.count(F.when(F.col("m1") == -1, 1)).cast("bigint").alias(
+            "unknown_after_load"
+        ),
+        F.count(F.when((F.col("m1") == -1) & (F.col("m2") != -1), 1))
+        .cast("bigint")
+        .alias("repaired"),
+        F.count(F.when(F.col("m2") == -1, 1)).cast("bigint").alias(
+            "still_unknown"
+        ),
+    )

@@ -75,6 +75,18 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (built into Spark; same pushdown/pruning surface as parquet —
+    PushedFilters + ReadSchema apply identically)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Line-oriented (or whole-file) text scan — the raw-corpus entry point
+    for document pipelines before any parsing."""
+    return spark.read.option("wholetext", str(wholetext).lower()).text(path)
+
+
 def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> DataFrame:
     """Excel → pandas → Spark. Driver-side read: acceptable only for small
     reference workbooks (the reference does the same)."""

@@ -95,3 +95,25 @@ def test_partitioned_outputs(spark, medallion):
     assert "invoice_year" in silver_back.columns  # partition column round-trips
     gold_back = spark.read.parquet(str(root / "gold" / "sales_summary"))
     assert gold_back.filter(F.col("country") == "France").count() == 1
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """ORC sink/scan parity: writing the nation dim to ORC and reading it
+    back yields the identical rowset the parquet scan gives."""
+    from pwc_challenge_dataengineer_spark.sources.readers import read_orc
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    assert back.schema == src.schema
+
+
+def test_text_reader_lines(spark, tmp_path):
+    from pwc_challenge_dataengineer_spark.sources.readers import read_text
+
+    p = tmp_path / "docs.txt"
+    p.write_text("alpha beta\ngamma\n")
+    out = read_text(spark, str(p))
+    assert sorted(r.value for r in out.collect()) == ["alpha beta", "gamma"]
