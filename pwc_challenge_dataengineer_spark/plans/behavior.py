@@ -929,3 +929,63 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dur_s")
         ).alias("twap"),
     )
+
+
+@register(
+    "itemset_triples_support",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events)
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           c.event_type AS item_c,
+           CAST(COUNT(*) AS BIGINT) AS n_cooccur,
+           round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(n.n_users), 6) AS support
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN ut c ON b.user_id = c.user_id AND b.event_type < c.event_type
+    CROSS JOIN n
+    GROUP BY 1, 2, 3
+    """,
+)
+def itemset_triples_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=3 Apriori level: support of event-type triples per user
+    population, extending itemset_pairs_support one join deeper. The
+    a<b<c canonical ordering dedups permutations; both self-joins stay
+    on the user_id shuffle key, so the chain is co-partitioned — the
+    per-user blowup is (items-per-user choose 3), bounded by the tiny
+    item vocabulary, never by |events|."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    n = events.agg(F.count_distinct("user_id").alias("n_users"))
+    a, b, c = ut.alias("a"), ut.alias("b"), ut.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .join(
+            c,
+            (F.col("b.user_id") == F.col("c.user_id"))
+            & (F.col("b.event_type") < F.col("c.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+            F.col("c.event_type").alias("item_c"),
+        )
+    )
+    return (
+        triples.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").alias("n_cooccur"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            F.col("n_cooccur").cast("bigint").alias("n_cooccur"),
+            F.round(
+                F.col("n_cooccur").cast("double") / F.col("n_users"), 6
+            ).alias("support"),
+        )
+    )

@@ -713,3 +713,212 @@ def basket_jaccard_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         both.cast("bigint").alias("n_both"),
         (both.cast("double") / F.count("*")).alias("jaccard"),
     )
+
+
+@register(
+    "inter_order_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+                    AS BIGINT) AS gap_days,
+               o_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    g AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL),
+    ranked AS (
+        SELECT gap_days,
+               CAST(row_number() OVER (ORDER BY gap_days, o_custkey, o_orderkey)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM g
+    )
+    SELECT MAX(n) AS n_gaps,
+           MIN(gap_days) AS min_days,
+           MAX(gap_days) AS max_days,
+           CAST(SUM(gap_days) AS DOUBLE) / MAX(n) AS avg_days,
+           MIN(CASE WHEN rn = (n + 1) // 2 THEN gap_days END) AS p50_days,
+           MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_days END) AS p90_days
+    FROM ranked
+    """,
+)
+def inter_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of days between a
+    customer's consecutive orders (lag window per customer), summarized
+    with exact discrete p50/p90 via position pick — the replenishment-
+    cycle input to reorder-reminder and churn-window models. Integer day
+    arithmetic end-to-end; one customer-keyed window, then a global rank
+    over |orders - customers| gap rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    ranked = gaps.select(
+        "gap_days",
+        F.row_number()
+        .over(Window.orderBy("gap_days", "o_custkey", "o_orderkey"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_gaps"),
+        F.min("gap_days").alias("min_days"),
+        F.max("gap_days").alias("max_days"),
+        (F.sum("gap_days").cast("double") / F.max("n")).alias("avg_days"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_days"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("gap_days"))
+        ).alias("p90_days"),
+    )
+
+
+@register(
+    "segment_migration_matrix",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                         AND o_orderdate < TIMESTAMP '1997-01-01'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS s96,
+               SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                         AND o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS s97
+        FROM orders GROUP BY 1
+        HAVING s96 > 0 AND s97 > 0
+    ),
+    tiers AS (
+        SELECT o_custkey,
+               CAST(ntile(3) OVER (ORDER BY s96, o_custkey) AS INT) AS tier96,
+               CAST(ntile(3) OVER (ORDER BY s97, o_custkey) AS INT) AS tier97
+        FROM spend
+    )
+    SELECT tier96, tier97, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM tiers GROUP BY 1, 2
+    """,
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-tier migration matrix: tercile of 1996 spend vs
+    tercile of 1997 spend for customers active in both years — the
+    upgrade/downgrade flow behind 'are our best customers staying'.
+    ntile has the same fill-first definition in both engines and the
+    custkey tiebreak pins boundary assignment; spends are exact decimal
+    sums. The unpartitioned ntile runs over |active customers|
+    post-aggregation (the quantile_bucket scale path applies beyond
+    that). One custkey shuffle + one 9-cell aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(18,2)")
+
+    def year_spend(y0: str, y1: str):
+        in_year = (F.col("o_orderdate") >= F.lit(y0).cast("timestamp")) & (
+            F.col("o_orderdate") < F.lit(y1).cast("timestamp")
+        )
+        return F.sum(F.when(in_year, dec("o_totalprice")).otherwise(zero))
+
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            year_spend("1996-01-01", "1997-01-01").alias("s96"),
+            year_spend("1997-01-01", "1998-01-01").alias("s97"),
+        )
+        .filter((F.col("s96") > 0) & (F.col("s97") > 0))
+    )
+    tiers = spend.select(
+        F.ntile(3).over(Window.orderBy("s96", "o_custkey")).cast("int").alias("tier96"),
+        F.ntile(3).over(Window.orderBy("s97", "o_custkey")).cast("int").alias("tier97"),
+    )
+    return tiers.groupBy("tier96", "tier97").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
+@register(
+    "new_customer_revenue_share",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(year(o_orderdate)) AS first_year
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN year(o.o_orderdate) = f.first_year
+                         THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS new_customer_revenue,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_revenue,
+           CAST(SUM(CASE WHEN year(o.o_orderdate) = f.first_year
+                         THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS new_share
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1
+    """,
+)
+def new_customer_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth quality: per year, the share of revenue from customers
+    acquired that year vs the existing base — the acquisition-vs-
+    retention revenue split. First-order year derived once per customer
+    and joined back (both aggregations share the custkey shuffle);
+    conditional decimal sums; one division of deterministic doubles per
+    year row."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("first_year")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    j = orders.join(firsts, "o_custkey")
+    is_new = F.year("o_orderdate") == F.col("first_year")
+    new_rev = F.sum(F.when(is_new, dec("o_totalprice")).otherwise(zero)).cast(
+        "double"
+    )
+    tot_rev = F.sum(dec("o_totalprice")).cast("double")
+    return j.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        new_rev.alias("new_customer_revenue"),
+        tot_rev.alias("total_revenue"),
+        (new_rev / tot_rev).alias("new_share"),
+    )
+
+
+@register(
+    "discount_band_effects",
+    oracle="""
+    SELECT CAST(round(l_discount * 100) AS INT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def discount_band_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-response profile: average quantity and line price per
+    discount percentage point — the raw table behind any price-
+    elasticity fit. The discount doubles are exact hundredths, so
+    round(x*100) buckets identically in both engines. Single map-side-
+    combinable aggregate over the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias(
+            "avg_price"
+        ),
+    )
