@@ -829,3 +829,35 @@ def nested_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_price"),
         F.element_at("lines", 1)["qty"].alias("first_line_qty"),
     )
+
+
+@register(
+    "pivot_multi_agg",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN {REV_DEC_SQL} END) AS DOUBLE) AS A_revenue,
+           CAST(COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS BIGINT) AS A_n,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN {REV_DEC_SQL} END) AS DOUBLE) AS N_revenue,
+           CAST(COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS BIGINT) AS N_n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {REV_DEC_SQL} END) AS DOUBLE) AS R_revenue,
+           CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS BIGINT) AS R_n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (revenue + count
+    per return flag) — Spark names the spread columns {value}_{agg
+    alias}, and the oracle mirrors that contract with conditional
+    aggregates. Same explicit-value-list rule as pivot_returnflag: never
+    let the engine scan for distinct pivot values at scale. One
+    map-side-combinable aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(
+            F.sum(rev_dec()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

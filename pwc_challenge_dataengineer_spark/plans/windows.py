@@ -526,3 +526,159 @@ def rolling_corr_rev_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_7d"),
     )
+
+
+@register(
+    "longest_revenue_decline",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    ),
+    flagged AS (
+        SELECT month, rev,
+               CASE WHEN rev < lag(rev) OVER (ORDER BY month)
+                    THEN 1 ELSE 0 END AS declining,
+               CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS rn
+        FROM monthly
+    ),
+    islands AS (
+        SELECT month, rn,
+               rn - CAST(SUM(declining) OVER (ORDER BY month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS grp
+        FROM flagged WHERE declining = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_decline_runs,
+           CAST(COALESCE(MAX(run_len), 0) AS BIGINT) AS longest_decline_months,
+           MIN(first_month) AS earliest_decline_start
+    FROM (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS run_len,
+               MIN(month) AS first_month
+        FROM islands GROUP BY grp
+    )
+    """,
+)
+def longest_revenue_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive month-over-month revenue declines —
+    gaps-and-islands on a CONDITION (rev < prev) rather than on calendar
+    adjacency (user_activity_streaks' variant): declining months group by
+    rn minus the running count of declines, which is constant exactly
+    within a maximal consecutive run. Decimal comparisons, integer island
+    arithmetic. Everything after the month rollup is a |months|-row
+    computation."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev"))
+    w = Window.orderBy("month")
+    flagged = monthly.select(
+        "month",
+        F.when(F.col("rev") < F.lag("rev").over(w), 1).otherwise(0).alias(
+            "declining"
+        ),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    islands = flagged.filter(F.col("declining") == 1).select(
+        "month",
+        (
+            F.col("rn")
+            - F.sum("declining")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint")
+        ).alias("grp"),
+    )
+    runs = islands.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("run_len"),
+        F.min("month").alias("first_month"),
+    )
+    return runs.agg(
+        F.count("*").cast("bigint").alias("n_decline_runs"),
+        F.coalesce(F.max("run_len"), F.lit(0)).cast("bigint").alias(
+            "longest_decline_months"
+        ),
+        F.min("first_month").alias("earliest_decline_start"),
+    )
+
+
+@register(
+    "remaining_backlog",
+    oracle="""
+    SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+               AS remaining_spend,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+               AS remaining_orders
+    FROM orders
+    """,
+)
+def remaining_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse running total: from each order forward, the customer's
+    remaining lifetime spend and order count — the CURRENT ROW TO
+    UNBOUNDED FOLLOWING frame (running_total's mirror), the shape behind
+    remaining-contract-value and burn-down reports. Exact decimal window
+    sums; one customer-keyed sort window."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("remaining_spend"),
+        F.count("*").over(w).cast("bigint").alias("remaining_orders"),
+    )
+
+
+@register(
+    "nth_order_value",
+    oracle="""
+    SELECT o_custkey AS customer_id,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders,
+           CAST(nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 3) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS DOUBLE) AS third_order_value
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+)
+def nth_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-order value per customer via nth_value over the full
+    partition frame (NULL for customers with fewer than three orders) —
+    the onboarding-milestone metric ('what does the third purchase look
+    like'). nth_value needs the explicit unbounded-both-ends frame in
+    both engines or the default running frame truncates it; one row per
+    customer via the same keep-first window. Single shuffle, both
+    windows share it."""
+    orders = load_table(spark, sf_dir, "orders")
+    order_w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = order_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("customer_id"),
+            F.count("*")
+            .over(Window.partitionBy("o_custkey"))
+            .cast("bigint")
+            .alias("n_orders"),
+            F.nth_value(dec("o_totalprice"), 3)
+            .over(full)
+            .cast("double")
+            .alias("third_order_value"),
+            F.row_number().over(order_w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
