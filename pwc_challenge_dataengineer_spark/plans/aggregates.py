@@ -861,3 +861,68 @@ def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "tail_risk_orders",
+    oracle="""
+    WITH ranked AS (
+        SELECT n_name AS nation,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(row_number() OVER (PARTITION BY n_name
+                                       ORDER BY o_totalprice, o_orderkey)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT nation,
+           MAX(n) AS n_orders,
+           CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN price END)
+                AS DOUBLE) AS p99,
+           CAST(SUM(CASE WHEN rn > n - (n + 99) // 100 THEN price END)
+                AS DOUBLE) / MAX((n + 99) // 100) AS tail_mean
+    FROM ranked
+    GROUP BY nation
+    """,
+)
+def tail_risk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-risk profile per nation: exact discrete p99 order value plus
+    the mean of the top 1% (the CVaR/expected-shortfall companion — p99
+    says where the tail starts, tail_mean says how bad it is inside).
+    Both statistics are position-picked with integer arithmetic
+    ((99n+99)//100 and a top-k band of (n+99)//100 rows), summed in
+    exact decimal, divided once. One sort window per nation over
+    post-join rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), dec("o_totalprice").alias("price"), "o_orderkey")
+    )
+    w = Window.partitionBy("nation").orderBy("price", "o_orderkey")
+    wn = Window.partitionBy("nation")
+    ranked = base.select(
+        "nation",
+        "price",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    k = F.expr("(n + 99) div 100")
+    return ranked.groupBy("nation").agg(
+        F.max("n").alias("n_orders"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("price"))
+        )
+        .cast("double")
+        .alias("p99"),
+        (
+            F.sum(F.when(F.col("rn") > F.col("n") - k, F.col("price"))).cast(
+                "double"
+            )
+            / F.max(k)
+        ).alias("tail_mean"),
+    )

@@ -989,3 +989,45 @@ def itemset_triples_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("support"),
         )
     )
+
+
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH dau AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM events GROUP BY 1
+    ),
+    mau AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(dau) AS BIGINT) AS dau_days_sum,
+           ANY_VALUE(mau) AS mau,
+           (CAST(SUM(dau) AS DOUBLE) / COUNT(*)) / ANY_VALUE(mau)
+               AS stickiness
+    FROM dau CROSS JOIN mau
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness: average daily active users divided by monthly
+    actives — the engagement-frequency ratio on every growth dashboard
+    (the events table spans one month, so MAU is the global distinct).
+    Two distinct-count aggregates; the ratio divides deterministic
+    integer-derived doubles. At scale the daily distincts shuffle on
+    (day) after per-partition partial distinct; the HLL-sketch variant
+    (hll_distinct_users) is the approximate fallback."""
+    events = load_table(spark, sf_dir, "events")
+    dau = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    mau = events.agg(F.count_distinct("user_id").cast("bigint").alias("mau"))
+    return dau.crossJoin(F.broadcast(mau)).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_days_sum"),
+        F.any_value("mau").alias("mau"),
+        (
+            (F.sum("dau").cast("double") / F.count("*")) / F.any_value("mau")
+        ).alias("stickiness"),
+    )

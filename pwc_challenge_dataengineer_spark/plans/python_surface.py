@@ -125,3 +125,55 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE t.pos < 5
         """
     )
+
+
+@register(
+    "arrow_vector_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           round(sqrt(list_reduce(
+               list_prepend(0.0::DOUBLE,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+               (acc, x) -> acc + x)), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms computed through mapInArrow — the zero-copy Arrow-native
+    Python path (one step lower-level than pandas UDFs: raw RecordBatch
+    in, RecordBatch out, no pandas conversion). Same statistic as
+    vector_norms (HOF fold) but exercising the third Python execution
+    surface after pandas_udf and applyInPandas; the Python loop
+    replicates the identical left fold with zero seed that the oracle's
+    list_reduce runs, so even this crosses the engine boundary
+    hash-exact. Embarrassingly parallel: one batch in, one batch out,
+    no shuffle at any scale."""
+    import math
+
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_pylist()
+            arrs = batch.column("embedding").to_pylist()
+            out_n, out_norm = [], []
+            for a in arrs:
+                acc = 0.0
+                for x in a:
+                    xd = float(x)
+                    acc = acc + xd * xd
+                out_n.append(len(a))
+                out_norm.append(round(math.sqrt(acc), 6))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vec_ids, pa.int64()),
+                    pa.array(out_n, pa.int32()),
+                    pa.array(out_norm, pa.float64()),
+                ],
+                names=["vec_id", "n_dims", "l2_norm"],
+            )
+
+    return emb.mapInArrow(norms, "vec_id bigint, n_dims int, l2_norm double")
