@@ -79,16 +79,18 @@ def funnel(
         counts = counts.unionByName(df)
     # the window runs over len(stages) rows — scale-safe despite no partition
     w = Window.orderBy("stage_index")
+    prev = F.lag("users").over(w).cast("double")
+    first = F.first("users").over(w).cast("double")
+    # zero-guards: an empty stage (quiet partition/day) must yield NULL
+    # ratios, not a DIVIDE_BY_ZERO under ANSI mode
     return counts.select(
         "stage_index",
         "stage",
         "users",
-        (
-            F.col("users").cast("double")
-            / F.lag("users").over(w).cast("double")
-        ).alias("conversion_from_prev"),
-        (
-            F.col("users").cast("double")
-            / F.first("users").over(w).cast("double")
-        ).alias("conversion_from_first"),
+        F.when(prev != 0, F.col("users").cast("double") / prev).alias(
+            "conversion_from_prev"
+        ),
+        F.when(first != 0, F.col("users").cast("double") / first).alias(
+            "conversion_from_first"
+        ),
     )

@@ -100,6 +100,7 @@ def scd2_apply(
     key_cols: list[str],
     attr_cols: list[str],
     effective_ts,
+    snapshot: bool = True,
 ) -> DataFrame:
     """Close-and-insert merge (Delta-MERGE emulation, both halves in one pass).
 
@@ -107,11 +108,19 @@ def scd2_apply(
       is_current False)
     - updated/new keys → fresh open version appended
     Distributed: one classify join + one broadcast-able semi/anti pattern.
+
+    ``snapshot`` declares what ``incoming`` IS: a full snapshot (default —
+    a key absent from it means the entity was deleted, so its current row
+    closes) or an incremental change batch (``snapshot=False`` — absent
+    keys are simply unchanged; an empty batch is then a no-op instead of
+    a mass close-out). Getting this wrong in the incremental direction is
+    the dangerous one, hence the explicit flag.
     """
     changes = scd2_classify_changes(
         current.filter(F.col("is_current")), incoming, key_cols, attr_cols
     )
-    closing_keys = changes.filter(F.col("change_type").isin("update", "delete")).select(key_cols)
+    closing_types = ["update", "delete"] if snapshot else ["update"]
+    closing_keys = changes.filter(F.col("change_type").isin(closing_types)).select(key_cols)
     new_keys = changes.filter(F.col("change_type").isin("update", "insert")).select(key_cols)
 
     closed = (
