@@ -64,6 +64,8 @@ _QUERY_MODULES = (
     "sketch_parity",
     "python_surface",
     "graph",
+    "attribution",
+    "timeseries",
     "tpch",
     "training_prep",
 )

@@ -151,3 +151,105 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees.groupBy("degree").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT agg.n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           tri.n_triangles,
+           agg.n_wedges,
+           CASE WHEN agg.n_wedges = 0 THEN 0.0
+                ELSE 3.0 * tri.n_triangles / agg.n_wedges
+           END AS global_clustering
+    FROM agg, tri
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edge = two parts
+    bought together in >= 2 distinct orders), plus the wedge count and
+    global clustering coefficient 3*triangles/wedges — the standard
+    community-structure diagnostic (ref has no graph surface; this is the
+    beyond-reference graph family with pagerank_bipartite).
+
+    Scale posture: the support-2 threshold prunes the hairball before any
+    multi-way join (same reason frequent-itemset miners prune by support);
+    triangles enumerate via two hash equi-joins over the canonically
+    oriented edge list (u < v), the textbook distributed algorithm — each
+    triangle counted exactly once, no node-local adjacency materialized.
+    For power-law graphs the refinement is degree-ordering the orientation
+    so high-degree hubs never fan out; the support threshold plays that
+    role on this co-purchase graph. Wedges are a closed form over the
+    degree histogram (integer-exact), so clustering needs no extra pass
+    over edges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    edges = edges.localCheckpoint()  # reused 4x below; ~|edges| small after prune
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    agg = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    out = agg.crossJoin(tri).crossJoin(n_edges)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+        )
+        .alias("global_clustering"),
+    )

@@ -1,0 +1,302 @@
+"""Classical time-series diagnostics over the daily revenue series
+(beyond-reference; complements cusum_monthly_revenue / rolling_corr /
+time_series_daily).
+
+- acf_daily_revenue    lag-1..7 autocorrelation of the daily revenue
+  series (observed days, consecutive-row lags) — the seasonality /
+  persistence diagnostic behind any forecasting choice.
+- bollinger_breakouts  7-day rolling mean +/- 2 sigma envelope with
+  breakout flags — the volatility-band anomaly detector.
+- max_drawdown_user    per-user running balance, running peak, and
+  maximum drawdown — the classic risk statistic, computed with two
+  stacked windows.
+
+Float parity (plans/_parity.py discipline): every sum that feeds a
+statistic accumulates in DECIMAL (exact in any partition order / engine),
+converts to DOUBLE once, and the closed forms are pure IEEE ops on
+identical operands. Daily revenue is quantized to DECIMAL(18,2) *before*
+any product so squares stay inside decimal precision bounds on both
+engines (Spark and DuckDB both round half-up for positive casts).
+
+Scale posture: the daily series is calendar-bounded (~2.4k rows at any
+SF), so its unpartitioned windows are trivially single-task; the per-user
+drawdown windows shuffle once on user_id. Nothing quadratic, nothing on
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import load_table
+from ._parity import rev_dec
+from .catalog import register
+
+# Daily revenue in exact 1e-4-dollar integer units. Quantizing the 4-decimal
+# per-row revenue DOWN to cents would hit half-cent ties that Spark (HALF_UP)
+# and DuckDB round differently; scaling UP to integers involves no rounding
+# at all, so the series is bit-identical across engines at any SF.
+_DAILY_SQL = """
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS DECIMAL(18,0))
+                        * CAST(100 - CAST(l_discount AS DECIMAL(18,2)) * 100
+                               AS DECIMAL(18,0)))
+                    AS DECIMAL(18,0)) AS r
+        FROM lineitem GROUP BY 1
+"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p100 = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    d100 = (
+        F.lit(100) - F.col("l_discount").cast("decimal(18,2)") * 100
+    ).cast("decimal(18,0)")
+    return li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.sum(p100 * d100).cast("decimal(18,0)").alias("r")
+    )
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    lagged AS (
+        SELECT r,
+               lag(r, 1) OVER (ORDER BY d) AS l1,
+               lag(r, 2) OVER (ORDER BY d) AS l2,
+               lag(r, 3) OVER (ORDER BY d) AS l3,
+               lag(r, 4) OVER (ORDER BY d) AS l4,
+               lag(r, 5) OVER (ORDER BY d) AS l5,
+               lag(r, 6) OVER (ORDER BY d) AS l6,
+               lag(r, 7) OVER (ORDER BY d) AS l7
+        FROM daily
+    ),
+    stacked AS (
+                  SELECT 1 AS k, r, l1 AS rl FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL SELECT 2, r, l2 FROM lagged WHERE l2 IS NOT NULL
+        UNION ALL SELECT 3, r, l3 FROM lagged WHERE l3 IS NOT NULL
+        UNION ALL SELECT 4, r, l4 FROM lagged WHERE l4 IS NOT NULL
+        UNION ALL SELECT 5, r, l5 FROM lagged WHERE l5 IS NOT NULL
+        UNION ALL SELECT 6, r, l6 FROM lagged WHERE l6 IS NOT NULL
+        UNION ALL SELECT 7, r, l7 FROM lagged WHERE l7 IS NOT NULL
+    ),
+    moments AS (
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(r) AS DOUBLE) AS sx,
+               CAST(SUM(rl) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(r AS DECIMAL(19,0)) * CAST(rl AS DECIMAL(19,0))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(rl AS DECIMAL(19,0)) * CAST(rl AS DECIMAL(19,0))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        FROM stacked GROUP BY 1
+    )
+    SELECT k, n_pairs,
+           (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                      * (CAST(n_pairs AS DOUBLE) * syy - sy * sy))
+               AS acf
+    FROM moments
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 sample autocorrelation of daily revenue. The five frame
+    moments accumulate in exact decimal and the Pearson closed form runs
+    once per lag in double — identical operands, identical IEEE result on
+    both engines, so no rounding is needed. The global window is safe: the
+    series has one row per calendar day."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("d")
+    lag_cols = [F.lag("r", k).over(w).alias(f"l{k}") for k in range(1, 8)]
+    lagged = daily.select("r", *lag_cols)
+    pairs = ", ".join(f"{k}, l{k}" for k in range(1, 8))
+    stacked = lagged.select(
+        "r", F.expr(f"stack(7, {pairs}) AS (k, rl)")
+    ).filter(F.col("rl").isNotNull())
+    moments = stacked.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("r").cast("double").alias("sx"),
+        F.sum("rl").cast("double").alias("sy"),
+        F.sum((F.col("r") * F.col("rl")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("rl") * F.col("rl")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    return moments.select(
+        "k",
+        "n_pairs",
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("acf"),
+    )
+
+
+@register(
+    "bollinger_breakouts",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    framed AS (
+        SELECT d, r,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n7,
+               CAST(SUM(r) OVER w AS DECIMAL(19,0)) AS s7,
+               CAST(SUM(CAST(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))
+                             AS DECIMAL(38,0))) OVER w AS DECIMAL(30,0)) AS q7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    vx AS (
+        SELECT d, r, s7,
+               q7 * CAST(7 AS DECIMAL(1,0)) - s7 * s7 AS v42x
+        FROM framed
+        WHERE n7 = 7
+    ),
+    vn AS (
+        SELECT d, r, s7,
+               CAST(CAST((v42x - v42x % 1000000) / 1000000 AS DECIMAL(26,0))
+                    AS DOUBLE) * 1e6
+                   + CAST(v42x % 1000000 AS DOUBLE) AS v42
+        FROM vx
+    )
+    SELECT d,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(s7 AS DOUBLE) / 7.0 AS mean7,
+           sqrt(v42 / 42.0) AS sd7,
+           CAST(CASE
+                WHEN CAST(r AS DOUBLE)
+                     > CAST(s7 AS DOUBLE) / 7.0 + 2.0 * sqrt(v42 / 42.0)
+                THEN 1
+                WHEN CAST(r AS DOUBLE)
+                     < CAST(s7 AS DOUBLE) / 7.0 - 2.0 * sqrt(v42 / 42.0)
+                THEN -1
+                ELSE 0 END AS INT) AS breakout
+    FROM vn
+    """,
+)
+def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily revenue: trailing 7-day mean and sample
+    std, breakout = +1/-1 when the day closes outside mean +/- 2 sigma.
+    The variance numerator 7*sum(x^2) - sum(x)^2 is catastrophically
+    cancelling in double (the two terms agree to ~10 digits), so it is
+    computed EXACTLY in decimal and converted to double once — otherwise
+    1-ulp differences in each engine's decimal->double cast blow up into
+    visible sd differences. Only full frames (7 observed days) emit."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    framed = daily.select(
+        "d",
+        "r",
+        F.count("*").over(w).cast("bigint").alias("n7"),
+        F.sum("r").over(w).cast("decimal(19,0)").alias("s7"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,0)"))
+        .over(w)
+        .cast("decimal(30,0)")
+        .alias("q7"),
+    ).filter(F.col("n7") == 7)
+    # v42 exceeds 2^53, and int128-decimal -> double casts are not
+    # correctly rounded in every engine; split into two exactly-double
+    # halves and recombine with two IEEE ops (both correctly rounded).
+    v42x = (
+        F.col("q7") * F.lit(7).cast("decimal(1,0)")
+        - F.col("s7") * F.col("s7")
+    )
+    lo = v42x % F.lit(1000000)
+    hi = ((v42x - lo) / F.lit(1000000)).cast("decimal(26,0)")
+    framed = framed.withColumn(
+        "v42", hi.cast("double") * F.lit(1e6) + lo.cast("double")
+    )
+    rd = F.col("r").cast("double")
+    mean7 = F.col("s7").cast("double") / F.lit(7.0)
+    sd7 = F.sqrt(F.col("v42") / F.lit(42.0))
+    return framed.select(
+        "d",
+        rd.alias("revenue"),
+        mean7.alias("mean7"),
+        sd7.alias("sd7"),
+        F.when(rd > mean7 + F.lit(2.0) * sd7, F.lit(1))
+        .when(rd < mean7 - F.lit(2.0) * sd7, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("breakout"),
+    )
+
+
+@register(
+    "max_drawdown_user",
+    oracle="""
+    WITH bal AS (
+        SELECT user_id, ts, event_id,
+               SUM(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS balance
+        FROM events
+    ),
+    dd AS (
+        SELECT user_id, balance,
+               MAX(balance)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM bal
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(peak - balance) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS peak_balance
+    FROM dd
+    GROUP BY 1
+    """,
+)
+def max_drawdown_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's running value balance: running
+    decimal cumsum, running peak over the same order, max(peak - balance).
+    Two stacked windows + one aggregate, all keyed on user_id — a single
+    shuffle, and every intermediate is exact decimal so the drawdown is
+    engine-invariant to the cent."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bal = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("balance"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = bal.select(
+        "user_id",
+        "balance",
+        F.max("balance").over(wp).alias("peak"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.col("peak") - F.col("balance"))
+        .cast("double")
+        .alias("max_drawdown"),
+        F.max("peak").cast("double").alias("peak_balance"),
+    )
