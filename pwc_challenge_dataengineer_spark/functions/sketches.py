@@ -125,12 +125,22 @@ def bloom_probe(
 
 
 def cms_build(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min cell table: (row, col, cnt). One pass — each input row
     contributes to ``depth`` cells via a small explode; partial aggregation
     collapses to d·w cells before the shuffle, so shuffle volume is the
-    sketch size, not the data size."""
+    sketch size, not the data size.
+
+    ``weight_col`` builds the sketch from PRE-AGGREGATED (key, count) rows
+    instead of the raw stream — cell counts are additive, so summing the
+    per-key weights into cells yields the identical sketch while reading
+    |keys| rows instead of |events| rows. This is the same monoid the
+    union+groupBy-sum merge uses."""
     key = F.col(key_col)
     cells = df.select(
         F.explode(
@@ -142,8 +152,11 @@ def cms_build(
                     for r in range(depth)
                 ]
             )
-        ).alias("rc")
-    ).select("rc.row", "rc.col")
+        ).alias("rc"),
+        *( [F.col(weight_col).alias("_w")] if weight_col else [] ),
+    ).select("rc.row", "rc.col", *(["_w"] if weight_col else []))
+    if weight_col:
+        return cells.groupBy("row", "col").agg(F.sum("_w").alias("cnt"))
     return cells.groupBy("row", "col").agg(F.count("*").alias("cnt"))
 
 

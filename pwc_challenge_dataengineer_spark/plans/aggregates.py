@@ -484,15 +484,23 @@ def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/sketches.py — d=4, w=64, md5 hash rows; cell tables are
     additive so sketches built per-partition/per-day merge by union+sum).
     With 5 distinct keys and w=64 the estimates equal the true counts unless
-    rows collide — the oracle proves the sketch algebra, not luck."""
+    rows collide — the oracle proves the sketch algebra, not luck.
+
+    One scan: events aggregate to per-key counts ONCE (the true_count the
+    query needs anyway), then the sketch is built FROM those counts via
+    cell additivity (cms_build weight_col — identical sketch, |keys| input
+    rows instead of |events|), probes are the same tiny frame, and both
+    final joins broadcast. r01 shape; the r02 regression (2.18×) came from
+    scanning events three times (sketch + distinct probes + true counts)."""
     from ..functions.sketches import cms_build, cms_estimate
 
     events = load_table(spark, sf_dir, "events")
-    sketch = cms_build(events, "event_type")
-    probes = events.select("event_type").distinct()
-    est = cms_estimate(sketch, probes, "event_type")
-    true_counts = events.groupBy("event_type").agg(F.count("*").alias("true_count"))
-    return est.join(true_counts, "event_type")
+    per_key = events.groupBy("event_type").agg(
+        F.count("*").alias("true_count")
+    )
+    sketch = cms_build(per_key, "event_type", weight_col="true_count")
+    est = cms_estimate(sketch, per_key.select("event_type"), "event_type")
+    return est.join(F.broadcast(per_key), "event_type")
 
 
 @register(

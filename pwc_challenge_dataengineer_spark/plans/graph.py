@@ -220,7 +220,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("u", "v")
     )
-    edges = edges.localCheckpoint()  # reused 4x below; ~|edges| small after prune
+    # Reused 4x below (~|edges| small after prune). eager=False keeps the
+    # plan-builder side-effect-free: materialization happens lazily on the
+    # first action, matching the registry's lazy-plan contract (an eager
+    # checkpoint here would run the edge-building job at DataFrame
+    # construction time, outside the bench's timed phase).
+    edges = edges.localCheckpoint(eager=False)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))

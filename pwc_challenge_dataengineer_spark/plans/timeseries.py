@@ -158,7 +158,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) OVER w AS BIGINT) AS n7,
                CAST(SUM(r) OVER w AS DECIMAL(19,0)) AS s7,
                CAST(SUM(CAST(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0))
-                             AS DECIMAL(38,0))) OVER w AS DECIMAL(30,0)) AS q7
+                             AS DECIMAL(38,0))) OVER w AS DECIMAL(38,0)) AS q7
         FROM daily
         WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     ),
@@ -170,9 +170,10 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vn AS (
         SELECT d, r, s7,
-               CAST(CAST((v42x - v42x % 1000000) / 1000000 AS DECIMAL(26,0))
-                    AS DOUBLE) * 1e6
-                   + CAST(v42x % 1000000 AS DOUBLE) AS v42
+               CAST(CAST(CAST(v42x AS HUGEINT) // 1000000000000
+                         AS DECIMAL(26,0)) AS DOUBLE) * 1e12
+                   + CAST(CAST(CAST(v42x AS HUGEINT) % 1000000000000
+                               AS BIGINT) AS DOUBLE) AS v42
         FROM vx
     )
     SELECT d,
@@ -197,7 +198,20 @@ def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cancelling in double (the two terms agree to ~10 digits), so it is
     computed EXACTLY in decimal and converted to double once — otherwise
     1-ulp differences in each engine's decimal->double cast blow up into
-    visible sd differences. Only full frames (7 observed days) emit."""
+    visible sd differences. Only full frames (7 observed days) emit.
+
+    Cross-engine parity bound: the numerator v42x is split hi/lo at 10^12
+    with INTEGER arithmetic on both engines (DuckDB `//` on HUGEINT; Spark
+    exact decimal division — the quotient is integral by construction), so
+    both halves are exactly double-representable while hi < 2^53, i.e.
+    v42x < 9.0e27 — daily revenue (1e-4-dollar units) up to ~1.1e13, which
+    is ~SF 100 for this data shape (sf0.1 sits at v42x ~ 9e21, comfortably
+    inside; the previous 10^6 split put sf0.1 exactly AT its boundary and
+    DuckDB's DECIMAL `/` promoted to DOUBLE, double-rounding hi).  q7 is
+    DECIMAL(38,0) on both sides so 7*r^2 fits to ~SF 1000 without
+    overflow; beyond SF ~100 sd7 degrades gracefully (correlated ulp
+    error, not engine divergence on hi), and the documented exactness
+    claim stops at SF 100 — not 'any SF'."""
     daily = _daily_revenue(spark, sf_dir)
     w = Window.orderBy("d").rowsBetween(-6, 0)
     framed = daily.select(
@@ -207,20 +221,22 @@ def bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").over(w).cast("decimal(19,0)").alias("s7"),
         F.sum((F.col("r") * F.col("r")).cast("decimal(38,0)"))
         .over(w)
-        .cast("decimal(30,0)")
+        .cast("decimal(38,0)")
         .alias("q7"),
     ).filter(F.col("n7") == 7)
     # v42 exceeds 2^53, and int128-decimal -> double casts are not
     # correctly rounded in every engine; split into two exactly-double
-    # halves and recombine with two IEEE ops (both correctly rounded).
+    # halves at 10^12 (hi stays < 2^53 while v42x < 9e27, ~SF 100) and
+    # recombine with two IEEE ops (both correctly rounded). The division
+    # is exact: (v42x - lo) is divisible by 10^12 by construction.
     v42x = (
         F.col("q7") * F.lit(7).cast("decimal(1,0)")
         - F.col("s7") * F.col("s7")
     )
-    lo = v42x % F.lit(1000000)
-    hi = ((v42x - lo) / F.lit(1000000)).cast("decimal(26,0)")
+    lo = v42x % F.lit(1000000000000)
+    hi = ((v42x - lo) / F.lit(1000000000000)).cast("decimal(26,0)")
     framed = framed.withColumn(
-        "v42", hi.cast("double") * F.lit(1e6) + lo.cast("double")
+        "v42", hi.cast("double") * F.lit(1e12) + lo.cast("double")
     )
     rd = F.col("r").cast("double")
     mean7 = F.col("s7").cast("double") / F.lit(7.0)
