@@ -5,9 +5,15 @@ pure DataFrame compositions — explode/groupBy/join — so they scale as
 shuffles, never driver loops:
 
 - word-shingle extraction (built-in `transform` over a `sequence`, no UDF)
-- MinHash: per-band signature = MIN(md5(band:shingle)). md5 hex strings are
-  uniformly distributed, so a lexicographic MIN is a valid minwise hash, and
-  it is reproducible across engines (the DuckDB oracle computes the same).
+- MinHash: per-band signature = MIN over shingles of the band's disjoint
+  8-hex-char (32-bit) slice of ONE md5(shingle). md5 hex is uniformly
+  distributed, so a lexicographic MIN of any fixed slice is a valid minwise
+  hash, the four slices give four independent-enough hash functions, and the
+  whole family costs ONE md5 evaluation per shingle row instead of one per
+  band (the per-band md5(band:shingle) variant was measured ~20% slower at
+  sf0.1 on the profile aggregation — the explode output is the pipeline's
+  biggest row count, so per-row expression cost is the lever). Reproducible
+  across engines (the DuckDB oracle computes the same slices).
 - LSH: candidate pairs = docs sharing any band signature (self-join on the
   tiny (band, signature) buckets, a<b to halve).
 - verification: exact Jaccard over distinct shingle sets via a shingle-level
@@ -56,6 +62,18 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
     )
 
 
+def _band_minima_aggs(h_col: str, n_bands: int) -> list[Column]:
+    """Per-band minwise aggregates over a precomputed md5 hex column: band b
+    reads the b-th disjoint 8-char slice (32 bits). md5 hex is 32 chars, so
+    up to 4 independent band hashes come out of one digest."""
+    if n_bands > 4:
+        raise ValueError("slice-based band family supports n_bands <= 4")
+    return [
+        F.min(F.substring(F.col(h_col), 8 * b + 1, 8)).alias(f"__s{b}")
+        for b in range(n_bands)
+    ]
+
+
 def minhash_band_signatures(
     shingles: DataFrame, id_col: str, n_bands: int = 4
 ) -> DataFrame:
@@ -67,13 +85,8 @@ def minhash_band_signatures(
     pushes B× rows through the hash aggregate and shuffle — measured 30%
     slower at sf0.1, and strictly worse at 100 TB where shingle rows
     dominate the stage."""
-    aggs = [
-        F.min(
-            F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
-        ).alias(f"__s{b}")
-        for b in range(n_bands)
-    ]
-    wide = shingles.groupBy(id_col).agg(*aggs)
+    hashed = shingles.withColumn("__h", F.md5("shingle"))
+    wide = hashed.groupBy(id_col).agg(*_band_minima_aggs("__h", n_bands))
     stack_expr = ", ".join(f"'{b}', __s{b}" for b in range(n_bands))
     return wide.select(
         id_col,
@@ -95,24 +108,22 @@ def minhash_doc_profiles(
     explode+shuffle work, and the fused output is one row per DOCUMENT
     (shingle arrays included), small enough to localCheckpoint and fan out
     to the signature/verify consumers without recompute."""
-    sh = exploded_shingles(df, id_col, text_col, k)
+    sh = exploded_shingles(df, id_col, text_col, k).withColumn(
+        "__h", F.md5("shingle")
+    )
     # The verify set stores 60-bit md5-derived hashes, not the shingle
     # strings: array_intersect over bigints is ~3x cheaper than over
     # strings (measured — the string intersect was the pipeline's single
     # most expensive expression), the arrays shuffle smaller, and both
     # engines derive identical hashes so n_common matches the oracle's
     # string-join count exactly (collision odds ~|sh|²/2^61 ≈ 0).
-    sh_hash = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
-    aggs = [
-        F.min(
-            F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
-        ).alias(f"__s{b}")
-        for b in range(n_bands)
-    ]
+    # ONE md5 per shingle row feeds both the verify hash (60-bit prefix)
+    # and all band minima (disjoint 32-bit slices) — see module docstring.
+    sh_hash = F.conv(F.substring("__h", 1, 15), 16, 10).cast("bigint")
     return sh.groupBy(id_col).agg(
         F.sort_array(F.collect_list(sh_hash)).alias("sh_set"),
         F.count("*").alias("n_sh"),
-        *aggs,
+        *_band_minima_aggs("__h", n_bands),
     )
 
 
@@ -126,17 +137,27 @@ def profiles_to_signatures(profiles: DataFrame, id_col: str, n_bands: int = 4) -
 
 
 def jaccard_verify_profiles(
-    candidates: DataFrame, profiles: DataFrame, id_col: str
+    candidates: DataFrame, profiles: DataFrame, id_col: str, hint_small: bool = False
 ) -> DataFrame:
     """Exact Jaccard per candidate pair from a pre-aggregated profiles
     table (same output contract as jaccard_verify, without re-aggregating
-    the shingle explode)."""
+    the shingle explode).
+
+    ``hint_small`` broadcasts the profiles side of both joins. A
+    checkpointed profiles frame carries no catalog statistics, so Catalyst
+    can never auto-broadcast it even when it is a few MB — the hint restores
+    the plan stats would have produced (two broadcast hash joins, zero
+    candidate shuffles). Leave False when the corpus profile exceeds the
+    broadcast envelope (the 100 TB default): the shuffled hash join is the
+    correct shape there."""
     a = profiles.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")
     )
     b = profiles.select(
         F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b"), F.col("n_sh").alias("n_b")
     )
+    if hint_small:
+        a, b = F.broadcast(a), F.broadcast(b)
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
@@ -154,18 +175,88 @@ def jaccard_verify_profiles(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
-    """Distinct (a, b) a<b pairs sharing at least one band signature."""
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    hint_small: bool = False,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Distinct (a, b) a<b pairs sharing at least one band signature.
+
+    ``hint_small`` broadcasts the probe side of the bucket self-join (see
+    jaccard_verify_profiles — checkpointed inputs have no stats, so the
+    sub-10MB case needs the explicit hint; keep False at corpus scale).
+
+    ``bucket_cap`` arms the viral-shingle salting path: a (band, signature)
+    bucket with n rows produces n² join-cell rows, so one viral signature
+    (a boilerplate phrase shared by half the corpus) turns the self-join
+    into a single straggler task. Buckets above the cap are split into
+    s = ceil(n / cap) hash-groups and the self-join becomes a join on
+    (band, signature, group_a, group_b): each side replicates s× (shuffle
+    grows linearly) while the worst join cell shrinks quadratically to
+    ~cap² — the standard skew-salted self-join. Cold buckets keep the plain
+    path; the union is pair-identical to the unsalted join (property-tested
+    with an adversarial 50%-viral corpus). AQE's skew splitter can rescue
+    moderate skew on its own, but it splits only on partition boundaries —
+    a single giant hash GROUP still lands in one task, which is why the cap
+    operates on bucket membership, not partition size."""
     left = signatures.select(
         F.col(id_col).alias("id_a"), "band", "signature"
     )
     right = signatures.select(F.col(id_col).alias("id_b"), "band", "signature")
-    return (
-        left.join(right, ["band", "signature"])
+    if bucket_cap is None:
+        if hint_small:
+            right = F.broadcast(right)
+        return (
+            left.join(right, ["band", "signature"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    counts = signatures.groupBy("band", "signature").agg(
+        F.ceil(F.count("*") / F.lit(float(bucket_cap))).cast("int").alias("__n_sub")
+    )
+    sized = signatures.join(counts, ["band", "signature"]).select(
+        F.col(id_col).alias("__id"),
+        "band",
+        "signature",
+        "__n_sub",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("__n_sub")).cast("int").alias("__grp"),
+    )
+    cold = sized.filter(F.col("__n_sub") == 1)
+    hot = sized.filter(F.col("__n_sub") > 1)
+    cold_pairs = (
+        cold.select(F.col("__id").alias("id_a"), "band", "signature")
+        .join(
+            cold.select(F.col("__id").alias("id_b"), "band", "signature"),
+            ["band", "signature"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    # Pair cell (ga, gb): the a-side fixes ga = its own group and fans out
+    # over gb; the b-side fixes gb and fans out over ga. Every (a, b) meets
+    # in exactly one cell, so no dedup is introduced by the salting itself.
+    a_side = hot.select(
+        F.col("__id").alias("id_a"),
+        "band",
+        "signature",
+        F.col("__grp").alias("__ga"),
+        F.explode(F.sequence(F.lit(0), F.col("__n_sub") - 1)).alias("__gb"),
+    )
+    b_side = hot.select(
+        F.col("__id").alias("id_b"),
+        "band",
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.col("__n_sub") - 1)).alias("__ga"),
+        F.col("__grp").alias("__gb"),
+    )
+    hot_pairs = (
+        a_side.join(b_side, ["band", "signature", "__ga", "__gb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()
 
 
 def jaccard_verify(
@@ -213,17 +304,21 @@ def minhash_lsh_near_dups(
     k: int = 3,
     n_bands: int = 4,
     threshold: float = 0.5,
+    hint_small: bool = False,
 ) -> DataFrame:
     """Full pipeline: one fused shingle pass → per-doc profiles
-    (checkpointed: 1 row/doc) → LSH buckets → exact verify. The fused
-    profile pass halves the explode work vs running signature and verify
-    aggregations separately (see minhash_doc_profiles)."""
+    (checkpointed lazily: 1 row/doc, materialized once on the first action
+    and reused by the bucket join and both verify joins) → LSH buckets →
+    exact verify. The fused profile pass halves the explode work vs running
+    signature and verify aggregations separately (see minhash_doc_profiles).
+    ``hint_small`` propagates the broadcast hint to the bucket/verify joins
+    for sub-broadcast-envelope corpora (checkpointed frames have no stats)."""
     prof = minhash_doc_profiles(df, id_col, text_col, k, n_bands).localCheckpoint(
-        eager=True
+        eager=False
     )
     sig = profiles_to_signatures(prof, id_col, n_bands)
-    cand = lsh_candidate_pairs(sig, id_col)
-    verified = jaccard_verify_profiles(cand, prof, id_col)
+    cand = lsh_candidate_pairs(sig, id_col, hint_small=hint_small)
+    verified = jaccard_verify_profiles(cand, prof, id_col, hint_small=hint_small)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -274,7 +369,13 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    edges_canonical: bool = False,
+) -> DataFrame:
     """Connected components by min-label propagation (for dedup clustering:
     one representative per near-duplicate cluster).
 
@@ -290,17 +391,22 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
 
     Returns (node_id, component_id) where component_id = min node id
     reachable — deterministic on any engine.
+
+    ``edges_canonical=True`` asserts the input is already a distinct set of
+    (a, b) a<b pairs (what the LSH verify emits): the forward and reversed
+    edge lists are then disjoint and individually duplicate-free, so the
+    symmetrizing union needs no distinct — one exchange saved per run.
     """
-    both = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        # materialize once: every propagation iteration re-reads the edge
-        # set, and without this each iteration would recompute the entire
-        # upstream pipeline (e.g. the MinHash explode) — measured 19.5 s →
-        # 3.6 s at sf0.1
-        .localCheckpoint(eager=True)
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
+    if not edges_canonical:
+        both = both.distinct()
+    # materialize once: every propagation iteration re-reads the edge
+    # set, and without this each iteration would recompute the entire
+    # upstream pipeline (e.g. the MinHash explode) — measured 19.5 s →
+    # 3.6 s at sf0.1
+    both = both.localCheckpoint(eager=True)
     # Seed with min(self, min neighbor) straight off the edge list: this IS
     # the first propagation round, done as one groupBy instead of a
     # join+union+groupBy iteration (saves a full round trip per run).

@@ -235,6 +235,109 @@ def cosine_near_dup_blocked(
     return pairs.mapInPandas(gemm, out_schema)
 
 
+def cosine_near_dup_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    dims: int = 64,
+    max_block: int = 4096,
+) -> DataFrame:
+    """Sub-quadratic near-duplicate pairs: hyperplane-LSH bucketing composed
+    with per-bucket exact GEMM verification — the 100 TB production path.
+
+    ``cosine_near_dup_blocked`` is the right layout for EXACT all-pairs but
+    its flops are O(n²·d) no matter how they're blocked; at corpus scale the
+    candidate set must shrink first. Here every vector lands in one of
+    2^n_planes deterministic hyperplane buckets (the md5-parity planes of
+    ``ann_lsh_topk`` — engine-reproducible, so a SQL oracle can rebuild the
+    IDENTICAL pair set), and the exact GEMM runs only within a bucket:
+    expected flops drop by ~2^n_planes. Recall < 1 by design (pairs
+    straddling a hyperplane are missed); the exact variant remains the
+    reference semantics at small n.
+
+    Memory safety at scale: a bucket larger than ``max_block`` rows is split
+    into sub-blocks (hash of id), and the within-bucket work becomes
+    sub-block PAIRS — the blocked-GEMM envelope applied per bucket, so no
+    task ever materializes more than 2·max_block vectors regardless of how
+    skewed the bucket distribution is. Buckets are disjoint, so each
+    unordered pair is emitted at most once; output is (min_id, max_id).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+    planes = hyperplane_signs(n_planes, dims)
+    base = (
+        emb.select(
+            F.col(id_col).alias("vid"),
+            as_double_array(F.col(vec_col)).alias("v"),
+            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        .withColumn(
+            "n_sub",
+            F.ceil(
+                F.count("*").over(Window.partitionBy("bucket"))
+                / F.lit(float(max_block))
+            ).cast("int"),
+        )
+        .withColumn("sub", F.pmod(F.col("vid"), F.col("n_sub")).cast("int"))
+    )
+    blocks = base.groupBy("bucket", "sub").agg(
+        F.collect_list(F.struct("vid", "v")).alias("items")
+    )
+    pairs = (
+        blocks.select(
+            "bucket", F.col("sub").alias("sub_a"), F.col("items").alias("items_a")
+        )
+        .join(
+            blocks.select(
+                "bucket", F.col("sub").alias("sub_b"), F.col("items").alias("items_b")
+            ),
+            "bucket",
+        )
+        .filter(F.col("sub_a") <= F.col("sub_b"))
+        # one GEMM task per (bucket, sub-block pair); hash-spread over the
+        # cluster so a few big buckets don't serialize on one executor
+        .repartition("bucket", "sub_a", "sub_b")
+    )
+
+    def gemm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ia = np.asarray([x["vid"] for x in row["items_a"]], dtype=np.int64)
+                ib = np.asarray([x["vid"] for x in row["items_b"]], dtype=np.int64)
+                ma = np.vstack([np.asarray(x["v"], dtype=np.float64) for x in row["items_a"]])
+                mb = np.vstack([np.asarray(x["v"], dtype=np.float64) for x in row["items_b"]])
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                cos = np.round(ma @ mb.T, 6)
+                same = row["sub_a"] == row["sub_b"]
+                ii, jj = np.nonzero(cos >= threshold)
+                if same:
+                    keep = ia[ii] < ib[jj]
+                else:
+                    keep = ia[ii] != ib[jj]
+                ii, jj = ii[keep], jj[keep]
+                lo = np.minimum(ia[ii], ib[jj])
+                hi = np.maximum(ia[ii], ib[jj])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cosine_sim": cos[ii, jj]}
+                )
+
+    return pairs.mapInPandas(gemm, out_schema)
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

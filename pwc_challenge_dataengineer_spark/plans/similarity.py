@@ -150,6 +150,68 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_sql(n_planes: int = 6, dims: int = 64, col: str = "embedding") -> str:
+    """DuckDB expression rebuilding functions/similarity.lsh_bucket exactly:
+    bit p of the bucket = sign(plane_p · vec), plane components = md5-parity
+    ±1 (hyperplane_signs)."""
+    terms = []
+    for p in range(n_planes):
+        proj = (
+            f"list_dot_product(CAST({col} AS DOUBLE[]), "
+            f"list_transform(range(0, {dims}), d -> "
+            f"CASE WHEN substr(md5('{p}:' || CAST(d AS VARCHAR)), 1, 1) < '8' "
+            f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))"
+        )
+        terms.append(f"{1 << p} * (CASE WHEN {proj} > 0 THEN 1 ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_COS_AB_SQL = """
+    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+"""
+
+
+@register(
+    "embedding_near_dup_lsh",
+    # Deterministic end-to-end despite being "approximate": the md5-parity
+    # hyperplane buckets are reproducible in SQL, so the oracle rebuilds the
+    # IDENTICAL candidate set (same-bucket pairs) and the exact cosine
+    # verify on it — a full value oracle, not just subset/superset pins.
+    oracle=f"""
+    WITH bkt AS (
+        SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_AB_SQL}, 6) AS cosine_sim
+    FROM bkt a JOIN bkt b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_COS_AB_SQL}, 6) >= 0.3
+    """,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic near-duplicate pairs: hyperplane-LSH buckets + exact
+    per-bucket GEMM verify (functions/similarity.cosine_near_dup_lsh) — the
+    production path at corpus scale, where the exact-all-pairs
+    ``embedding_near_dup`` (O(n²) flops) stops being runnable. Expected
+    flops shrink by ~2^n_planes; recall < 1 by design (pairs straddling a
+    hyperplane are missed — the exact variant remains the reference
+    semantics at small n). Oversized buckets split into bounded sub-block
+    pairs, so task memory is capped regardless of bucket skew."""
+    from ..functions.similarity import cosine_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_lsh(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.3,
+        n_planes=6,
+        dims=64,
+    )
+
+
 @register(
     "ann_lsh_topk",
     # approximate vs BRUTE FORCE, but deterministic end-to-end: the md5-

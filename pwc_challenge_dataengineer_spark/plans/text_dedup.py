@@ -200,8 +200,11 @@ _SHINGLES_SQL = f"""
         FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
     ),
     sig AS (
+        -- band b's minwise hash = min over shingles of the b-th disjoint
+        -- 8-hex-char slice of ONE md5(shingle) (mirrors
+        -- functions/dedup_fuzzy._band_minima_aggs)
         SELECT doc_id, band,
-               MIN(md5(concat_ws(':', CAST(band AS VARCHAR), shingle))) AS signature
+               MIN(substr(md5(shingle), band * 8 + 1, 8)) AS signature
         FROM bands GROUP BY 1, 2
     ),
     cand AS (
@@ -239,12 +242,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup_fuzzy import jaccard_verify_profiles, minhash_doc_profiles, profiles_to_signatures
 
     docs = load_table(spark, sf_dir, "documents")
+    # lazy checkpoint: materialized once on the first action, reused by the
+    # bucket join and both verify joins (no plan-construction side effect).
     prof = minhash_doc_profiles(docs, "doc_id", "text", k=3, n_bands=4).localCheckpoint(
-        eager=True
+        eager=False
     )
     sig = profiles_to_signatures(prof, "doc_id", n_bands=4)
-    cand = lsh_candidate_pairs(sig, "doc_id")
-    return jaccard_verify_profiles(cand, prof, "doc_id")
+    # hint_small: the checkpointed per-doc profile table is a few MB at any
+    # test SF but carries no stats, so Catalyst cannot choose the broadcast
+    # join on its own; at corpus scale drop the hint (see dedup_fuzzy).
+    cand = lsh_candidate_pairs(sig, "doc_id", hint_small=True)
+    return jaccard_verify_profiles(cand, prof, "doc_id", hint_small=True)
 
 
 @register(
@@ -336,8 +344,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
     ),
     sig AS (
+        -- band b's minwise hash = min over shingles of the b-th disjoint
+        -- 8-hex-char slice of ONE md5(shingle) (mirrors
+        -- functions/dedup_fuzzy._band_minima_aggs)
         SELECT doc_id, band,
-               MIN(md5(concat_ws(':', CAST(band AS VARCHAR), shingle))) AS signature
+               MIN(substr(md5(shingle), band * 8 + 1, 8)) AS signature
         FROM bands GROUP BY 1, 2
     ),
     cand AS (
@@ -387,8 +398,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup_fuzzy import connected_components, minhash_lsh_near_dups
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_near_dups(docs, "doc_id", "text", threshold=0.5)
-    comp = connected_components(pairs)
+    pairs = minhash_lsh_near_dups(
+        docs, "doc_id", "text", threshold=0.5, hint_small=True
+    )
+    comp = connected_components(pairs, edges_canonical=True)
     return comp.select(
         "node_id",
         "component_id",

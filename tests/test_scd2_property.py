@@ -41,6 +41,106 @@ change_log = st.lists(
 )
 
 
+# Incoming batches for the merge-idempotency property: per-key attr values,
+# None included so the null-churn fix stays covered (a NULL attr must compare
+# equal to an identical NULL, or every re-apply would close+reinsert).
+incoming_batch = st.dictionaries(
+    st.sampled_from(["k1", "k2", "k3"]),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+    min_size=0,
+    max_size=3,
+)
+
+
+def _canon_sort(rows):
+    # tuples contain None (open valid_to, NULL attrs): sort on a
+    # None-tolerant key, compare the tuples themselves
+    return sorted(rows, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+def _hist_rows(df):
+    return _canon_sort(
+        (r.key, r.attr, r.valid_from, r.valid_to, r.version, r.is_current)
+        for r in df.collect()
+    )
+
+
+@seed(42)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base_batch=incoming_batch,
+    batch=incoming_batch,
+    snapshot=st.booleans(),
+)
+def test_scd2_apply_idempotent(spark, base_batch, batch, snapshot):
+    """Applying the same incoming batch twice must equal applying it once —
+    the second apply classifies every key as unchanged, in BOTH snapshot and
+    incremental modes (the crash/retry safety a merge pipeline rests on).
+    The second apply uses a LATER effective_ts: idempotency must come from
+    change detection, not from timestamp collision."""
+    from pwc_challenge_dataengineer_spark.operators.scd2 import scd2_apply
+
+    current = spark.createDataFrame(
+        [
+            (k, v, datetime.datetime(2024, 1, 1), None, 1, True)
+            for k, v in base_batch.items()
+        ],
+        "key STRING, attr STRING, valid_from TIMESTAMP, valid_to TIMESTAMP, "
+        "version INT, is_current BOOLEAN",
+    )
+    inc = spark.createDataFrame(
+        [(k, v) for k, v in batch.items()], "key STRING, attr STRING"
+    )
+    once = scd2_apply(
+        current, inc, ["key"], ["attr"], "2024-02-01 00:00:00", snapshot=snapshot
+    ).localCheckpoint()
+    twice = scd2_apply(
+        once, inc, ["key"], ["attr"], "2024-03-01 00:00:00", snapshot=snapshot
+    )
+    assert _hist_rows(twice) == _hist_rows(once)
+
+
+@seed(42)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(base_batch=incoming_batch, batch=incoming_batch)
+def test_scd2_merge_idempotent(spark, base_batch, batch):
+    """VersionedTable.scd2_merge applied twice with the same source must
+    leave the table exactly as one application did (later effective_ts on
+    the retry, same reasoning as test_scd2_apply_idempotent)."""
+    import tempfile
+
+    from pwc_challenge_dataengineer_spark.sources.versioned_store import (
+        VersionedTable,
+        scd2_merge,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t = VersionedTable(spark, f"{tmp}/scd2prop")
+        base = spark.createDataFrame(
+            [
+                (k, v, datetime.datetime(2024, 1, 1), None, True)
+                for k, v in base_batch.items()
+            ],
+            "key STRING, attr STRING, valid_from TIMESTAMP, valid_to TIMESTAMP, "
+            "is_current BOOLEAN",
+        )
+        t.write(base)
+        src = spark.createDataFrame(
+            [(k, v) for k, v in batch.items()], "key STRING, attr STRING"
+        )
+        scd2_merge(
+            t, src, keys=["key"], tracked_cols=["attr"],
+            effective_ts="2024-02-01 00:00:00",
+        )
+        once = _canon_sort(map(tuple, t.read().collect()))
+        scd2_merge(
+            t, src, keys=["key"], tracked_cols=["attr"],
+            effective_ts="2024-03-01 00:00:00",
+        )
+        twice = _canon_sort(map(tuple, t.read().collect()))
+        assert twice == once
+
+
 @seed(42)
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(log=change_log)

@@ -332,3 +332,93 @@ def test_streaming_merge_into_versioned_store(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_streaming_merge_crash_replay_exactly_once(spark, tmp_path):
+    """Exactly-once evidence for the foreachBatch MERGE sink: the query is
+    KILLED mid-stream — after a batch's MERGE side effect has been applied
+    but before Structured Streaming commits that batch to the checkpoint —
+    then restarted from the same checkpoint. The engine replays the
+    uncommitted batch (at-least-once delivery), so the MERGE runs twice for
+    it; the final snapshot must still equal the single-pass batch answer.
+    That is the exactly-once contract: checkpoint replay + idempotent
+    per-key MERGE, the same argument Delta's foreachBatch docs make — here
+    demonstrated, not asserted."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, f"p{seq}", seq, base + datetime.timedelta(minutes=seq))
+        for seq, k in enumerate([1, 2, 3, 1, 2, 4, 1, 5, 3, 6])
+    ]
+    df = spark.createDataFrame(rows, "id INT, payload STRING, seq INT, ts TIMESTAMP")
+    src = str(tmp_path / "crash_src")
+    for i in range(0, 10, 2):
+        df.filter((F.col("seq") >= i) & (F.col("seq") < i + 2)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    t = VersionedTable(spark, str(tmp_path / "crash_tbl"))
+    t.write(spark.createDataFrame([], "id INT, payload STRING, seq INT, ts TIMESTAMP"))
+    checkpoint = str(tmp_path / "crash_ckpt")
+    crashed = []  # crash exactly once, on the second micro-batch
+
+    def upsert(batch_df, batch_id):
+        latest = (
+            batch_df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.desc("seq"))
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        t.merge(latest, keys=["id"])  # side effect lands BEFORE the crash
+        if batch_id == 1 and not crashed:
+            crashed.append(batch_id)
+            raise RuntimeError("injected crash after merge, before commit")
+
+    def run():
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = run()
+    try:
+        q1.awaitTermination(180)
+        raise AssertionError("expected the injected crash to fail the query")
+    except Exception as ex:  # StreamingQueryException wrapping the injection
+        assert "injected crash" in str(ex)
+
+    versions_after_crash = t.history().count()
+    q2 = run()  # restart from the SAME checkpoint — batch 1 replays
+    q2.awaitTermination(180)
+    # the replay really happened: the crashed batch's merge committed twice
+    assert t.history().count() > versions_after_crash
+
+    got = {r["id"]: (r["payload"], r["seq"]) for r in t.read().collect()}
+    expected = {
+        r["id"]: (r["payload"], r["seq"])
+        for r in df.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.desc("seq"))
+            ),
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+        .collect()
+    }
+    assert got == expected
