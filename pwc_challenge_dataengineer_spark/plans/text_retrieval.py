@@ -172,7 +172,10 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _toks(docs)
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+        # eager=False: materialize on the first action, not at plan-build
+        # time — keeps the registry's lazy contract while still computing
+        # the tokenize+count shuffle once for all four consumers.
+        .localCheckpoint(eager=False)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     corpus = dl.agg(

@@ -28,8 +28,17 @@ Inflation is deterministic and referentially consistent:
   every replica (Jaccard is invariant under bijections), while cross-replica
   similarity collapses to ~0 — so near-dup clusters scale linearly instead
   of quadratically inflating (verbatim copies would pair across replicas);
-- embeddings rotate dimensions per replica: norms and intra-replica cosines
-  are preserved, cross-replica cosines decorrelate;
+- embeddings get a per-replica ±1 sign mask (md5-parity per (replica, dim)):
+  cosines WITHIN a replica are exactly preserved (the signs cancel) and
+  cross-replica cosines center on 0. NOTE the honest caveat: at 64 dims a
+  decorrelated cosine has std 1/sqrt(64) = 0.125, so ~0.8% of cross-replica
+  pairs still land past the 0.3 near-dup threshold by chance — and with
+  ~180M cross pairs at 10x that tail dominates the OUTPUT (pair counts grow
+  ~quadratically, as they genuinely would for any corpus under a fixed
+  absolute threshold). The scale comparison therefore reads on WALL-TIME,
+  where both near-dup variants face the same 100x pair load: the exact GEMM
+  pays the O(n²) flops directly while the LSH-bucketed path stays
+  near-flat — that time split is the measurement the harness exists for;
 - timestamps are untouched: the time axis keeps its span, so per-bucket
   density grows 10x — the realistic grow-out for window/sessionization load.
 
@@ -129,13 +138,23 @@ def inflate(spark, base: str, out: str, factor: int) -> dict[str, int]:
                 ).otherwise(out_text)
             rep = rep.withColumn("text", out_text)
         if tbl == "embeddings":
+            import hashlib
+
+            def mask(i: int):
+                signs = [
+                    1.0
+                    if int(hashlib.md5(f"m{i}:{d}".encode()).hexdigest()[0], 16) < 8
+                    else -1.0
+                    for d in range(EMB_DIMS)
+                ]
+                return F.array(*[F.lit(s) for s in signs])
+
             out_emb = F.col("embedding")
             for i in range(1, factor):
-                rotated = F.concat(
-                    F.slice(F.col("embedding"), i + 1, EMB_DIMS - i),
-                    F.slice(F.col("embedding"), 1, i),
+                masked = F.zip_with(
+                    F.col("embedding"), mask(i), lambda x, m: (x * m).cast("float")
                 )
-                out_emb = F.when(F.col("__r") == i, rotated).otherwise(out_emb)
+                out_emb = F.when(F.col("__r") == i, masked).otherwise(out_emb)
             rep = rep.withColumn("embedding", out_emb)
         rep.drop("__r").write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
     return strides
@@ -153,21 +172,36 @@ def plan_shape(df) -> dict[str, int]:
     }
 
 
-def run_suite(spark, names, sf_dir):
+def drop_persistent_rdds(spark) -> None:
+    """Unpersist every cached/localCheckpointed RDD: the iterative queries
+    checkpoint intermediates and never release them, and letting dozens of
+    checkpoint blocks pile up across a 34-query pass puts later queries
+    under artificial storage-memory pressure (measured: the SAME query
+    swung 2s ↔ 18s between passes before this)."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
+def run_suite(spark, names, sf_dir, n_runs: int = 2):
     from pwc_challenge_dataengineer_spark.plans.catalog import QUERIES
 
     out = {}
     for name in names:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        dt = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(n_runs):
+            drop_persistent_rdds(spark)
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
         try:
             shape = plan_shape(QUERIES[name](spark, sf_dir))
         except Exception:
             shape = {"exchanges": -1, "broadcast_joins": -1, "smj": -1}
-        out[name] = {"sec": dt, "rows": n, **shape}
-        print(f"#   {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        out[name] = {"sec": best, "rows": n, **shape}
+        print(f"#   {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+    drop_persistent_rdds(spark)
     return out
 
 
@@ -227,7 +261,7 @@ def main() -> int:
     md = [
         "<!-- STRESS:BEGIN (generated by scripts/scale_stress.py) -->",
         f"### 10x scale-stress results (sf0.1 → x{args.factor}, "
-        "local[32], 1 run each, same session)",
+        "local[32], best of 2 runs, checkpoints dropped between queries)",
         "",
         f"- **{sublinear}/{len(HEADLINE)} headline queries scale "
         f"sub-linearly** (wall-time ratio < {args.factor}); gate ≥ 28.",
@@ -235,9 +269,12 @@ def main() -> int:
         + (f" ({', '.join(flips)})" if flips else " — every broadcast held."),
         f"- Static exchange-count diffs: "
         + (", ".join(exch_diffs) if exch_diffs else "none."),
-        f"- Near-dup scale shapes: exact GEMM grew **{exact_ratio:.1f}x**, "
-        f"LSH-bucketed grew **{lsh_ratio:.1f}x** at {args.factor}x data — "
-        "the quadratic/linear split the LSH path exists for.",
+        f"- Near-dup scale shapes: exact GEMM wall-time grew "
+        f"**{exact_ratio:.1f}x**, LSH-bucketed grew **{lsh_ratio:.1f}x** at "
+        f"{args.factor}x data — and BOTH emit ~100x the pairs here (the "
+        "random-cosine tail at 64 dims crosses the fixed 0.3 threshold; see "
+        "scripts/scale_stress.py docstring), so the flat LSH time is earned "
+        "under a quadratically-growing output, not a pruned one.",
         "",
         "| query | base s | x10 s | ratio | sublinear | shape base (ex/bc/smj) | shape x10 |",
         "|---|---|---|---|---|---|---|",
