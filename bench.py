@@ -7,6 +7,13 @@ Prints ONE JSON line:
 Headline set: the heaviest representatives of each operator family —
 star-join aggregation, window functions, sessionization, fuzzy dedup
 (MinHash LSH), similarity top-k, streaming windows in batch form.
+
+Isolation note: iterative queries localCheckpoint intermediates and never
+release them, so without cleanup each query runs under the accumulated
+storage blocks of every query before it — measured swings up to 9x on
+late-list queries (see scripts/scale_stress.py). Leftover persistent RDDs
+are dropped BETWEEN queries so each timing covers its own work only; a
+query's own checkpoints still count against it.
 """
 
 from __future__ import annotations
@@ -88,6 +95,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        # drop leftover checkpoint/cache blocks from earlier queries (see
+        # isolation note in the module docstring)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
