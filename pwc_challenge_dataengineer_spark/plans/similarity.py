@@ -213,6 +213,63 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dedup_components",
+    # same determinism argument as embedding_near_dup_lsh: buckets, pairs,
+    # and min-label components are all SQL-reproducible, so the cluster
+    # assignment gets a full value oracle (recursive CTE), like the text
+    # side's dedup_components.
+    oracle=f"""
+    WITH RECURSIVE bkt AS (
+        SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bkt a JOIN bkt b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({_COS_AB_SQL}, 6) >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+    )
+    SELECT id AS node_id,
+           MIN(comp) AS component_id,
+           MIN(comp) = id AS is_representative
+    FROM reach GROUP BY 1
+    """,
+)
+def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS over the embedding corpus: LSH-bucketed
+    cosine pairs (embedding_near_dup_lsh's pair set) become an undirected
+    graph; min-label propagation assigns each vector its component's min
+    vec_id (functions/dedup_fuzzy.connected_components — the same
+    distributed clustering the text side uses in dedup_components). The
+    "keep one per duplicate cluster" step for embedding-level dedup:
+    filter is_representative."""
+    from ..functions.dedup_fuzzy import connected_components
+    from ..functions.similarity import cosine_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_lsh(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3,
+        n_planes=6, dims=64,
+    )
+    comp = connected_components(pairs, edges_canonical=True)
+    return comp.select(
+        "node_id",
+        "component_id",
+        (F.col("component_id") == F.col("node_id")).alias("is_representative"),
+    )
+
+
+@register(
     "ann_lsh_topk",
     # approximate vs BRUTE FORCE, but deterministic end-to-end: the md5-
     # parity hyperplanes, buckets, and in-bucket ranking are reproducible
