@@ -200,17 +200,27 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER w AS BIGINT) AS events_24h,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_24h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def purchase_velocity_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-24h behavioral window (rangeBetween on epoch seconds)."""
+    """Trailing-24h behavioral window (rangeBetween on epoch MICROSECONDS).
+
+    Whole-second epochs are a cross-engine trap with sub-second timestamps:
+    Spark's unix_timestamp TRUNCATES to seconds while DuckDB's epoch() keeps
+    the fractional part, so an event sitting exactly across the truncated
+    24h boundary is inside one engine's frame and outside the other's
+    (surfaced by the sf0.1 full-catalog gate — one user had a purchase
+    86400.3s before another). Integer microseconds (unix_micros /
+    epoch_us) are exact and identical on both engines."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-86400, 0)
+        # ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is exact under the
+        # session's pinned UTC timezone (session.py)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-86400 * 1_000_000, 0)
     )
     return events.select(
         "event_id",
