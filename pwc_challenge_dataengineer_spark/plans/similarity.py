@@ -213,6 +213,84 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    # per-dimension symmetric int8 quantization: scale_d = max|x_d| over the
+    # corpus (guarded for all-zero dims), q = round(x/scale*127) — then the
+    # reconstruction error statistics every vector-store compression
+    # decision is made on. Both engines do the identical double ops.
+    oracle="""
+    WITH flat AS (
+        SELECT generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT d, CASE WHEN MAX(abs(x)) = 0 THEN 1.0 ELSE MAX(abs(x)) END AS s
+        FROM flat GROUP BY d
+    ),
+    sc AS (SELECT list(s ORDER BY d) AS scales FROM dims),
+    err AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1), i ->
+                   abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                       - round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                               / scales[CAST(i AS INT)] * 127)
+                         * scales[CAST(i AS INT)] / 127)) AS abs_err
+        FROM embeddings, sc
+    )
+    SELECT vec_id,
+           round(list_aggregate(list_transform(abs_err, e -> e * e), 'sum')
+                 / len(abs_err), 12) AS mse,
+           round(list_aggregate(abs_err, 'max'), 6) AS max_abs_err
+    FROM err
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization error report — the
+    vector-store compression step of an embedding pipeline (4x smaller
+    than float32; the acceptability call is made on exactly these
+    reconstruction stats). Scales are a corpus-wide per-dim max|x| (one
+    explode + 64-row aggregate, broadcast back as a single array row);
+    quantize/dequantize/error are pure JVM array expressions — no UDF, no
+    shuffle beyond the 64-row scale aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode(as_double_array(F.col("embedding"))).alias("d", "x")
+    )
+    dims = flat.groupBy("d").agg(
+        F.when(F.max(F.abs(F.col("x"))) == 0, F.lit(1.0))
+        .otherwise(F.max(F.abs(F.col("x"))))
+        .alias("s")
+    )
+    scales = dims.agg(
+        F.array_sort(
+            F.collect_list(F.struct("d", "s"))
+        ).alias("ds")
+    ).select(F.transform("ds", lambda r: r["s"]).alias("scales"))
+    q_err = (
+        emb.crossJoin(F.broadcast(scales))
+        .withColumn(
+            "abs_err",
+            F.zip_with(
+                as_double_array(F.col("embedding")),
+                F.col("scales"),
+                lambda x, s: F.abs(x - F.round(x / s * 127) * s / 127),
+            ),
+        )
+    )
+    n = F.size("abs_err")
+    return q_err.select(
+        "vec_id",
+        F.round(
+            F.aggregate("abs_err", F.lit(0.0), lambda a, e: a + e * e) / n, 12
+        ).alias("mse"),
+        F.round(
+            F.aggregate("abs_err", F.lit(0.0), lambda a, e: F.greatest(a, e)), 6
+        ).alias("max_abs_err"),
+    )
+
+
+@register(
     "embedding_dedup_components",
     # same determinism argument as embedding_near_dup_lsh: buckets, pairs,
     # and min-label components are all SQL-reproducible, so the cluster

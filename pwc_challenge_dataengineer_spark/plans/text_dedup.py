@@ -410,6 +410,96 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_rate_by_source",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    bands AS (
+        SELECT doc_id, band, shingle
+        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(substr(md5(shingle), band * 8 + 1, 8)) AS signature
+        FROM bands GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.signature = b.signature AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT m.id_a, m.id_b
+        FROM common m
+        JOIN counts na ON na.doc_id = m.id_a
+        JOIN counts nb ON nb.doc_id = m.id_b
+        WHERE round(CAST(m.n_common AS DOUBLE) / (na.n + nb.n - m.n_common), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY 1)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE c.comp IS NOT NULL AND c.comp <> d.doc_id)
+                AS BIGINT) AS n_redundant,
+           round(CAST(COUNT(*) FILTER (WHERE c.comp IS NOT NULL
+                                         AND c.comp <> d.doc_id) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield report per ingestion source: how many documents would be
+    DROPPED by keep-one-per-cluster near-dup dedup (cluster member but not
+    the representative) — the per-source redundancy diagnostic a corpus
+    curation pass reports before committing to a source mix. Reuses the
+    MinHash→LSH→verify→components pipeline and joins the cluster map back
+    to the documents table (left join: singleton docs count as unique)."""
+    from ..functions.dedup_fuzzy import connected_components, minhash_lsh_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(
+        docs, "doc_id", "text", threshold=0.5, hint_small=True
+    )
+    comp = connected_components(pairs, edges_canonical=True)
+    redundant = F.col("component_id").isNotNull() & (
+        F.col("component_id") != F.col("doc_id")
+    )
+    return (
+        docs.join(
+            comp.select(F.col("node_id").alias("doc_id"), "component_id"),
+            "doc_id",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(redundant.cast("bigint")).alias("n_redundant"),
+            F.round(
+                F.sum(redundant.cast("bigint")).cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@register(
     "train_val_test_split",
     oracle="""
     SELECT doc_id,

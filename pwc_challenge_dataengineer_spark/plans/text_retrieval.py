@@ -439,3 +439,64 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks WHERE tok <> '' GROUP BY 1
+    ),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+    top AS (
+        SELECT tok, n,
+               CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+        FROM counts
+        QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 100
+    )
+    SELECT t.rank, t.tok, t.n,
+           round(CAST(t.n AS DOUBLE) / tt.n_total, 6) AS share,
+           round(CAST(SUM(t.n) OVER (ORDER BY t.rank
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / tt.n_total, 6) AS cum_share
+    FROM top t, total tt
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head of the corpus vocabulary: top-100 tokens with frequency
+    share and cumulative coverage — the diagnostic behind vocabulary-size /
+    tokenizer decisions (how much of the corpus do the first N types
+    cover?). Scale shape: one explode → token groupBy (map-side combined),
+    then the GLOBAL window runs only on the top-100 slice (orderBy+limit —
+    a parallel TakeOrdered, never a full-vocab single-partition window);
+    the 1-row total broadcasts. Deterministic tiebreak (count desc, token)
+    keeps the rank-100 cut identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    counts = _toks(docs).groupBy("tok").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    top = counts.orderBy(F.col("n").desc(), "tok").limit(100)
+    w_rank = Window.orderBy(F.col("n").desc(), "tok")
+    cum = (
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.sum("n").over(cum).cast("double") / F.col("n_total"), 6
+            ).alias("cum_share"),
+        )
+    )
