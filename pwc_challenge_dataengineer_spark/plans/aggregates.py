@@ -446,8 +446,11 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl(hourly, "hour").unionByName(lvl(daily, "day")).unionByName(lvl(monthly, "month"))
 
 
-def _cms_col_sql(row: int, key: str = "event_type") -> str:
-    return f"CAST(('0x' || substr(md5('{row}:' || {key}), 1, 8))::BIGINT % 64 AS INT)"
+def _cms_col_sql(row: int, key: str = "event_type", width: int = 64) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{row}:' || {key}), 1, 8))::BIGINT"
+        f" % {width} AS INT)"
+    )
 
 
 @register(
@@ -501,6 +504,83 @@ def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(per_key, "event_type", weight_col="true_count")
     est = cms_estimate(sketch, per_key.select("event_type"), "event_type")
     return est.join(F.broadcast(per_key), "event_type")
+
+
+_HH_KEY = "CAST(p.user_id AS VARCHAR)"
+_HH_W = 1024
+# Per-user event counts cluster around 66 at every SF (users scale with
+# events in this data); 80 sits just above p90, so true heavy hitters exist
+# at every test scale and the candidate set mixes them with collision FPs.
+_HH_THRESH = 80
+
+
+@register(
+    "cms_heavy_hitters",
+    # Sketch-driven heavy-hitter candidates over a WIDE key domain (users,
+    # not the 5 event types): CMS never underestimates, so filtering on the
+    # estimate keeps every true heavy hitter and admits only collision-
+    # inflated false positives — is_true_heavy exposes exactly which. The
+    # sketch is d=4 × w=1024 (vs 64 for the tiny-domain demo) so cells hold
+    # ~1-2 keys and the candidate set stays tight.
+    oracle=f"""
+    WITH per_key AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM events GROUP BY 1
+    ),
+    probe AS (
+        SELECT p.user_id, p.true_count, r.row,
+               CASE r.row
+                   WHEN 0 THEN {_cms_col_sql(0, _HH_KEY, _HH_W)}
+                   WHEN 1 THEN {_cms_col_sql(1, _HH_KEY, _HH_W)}
+                   WHEN 2 THEN {_cms_col_sql(2, _HH_KEY, _HH_W)}
+                   WHEN 3 THEN {_cms_col_sql(3, _HH_KEY, _HH_W)} END AS col
+        FROM per_key p, (SELECT unnest([0, 1, 2, 3]) AS row) r
+    ),
+    cells AS (
+        SELECT row, col, SUM(true_count) AS cnt
+        FROM probe GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.user_id, p.true_count,
+               MIN(COALESCE(s.cnt, 0)) AS estimated_count
+        FROM probe p LEFT JOIN cells s ON s.row = p.row AND s.col = p.col
+        GROUP BY 1, 2
+    )
+    SELECT user_id, estimated_count, true_count,
+           true_count >= {_HH_THRESH} AS is_true_heavy
+    FROM est WHERE estimated_count >= {_HH_THRESH}
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a Count-Min Sketch over the user key
+    domain: report every user whose ESTIMATED event count passes the
+    threshold. The point-estimate is an upper bound, so the candidate set
+    provably contains all true heavy hitters (no false negatives — the
+    guarantee that lets a 100 TB pipeline shortlist keys from a d·w-cell
+    sketch instead of a full exact count); collision-inflated false
+    positives carry is_true_heavy = false. Same one-scan layout as
+    cms_event_counts: per-key counts feed the weighted sketch build, the
+    probes, and the comparison column."""
+    from ..functions.sketches import cms_build, cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(
+        F.count("*").alias("true_count")
+    )
+    sketch = cms_build(per_key, "user_id", width=_HH_W, weight_col="true_count")
+    est = cms_estimate(
+        sketch, per_key.select("user_id"), "user_id", width=_HH_W
+    )
+    return (
+        est.join(F.broadcast(per_key), "user_id")
+        .filter(F.col("estimated_count") >= _HH_THRESH)
+        .select(
+            "user_id",
+            "estimated_count",
+            "true_count",
+            (F.col("true_count") >= _HH_THRESH).alias("is_true_heavy"),
+        )
+    )
 
 
 @register(
