@@ -100,3 +100,28 @@ def test_streaming_hll_rollup_matches_batch(spark, tmp_path):
         for r in hll_registers(df, "key", ["grp"], p=4).collect()
     }
     assert store == batch
+
+def test_cms_estimate_upper_bounds_truth_and_weighted_build_equal(spark):
+    """Two invariants behind cms_heavy_hitters: (1) the point estimate NEVER
+    underestimates the true count (the no-false-negative guarantee sketch-
+    driven shortlisting rests on), for an adversarially small sketch where
+    collisions are guaranteed; (2) building the sketch from pre-aggregated
+    (key, count) rows via weight_col yields cell-for-cell the sketch built
+    from the raw stream."""
+    from pwc_challenge_dataengineer_spark.functions.sketches import cms_estimate
+
+    rows = [(f"k{i % 23}",) for i in range(400)]
+    df = spark.createDataFrame(rows, ["key"])
+    true = {r["key"]: r["n"] for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()}
+
+    raw_sketch = cms_build(df, "key", depth=3, width=8)  # 23 keys in 8 cols
+    per_key = df.groupBy("key").agg(F.count("*").alias("n"))
+    weighted_sketch = cms_build(per_key, "key", depth=3, width=8, weight_col="n")
+    as_dict = lambda d: {(r["row"], r["col"]): r["cnt"] for r in d.collect()}
+    assert as_dict(weighted_sketch) == as_dict(raw_sketch)
+
+    est = cms_estimate(raw_sketch, per_key.select("key"), "key", depth=3, width=8)
+    for r in est.collect():
+        assert r["estimated_count"] >= true[r["key"]], (
+            r["key"], r["estimated_count"], true[r["key"]]
+        )
