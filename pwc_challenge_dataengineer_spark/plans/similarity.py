@@ -339,7 +339,7 @@ def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", threshold=0.3,
         n_planes=6, dims=64,
     )
-    comp = connected_components(pairs, edges_canonical=True)
+    comp = connected_components(pairs, edges_canonical=True, hint_small=True)
     return comp.select(
         "node_id",
         "component_id",

@@ -401,7 +401,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_near_dups(
         docs, "doc_id", "text", threshold=0.5, hint_small=True
     )
-    comp = connected_components(pairs, edges_canonical=True)
+    comp = connected_components(pairs, edges_canonical=True, hint_small=True)
     return comp.select(
         "node_id",
         "component_id",
@@ -478,7 +478,7 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_near_dups(
         docs, "doc_id", "text", threshold=0.5, hint_small=True
     )
-    comp = connected_components(pairs, edges_canonical=True)
+    comp = connected_components(pairs, edges_canonical=True, hint_small=True)
     redundant = F.col("component_id").isNotNull() & (
         F.col("component_id") != F.col("doc_id")
     )
