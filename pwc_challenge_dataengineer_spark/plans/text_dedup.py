@@ -256,6 +256,64 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_lsh_pairs_salted",
+    # identical semantics (and oracle) to minhash_lsh_pairs: the skew-salted
+    # bucket join is pair-identical to the plain self-join (property-tested
+    # in tests/test_near_dup.py) — registering it separately makes the
+    # driver's oracle gate prove the salting path end-to-end, not just the
+    # Hypothesis corpus.
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    bands AS (
+        SELECT doc_id, band, shingle
+        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(substr(md5(shingle), band * 8 + 1, 8)) AS signature
+        FROM bands GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.signature = b.signature AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT m.id_a, m.id_b, m.n_common,
+           round(CAST(m.n_common AS DOUBLE) / (na.n + nb.n - m.n_common), 6) AS jaccard
+    FROM common m
+    JOIN counts na ON na.doc_id = m.id_a
+    JOIN counts nb ON nb.doc_id = m.id_b
+    """,
+)
+def minhash_lsh_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs through the viral-shingle SALTED bucket join: any
+    band bucket over the cap splits into hash groups and the self-join runs
+    on bounded group-pair cells — the skew armor for a boilerplate shingle
+    shared by half the corpus. The pair set is provably identical to the
+    plain join, so the same value oracle applies. bucket_cap=4 sits below
+    the max bucket size at every test SF (5 at sf0.01, 21 at sf0.1), so the
+    hot (salted) and cold paths BOTH execute under the oracle gate; a
+    production corpus would cap in the thousands."""
+    from ..functions.dedup_fuzzy import jaccard_verify_profiles, minhash_doc_profiles, profiles_to_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = minhash_doc_profiles(docs, "doc_id", "text", k=3, n_bands=4).localCheckpoint(
+        eager=False
+    )
+    sig = profiles_to_signatures(prof, "doc_id", n_bands=4)
+    cand = lsh_candidate_pairs(sig, "doc_id", bucket_cap=4)
+    return jaccard_verify_profiles(cand, prof, "doc_id", hint_small=True)
+
+
+@register(
     "simhash_docs",
     oracle="""
     WITH toks AS (
