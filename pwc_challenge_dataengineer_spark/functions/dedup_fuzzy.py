@@ -219,6 +219,11 @@ def lsh_candidate_pairs(
     counts = signatures.groupBy("band", "signature").agg(
         F.ceil(F.count("*") / F.lit(float(bucket_cap))).cast("int").alias("__n_sub")
     )
+    # hint_small applies to the salted branch too (it was silently dropped
+    # before): a checkpointed signature table under the broadcast envelope
+    # deserves the same no-stats hint on every join it feeds.
+    if hint_small:
+        counts = F.broadcast(counts)
     sized = signatures.join(counts, ["band", "signature"]).select(
         F.col(id_col).alias("__id"),
         "band",
@@ -228,12 +233,12 @@ def lsh_candidate_pairs(
     )
     cold = sized.filter(F.col("__n_sub") == 1)
     hot = sized.filter(F.col("__n_sub") > 1)
+    cold_b = cold.select(F.col("__id").alias("id_b"), "band", "signature")
+    if hint_small:
+        cold_b = F.broadcast(cold_b)
     cold_pairs = (
         cold.select(F.col("__id").alias("id_a"), "band", "signature")
-        .join(
-            cold.select(F.col("__id").alias("id_b"), "band", "signature"),
-            ["band", "signature"],
-        )
+        .join(cold_b, ["band", "signature"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
@@ -254,6 +259,8 @@ def lsh_candidate_pairs(
         F.explode(F.sequence(F.lit(0), F.col("__n_sub") - 1)).alias("__ga"),
         F.col("__grp").alias("__gb"),
     )
+    if hint_small:
+        b_side = F.broadcast(b_side)
     hot_pairs = (
         a_side.join(b_side, ["band", "signature", "__ga", "__gb"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -330,6 +337,12 @@ def minhash_lsh_near_dups(
 _HEX = "0123456789abcdef"
 
 
+# Lane mask selects bits {0, 21, 42} — one AND packs three bit-counters
+# 21 bits apart into a single bigint accumulator.
+_LANE_MASK = (1 << 42) | (1 << 21) | 1
+_SLOT_MASK = (1 << 21) - 1
+
+
 def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash per document (fits BIGINT).
 
@@ -337,26 +350,28 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokens vote ±1; positive vote → bit set. All occurrences vote (frequency
     weighting), matching the classic Charikar construction.
 
-    All 60 bit-votes are computed as WIDE aggregate columns in one doc-level
-    groupBy — the per-bit explode variant pushes 60× the token rows through
-    the hash aggregate and shuffle (the same lesson as the MinHash band
-    minima: it was the worst scaler in the 30× stress run, ×34 wall-time,
-    and this rewrite reads |tokens| rows instead of 60·|tokens|). Two
-    details matter for the constant factor: the token hash parses ONCE per
-    row into a bigint (bits are then shift+mask, not per-bit string
-    parsing), and each aggregate is a PLAIN sum of ones (vote > 0 is
-    equivalent to 2·ones > n, derived in the projection) — a 60-column
-    aggregate falls out of whole-stage codegen, so per-expression
-    interpreted cost is the budget, and sum(bit*2-1) was measured 4× the
-    cost of sum(bit). Net: 13.0 s → 1.6 s at 30× data AND ~25% faster at
-    sf0.1. Output is bit-for-bit the same, so the DuckDB oracles are
-    untouched."""
-    # The token's 60-bit hash parses ONCE per row into a bigint; each bit
-    # then costs one shift+mask instead of a per-bit instr+substring (the
-    # 60-expression string-parse variant was ~3× slower at sf0.1). Bit
-    # layout matches the oracle's nibble arithmetic exactly: hex char p//4
-    # is the (14 - p//4)-th nibble of the value, bit 3 - p%4 within it —
-    # i.e. bit p of the signature is bit (59 - p) of the parsed value.
+    All 60 bit-votes are computed in one doc-level groupBy — the per-bit
+    explode variant pushes 60× the token rows through the hash aggregate
+    and shuffle (it was the worst scaler in the 30× stress run, ×34
+    wall-time; this shape reads |tokens| rows instead of 60·|tokens|).
+    The constant factor matters too, and three details carry it: (1) the
+    token hash parses ONCE per row into a bigint (bits are then shift+mask,
+    not per-bit string parsing); (2) bit-counts are PACKED — lane j sums
+    ``(v >> j) & {bits 0,21,42}``, so three 21-bit counters ride in one
+    bigint accumulator and the aggregate needs 21 sum(bigint) columns
+    (one shift + one AND per row each) instead of 60 three-op sum(int)
+    columns (the unpacked wide agg measured ~3.5× slower at sf0.1 than the
+    r2 baseline; packing recovers it); (3) each aggregate is a plain sum
+    of ones — vote > 0 is equivalent to 2·ones > n, derived in the
+    projection over |docs| rows. Lanes j=0..20 cover v-bits {j, j+21,
+    j+42} = 0..62 (bits 60-62 are always 0: v < 2^60). Packing is carry-
+    safe while every doc has < 2^21 (~2M) tokens; beyond that, pre-chunk
+    docs upstream (doc_chunks) — at 100 TB corpus scale the per-doc token
+    budget is a contract, not a hope. Output is bit-for-bit identical to
+    the unpacked form, so the DuckDB oracles are untouched."""
+    # Bit layout matches the oracle's nibble arithmetic exactly: hex char
+    # p//4 is the (14 - p//4)-th nibble of the value, bit 3 - p%4 within
+    # it — i.e. bit p of the signature is bit (59 - p) of the parsed value.
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), "\\s+")).alias("tok"),
@@ -364,19 +379,26 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "__v", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     )
 
-    def bit(p: int):
-        return F.expr(f"CAST(shiftrightunsigned(__v, {59 - p}) & 1 AS INT)")
-
-    wide = toks.groupBy(id_col).agg(
+    lanes = toks.groupBy(id_col).agg(
         F.count("*").alias("__n"),
-        *[F.sum(bit(p)).alias(f"__o{p}") for p in range(60)],
+        *[
+            F.sum(
+                F.expr(f"shiftrightunsigned(__v, {j}) & {_LANE_MASK}")
+            ).alias(f"__l{j}")
+            for j in range(21)
+        ],
     )
-    sim = F.lit(0).cast("bigint")
-    for p in range(60):
-        sim = sim + F.when(
-            F.col(f"__o{p}") * 2 > F.col("__n"), F.lit(1 << p).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return wide.select(id_col, sim.alias("simhash"))
+    # Unpack: ones for v-bit q live in lane q%21, slot q//21 (21 bits wide).
+    # The 60-term projection is ONE SQL string parsed JVM-side: composing it
+    # as 60 chained F.when() Column objects costs ~0.85 s of py4j round
+    # trips PER CALL on the driver — more than the query's own execution.
+    terms = " + ".join(
+        f"(CASE WHEN (shiftrightunsigned(__l{(59 - p) % 21},"
+        f" {21 * ((59 - p) // 21)}) & {_SLOT_MASK}) * 2 > __n"
+        f" THEN {1 << p}L ELSE 0L END)"
+        for p in range(60)
+    )
+    return lanes.select(id_col, F.expr(terms).alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

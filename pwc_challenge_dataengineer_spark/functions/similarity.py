@@ -291,7 +291,14 @@ def cosine_near_dup_lsh(
                 / F.lit(float(max_block))
             ).cast("int"),
         )
-        .withColumn("sub", F.pmod(F.col("vid"), F.col("n_sub")).cast("int"))
+        # hash of id, not the raw id: structured id spaces (e.g. all-even
+        # ids) would collapse residue classes into one sub-block and void
+        # the <= 2*max_block per-task memory bound; output is invariant to
+        # the assignment (every sub-block pair is compared).
+        .withColumn(
+            "sub",
+            F.pmod(F.xxhash64(F.col("vid")), F.col("n_sub")).cast("int"),
+        )
     )
     blocks = base.groupBy("bucket", "sub").agg(
         F.collect_list(F.struct("vid", "v")).alias("items")

@@ -541,8 +541,10 @@ _HH_THRESH = 80
         FROM probe GROUP BY 1, 2
     ),
     est AS (
+        -- CAST: DuckDB promotes SUM(BIGINT) to HUGEINT; Spark emits bigint.
+        -- Pin the oracle's arrow type to int64 so typed hashes agree.
         SELECT p.user_id, p.true_count,
-               MIN(COALESCE(s.cnt, 0)) AS estimated_count
+               CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS estimated_count
         FROM probe p LEFT JOIN cells s ON s.row = p.row AND s.col = p.col
         GROUP BY 1, 2
     )

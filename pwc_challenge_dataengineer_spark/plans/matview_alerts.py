@@ -204,7 +204,8 @@ _PROFILE_COLS = ("o_orderstatus", "o_orderpriority")
     ),
     ranked AS (
         SELECT *,
-               SUM(cnt) OVER (PARTITION BY column_name) AS total_rows,
+               -- CAST: DuckDB window SUM(BIGINT) promotes to HUGEINT
+               CAST(SUM(cnt) OVER (PARTITION BY column_name) AS BIGINT) AS total_rows,
                CAST(COUNT(*) OVER (PARTITION BY column_name) AS BIGINT) AS cardinality,
                row_number() OVER (PARTITION BY column_name ORDER BY cnt DESC, v) AS rn
         FROM counts

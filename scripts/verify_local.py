@@ -1,8 +1,17 @@
 """Local stand-in for the driver's t2 correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
-over the same parquet tables, then compares row count, column names, and
-values (order-insensitive; rows and columns sorted; floats canonicalized).
+over the same parquet tables, then compares row count, column names, result
+TYPES (arrow-schema kinds — the driver hashes typed values, so a DuckDB
+HUGEINT/DOUBLE promotion diverges even when every cell stringifies the
+same; two such escapes shipped red in r2/r3 before this check existed),
+and values (order-insensitive; rows and columns sorted; floats
+canonicalized).
+
+Type rule: integer widths are lumped (the driver accepts int32-vs-int64
+pairs in rows it already passes green); decimal/int/float are strictly
+distinct kinds, and decimals must agree on SCALE (precision is allowed to
+differ — both engines widen precision differently under SUM).
 
 Usage: python scripts/verify_local.py [sf_dir] [query ...]
 """
@@ -52,6 +61,94 @@ def rowset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in idx) for r in rows)
 
 
+def spark_kind(dt) -> str:
+    """Collapse a Spark DataType to a comparable type kind."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal(s={dt.scale})"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_kind(dt.elementType)}>"
+    return f"other:{dt.simpleString()}"
+
+
+def arrow_kind(t) -> str:
+    """Collapse an arrow type (DuckDB result schema) to the same kinds."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return f"decimal(s={t.scale})"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_kind(t.value_type)}>"
+    return f"other:{t}"
+
+
+def type_mismatches(spark_schema, arrow_schema) -> list[str]:
+    """Columns (matched by name) whose Spark vs oracle type kinds differ."""
+    skinds = {f.name: spark_kind(f.dataType) for f in spark_schema.fields}
+    out = []
+    for field in arrow_schema:
+        if field.name not in skinds:
+            continue
+        dk = arrow_kind(field.type)
+        sk = skinds[field.name]
+        if sk != dk:
+            out.append(f"{field.name}: spark={sk} oracle={dk}")
+    return out
+
+
+def compare(sdf_schema, scols, srows, arrow_tbl) -> list[str]:
+    """All divergences between a Spark result and a DuckDB arrow result."""
+    dcols = arrow_tbl.schema.names
+    dcols_py = [arrow_tbl.column(i).to_pylist() for i in range(arrow_tbl.num_columns)]
+    drows = list(zip(*dcols_py)) if dcols_py else []
+    if arrow_tbl.num_rows and not drows:
+        drows = [()] * arrow_tbl.num_rows
+    problems = []
+    if len(srows) != arrow_tbl.num_rows:
+        problems.append(f"rowcount spark={len(srows)} duckdb={arrow_tbl.num_rows}")
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+    else:
+        tmis = type_mismatches(sdf_schema, arrow_tbl.schema)
+        if tmis:
+            problems.append("type kinds differ: " + "; ".join(tmis))
+    if not problems:
+        sset, dset = rowset(scols, srows), rowset(dcols, drows)
+        if sset != dset:
+            diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+            problems.append(f"values differ, first diffs: {diff}")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -75,6 +172,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sschema = sdf.schema
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
@@ -85,23 +183,12 @@ def main() -> int:
             skipped += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             failed += 1
             continue
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
-        if not problems:
-            sset, dset = rowset(scols, srows), rowset(dcols, drows)
-            if sset != dset:
-                diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+        problems = compare(sschema, scols, srows, tbl)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed += 1
