@@ -6,37 +6,58 @@ micro-batch must be deduplicated BOTH within itself and against everything
 ingested before it, and only first-seen (representative) documents flow on to
 the corpus. Spark has no built-in cross-batch fuzzy dedup —
 ``dropDuplicatesWithinWatermark`` is exact-key only — so this composes the
-batch MinHash kit (functions/dedup_fuzzy.py) with the versioned store inside
-``foreachBatch``:
+batch MinHash kit (functions/dedup_fuzzy.py) with an append-only segment
+store inside ``foreachBatch``:
 
   1. profile the incoming batch (one fused explode+groupBy: band minima +
      verify hash set per doc);
-  2. LSH-join the batch signatures against the STORE's signatures (band,
-     signature) — candidates only, sub-quadratic, the store side is
-     pre-collapsed to one row per (band, signature) bucket head;
+  2. LSH-join the batch signatures against the store's SIGNATURE INDEX — a
+     long-form (band, signature, doc_id) table, written partitioned by band
+     (at 100 TB: a bucketed table on signature within each band partition, so
+     this join co-locates without shuffling the accumulated corpus). The
+     index is narrow — sh_set arrays never ride through the candidate join;
   3. exact-verify candidates with the stored hash sets (array_intersect
      Jaccard ≥ threshold → duplicate-of verdict, min doc_id wins ties);
   4. batch-internal near-dups collapse via the same pipeline before the
      store comparison (min-id representative);
-  5. append the surviving representatives' profiles to the store (a
-     VersionedTable commit per batch — replayable, time-travelable), and
-     emit (doc_id, verdict, duplicate_of) for every input doc.
+  5. commit the surviving representatives to the store as ONE APPEND-ONLY
+     SEGMENT (profiles + exploded signatures under a single manifest entry),
+     and emit (doc_id, verdict, duplicate_of) for every input doc. Appending
+     a segment costs O(batch); the old full-snapshot MERGE re-wrote O(store)
+     every batch, so per-batch latency grew with the corpus. Periodic
+     compaction (every ``compact_every`` commits) folds the small segments
+     back into one, bounding the per-read file count.
 
-Exactly-once posture: the store commit is a keyed MERGE (insert-only on
-doc_id), so a replayed micro-batch re-offers the same representatives and
-matched keys stay untouched — idempotent, the same argument as the
-foreachBatch MERGE crash-replay test. The verdict FILE sink is plain append
-(at-least-once on replay; downstream dedupes on (batch_id, doc_id) — stated
-honestly rather than claimed away).
+Verdict contract: ``duplicate_of`` is resolved through up to
+``_RESOLVE_ROUNDS`` chain hops (batch doc → batch rep → stored rep), so it
+names a document that was retained as a representative except for
+within-one-batch chains longer than 2^rounds links — those remain
+single-link (stated, not claimed away).
 
-Scale posture: the store grows with the UNIQUE corpus; its join side is
-(band, signature) buckets — the LSH candidate join stays sub-quadratic and
-the verify only touches candidates. At 100 TB the store becomes a bucketed
-table keyed by (band, signature) so the join co-locates without a shuffle
-of the accumulated corpus.
+Exactly-once posture: the store commit is manifest-gated per batch_id — a
+replayed micro-batch finds its segment already committed and skips the
+append (idempotent; segment data writes are overwrite-mode so a crash
+between data write and manifest commit also replays cleanly). The verdict
+FILE sink is plain append (at-least-once on replay; downstream dedupes on
+(batch_id, doc_id) — stated honestly rather than claimed away). On such a
+replay the store already contains this batch's survivors, so the store
+join guards id_a != id_b; re-emitted verdicts may then name a same-batch
+representative instead of the original cross-batch one — a true verdict,
+differently-rooted, covered by the at-least-once statement.
+
+Broadcast posture: the store-side verify join is broadcast only while the
+store profile count stays under ``broadcast_store_max_rows`` — the store
+grows with the unique corpus, so an unconditional broadcast hint would
+eventually exceed the driver/broadcast envelope (the advisor's finding);
+past the cutoff the shuffled hash join is the correct shape.
 """
 
 from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,25 +67,155 @@ from ..functions.dedup_fuzzy import (
     minhash_doc_profiles,
     profiles_to_signatures,
 )
-from ..sources.versioned_store import VersionedTable
 
 N_BANDS = 4
+_RESOLVE_ROUNDS = 2
 
 
-def _store_schema_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [],
-        "doc_id BIGINT, sh_set ARRAY<BIGINT>, n_sh BIGINT, "
-        "__s0 STRING, __s1 STRING, __s2 STRING, __s3 STRING",
-    )
+class DedupSegmentStore:
+    """Append-only segment log for the dedup signature store.
+
+    Layout::
+
+        <path>/manifest.json              # {"segments": [...], "ncompact": n}
+        <path>/profiles/seg=<id>/         # doc_id, sh_set, n_sh
+        <path>/sigs/seg=<id>/band=<b>/    # signature, doc_id
+
+    One manifest entry covers BOTH the profile and signature segment of a
+    batch, so replay idempotency is a single check. Reads union the active
+    segments (bounded by ``compact_every``); ``compact`` folds them into one.
+    Crash-safety: data dirs are written overwrite-mode BEFORE the manifest
+    swap (os.replace — atomic), so a torn commit is invisible and replayable;
+    compaction removes superseded dirs only after the swap, so orphan dirs
+    are dead weight, never read.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._manifest):
+            return {"segments": [], "ncompact": 0}
+        with open(self._manifest) as f:
+            return json.load(f)
+
+    def _swap(self, state: dict) -> None:
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._manifest)
+
+    def has_segment(self, seg_id: str) -> bool:
+        return seg_id in self._load()["segments"]
+
+    def n_segments(self) -> int:
+        return len(self._load()["segments"])
+
+    _PROFILE_SCHEMA = "doc_id BIGINT, sh_set ARRAY<BIGINT>, n_sh BIGINT"
+    _SIG_SCHEMA = "doc_id BIGINT, signature STRING, band INT"
+
+    def _seg_dirs(self, kind: str) -> list[str]:
+        # empty-survivor batches commit a manifest entry with no data dir
+        return [
+            d
+            for s in self._load()["segments"]
+            if os.path.isdir(d := os.path.join(self.path, kind, f"seg={s}"))
+        ]
+
+    def append(self, profiles: DataFrame, seg_id: str) -> bool:
+        """Commit one batch's surviving profiles (+ derived signature index)
+        as a new segment. Returns False when the segment already exists —
+        the replayed-batch case. An all-duplicates batch (no survivors)
+        commits a manifest-only entry: the idempotency record without an
+        unreadable zero-file parquet dir."""
+        state = self._load()
+        if seg_id in state["segments"]:
+            return False
+        prof = profiles.select(
+            "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
+        ).localCheckpoint(eager=True)
+        if prof.take(1):
+            pdir = os.path.join(self.path, "profiles", f"seg={seg_id}")
+            sdir = os.path.join(self.path, "sigs", f"seg={seg_id}")
+            prof.select("doc_id", "sh_set", "n_sh").write.mode(
+                "overwrite"
+            ).parquet(pdir)
+            sig = profiles_to_signatures(prof, "doc_id", N_BANDS)
+            # partitioned by band: the 100 TB layout is band-partitioned +
+            # signature-bucketed so the candidate join co-locates; locally
+            # the partition dirs document the shape and prune band scans.
+            sig.select("doc_id", "band", "signature").write.mode(
+                "overwrite"
+            ).partitionBy("band").parquet(sdir)
+        state["segments"].append(seg_id)
+        self._swap(state)
+        return True
+
+    def _union(self, kind: str) -> DataFrame | None:
+        dirs = self._seg_dirs(kind)
+        if not dirs:
+            return None
+        schema = self._PROFILE_SCHEMA if kind == "profiles" else self._SIG_SCHEMA
+        dfs = [self.spark.read.schema(schema).parquet(d) for d in dirs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read(self) -> DataFrame:
+        """Current store profiles (doc_id, sh_set, n_sh); empty-schema frame
+        when nothing committed yet."""
+        out = self._union("profiles")
+        if out is None:
+            return self.spark.createDataFrame(
+                [], "doc_id BIGINT, sh_set ARRAY<BIGINT>, n_sh BIGINT"
+            )
+        return out
+
+    def read_sigs(self) -> DataFrame | None:
+        return self._union("sigs")
+
+    def compact(self) -> None:
+        """Fold all active segments into one. Superseded dirs are removed
+        only after the manifest swap."""
+        state = self._load()
+        if len(state["segments"]) <= 1:
+            return
+        cid = f"c{state['ncompact']}"
+        sigs = self._union("sigs")
+        if sigs is not None:
+            prof = self.read().localCheckpoint(eager=True)
+            sigs = sigs.localCheckpoint(eager=True)
+            pdir = os.path.join(self.path, "profiles", f"seg={cid}")
+            sdir = os.path.join(self.path, "sigs", f"seg={cid}")
+            prof.write.mode("overwrite").parquet(pdir)
+            sigs.select("doc_id", "signature", "band").write.mode(
+                "overwrite"
+            ).partitionBy("band").parquet(sdir)
+        old = state["segments"]
+        self._swap({"segments": [cid], "ncompact": state["ncompact"] + 1})
+        for s in old:
+            for kind in ("profiles", "sigs"):
+                shutil.rmtree(
+                    os.path.join(self.path, kind, f"seg={s}"),
+                    ignore_errors=True,
+                )
 
 
-def _dedup_within(prof: DataFrame, threshold: float) -> tuple[DataFrame, DataFrame]:
+def _dedup_within(
+    prof: DataFrame, threshold: float
+) -> tuple[DataFrame, DataFrame]:
     """Collapse near-dups INSIDE one batch: (representatives, dup_verdicts).
 
     Representative = min doc_id of each near-dup group (single-link over the
-    verified pair set, one propagation round — batch-local groups are tiny;
-    chains longer than one hop resolve on later batches against the store)."""
+    verified pair set, one propagation round; multi-hop chains are resolved
+    by the caller's transitive pass)."""
     sig = profiles_to_signatures(prof, "doc_id", N_BANDS)
     left = sig.select(F.col("doc_id").alias("id_a"), "band", "signature")
     right = sig.select(F.col("doc_id").alias("id_b"), "band", "signature")
@@ -84,8 +235,34 @@ def _dedup_within(prof: DataFrame, threshold: float) -> tuple[DataFrame, DataFra
     return reps, rep_of
 
 
+def _resolve_chains(dup_of: DataFrame, rounds: int = _RESOLVE_ROUNDS) -> DataFrame:
+    """Point ``duplicate_of`` at a retained representative: each round
+    follows one chain hop (doc → dup → dup's target). Batch chains strictly
+    decrease on doc_id and store targets are terminal (the store holds only
+    representatives), so ``rounds`` hops resolve chains of up to 2^rounds
+    links; anything longer (pathological within-one-batch chains) stays
+    single-link — the documented contract."""
+    for _ in range(rounds):
+        nxt = dup_of.select(
+            F.col("doc_id").alias("duplicate_of"),
+            F.col("duplicate_of").alias("__next"),
+        )
+        dup_of = (
+            dup_of.join(F.broadcast(nxt), "duplicate_of", "left")
+            .select(
+                "doc_id",
+                F.coalesce("__next", "duplicate_of").alias("duplicate_of"),
+            )
+        )
+    return dup_of
+
+
 def make_dedup_batch_fn(
-    store: VersionedTable, out_path: str, threshold: float = 0.5
+    store: DedupSegmentStore,
+    out_path: str,
+    threshold: float = 0.5,
+    broadcast_store_max_rows: int = 100_000,
+    compact_every: int = 8,
 ):
     """foreachBatch function: cross-batch MinHash dedup against ``store``,
     verdicts appended to ``out_path`` as parquet."""
@@ -100,14 +277,8 @@ def make_dedup_batch_fn(
 
         reps, batch_dups = _dedup_within(prof, threshold)
 
-        try:
-            stored = store.read()
-            store_exists = True
-        except Exception:
-            stored = _store_schema_df(spark)
-            store_exists = False
-        if stored.take(1):
-            stored_sig = profiles_to_signatures(stored, "doc_id", N_BANDS)
+        stored_sig = store.read_sigs()
+        if stored_sig is not None:
             new_sig = profiles_to_signatures(reps, "doc_id", N_BANDS)
             cand = (
                 new_sig.select(F.col("doc_id").alias("id_b"), "band", "signature")
@@ -117,12 +288,19 @@ def make_dedup_batch_fn(
                     ),
                     ["band", "signature"],
                 )
+                # a replayed batch sees its own survivors in the store
+                .filter(F.col("id_a") != F.col("id_b"))
                 .select("id_a", "id_b")
                 .distinct()
             )
-            both_prof = stored.unionByName(reps)
+            stored = store.read()
+            # broadcast only while the store fits the envelope (parquet
+            # metadata count — no data scan); beyond it the shuffled hash
+            # join is the right shape for a corpus-sized store.
+            small = stored.count() <= broadcast_store_max_rows
+            both_prof = stored.unionByName(reps.select("doc_id", "sh_set", "n_sh"))
             store_pairs = jaccard_verify_profiles(
-                cand, both_prof, "doc_id", hint_small=True
+                cand, both_prof, "doc_id", hint_small=small
             ).filter(F.col("jaccard") >= threshold)
             store_dup_of = store_pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
                 F.min("id_a").alias("duplicate_of")
@@ -135,14 +313,11 @@ def make_dedup_batch_fn(
         survivors = reps.join(store_dup_of, "doc_id", "left_anti").select(
             "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
         )
-        # insert-only MERGE: replaying this batch re-offers the same rows,
-        # matched keys are left untouched -> idempotent under crash-replay
-        if store_exists:
-            store.merge(survivors, keys=["doc_id"], when_matched_update=False)
-        else:
-            store.write(survivors)
+        # manifest-gated append: replaying this batch finds the segment
+        # committed and skips -> idempotent under crash-replay
+        store.append(survivors, seg_id=str(batch_id))
 
-        dup_of = batch_dups.unionByName(store_dup_of)
+        dup_of = _resolve_chains(batch_dups.unionByName(store_dup_of))
         verdicts = (
             batch_df.select("doc_id")
             .join(dup_of, "doc_id", "left")
@@ -155,15 +330,22 @@ def make_dedup_batch_fn(
         )
         verdicts.write.mode("append").parquet(out_path)
 
+        # compact LAST: the verdict plan above lazily reads the pre-append
+        # segments; folding them away earlier deletes files under a live plan
+        if store.n_segments() >= compact_every:
+            store.compact()
+
     return on_batch
 
 
 def start_streaming_dedup(
     docs_stream: DataFrame,
-    store: VersionedTable,
+    store: DedupSegmentStore,
     out_path: str,
     checkpoint: str,
     threshold: float = 0.5,
+    broadcast_store_max_rows: int = 100_000,
+    compact_every: int = 8,
 ):
     """Wire the dedup batch function into a stream (availableNow by default
     semantics come from the caller's trigger via start_foreach_batch)."""
@@ -171,7 +353,13 @@ def start_streaming_dedup(
 
     return start_foreach_batch(
         docs_stream,
-        make_dedup_batch_fn(store, out_path, threshold),
+        make_dedup_batch_fn(
+            store,
+            out_path,
+            threshold,
+            broadcast_store_max_rows=broadcast_store_max_rows,
+            compact_every=compact_every,
+        ),
         checkpoint=checkpoint,
         output_mode="update",
     )
