@@ -321,8 +321,13 @@ def minhash_lsh_near_dups(
     and reused by the bucket join and both verify joins) → LSH buckets →
     exact verify. The fused profile pass halves the explode work vs running
     signature and verify aggregations separately (see minhash_doc_profiles).
+    localCheckpoint rather than cache(): a lazy InMemoryRelation is
+    materialized independently by each broadcast build side (the two
+    verify joins race to populate it), which measured up to 3x slower on
+    first execution; the checkpoint materializes exactly once.
     ``hint_small`` propagates the broadcast hint to the bucket/verify joins
-    for sub-broadcast-envelope corpora (checkpointed frames have no stats)."""
+    for sub-broadcast-envelope corpora (checkpointed frames have no
+    stats)."""
     prof = minhash_doc_profiles(df, id_col, text_col, k, n_bands).localCheckpoint(
         eager=False
     )
