@@ -414,3 +414,89 @@ def ann_ivf_topk(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance via three sequential-fold dot products:
+    ||a||^2 - 2<a,b> + ||b||^2. Composed this way (rather than folding
+    (x-y)^2 directly) so a SQL oracle can mirror it term-for-term with
+    list_dot_product — identical IEEE operations in identical order on
+    both engines."""
+    return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+
+def ann_ivf_fixed_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    n_queries: int = 5,
+) -> DataFrame:
+    """IVF approximate top-k with a DETERMINISTIC codebook: the
+    ``n_cells`` lowest-id corpus vectors ARE the centroids.
+
+    Same inverted-file structure as ``ann_ivf_topk`` (assign every vector
+    to its nearest cell; a query probes its ``n_probe`` closest cells and
+    scores exact cosine only there) but with the KMeans training pass
+    replaced by a fixed codebook — which makes every step reproducible in
+    portable SQL, so the WHOLE pipeline sits under the value-oracle gate
+    (ann_ivf_topk's trained quantizer keeps the recall-floor pytest
+    instead). Production IVF treats the codebook as a persisted input
+    artifact anyway; pinning it to data rows changes recall, not the
+    operator. Distances round to 6dp with cell-id tiebreak, cosine to 6dp
+    with neighbor-id tiebreak — the determinism convention of the other
+    similarity oracles."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    first_n = Window.orderBy("vid")
+    cents = (
+        c.withColumn("__rn", F.row_number().over(first_n))
+        .filter(F.col("__rn") <= n_cells)
+        .select(
+            (F.col("__rn") - 1).cast("int").alias("cell"),
+            F.col("v").alias("cvec"),
+        )
+    )
+    d2r = F.round(sq_l2(F.col("v"), F.col("cvec")), 6)
+    assign_w = Window.partitionBy("vid").orderBy("d2r", "cell")
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("d2r", d2r)
+        .withColumn("__rn", F.row_number().over(assign_w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "cell")
+    )
+    q = (
+        c.withColumn("__rn", F.row_number().over(first_n))
+        .filter(F.col("__rn") <= n_queries)
+        .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("d2r", "cell")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2r", F.round(sq_l2(F.col("qv"), F.col("cvec")), 6))
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probed.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -976,3 +976,92 @@ def cusum_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").applyInPandas(
         fold, "nation string, month date, rev double, cusum double"
     )
+
+
+@register(
+    "kmeans_quality_check",
+    # Contract oracle (same doctrine as pca_reconstruction_check): the
+    # fixed-seed Lloyd result is engine-specific, but a VALID clustering's
+    # invariants are not — the partition property (cluster sizes sum to n,
+    # k non-empty clusters) and the objective property (within-cluster SS
+    # strictly below the total SS of the standardized features, since k>1
+    # centroids always beat the single global mean). The Spark side
+    # verifies those distributed and emits booleans; the oracle pins the
+    # contract plus the data-derived point count.
+    oracle="""
+    SELECT 5 AS k,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_points,
+           TRUE AS sizes_sum_to_n,
+           TRUE AS all_clusters_nonempty,
+           TRUE AS wss_below_total_ss
+    FROM orders
+    """,
+)
+def kmeans_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity contract for the fixed-seed KMeans segmentation
+    (kmeans_segments' pipeline): partition + objective invariants checked
+    distributed, only k scalars and the 5 cluster sizes reach the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    rfm = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit(AS_OF).cast("date"), F.max(F.to_date("o_orderdate"))
+            ).cast("double").alias("recency"),
+            F.count("*").cast("double").alias("frequency"),
+            F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+        )
+    )
+    assembled = VectorAssembler(
+        inputCols=["recency", "frequency", "monetary"], outputCol="raw"
+    ).transform(rfm)
+    scaled = (
+        StandardScaler(inputCol="raw", outputCol="features", withMean=True)
+        .fit(assembled)
+        .transform(assembled)
+    )
+    k = 5
+    model = KMeans(k=k, seed=42, featuresCol="features").fit(scaled)
+    preds = model.transform(scaled)
+    sizes = {
+        r["prediction"]: r["c"]
+        for r in preds.groupBy("prediction").agg(F.count("*").alias("c")).collect()
+    }
+    n_points = sum(sizes.values())
+    # total SS of the standardized features around the global mean — the
+    # k=1 objective the trained WSS must beat
+    sq = F.aggregate(
+        vector_to_array("features"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    mean_vec = [
+        r["m"]
+        for r in preds.select(
+            F.posexplode(vector_to_array("features")).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("pos")
+        .collect()
+    ]
+    total_sq = preds.agg(F.sum(sq).alias("s")).first()["s"]
+    total_ss = total_sq - n_points * sum(m * m for m in mean_vec)
+    wss = model.summary.trainingCost
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                n_points,
+                n_points == rfm.count(),
+                len(sizes) == k and all(v > 0 for v in sizes.values()),
+                bool(wss < total_ss),
+            )
+        ],
+        "k INT, n_points BIGINT, sizes_sum_to_n BOOLEAN, "
+        "all_clusters_nonempty BOOLEAN, wss_below_total_ss BOOLEAN",
+    )

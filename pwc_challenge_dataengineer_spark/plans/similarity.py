@@ -586,3 +586,77 @@ def quantile_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         "dim",
         (F.col("rnk").cast("double") / (F.col("n") + 1)).alias("pct_rank"),
     )
+
+
+_D2_SQL = (
+    "round(list_dot_product({a}, {a})"
+    " - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}), 6)"
+)
+
+
+@register(
+    "ann_ivf_fixed_topk",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               v AS cvec
+        FROM corpus ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+            SELECT co.vec_id, co.v, ce.cell,
+                   row_number() OVER (
+                       PARTITION BY co.vec_id
+                       ORDER BY {_D2_SQL.format(a='co.v', b='ce.cvec')}, ce.cell
+                   ) AS rn
+            FROM corpus co CROSS JOIN cents ce
+        ) WHERE rn = 1
+    ),
+    probed AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, ce.cell,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_D2_SQL.format(a='q.v', b='ce.cvec')}, ce.cell
+                   ) AS rn
+            FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 5) q
+            CROSS JOIN cents ce
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id, a.cell,
+               round(list_dot_product(p.qv, a.cv)
+                     / (sqrt(list_dot_product(p.qv, p.qv))
+                        * sqrt(list_dot_product(a.cv, a.cv))), 6) AS cosine_sim
+        FROM probed p JOIN assigned a USING (cell)
+        WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cell, cosine_sim, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k under the FULL value-oracle gate: the coarse quantizer's
+    codebook is the 16 lowest-id corpus vectors (a deterministic stand-in
+    for the persisted KMeans codebook a production IVF deployment loads),
+    so cell assignment, probe selection, and within-cell cosine ranking
+    are all reproducible term-for-term in SQL — squared distances are
+    composed as ||a||² - 2<a,b> + ||b||² from sequential-fold dots,
+    rounded to 6dp, ties broken on cell/neighbor ids on both engines.
+    The KMeans-trained variant keeps its recall-floor pytest
+    (ann_ivf_topk); this entry proves the INVERTED-FILE operator itself
+    (assign → probe n_probe cells → exact-score the shortlist) value-
+    matches across engines."""
+    from ..functions.similarity import ann_ivf_fixed_topk as _ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ivf(emb, k=5, n_cells=16, n_probe=2, n_queries=5)
