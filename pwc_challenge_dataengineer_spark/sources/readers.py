@@ -88,17 +88,14 @@ def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFr
 
 
 def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> DataFrame:
-    """Excel → pandas → Spark. Driver-side read: acceptable only for small
-    reference workbooks (the reference does the same)."""
-    try:
-        import pandas as pd
+    """Excel scan via the pure-stdlib SpreadsheetML parser (sources/xlsx.py
+    — zipfile + xml.etree, no openpyxl): driver-side for one reference
+    workbook, matching the reference's pandas.read_excel usage
+    (enhanced_bronze.py:211-219). For a drop-zone DIRECTORY of workbooks
+    use ``xlsx.read_excel_dir`` — binaryFile scan + executor-side parse."""
+    from .xlsx import read_excel_stdlib
 
-        pdf = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as exc:  # openpyxl not installed
-        raise NotImplementedError(
-            "Excel reads require pandas+openpyxl; not available in this environment"
-        ) from exc
-    return spark.createDataFrame(pdf)
+    return read_excel_stdlib(spark, path, sheet_name)
 
 
 def read_jdbc(

@@ -1,0 +1,245 @@
+"""Pure-stdlib XLSX reader — un-gates the Excel scan without openpyxl.
+
+An .xlsx workbook is a zip of XML parts (ECMA-376 SpreadsheetML); the
+subset a data pipeline reads — shared strings, one worksheet's cell grid,
+numeric/string/boolean/inline-string cell types — parses with zipfile +
+xml.etree alone. Reference behavior covered: enhanced_bronze.py:211-219
+reads small reference workbooks via pandas.read_excel; this module gives
+the same frame (first row = header, numeric columns inferred) with zero
+native dependencies, plus a DISTRIBUTED directory variant the reference
+lacks: thousands of workbooks land as a binaryFile scan and parse inside
+Arrow-batched ``mapInPandas`` on the executors — the right shape when
+"Excel" means a drop-zone of thousands of partner uploads, not one file.
+
+Not covered (documented, not hidden): formulas (only their cached values),
+dates-as-numbers (serial values come through as doubles; apply the epoch
+arithmetic downstream), styles, multiple header rows.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REL_ID = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _col_index(ref: str | None, fallback: int) -> int:
+    """'B7' -> 1; None -> sequential fallback (cells without refs)."""
+    if not ref:
+        return fallback
+    letters = re.match(r"[A-Z]+", ref)
+    if not letters:
+        return fallback
+    idx = 0
+    for ch in letters.group(0):
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return []
+    out = []
+    for si in ET.fromstring(zf.read("xl/sharedStrings.xml")):
+        out.append(
+            "".join(t.text or "" for t in si.iter() if _local(t.tag) == "t")
+        )
+    return out
+
+
+def _sheet_target(zf: zipfile.ZipFile, sheet: int | str) -> str:
+    names = zf.namelist()
+    if "xl/workbook.xml" in names:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        sheets = [e for e in wb.iter() if _local(e.tag) == "sheet"]
+        rels: dict[str, str] = {}
+        if "xl/_rels/workbook.xml.rels" in names:
+            for rel in ET.fromstring(zf.read("xl/_rels/workbook.xml.rels")):
+                rels[rel.get("Id", "")] = rel.get("Target", "")
+        for i, sh in enumerate(sheets):
+            if (sheet == i) or (sh.get("name") == sheet):
+                t = rels.get(sh.get(_REL_ID, ""), f"worksheets/sheet{i + 1}.xml")
+                t = t if t.startswith("xl/") else "xl/" + t.lstrip("/")
+                if t in names:
+                    return t
+    if "xl/worksheets/sheet1.xml" in names:
+        return "xl/worksheets/sheet1.xml"
+    raise ValueError(f"no worksheet found for sheet={sheet!r}")
+
+
+def parse_xlsx(data: bytes, sheet: int | str = 0) -> tuple[list[str], list[list]]:
+    """(header, rows) from workbook bytes. Cell types: n (number — int when
+    integral), s (shared string), str (formula cache), inlineStr, b."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    sst = _shared_strings(zf)
+    ws = ET.fromstring(zf.read(_sheet_target(zf, sheet)))
+    grid: list[dict[int, object]] = []
+    for row in (e for e in ws.iter() if _local(e.tag) == "row"):
+        cells: dict[int, object] = {}
+        seq = 0
+        for c in (e for e in row if _local(e.tag) == "c"):
+            idx = _col_index(c.get("r"), seq)
+            seq = idx + 1
+            ctype = c.get("t", "n")
+            val: object = None
+            if ctype == "inlineStr":
+                val = "".join(
+                    t.text or "" for t in c.iter() if _local(t.tag) == "t"
+                )
+            else:
+                v = next((e for e in c if _local(e.tag) == "v"), None)
+                raw = v.text if v is not None else None
+                if raw is None:
+                    val = None
+                elif ctype == "s":
+                    val = sst[int(raw)]
+                elif ctype == "b":
+                    val = raw.strip() == "1"
+                elif ctype == "str":
+                    val = raw
+                else:
+                    f = float(raw)
+                    val = int(f) if f.is_integer() and "e" not in raw.lower() else f
+            cells[idx] = val
+        grid.append(cells)
+    if not grid:
+        return [], []
+    width = max(max(r) + 1 if r else 0 for r in grid)
+    matrix = [[r.get(i) for i in range(width)] for r in grid]
+    header = [
+        str(h) if h is not None else f"_c{i}" for i, h in enumerate(matrix[0])
+    ]
+    return header, matrix[1:]
+
+
+def _spark_type(values: list) -> str:
+    kinds = {type(v) for v in values if v is not None}
+    if kinds <= {bool}:
+        return "boolean"
+    if kinds <= {int}:
+        return "bigint"
+    if kinds <= {int, float}:
+        return "double"
+    return "string"
+
+
+def excel_schema(header: list[str], rows: list[list]) -> str:
+    cols = []
+    for i, name in enumerate(header):
+        t = _spark_type([r[i] for r in rows])
+        cols.append(f"`{name}` {t}")
+    return ", ".join(cols)
+
+
+def _coerce(rows: list[list], header: list[str], schema: str) -> list[tuple]:
+    types = [f.split()[-1] for f in schema.split(", ")]
+    out = []
+    for r in rows:
+        rec = []
+        for v, t in zip(r, types):
+            if v is None:
+                rec.append(None)
+            elif t == "double":
+                rec.append(float(v))
+            elif t == "bigint":
+                rec.append(int(v))
+            elif t == "string":
+                rec.append(str(v))
+            else:
+                rec.append(v)
+        out.append(tuple(rec))
+    return out
+
+
+def read_excel_stdlib(
+    spark: SparkSession, path: str, sheet: int | str = 0
+) -> DataFrame:
+    """One workbook → DataFrame (driver-side parse: reference workbooks are
+    dimension-sized; for a directory of many, use read_excel_dir)."""
+    with open(path, "rb") as f:
+        header, rows = parse_xlsx(f.read(), sheet)
+    schema = excel_schema(header, rows)
+    return spark.createDataFrame(_coerce(rows, header, schema), schema)
+
+
+_WIDEN = {"boolean": 0, "bigint": 1, "double": 2, "string": 3}
+
+
+def read_excel_dir(
+    spark: SparkSession,
+    path: str,
+    sheet: int | str = 0,
+    infer_files: int = 8,
+) -> DataFrame:
+    """Directory of workbooks → one DataFrame, parsed ON THE EXECUTORS.
+
+    Schema is inferred from up to ``infer_files`` workbooks on the driver
+    (types merged along the boolean < bigint < double < string widening
+    lattice — one file is not enough: a column whose sampled cells happen
+    to be integral, e.g. a price of 3.0, would otherwise pin bigint and
+    break on 4.5 in another file); every file then parses inside
+    Arrow-batched mapInPandas over a binaryFile scan, columns aligned by
+    header name (missing columns null) and values coerced to the merged
+    type. Adds ``_source_file``. The 100 TB shape: file-granular
+    parallelism, no driver bottleneck — and a sampled, not exhaustive,
+    inference pass (pass a wider ``infer_files`` or pin the types upstream
+    when the drop-zone is wilder than the sample)."""
+    import pandas as pd
+
+    bf = spark.read.format("binaryFile").load(path)
+    sample = bf.select("content").limit(infer_files).collect()
+    if not sample:
+        raise ValueError(f"no files under {path}")
+    names: list[str] = []
+    merged: dict[str, str] = {}
+    for s in sample:
+        h, rows = parse_xlsx(bytes(s["content"]), sheet)
+        for i, name in enumerate(h):
+            t = _spark_type([r[i] for r in rows])
+            if name not in merged:
+                names.append(name)
+                merged[name] = t
+            elif _WIDEN[t] > _WIDEN[merged[name]]:
+                merged[name] = t
+    schema = (
+        ", ".join(f"`{n}` {merged[n]}" for n in names) + ", `_source_file` string"
+    )
+
+    def _coerce_val(v, t):
+        if v is None:
+            return None
+        if t == "double":
+            return float(v)
+        if t == "bigint":
+            return int(v)
+        if t == "string":
+            return str(v)
+        return v
+
+    def parse(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                h, rs = parse_xlsx(bytes(row["content"]), sheet)
+                pos = {name: i for i, name in enumerate(h)}
+                data = {
+                    name: [
+                        _coerce_val(r[pos[name]], merged[name])
+                        if name in pos
+                        else None
+                        for r in rs
+                    ]
+                    for name in names
+                }
+                data["_source_file"] = [row["path"]] * len(rs)
+                yield pd.DataFrame(data)
+
+    return bf.select("path", "content").mapInPandas(parse, schema)

@@ -1,0 +1,144 @@
+"""Formerly env-gated connectors, un-gated on stdlib: the XLSX scan
+(zipfile+ElementTree SpreadsheetML parser — no openpyxl) and the
+partitioned SQL-database read/write (DB-API over sqlite3 — the JDBC
+capability: range slices, pushdown, per-partition appends)."""
+
+from __future__ import annotations
+
+import sqlite3
+import zipfile
+
+from pyspark.sql import functions as F
+
+from pwc_challenge_dataengineer_spark.sources.dbapi import (
+    range_predicates,
+    read_sql_partitioned,
+    write_sql_append,
+)
+from pwc_challenge_dataengineer_spark.sources.readers import read_excel
+from pwc_challenge_dataengineer_spark.sources.xlsx import read_excel_dir
+
+_SST = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+<si><t>name</t></si><si><t>qty</t></si><si><t>widget</t></si></sst>"""
+
+_WB = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+
+_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Target="worksheets/sheet1.xml"
+ Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet"/></Relationships>"""
+
+
+def _sheet(rows_xml: str) -> str:
+    return (
+        '<?xml version="1.0"?><worksheet '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{rows_xml}</sheetData></worksheet>"
+    )
+
+
+def _write_xlsx(path, price: float, qty: int) -> None:
+    # header via shared strings; data row mixes shared-string, inline
+    # number, and a sparse reference (C skipped then D) like real writers
+    rows = (
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>price</t></is></c>'
+        "</row>"
+        '<row r="2">'
+        f'<c r="A2" t="s"><v>2</v></c><c r="B2"><v>{qty}</v></c>'
+        f'<c r="C2"><v>{price}</v></c>'
+        "</row>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", _WB)
+        zf.writestr("xl/_rels/workbook.xml.rels", _RELS)
+        zf.writestr("xl/sharedStrings.xml", _SST)
+        zf.writestr("xl/worksheets/sheet1.xml", _sheet(rows))
+
+
+def test_xlsx_single_workbook(spark, tmp_path):
+    p = tmp_path / "book.xlsx"
+    _write_xlsx(p, price=9.75, qty=3)
+    df = read_excel(spark, str(p))
+    assert df.columns == ["name", "qty", "price"]
+    assert dict(df.dtypes) == {"name": "string", "qty": "bigint", "price": "double"}
+    row = df.collect()[0]
+    assert (row["name"], row["qty"], row["price"]) == ("widget", 3, 9.75)
+
+
+def test_xlsx_directory_parses_on_executors(spark, tmp_path):
+    d = tmp_path / "dropzone"
+    d.mkdir()
+    for i in range(4):
+        _write_xlsx(d / f"b{i}.xlsx", price=1.5 * (i + 1), qty=i)
+    df = read_excel_dir(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 4
+    assert {r["qty"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["_source_file"].endswith(".xlsx") for r in rows)
+
+
+def _make_db(path, n=1000) -> None:
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE t (id INTEGER, grp TEXT, amount REAL)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, f"g{i % 7}", i * 1.25) for i in range(n)],
+    )
+    con.commit()
+    con.close()
+
+
+def test_jdbc_style_partition_predicates_cover_exactly_once():
+    preds = range_predicates("id", 0, 100, 4)
+    assert preds[0] == "id < 25"
+    assert preds[-1] == "id >= 75"
+    # every value inside AND OUTSIDE the bounds matches exactly one slice
+    for v in (-5, 0, 24, 25, 60, 99, 100, 10_000):
+        assert sum(eval(p.replace("id", str(v)).replace("AND", "and")) for p in preds) == 1
+
+
+def test_sql_partitioned_read_matches_full_table(spark, tmp_path):
+    db = str(tmp_path / "db.sqlite")
+    _make_db(db)
+    df = read_sql_partitioned(
+        spark, db, "t", partition_column="id",
+        lower_bound=0, upper_bound=1000, num_partitions=4,
+    )
+    assert df.count() == 1000
+    agg = df.agg(F.sum("id").alias("s"), F.sum("amount").alias("a")).first()
+    assert agg["s"] == sum(range(1000))
+    assert abs(agg["a"] - sum(i * 1.25 for i in range(1000))) < 1e-6
+
+
+def test_sql_read_pushdown_predicate(spark, tmp_path):
+    db = str(tmp_path / "db.sqlite")
+    _make_db(db)
+    df = read_sql_partitioned(
+        spark, db, "t", partition_column="id",
+        lower_bound=0, upper_bound=1000, num_partitions=3,
+        predicate="grp = 'g3'",
+    )
+    rows = df.collect()
+    assert len(rows) == len([i for i in range(1000) if i % 7 == 3])
+    assert all(r["grp"] == "g3" for r in rows)
+
+
+def test_sql_append_sink_roundtrip(spark, tmp_path):
+    db = str(tmp_path / "db.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE sink (k INTEGER, v TEXT)")
+    con.commit()
+    con.close()
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k BIGINT, v STRING"
+    ).repartition(4)
+    write_sql_append(df, db, "sink")
+    back = read_sql_partitioned(spark, db, "sink")
+    assert back.count() == 200
+    assert back.agg(F.sum("k")).first()[0] == sum(range(200))
