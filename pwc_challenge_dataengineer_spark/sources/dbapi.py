@@ -5,43 +5,63 @@ Spark's JDBC source (reference: build_gold.py:240-252 writes gold marts to
 Postgres) needs a JDBC driver jar and a live database, neither of which
 ships here. The CAPABILITY it provides, though — range-partitioned parallel
 reads with predicate pushdown, and per-partition batched appends — is a
-connector pattern, not a jar: this module implements it over any Python
-DB-API connection factory, exercised against stdlib sqlite3 in tests.
-Partition semantics mirror spark.read.jdbc exactly: ``num_partitions``
-range slices of ``partition_column`` between the bounds, first slice open
-below, last open above, so every row appears exactly once regardless of
-bounds tightness. Each slice's SELECT runs INSIDE an executor task
-(mapInPandas) — the driver never holds the table.
+connector pattern, not a jar: this module implements it over any picklable
+DB-API ``connect`` factory (a top-level function or functools.partial that
+returns a DB-API connection — it is shipped to the executors), exercised
+against stdlib sqlite3 in tests. Partition semantics mirror spark.read.jdbc
+exactly: ``num_partitions`` range slices of ``partition_column`` between the
+bounds, first slice open below, last open above, so every row appears
+exactly once regardless of bounds tightness. Each slice's SELECT runs
+INSIDE an executor task — the driver never holds the table, and the slice
+specs are seeded with sparkContext.parallelize(..., numSlices=n) so each
+slice gets its own task (a hash repartition of n strings routinely
+collides, silently serializing slices).
 
-Swap-point for production: pass a ``connect`` factory for psycopg2 /
-mysqlclient and the same code fans out across a real server's connection
-pool. sqlite-specific honesty: it allows one writer at a time, so the
-append sink serializes on the file lock (busy-timeout retries) — a server
-database takes the partition appends genuinely in parallel.
+sqlite-specific honesty: it allows one writer at a time, so the append sink
+serializes on the file lock (busy-timeout retries) — a server database
+takes the partition appends genuinely in parallel.
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 _PY2SPARK = {int: "bigint", float: "double", str: "string", bytes: "binary", bool: "boolean"}
+_WIDEN = {"boolean": 0, "bigint": 1, "double": 2, "string": 3, "binary": 3}
 
 
-def _probe_schema(db_path: str, query: str) -> str:
-    """Column names/types from a LIMIT-1 probe (sqlite has no rich
-    catalog types over arbitrary queries; value types are the contract)."""
+def sqlite_connect(db_path: str) -> Callable:
+    """Picklable connect factory for a sqlite file (the test database)."""
+    from functools import partial
     import sqlite3
 
-    con = sqlite3.connect(db_path)
+    return partial(sqlite3.connect, db_path)
+
+
+def _probe_schema(connect: Callable, query: str, probe_rows: int = 100) -> str:
+    """Column names/types from a bounded probe. Value types over up to
+    ``probe_rows`` rows, merged along boolean<bigint<double<string — one
+    row is not enough (a leading NULL in a numeric column would pin
+    'string' and crash the Arrow conversion on the executors); columns
+    that are NULL through the whole probe fall back to string."""
+    con = connect()
     try:
-        cur = con.execute(f"SELECT * FROM ({query}) LIMIT 1")
+        cur = con.cursor()  # DB-API cursor (con.execute is sqlite-only sugar)
+        cur.execute(f"SELECT * FROM ({query}) LIMIT {probe_rows}")
         names = [d[0] for d in cur.description]
-        row = cur.fetchone()
-        types = [
-            _PY2SPARK.get(type(v), "string") if v is not None else "string"
-            for v in (row or [None] * len(names))
-        ]
-        return ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
+        types: list[str | None] = [None] * len(names)
+        for row in cur.fetchall():
+            for i, v in enumerate(row):
+                if v is None:
+                    continue
+                t = _PY2SPARK.get(type(v), "string")
+                if types[i] is None or _WIDEN[t] > _WIDEN[types[i]]:
+                    types[i] = t
+        return ", ".join(
+            f"`{n}` {t or 'string'}" for n, t in zip(names, types)
+        )
     finally:
         con.close()
 
@@ -72,7 +92,7 @@ def range_predicates(
 
 def read_sql_partitioned(
     spark: SparkSession,
-    db_path: str,
+    connect: Callable | str,
     table: str,
     partition_column: str | None = None,
     lower_bound: int | None = None,
@@ -81,14 +101,20 @@ def read_sql_partitioned(
     predicate: str | None = None,
 ) -> DataFrame:
     """Parallel range-partitioned scan of ``table`` (or a subquery —
-    anything legal after FROM). ``predicate`` pushes an extra WHERE down
-    into every slice's SELECT, so filtering happens in the database, not
-    in Spark — the JDBC pushdown contract."""
+    anything legal after FROM). ``connect`` is a picklable zero-arg
+    DB-API connection factory (a str is shorthand for a sqlite path).
+    ``predicate`` pushes an extra WHERE down into every slice's SELECT,
+    so filtering happens in the database, not in Spark — the JDBC
+    pushdown contract."""
     import pandas as pd
 
+    if isinstance(connect, str):
+        connect = sqlite_connect(connect)
     base = f"SELECT * FROM {table}"
     where_extra = f" AND ({predicate})" if predicate else ""
-    schema = _probe_schema(db_path, base + (f" WHERE {predicate}" if predicate else ""))
+    schema = _probe_schema(
+        connect, base + (f" WHERE {predicate}" if predicate else "")
+    )
 
     if partition_column is None:
         preds = ["1=1"]
@@ -98,16 +124,16 @@ def read_sql_partitioned(
         preds = range_predicates(
             partition_column, lower_bound, upper_bound, num_partitions
         )
+    # one slice per task, guaranteed (numSlices), not hash-hoped
     spec = spark.createDataFrame(
-        [(p,) for p in preds], "pred string"
-    ).repartition(len(preds), "pred")
+        spark.sparkContext.parallelize([(p,) for p in preds], len(preds)),
+        "pred string",
+    )
 
     def fetch(batches):
-        import sqlite3
-
         for pdf in batches:
             for pred in pdf["pred"]:
-                con = sqlite3.connect(db_path)
+                con = connect()
                 try:
                     out = pd.read_sql_query(
                         f"{base} WHERE {pred}{where_extra}", con
@@ -121,27 +147,34 @@ def read_sql_partitioned(
 
 
 def write_sql_append(
-    df: DataFrame, db_path: str, table: str, busy_timeout_ms: int = 60_000
+    df: DataFrame,
+    connect: Callable | str,
+    table: str,
+    busy_timeout_ms: int = 60_000,
 ) -> None:
     """Per-partition batched INSERTs (executemany) — the JDBC append sink.
     Each partition opens its own connection inside foreachPartition;
     sqlite's single-writer lock serializes them (busy-timeout retries),
     a server database would take them in parallel."""
+    if isinstance(connect, str):
+        connect = sqlite_connect(connect)
     cols = df.columns
     placeholders = ", ".join("?" for _ in cols)
     collist = ", ".join(f'"{c}"' for c in cols)
     sql = f'INSERT INTO {table} ({collist}) VALUES ({placeholders})'
 
     def sink(rows) -> None:
-        import sqlite3
-
         buf = [tuple(r) for r in rows]
         if not buf:
             return
-        con = sqlite3.connect(db_path, timeout=busy_timeout_ms / 1000)
+        con = connect()
         try:
-            con.execute(f"PRAGMA busy_timeout = {busy_timeout_ms}")
-            con.executemany(sql, buf)
+            cur = con.cursor()
+            try:
+                cur.execute(f"PRAGMA busy_timeout = {busy_timeout_ms}")
+            except Exception:
+                pass  # non-sqlite backends
+            cur.executemany(sql, buf)
             con.commit()
         finally:
             con.close()

@@ -65,12 +65,19 @@ def _sheet_target(zf: zipfile.ZipFile, sheet: int | str) -> str:
         if "xl/_rels/workbook.xml.rels" in names:
             for rel in ET.fromstring(zf.read("xl/_rels/workbook.xml.rels")):
                 rels[rel.get("Id", "")] = rel.get("Target", "")
-        for i, sh in enumerate(sheets):
-            if (sheet == i) or (sh.get("name") == sheet):
-                t = rels.get(sh.get(_REL_ID, ""), f"worksheets/sheet{i + 1}.xml")
-                t = t if t.startswith("xl/") else "xl/" + t.lstrip("/")
-                if t in names:
-                    return t
+        if sheets:
+            for i, sh in enumerate(sheets):
+                if (sheet == i) or (sh.get("name") == sheet):
+                    t = rels.get(sh.get(_REL_ID, ""), f"worksheets/sheet{i + 1}.xml")
+                    t = t if t.startswith("xl/") else "xl/" + t.lstrip("/")
+                    if t in names:
+                        return t
+            # metadata exists but the lookup missed: raising (like
+            # pandas.read_excel) beats silently handing back sheet1's data
+            raise ValueError(
+                f"sheet {sheet!r} not found; workbook has "
+                f"{[s.get('name') for s in sheets]}"
+            )
     if "xl/worksheets/sheet1.xml" in names:
         return "xl/worksheets/sheet1.xml"
     raise ValueError(f"no worksheet found for sheet={sheet!r}")
@@ -132,32 +139,33 @@ def _spark_type(values: list) -> str:
     return "string"
 
 
-def excel_schema(header: list[str], rows: list[list]) -> str:
-    cols = []
-    for i, name in enumerate(header):
-        t = _spark_type([r[i] for r in rows])
-        cols.append(f"`{name}` {t}")
-    return ", ".join(cols)
+def _coerce_val(v, t: str):
+    """Coerce one parsed cell to its column's Spark type name."""
+    if v is None:
+        return None
+    if t == "double":
+        return float(v)
+    if t == "bigint":
+        return int(v)
+    if t == "string":
+        return str(v)
+    return v
 
 
-def _coerce(rows: list[list], header: list[str], schema: str) -> list[tuple]:
-    types = [f.split()[-1] for f in schema.split(", ")]
-    out = []
-    for r in rows:
-        rec = []
-        for v, t in zip(r, types):
-            if v is None:
-                rec.append(None)
-            elif t == "double":
-                rec.append(float(v))
-            elif t == "bigint":
-                rec.append(int(v))
-            elif t == "string":
-                rec.append(str(v))
-            else:
-                rec.append(v)
-        out.append(tuple(rec))
-    return out
+def _struct(names: list[str], types: list[str]):
+    """StructType from (name, type-name) pairs — header cells may contain
+    commas/backticks, which a DDL string would mis-parse."""
+    from pyspark.sql import types as T
+
+    atomic = {
+        "boolean": T.BooleanType(),
+        "bigint": T.LongType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+    }
+    return T.StructType(
+        [T.StructField(n, atomic[t]) for n, t in zip(names, types)]
+    )
 
 
 def read_excel_stdlib(
@@ -167,8 +175,11 @@ def read_excel_stdlib(
     dimension-sized; for a directory of many, use read_excel_dir)."""
     with open(path, "rb") as f:
         header, rows = parse_xlsx(f.read(), sheet)
-    schema = excel_schema(header, rows)
-    return spark.createDataFrame(_coerce(rows, header, schema), schema)
+    types = [_spark_type([r[i] for r in rows]) for i in range(len(header))]
+    data = [
+        tuple(_coerce_val(v, t) for v, t in zip(r, types)) for r in rows
+    ]
+    return spark.createDataFrame(data, _struct(header, types))
 
 
 _WIDEN = {"boolean": 0, "bigint": 1, "double": 2, "string": 3}
@@ -210,20 +221,7 @@ def read_excel_dir(
                 merged[name] = t
             elif _WIDEN[t] > _WIDEN[merged[name]]:
                 merged[name] = t
-    schema = (
-        ", ".join(f"`{n}` {merged[n]}" for n in names) + ", `_source_file` string"
-    )
-
-    def _coerce_val(v, t):
-        if v is None:
-            return None
-        if t == "double":
-            return float(v)
-        if t == "bigint":
-            return int(v)
-        if t == "string":
-            return str(v)
-        return v
+    schema = _struct(names + ["_source_file"], [merged[n] for n in names] + ["string"])
 
     def parse(batches):
         for pdf in batches:

@@ -101,9 +101,12 @@ class DedupSegmentStore:
 
     def _load(self) -> dict:
         if not os.path.exists(self._manifest):
-            return {"segments": [], "ncompact": 0}
+            return {"segments": [], "applied": [], "ncompact": 0, "rows": {}}
         with open(self._manifest) as f:
-            return json.load(f)
+            state = json.load(f)
+        state.setdefault("applied", list(state["segments"]))
+        state.setdefault("rows", {})
+        return state
 
     def _swap(self, state: dict) -> None:
         tmp = self._manifest + ".tmp"
@@ -112,10 +115,19 @@ class DedupSegmentStore:
         os.replace(tmp, self._manifest)
 
     def has_segment(self, seg_id: str) -> bool:
-        return seg_id in self._load()["segments"]
+        # `applied` survives compaction; `segments` is only the LIVE data
+        # layout. Replay idempotency must check the former — a batch whose
+        # segment was folded into a compaction is still applied, and
+        # re-appending it would duplicate its survivors.
+        return seg_id in self._load()["applied"]
 
     def n_segments(self) -> int:
         return len(self._load()["segments"])
+
+    def total_rows(self) -> int:
+        """Store profile row count from the manifest — counted once at
+        append time, free to read per batch (no Spark job)."""
+        return sum(self._load()["rows"].values())
 
     _PROFILE_SCHEMA = "doc_id BIGINT, sh_set ARRAY<BIGINT>, n_sh BIGINT"
     _SIG_SCHEMA = "doc_id BIGINT, signature STRING, band INT"
@@ -135,12 +147,13 @@ class DedupSegmentStore:
         commits a manifest-only entry: the idempotency record without an
         unreadable zero-file parquet dir."""
         state = self._load()
-        if seg_id in state["segments"]:
+        if seg_id in state["applied"]:
             return False
         prof = profiles.select(
             "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
         ).localCheckpoint(eager=True)
-        if prof.take(1):
+        n = prof.count()  # on the checkpointed blocks — cheap, recorded once
+        if n:
             pdir = os.path.join(self.path, "profiles", f"seg={seg_id}")
             sdir = os.path.join(self.path, "sigs", f"seg={seg_id}")
             prof.select("doc_id", "sh_set", "n_sh").write.mode(
@@ -154,6 +167,8 @@ class DedupSegmentStore:
                 "overwrite"
             ).partitionBy("band").parquet(sdir)
         state["segments"].append(seg_id)
+        state["applied"].append(seg_id)
+        state["rows"][seg_id] = n
         self._swap(state)
         return True
 
@@ -199,7 +214,17 @@ class DedupSegmentStore:
                 "overwrite"
             ).partitionBy("band").parquet(sdir)
         old = state["segments"]
-        self._swap({"segments": [cid], "ncompact": state["ncompact"] + 1})
+        self._swap(
+            {
+                "segments": [cid],
+                # applied batch ids MUST survive the fold — they are the
+                # replay-idempotency record (a replayed batch must still
+                # find itself applied after its segment was compacted away)
+                "applied": state["applied"],
+                "ncompact": state["ncompact"] + 1,
+                "rows": {cid: sum(state["rows"].values())},
+            }
+        )
         for s in old:
             for kind in ("profiles", "sigs"):
                 shutil.rmtree(
@@ -294,10 +319,10 @@ def make_dedup_batch_fn(
                 .distinct()
             )
             stored = store.read()
-            # broadcast only while the store fits the envelope (parquet
-            # metadata count — no data scan); beyond it the shuffled hash
-            # join is the right shape for a corpus-sized store.
-            small = stored.count() <= broadcast_store_max_rows
+            # broadcast only while the store fits the envelope — row count
+            # comes from the manifest (recorded at append time), so the
+            # cutoff costs no Spark job per batch.
+            small = store.total_rows() <= broadcast_store_max_rows
             both_prof = stored.unionByName(reps.select("doc_id", "sh_set", "n_sh"))
             store_pairs = jaccard_verify_profiles(
                 cand, both_prof, "doc_id", hint_small=small

@@ -142,3 +142,49 @@ def test_sql_append_sink_roundtrip(spark, tmp_path):
     back = read_sql_partitioned(spark, db, "sink")
     assert back.count() == 200
     assert back.agg(F.sum("k")).first()[0] == sum(range(200))
+
+
+def test_xlsx_missing_sheet_raises(spark, tmp_path):
+    import pytest
+
+    p = tmp_path / "book.xlsx"
+    _write_xlsx(p, price=1.0, qty=1)
+    with pytest.raises(ValueError, match="not found"):
+        read_excel(spark, str(p), sheet_name="NoSuchSheet")
+
+
+def test_xlsx_comma_in_header(spark, tmp_path):
+    # header cells with commas must survive schema construction
+    rows = (
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>Revenue, net</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>qty</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>9.5</v></c><c r="B2"><v>2</v></c></row>'
+    )
+    p = tmp_path / "c.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml", _WB)
+        zf.writestr("xl/_rels/workbook.xml.rels", _RELS)
+        zf.writestr("xl/worksheets/sheet1.xml", _sheet(rows))
+    df = read_excel(spark, str(p))
+    assert df.columns == ["Revenue, net", "qty"]
+    r = df.collect()[0]
+    assert (r["Revenue, net"], r["qty"]) == (9.5, 2)
+
+
+def test_sql_probe_survives_leading_nulls(spark, tmp_path):
+    # a numeric column whose FIRST rows are NULL must still type numeric
+    db = str(tmp_path / "n.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, parent_id INTEGER)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, None if i < 10 else i - 1) for i in range(50)],
+    )
+    con.commit()
+    con.close()
+    df = read_sql_partitioned(
+        spark, db, "t", partition_column="id",
+        lower_bound=0, upper_bound=50, num_partitions=3,
+    )
+    assert dict(df.dtypes)["parent_id"] == "bigint"
+    assert df.filter(F.col("parent_id").isNull()).count() == 10

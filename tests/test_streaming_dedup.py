@@ -117,3 +117,36 @@ def test_per_batch_latency_bounded_with_compaction(spark, tmp_path):
         f"per-batch latency grew: early median {early:.2f}s -> "
         f"late median {late:.2f}s; all={['%.2f' % t for t in times]}"
     )
+
+
+def test_replay_idempotent_after_compaction(spark, tmp_path):
+    """A batch whose segment was folded into a compaction must still be
+    recognized as applied — re-appending it would duplicate its survivors
+    (the manifest's `applied` list survives the fold; `segments` doesn't)."""
+    store = DedupSegmentStore(spark, str(tmp_path / "store"))
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b * 10 + i, f"doc {b} {i} unique words {b}-{i}") for i in range(3)],
+            "doc_id BIGINT, text STRING",
+        )
+        from pwc_challenge_dataengineer_spark.functions.dedup_fuzzy import (
+            minhash_doc_profiles,
+        )
+        prof = minhash_doc_profiles(df, "doc_id", "text", k=3, n_bands=4)
+        assert store.append(prof, seg_id=str(b)) is True
+    n_before = store.read().count()
+    rows_before = store.total_rows()
+    store.compact()
+    assert store.n_segments() == 1
+    assert store.total_rows() == rows_before  # counts survive the fold
+    # crash-replay of batch 2 AFTER compaction: must be a no-op
+    df2 = spark.createDataFrame(
+        [(2 * 10 + i, f"doc 2 {i} unique words 2-{i}") for i in range(3)],
+        "doc_id BIGINT, text STRING",
+    )
+    from pwc_challenge_dataengineer_spark.functions.dedup_fuzzy import (
+        minhash_doc_profiles,
+    )
+    prof2 = minhash_doc_profiles(df2, "doc_id", "text", k=3, n_bands=4)
+    assert store.append(prof2, seg_id="2") is False
+    assert store.read().count() == n_before
