@@ -129,10 +129,14 @@ def read_delta(
     version_as_of: int | None = None,
     timestamp_as_of: str | None = None,
 ) -> DataFrame:
-    """Delta scan with time travel. Requires delta-spark jars on the
-    classpath; this environment ships parquet only — use
-    ``sources.versioned_store.VersionedTable`` for the same semantics
-    (versionAsOf/timestampAsOf/MERGE/history/VACUUM) over plain parquet."""
+    """Delta scan with time travel. Prefers delta-spark jars when present;
+    without them, falls back to JSON-commit log replay
+    (``sources.delta_log.read_delta_log`` — the public-protocol reader:
+    tombstone removes, accumulate adds, read the surviving files), which
+    covers any Delta table whose log is plain JSON commits. Checkpointed
+    logs need the real jars and raise. ``VersionedTable`` +
+    ``delta_log.export_delta_log`` are the write side of the same
+    protocol."""
     reader = spark.read.format("delta")
     if version_as_of is not None:
         reader = reader.option("versionAsOf", str(version_as_of))
@@ -141,6 +145,20 @@ def read_delta(
     try:
         return reader.load(path)
     except Exception as exc:  # pragma: no cover - jar-dependent
-        raise NotImplementedError(
-            "Delta reads require delta-spark on the classpath"
-        ) from exc
+        from .delta_log import read_delta_log
+
+        ts_ms = None
+        if timestamp_as_of is not None:
+            import datetime
+
+            ts_ms = int(
+                datetime.datetime.fromisoformat(timestamp_as_of).timestamp()
+                * 1000
+            )
+        try:
+            return read_delta_log(spark, path, version_as_of, ts_ms)
+        except FileNotFoundError:
+            raise NotImplementedError(
+                "Delta reads require delta-spark on the classpath "
+                "(no _delta_log JSON commits found to replay)"
+            ) from exc
