@@ -453,10 +453,15 @@ def ann_ivf_fixed_topk(
     c = corpus.select(
         F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")
     )
+    # first-n selection via orderBy().limit(n) — TakeOrderedAndProject, a
+    # distributed per-partition top-n + tiny driver merge. A global
+    # row_number window over the corpus would funnel EVERY row through one
+    # task; the windows below run only over the already-limited n rows.
     first_n = Window.orderBy("vid")
     cents = (
-        c.withColumn("__rn", F.row_number().over(first_n))
-        .filter(F.col("__rn") <= n_cells)
+        c.orderBy("vid")
+        .limit(n_cells)
+        .withColumn("__rn", F.row_number().over(first_n))
         .select(
             (F.col("__rn") - 1).cast("int").alias("cell"),
             F.col("v").alias("cvec"),
@@ -472,8 +477,8 @@ def ann_ivf_fixed_topk(
         .select(F.col("vid").alias("neighbor_id"), F.col("v").alias("cv"), "cell")
     )
     q = (
-        c.withColumn("__rn", F.row_number().over(first_n))
-        .filter(F.col("__rn") <= n_queries)
+        c.orderBy("vid")
+        .limit(n_queries)
         .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
     )
     probe_w = Window.partitionBy("query_id").orderBy("d2r", "cell")
