@@ -63,6 +63,22 @@ def export_delta_log(table: VersionedTable) -> str:
     entries = table._load_manifest()
     if not entries:
         raise ValueError(f"{root} has no commits to export")
+    versions = [e["version"] for e in entries]
+    if versions != list(range(len(entries))):
+        # Delta commit versions are contiguous from 0. A VACUUMed
+        # VersionedTable has DROPPED whole snapshots (Delta's VACUUM only
+        # drops unreferenced data files, never log versions), so its
+        # remaining history cannot be represented as a faithful Delta log —
+        # exporting renumbered commits would make version_as_of lie.
+        raise ValueError(
+            f"cannot export vacuumed history {versions} as Delta commits; "
+            "export before VACUUM, or write a fresh table"
+        )
+    # idempotence: a re-export must not leave stale higher-numbered commits
+    # from a longer earlier history lying around for replay to trip over
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[0].isdigit():
+            os.remove(os.path.join(log_dir, f))
     table_id = str(uuid.uuid4())
     prev_files: list[str] = []
     prev_schema: str | None = None
@@ -134,7 +150,9 @@ def _commit_ts_ms(log_dir: str, commit: str) -> int:
             a = json.loads(line)
             if "commitInfo" in a and "timestamp" in a["commitInfo"]:
                 return a["commitInfo"]["timestamp"]
-    return 0
+    # commitInfo is optional per the spec; Delta itself falls back to the
+    # commit file's modification time for timestamp-based time travel
+    return int(os.path.getmtime(os.path.join(log_dir, commit)) * 1000)
 
 
 def replay_log(
@@ -161,9 +179,16 @@ def replay_log(
                 f"no commits at or before timestamp {timestamp_as_of_ms}"
             )
     if version_as_of is not None:
-        commits = [c for c in commits if int(c.split(".")[0]) <= version_as_of]
-        if not commits:
+        have = [int(c.split(".")[0]) for c in commits]
+        if not have or version_as_of < have[0]:
             raise ValueError(f"no commits at or before version {version_as_of}")
+        if version_as_of > have[-1]:
+            # mirror Delta's VersionNotFoundException / VersionedTable.read:
+            # probing past the last commit is an error, not "latest"
+            raise ValueError(
+                f"version {version_as_of} does not exist; latest is {have[-1]}"
+            )
+        commits = [c for c in commits if int(c.split(".")[0]) <= version_as_of]
     live: dict[str, bool] = {}
     for c in commits:
         with open(os.path.join(log_dir, c)) as fh:
@@ -177,10 +202,14 @@ def replay_log(
                     live.pop(action["remove"]["path"], None)
                 elif "protocol" in action:
                     p = action["protocol"]
-                    if p.get("minReaderVersion", 1) > 2:
+                    if p.get("minReaderVersion", 1) > 1:
+                        # reader version 2 = column mapping (physical parquet
+                        # names need remapping), 3 = reader features (deletion
+                        # vectors, ...) — mis-reading is worse than raising
                         raise NotImplementedError(
                             f"minReaderVersion {p['minReaderVersion']} "
-                            "requires features this reader lacks"
+                            "requires reader features this replay lacks "
+                            "(column mapping / deletion vectors)"
                         )
     return sorted(live)
 

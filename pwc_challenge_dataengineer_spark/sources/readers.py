@@ -145,16 +145,28 @@ def read_delta(
     try:
         return reader.load(path)
     except Exception as exc:  # pragma: no cover - jar-dependent
+        # fall back ONLY when the delta data source itself is absent; a
+        # genuine Delta error (bad version, corrupt table) with jars
+        # present must surface, not be papered over by log replay
+        msg = str(exc)
+        if not (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find data source" in msg
+            or "Failed to find the data source" in msg
+        ):
+            raise
         from .delta_log import read_delta_log
 
         ts_ms = None
         if timestamp_as_of is not None:
             import datetime
 
-            ts_ms = int(
-                datetime.datetime.fromisoformat(timestamp_as_of).timestamp()
-                * 1000
-            )
+            dt = datetime.datetime.fromisoformat(timestamp_as_of)
+            if dt.tzinfo is None:
+                # session timezone is UTC (session.py); a naive literal
+                # must not be re-interpreted in the OS-local zone
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            ts_ms = int(dt.timestamp() * 1000)
         try:
             return read_delta_log(spark, path, version_as_of, ts_ms)
         except FileNotFoundError:

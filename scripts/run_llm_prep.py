@@ -35,13 +35,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    out = args[1] if len(args) > 1 else "/tmp/llm_prep_out"
-    q_threshold = 0.3
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            q_threshold = float(a.split("=", 1)[1]) if "=" in a else q_threshold
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("out", nargs="?", default="/tmp/llm_prep_out")
+    ap.add_argument("--threshold", type=float, default=0.3)
+    ns = ap.parse_args()
+    sf_dir, out, q_threshold = ns.sf_dir, ns.out, ns.threshold
 
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -55,7 +56,6 @@ def main() -> None:
         detect_language,
         normalized_fingerprint,
         redact_pii,
-        text_quality_score,
     )
     from pwc_challenge_dataengineer_spark.session import get_spark
 
@@ -64,31 +64,30 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_raw = docs.count()
 
-    # 1+2: stats, quality gate, language, PII — one projection stage
-    scored = (
-        add_text_stats(docs)
-        .withColumn("quality", text_quality_score(F.col("text")))
-        .withColumn("lang", detect_language(F.col("text")))
-    )
-    kept = scored.filter(F.col("quality") >= q_threshold).withColumn(
+    # 1+2: stats (add_text_stats already emits quality_score — don't
+    # evaluate the scoring expression tree twice), quality gate, language,
+    # PII — one projection stage
+    scored = add_text_stats(docs).withColumn("lang", detect_language(F.col("text")))
+    kept = scored.filter(F.col("quality_score") >= q_threshold).withColumn(
         "text", redact_pii(F.col("text"))
     )
-    n_quality = kept.count()
 
-    # 3: exact dedup — first-seen (min doc_id) per normalized fingerprint
+    # 3: exact dedup — first-seen (min doc_id) per normalized fingerprint.
+    # Materialize ONCE with the dedup marker still attached, then take all
+    # stage counts from the checkpointed frame: counting each lazy stage
+    # separately would re-run the scan+score+redact lineage three times.
     fp_w = Window.partitionBy("__fp").orderBy("doc_id")
-    exact = (
+    staged = (
         kept.withColumn("__fp", normalized_fingerprint(F.col("text")))
         .withColumn("__rn", F.row_number().over(fp_w))
-        .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+        .localCheckpoint(eager=True)
     )
+    n_quality = staged.count()
+    exact = staged.filter(F.col("__rn") == 1).drop("__fp", "__rn")
     n_exact = exact.count()
 
-    # 4: near-dup clusters → keep the min-id representative per cluster.
-    # The pipeline re-reads `exact` twice (pairs + anti join), so cut the
-    # lineage once; profiles inside minhash_lsh_near_dups checkpoint too.
-    exact = exact.localCheckpoint(eager=True)
+    # 4: near-dup clusters → keep the min-id representative per cluster
+    # (profiles inside minhash_lsh_near_dups checkpoint themselves)
     pairs = minhash_lsh_near_dups(
         exact, "doc_id", "text", threshold=0.5, hint_small=True
     )

@@ -111,3 +111,32 @@ def test_timestamp_time_travel_via_commit_info(spark, tmp_path):
     }
     want = {(r["id"], r["v"]) for r in t.read(version_as_of=1).collect()}
     assert got == want
+
+
+def test_export_refuses_vacuumed_history(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "tbl")
+    t.vacuum(keep_last=2)  # drops v0 -> versions [1, 2], not contiguous-from-0
+    with pytest.raises(ValueError, match="vacuumed"):
+        export_delta_log(t)
+
+
+def test_replay_rejects_version_past_end(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "tbl")
+    export_delta_log(t)
+    with pytest.raises(ValueError, match="does not exist"):
+        read_delta_log(spark, t.path, version_as_of=99)
+
+
+def test_reexport_removes_stale_commits(spark, tmp_path):
+    t = _mk_table(spark, tmp_path / "tbl")
+    log_dir = export_delta_log(t)
+    # fake a stale higher-numbered commit from an earlier longer history
+    stale = os.path.join(log_dir, f"{7:020d}.json")
+    open(stale, "w").write(json.dumps({"add": {"path": "v=9/x.parquet",
+                                               "partitionValues": {}, "size": 1,
+                                               "modificationTime": 0,
+                                               "dataChange": True}}) + "\n")
+    export_delta_log(t)
+    assert not os.path.exists(stale)
+    got = {(r["id"], r["v"]) for r in read_delta_log(spark, t.path).collect()}
+    assert got == {(2, "B"), (3, "c")}

@@ -33,5 +33,6 @@ def test_run_llm_prep_end_to_end(tmp_path):
          "/root/testdata/sf0.001", out + "2"],
         capture_output=True, text=True, timeout=600,
     )
+    assert res2.returncode == 0, res2.stderr[-2000:]
     report2 = json.loads(res2.stdout.strip().splitlines()[-1])
     assert report2["splits"] == report["splits"]
