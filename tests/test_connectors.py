@@ -188,3 +188,106 @@ def test_sql_probe_survives_leading_nulls(spark, tmp_path):
     )
     assert dict(df.dtypes)["parent_id"] == "bigint"
     assert df.filter(F.col("parent_id").isNull()).count() == 10
+
+
+# --- property tests (pure driver-side: parser + slice algebra) -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    lower=st.integers(-1000, 1000),
+    span=st.integers(0, 5000),
+    n=st.integers(1, 64),
+    probe=st.integers(-100_000, 100_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_slices_partition_every_integer_exactly_once(lower, span, n, probe):
+    """spark.read.jdbc's slice semantics: for ANY bounds/partition count,
+    every integer (inside or outside the bounds) matches exactly one
+    slice predicate — completeness never depends on bound tightness."""
+    preds = range_predicates("id", lower, lower + span, n)
+    hits = sum(
+        eval(
+            p.replace("1=1", "True")
+            .replace("id", f"({probe})")
+            .replace("AND", "and")
+        )
+        for p in preds
+    )
+    assert hits == 1, (lower, span, n, probe, preds)
+
+
+_cell = st.one_of(
+    st.integers(-10**9, 10**9),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N", "P", "Zs")),
+        max_size=20,
+    ),
+    st.booleans(),
+)
+
+
+@given(
+    rows=st.lists(st.lists(_cell, min_size=2, max_size=4), min_size=1, max_size=5)
+)
+@settings(max_examples=50, deadline=None)
+def test_xlsx_roundtrip_property(tmp_path_factory, rows):
+    """Random value grids survive write-as-SpreadsheetML -> parse_xlsx:
+    numbers (int/float), strings (inline), and booleans come back with
+    value equality (ints may surface as ints even when written float-
+    integral — compared numerically)."""
+    import zipfile as _zf
+    from xml.sax.saxutils import escape
+
+    from pwc_challenge_dataengineer_spark.sources.xlsx import parse_xlsx
+
+    width = max(len(r) for r in rows)
+    rows = [r + [None] * (width - len(r)) for r in rows]
+    header = [f"c{i}" for i in range(width)]
+
+    def cell(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(v)}</t></is></c>'
+
+    def col_letter(i):
+        s = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            s = chr(ord("A") + rem) + s
+        return s
+
+    body = "".join(
+        f'<row r="{ri + 1}">'
+        + "".join(
+            cell(f"{col_letter(ci)}{ri + 1}", v) for ci, v in enumerate(vals)
+        )
+        + "</row>"
+        for ri, vals in enumerate(
+            [header] + rows  # header row is strings
+        )
+    )
+    # header row needs string cells
+    p = tmp_path_factory.mktemp("xl") / "prop.xlsx"
+    with _zf.ZipFile(p, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", _sheet(body))
+    got_header, got_rows = parse_xlsx(open(p, "rb").read())
+    assert len(got_rows) == len(rows)
+    for want_row, got_row in zip(rows, got_rows):
+        for want, got in zip(want_row, got_row):
+            if want is None or (isinstance(want, str) and want == ""):
+                assert got is None or got == ""
+            elif isinstance(want, bool):
+                assert got is want
+            elif isinstance(want, (int, float)):
+                assert got is not None and float(got) == float(want)
+            else:
+                assert got == want
