@@ -93,18 +93,24 @@ def main() -> None:
         .groupBy("h").count().count()
     )
 
-    # warm the Arrow/pandas-UDF transfer path once (first use pays worker
-    # spawn + serializer init)
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    # Warm the WHOLE Python worker pool, not one worker: a single-partition
+    # pandas_udf spawns one worker, but the first wide mapInPandas stage then
+    # pays 31 more concurrent worker forks + pandas/numpy imports — measured
+    # ~10s on a cold filesystem cache, which used to land inside
+    # embedding_near_dup's measurement (12.4s bench vs 2.2s warm). One task
+    # per core, each importing the Arrow-path libraries, moves that one-time
+    # session cost into warmup where it belongs.
+    def _warm_workers(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
 
-    # no annotations: `from __future__ import annotations` stringifies them,
-    # which pandas_udf's signature inference rejects
-    @pandas_udf("double")
-    def _warm(v):
-        return v * 1.0
+        for b in batches:
+            yield b
 
-    nation.select(_warm(F.col("n_nationkey").cast("double"))).count()
+    n_slots = int(spark.sparkContext.defaultParallelism)
+    spark.range(0, n_slots * 10, 1, n_slots * 2).mapInPandas(
+        _warm_workers, "id long"
+    ).count()
 
     # warm the fuzzy-dedup plan family (shingle explode, md5/conv, wide
     # collect_list groupBy, stack unpivot, bucket self-join, array_intersect
