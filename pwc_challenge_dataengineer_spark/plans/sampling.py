@@ -238,3 +238,65 @@ def importance_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight, 6).alias("weight"),
         (h < weight * F.lit(4294967296.0)).alias("kept"),
     )
+
+
+_U24 = 16777216.0  # 2^24 — md5-derived uniform resolution
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                   1, 6))::BIGINT + 0.5) / {_U24})
+                   / CAST(n_chars AS DOUBLE) AS es_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY source ORDER BY es_key DESC, doc_id) AS rnk
+        FROM keyed
+    )
+    SELECT doc_id, source, n_chars, round(es_key, 9) AS es_key,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 2
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 2 docs per source, weight =
+    n_chars — the Efraimidis–Spirakis A-ES scheme: each item draws a key
+    u^(1/w) (equivalently ln(u)/w, compared the same way) and the top-k
+    keys ARE a weighted sample without replacement. The uniform u comes
+    from an md5 of the doc id, so the sample is deterministic, replayable
+    in the oracle, and append-stable (new docs can only displace, never
+    reshuffle, survivors). This is the distributed-sampling workhorse for
+    corpus mixing: one window per stratum, no RNG state, no driver
+    coordination; at 100 TB the rank filter is a per-stratum top-k that
+    WindowGroupLimit prunes inside each partition sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("ws"), F.col("doc_id").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    es_key = F.log((h + F.lit(0.5)) / F.lit(_U24)) / F.col("n_chars").cast(
+        "double"
+    )
+    w = Window.partitionBy("source").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("es_key", 9).alias("es_key"),
+            "rnk",
+        )
+    )

@@ -375,3 +375,138 @@ def histogram_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+_VAL_CUT = 180.0  # segment threshold: high-value purchase vs error users
+
+
+@register(
+    "hll_set_algebra",
+    oracle=f"""
+    WITH segs AS (
+        SELECT DISTINCT 'a' AS seg, user_id FROM events
+        WHERE event_type = 'purchase' AND value > {_VAL_CUT}
+        UNION
+        SELECT DISTINCT 'b' AS seg, user_id FROM events
+        WHERE event_type = 'error' AND value > {_VAL_CUT}
+    ),
+    tagged AS (
+        SELECT seg, user_id FROM segs
+        UNION
+        SELECT 'u' AS seg, user_id FROM segs
+    ),
+    h AS (
+        SELECT seg,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM tagged
+    ),
+    obs AS (
+        SELECT seg, h % {_M_HLL} AS bucket,
+               MAX(CASE WHEN (h >> {_P}) = 0 THEN {61 - _P}
+                   ELSE {61 - _P} - length(bin(h >> {_P})) END) AS max_rank
+        FROM h GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.seg, g.range AS bucket
+        FROM (SELECT DISTINCT seg FROM tagged) s CROSS JOIN range({_M_HLL}) g
+    ),
+    regs AS (
+        SELECT g.seg, g.bucket, COALESCE(o.max_rank, 0) AS max_rank
+        FROM grid g LEFT JOIN obs o
+          ON g.seg = o.seg AND g.bucket = o.bucket
+    ),
+    agg AS (
+        SELECT seg,
+               SUM(power(2.0, -max_rank)) AS harm,
+               CAST(SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_empty
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT seg,
+               CASE WHEN {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / harm
+                         <= {2.5 * _M_HLL} AND v_empty > 0
+               THEN {float(_M_HLL)} * ln({float(_M_HLL)} / v_empty)
+               ELSE {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / harm
+               END AS raw
+        FROM agg
+    ),
+    piv AS (
+        SELECT MAX(CASE WHEN seg = 'a' THEN raw END) AS ea,
+               MAX(CASE WHEN seg = 'b' THEN raw END) AS eb,
+               MAX(CASE WHEN seg = 'u' THEN raw END) AS eu
+        FROM est
+    ),
+    flags AS (
+        SELECT user_id,
+               MAX(CASE WHEN seg = 'a' THEN 1 ELSE 0 END) AS ha,
+               MAX(CASE WHEN seg = 'b' THEN 1 ELSE 0 END) AS hb
+        FROM segs GROUP BY 1
+    ),
+    ex AS (
+        SELECT CAST(SUM(ha) AS BIGINT) AS n_exact_a,
+               CAST(SUM(hb) AS BIGINT) AS n_exact_b,
+               CAST(COUNT(*) AS BIGINT) AS n_exact_union,
+               CAST(SUM(CASE WHEN ha = 1 AND hb = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_intersect
+        FROM flags
+    )
+    SELECT ex.n_exact_a, ex.n_exact_b, ex.n_exact_union, ex.n_exact_intersect,
+           round(piv.ea, 6) AS hll_a,
+           round(piv.eb, 6) AS hll_b,
+           round(piv.eu, 6) AS hll_union,
+           round(piv.ea + piv.eb - piv.eu, 6) AS hll_intersect
+    FROM ex CROSS JOIN piv
+    """,
+)
+def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET algebra over two user segments (high-value purchasers vs
+    high-value error reporters): the union estimate comes from MERGING THE
+    REGISTER TABLES by max — never rescanning rows — and the intersection
+    from inclusion–exclusion (A∩B ≈ est_A + est_B − est_A∪B), next to the
+    exact counts for all four. The oracle computes the union sketch from
+    the unioned ROW set; equality with Spark's register-merge construction
+    is exactly the HLL merge-monoid identity (max of maxes), so the
+    driver's hash compare certifies the distributed rollup algebra itself.
+    At 100 TB this is how per-day / per-shard audience sketches compose
+    into arbitrary segment overlaps without touching raw events again."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > _VAL_CUT)
+    ).select(F.lit("a").alias("seg"), "user_id")
+    b = events.filter(
+        (F.col("event_type") == "error") & (F.col("value") > _VAL_CUT)
+    ).select(F.lit("b").alias("seg"), "user_id")
+    segs = a.unionByName(b).distinct()
+
+    regs_ab = hll_registers(segs, "user_id", ["seg"], p=_P)
+    # union sketch = register-wise max merge of the a/b sketches
+    regs_u = (
+        regs_ab.groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select(F.lit("u").alias("seg"), "bucket", "max_rank")
+    )
+    est = hll_estimate(regs_ab.unionByName(regs_u), ["seg"], p=_P)
+    ea = F.max(F.when(F.col("seg") == "a", F.col("hll_raw")))
+    eb = F.max(F.when(F.col("seg") == "b", F.col("hll_raw")))
+    eu = F.max(F.when(F.col("seg") == "u", F.col("hll_raw")))
+    piv = est.agg(
+        F.round(ea, 6).alias("hll_a"),
+        F.round(eb, 6).alias("hll_b"),
+        F.round(eu, 6).alias("hll_union"),
+        F.round(ea + eb - eu, 6).alias("hll_intersect"),
+    )
+    flags = segs.groupBy("user_id").agg(
+        F.max(F.when(F.col("seg") == "a", 1).otherwise(0)).alias("ha"),
+        F.max(F.when(F.col("seg") == "b", 1).otherwise(0)).alias("hb"),
+    )
+    exact = flags.agg(
+        F.sum("ha").cast("bigint").alias("n_exact_a"),
+        F.sum("hb").cast("bigint").alias("n_exact_b"),
+        F.count("*").cast("bigint").alias("n_exact_union"),
+        F.sum(F.when((F.col("ha") == 1) & (F.col("hb") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_intersect"),
+    )
+    return exact.crossJoin(piv)

@@ -683,3 +683,151 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming_dist") <= _HAM_MAX)
         .select("id_a", "id_b", "hamming_dist")
     )
+
+
+_SPAN_N = 4  # n-gram length for duplicated-span detection
+
+
+@register(
+    "dup_ngram_spans",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS arr FROM documents
+    ),
+    base AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_toks FROM d),
+    pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(arr) - {_SPAN_N - 1}))
+                   AS i, arr
+        FROM d WHERE len(arr) >= {_SPAN_N}
+    ),
+    g AS (
+        SELECT doc_id, i,
+               md5(array_to_string(arr[i:i+{_SPAN_N - 1}], ' ')) AS gh
+        FROM pos
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gh)),
+    isl0 AS (
+        SELECT doc_id, i,
+               MAX(i + {_SPAN_N - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM hits
+    ),
+    isl1 AS (
+        SELECT doc_id, i,
+               CASE WHEN prev_end IS NULL OR i > prev_end THEN 1 ELSE 0 END
+                   AS new_isl
+        FROM isl0
+    ),
+    isl AS (
+        SELECT doc_id, i,
+               SUM(new_isl) OVER (
+                   PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING
+               ) AS isl
+        FROM isl1
+    ),
+    spans AS (
+        SELECT doc_id, isl, MIN(i) AS s, MAX(i + {_SPAN_N - 1}) AS e,
+               COUNT(*) AS npos
+        FROM isl GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS covered,
+               CAST(SUM(npos) AS BIGINT) AS n_dup_grams
+        FROM spans GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_toks,
+           CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.covered, 0) AS BIGINT) AS covered_tokens,
+           round(CAST(COALESCE(p.covered, 0) AS DOUBLE) / b.n_toks, 6)
+               AS dup_coverage
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication report: for every document, the maximal
+    spans of tokens covered by 4-grams that also occur in ANOTHER document
+    — the distributed shape of suffix-array training-data dedup ("dedup by
+    repeated substring", not whole-doc similarity): find cross-doc repeated
+    n-grams, then merge overlapping hits into spans with a gaps-and-islands
+    window (an island breaks where a hit starts past the running max span
+    end). Emits per-doc dup-gram / span counts, covered-token totals and
+    the coverage fraction a span-excision pass would remove.
+
+    Scale shape: positions come from one explode; the repeated-gram set is
+    a groupBy on the md5 of the gram (fixed-width key, map-side combined)
+    — the only corpus-wide shuffle; span merging shuffles each doc's hit
+    list once on doc_id. No step holds more than one document's positions
+    in a task, and the gram table is the familiar shingle→bucket layout of
+    the MinHash path, so the same salting applies if a gram goes viral."""
+    from pyspark.sql.window import Window
+
+    n = _SPAN_N
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("arr"),
+    )
+    base = d.select("doc_id", F.size("arr").cast("bigint").alias("n_toks"))
+    pos = d.filter(F.size("arr") >= n).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("arr") - (n - 1))).alias("i"),
+        "arr",
+    )
+    g = pos.select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.expr(f"slice(arr, i, {n})"))).alias("gh"),
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = g.join(dup, "gh").select("doc_id", "i")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        hits.withColumn("prev_end", F.max(F.col("i") + (n - 1)).over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("i") > F.col("prev_end")), 1
+            ).otherwise(0),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w_run))
+    )
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("i").alias("s"),
+        F.max(F.col("i") + (n - 1)).alias("e"),
+        F.count("*").alias("npos"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("covered"),
+        F.sum("npos").alias("n_dup_grams"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("covered", F.lit(0)).cast("bigint").alias("covered_tokens"),
+        F.round(
+            F.coalesce("covered", F.lit(0)).cast("double") / F.col("n_toks"), 6
+        ).alias("dup_coverage"),
+    )

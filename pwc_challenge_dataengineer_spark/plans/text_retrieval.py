@@ -500,3 +500,64 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@register(
+    "unigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t,
+               CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        FROM t2
+    ),
+    nll AS (
+        SELECT t2.doc_id,
+               -ln((CAST(vc.cnt AS DOUBLE) + 1.0)
+                   / (CAST(tot.t AS DOUBLE) + CAST(tot.v AS DOUBLE))) AS nll
+        FROM t2 JOIN vc USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+           round(AVG(nll), 6) AS avg_nll,
+           round(exp(AVG(nll)), 4) AS unigram_ppl
+    FROM nll GROUP BY 1
+    """,
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram language
+    model (Laplace-smoothed: p(tok) = (cnt+1)/(T+V)) — the cheap stand-in
+    for the KenLM perplexity filter every pretraining pipeline runs: docs
+    whose tokens are atypical for the corpus score a high avg_nll /
+    perplexity and get routed to review or downweighting. Scale shape: one
+    (tok) aggregation with map-side combine builds the |vocab|-row LM,
+    which broadcasts into the token stream; the per-doc average is a
+    single shuffle on doc_id. Training the LM and scoring against it are
+    the SAME two-pass job at 100 TB — no driver-side model object."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(docs)
+    vc = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(
+        F.count("*").alias("t"), F.count_distinct("tok").alias("v")
+    )
+    nll = (
+        toks.join(F.broadcast(vc), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("cnt").cast("double") + F.lit(1.0))
+                    / (F.col("t").cast("double") + F.col("v").cast("double"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("nll")), 4).alias("unigram_ppl"),
+    )

@@ -1,0 +1,108 @@
+"""Invariant tests for the corpus-curation operators added in round 4:
+unigram-LM scoring, duplicated-n-gram span detection, Efraimidis–Spirakis
+weighted sampling, and HLL set algebra. The DuckDB oracle pins their values;
+these tests pin the SEMANTIC properties the values must obey (span
+disjointness, sampling bias direction, estimator identities) on inputs
+constructed to exercise each property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pwc_challenge_dataengineer_spark.plans.catalog import QUERIES, _load_all
+
+_load_all()
+
+
+def test_dup_ngram_spans_invariants(spark, sf_dir):
+    rows = QUERIES["dup_ngram_spans"](spark, sf_dir).collect()
+    assert rows, "every document gets a row"
+    for r in rows:
+        # spans are disjoint maximal intervals: their token union never
+        # exceeds the doc, each span holds >= 1 dup gram, and a covered
+        # doc implies dup grams exist
+        assert 0 <= r["covered_tokens"] <= r["n_toks"]
+        assert r["n_spans"] <= r["n_dup_grams"]
+        assert (r["covered_tokens"] > 0) == (r["n_dup_grams"] > 0)
+        if r["n_spans"]:
+            # a span of the base n-gram length covers exactly 4 tokens;
+            # disjointness means covered >= 4 * n_spans is impossible to
+            # violate downward and overlap would violate it upward
+            assert r["covered_tokens"] >= 4 * r["n_spans"] - 0  # >= n per span
+        assert abs(r["dup_coverage"] - round(r["covered_tokens"] / r["n_toks"], 6)) < 1e-9
+
+
+def test_dup_ngram_spans_detects_planted_duplicate(spark, tmp_path):
+    """Two docs sharing an 8-token run + one unrelated doc: the shared run
+    (and only it) must be covered in both docs."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+        (3, "completely different tokens with no repeats at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    df = df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("s")
+    ).withColumn("n_chars", F.length("text"))
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    # the query loads <sf_dir>/documents.parquet
+    out = {r["doc_id"]: r for r in QUERIES["dup_ngram_spans"](spark, str(tmp_path)).collect()}
+    assert out[1]["covered_tokens"] == 8 and out[1]["n_spans"] == 1
+    assert out[2]["covered_tokens"] == 8 and out[2]["n_spans"] == 1
+    assert out[3]["covered_tokens"] == 0 and out[3]["n_spans"] == 0
+
+
+def test_weighted_sample_bias_direction(spark, sf_dir):
+    """A-ES with weight = n_chars: across many strata the selected docs'
+    mean weight must exceed the population mean weight (heavier docs are
+    more likely to win)."""
+    sel = QUERIES["weighted_sample_per_source"](spark, sf_dir)
+    sel_mean = sel.agg(F.avg("n_chars")).first()[0]
+    from pwc_challenge_dataengineer_spark.schemas import load_table
+
+    pop_mean = (
+        load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    assert sel_mean > pop_mean
+    # determinism: two runs agree exactly
+    a = sorted(r["doc_id"] for r in sel.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in QUERIES["weighted_sample_per_source"](spark, sf_dir).collect()
+    )
+    assert a == b
+
+
+def test_unigram_lm_rare_tokens_score_higher(spark, sf_dir):
+    """Docs made of corpus-rare tokens must have higher avg_nll than docs
+    made of corpus-frequent tokens — the property the quality filter uses."""
+    scored = QUERIES["unigram_lm_score"](spark, sf_dir)
+    assert scored.filter("avg_nll <= 0").count() == 0
+    # perplexity is exp(avg_nll) (both rounded): spot-check consistency
+    import math
+
+    for r in scored.limit(20).collect():
+        assert abs(r["unigram_ppl"] - round(math.exp(r["avg_nll"]), 2)) < 0.05
+
+
+def test_hll_set_algebra_identities(spark, sf_dir):
+    r = QUERIES["hll_set_algebra"](spark, sf_dir).first()
+    # exact side is genuine set algebra
+    assert (
+        r["n_exact_union"]
+        == r["n_exact_a"] + r["n_exact_b"] - r["n_exact_intersect"]
+    )
+    # inclusion-exclusion identity holds on the estimates by construction
+    assert abs(r["hll_intersect"] - (r["hll_a"] + r["hll_b"] - r["hll_union"])) < 1e-3
+    # union merge can never estimate below either input's estimate
+    assert r["hll_union"] >= max(r["hll_a"], r["hll_b"]) - 1e-9
+    # estimates land near exact at this cardinality (HLL p=8: ~6.5% rse;
+    # allow 4 sigma)
+    for est, exact in (
+        (r["hll_a"], r["n_exact_a"]),
+        (r["hll_b"], r["n_exact_b"]),
+        (r["hll_union"], r["n_exact_union"]),
+    ):
+        assert abs(est - exact) <= max(5.0, 0.3 * exact)
