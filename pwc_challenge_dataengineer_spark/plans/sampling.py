@@ -300,3 +300,87 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+_REBAL_GRAN = 10000  # hash-gate granularity for computed sampling rates
+
+
+@register(
+    "corpus_rebalance_rates",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM per_source
+    ),
+    rates AS (
+        SELECT s.source, s.n_docs,
+               CAST(LEAST(
+                   {_REBAL_GRAN},
+                   CAST(floor(CAST(t.n_total AS DOUBLE) / t.n_sources
+                              / s.n_docs * {_REBAL_GRAN}) AS BIGINT)
+               ) AS BIGINT) AS gate
+        FROM per_source s CROSS JOIN tot t
+    ),
+    kept AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {_md5_bucket_sql('d.doc_id', _REBAL_GRAN)} < r.gate
+        GROUP BY 1
+    )
+    SELECT r.source, r.n_docs, r.gate,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           round(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / r.n_docs, 6)
+               AS realized_rate
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    """,
+)
+def corpus_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-DEPENDENT downsampling to a target mix: compute each source's
+    keep-rate from the observed distribution (target = equal share per
+    source; over-represented sources get rate target/n, under-represented
+    keep everything), quantize the rate to a 1/10000 hash gate, and apply
+    it as the same md5-bucket filter stratified_sample_docs uses. Emits the
+    per-source plan AND the realized counts, so the rate computation, the
+    gate arithmetic, and the deterministic filter are all value-pinned.
+    This is the two-pass shape of every corpus-mix rebalance at 100 TB:
+    pass 1 is a map-side-combined count per source (tiny result,
+    broadcast), pass 2 a pure scan-side filter — no shuffle of the corpus
+    itself, restart-safe, append-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_source.agg(
+        F.sum("n_docs").alias("n_total"), F.count("*").alias("n_sources")
+    )
+    rates = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(_REBAL_GRAN).cast("bigint"),
+            F.floor(
+                F.col("n_total").cast("double")
+                / F.col("n_sources")
+                / F.col("n_docs")
+                * _REBAL_GRAN
+            ).cast("bigint"),
+        ).alias("gate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_md5_bucket(F.col("doc_id"), _REBAL_GRAN) < F.col("gate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "gate",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_docs"), 6
+        ).alias("realized_rate"),
+    )

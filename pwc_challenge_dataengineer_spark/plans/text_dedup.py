@@ -831,3 +831,171 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("covered", F.lit(0)).cast("double") / F.col("n_toks"), 6
         ).alias("dup_coverage"),
     )
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh sa JOIN sh sb
+          ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 4
+    ),
+    scored AS (
+        SELECT
+            CASE WHEN na.n <= nb.n THEN m.id_a ELSE m.id_b END AS contained_id,
+            CASE WHEN na.n <= nb.n THEN m.id_b ELSE m.id_a END AS container_id,
+            m.n_common,
+            LEAST(na.n, nb.n) AS n_contained,
+            round(CAST(m.n_common AS DOUBLE) / LEAST(na.n, nb.n), 6)
+                AS containment
+        FROM common m
+        JOIN counts na ON na.doc_id = m.id_a
+        JOIN counts nb ON nb.doc_id = m.id_b
+    )
+    SELECT contained_id, container_id, n_common, n_contained, containment
+    FROM scored WHERE containment >= 0.5
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment of the smaller
+    document in the larger — |A∩B| / |smaller| ≥ 0.5. Jaccard misses
+    quote-inclusion (a doc embedded inside a much longer one scores a low
+    symmetric similarity but a high containment); this is the curation step
+    that drops subsumed documents rather than merely-similar ones. Candidate
+    pairs come from the same bounded shingle join as ngram_jaccard_pairs
+    (≥ 4 shared shingles); direction is decided by profile size with the
+    id as tiebreak, so the emitted (contained, container) orientation is
+    deterministic on both engines. At 100 TB the candidate generation
+    swaps to the MinHash bucket join; containment scoring is the same
+    broadcast of the |doc|-row count table either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text", k=3)
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 4)
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    joined = common.join(
+        F.broadcast(counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))),
+        "id_a",
+    ).join(
+        F.broadcast(counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))),
+        "id_b",
+    )
+    smaller_is_a = F.col("n_a") <= F.col("n_b")
+    scored = joined.select(
+        F.when(smaller_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("contained_id"),
+        F.when(smaller_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("container_id"),
+        "n_common",
+        F.least("n_a", "n_b").alias("n_contained"),
+        F.round(
+            F.col("n_common").cast("double") / F.least("n_a", "n_b"), 6
+        ).alias("containment"),
+    )
+    return scored.filter(F.col("containment") >= 0.5)
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    bands AS (
+        SELECT doc_id, band, shingle
+        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(substr(md5(shingle), band * 8 + 1, 8)) AS signature
+        FROM bands GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.signature = b.signature AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT m.id_a, m.id_b
+        FROM common m
+        JOIN counts na ON na.doc_id = m.id_a
+        JOIN counts nb ON nb.doc_id = m.id_b
+        WHERE round(CAST(m.n_common AS DOUBLE) / (na.n + nb.n - m.n_common), 6)
+              >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS component_id FROM reach GROUP BY 1),
+    assigned AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(c.component_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, source, cluster_id,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 10 < 8 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: documents are first clustered by MinHash near-dup connected
+    components (Jaccard ≥ 0.5, same pipeline as dedup_components), then the
+    80/10/10 hash-split keys on the CLUSTER id, not the doc id — every
+    member of a duplicate cluster lands on the same side, closing the
+    standard eval-contamination hole in doc-level hash splits. Singleton
+    docs are their own cluster, so the split stays append-stable and
+    shuffle-light (the component table is tiny relative to the corpus and
+    broadcasts into the assignment join)."""
+    from ..functions.dedup_fuzzy import connected_components, minhash_lsh_near_dups
+    from .sampling import _md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_near_dups(
+        docs, "doc_id", "text", threshold=0.5, hint_small=True
+    )
+    comp = connected_components(pairs, edges_canonical=True, hint_small=True)
+    assigned = docs.join(
+        F.broadcast(comp.select(F.col("node_id").alias("doc_id"), "component_id")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("component_id", "doc_id").alias("cluster_id"),
+    )
+    bucket = _md5_bucket(F.col("cluster_id"), 10)
+    return assigned.select(
+        "doc_id",
+        "source",
+        "cluster_id",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )

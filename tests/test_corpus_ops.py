@@ -106,3 +106,62 @@ def test_hll_set_algebra_identities(spark, sf_dir):
         (r["hll_union"], r["n_exact_union"]),
     ):
         assert abs(est - exact) <= max(5.0, 0.3 * exact)
+
+
+def test_containment_detects_planted_subset(spark, tmp_path):
+    """Doc 1's full text embedded inside doc 2 → containment 1.0 of 1 in 2,
+    regardless of how much extra text doc 2 carries."""
+    inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, inner),
+        (2, f"pre1 pre2 pre3 {inner} post1 post2 post3 post4 post5"),
+        (3, "unrelated words that share nothing with the others at all ok"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["containment_pairs"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["contained_id"] == 1 and r["container_id"] == 2
+    assert r["containment"] == 1.0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    split = QUERIES["leakage_safe_split"](spark, sf_dir)
+    # every doc assigned exactly once
+    from pwc_challenge_dataengineer_spark.schemas import load_table
+
+    assert split.count() == load_table(spark, sf_dir, "documents").count()
+    # a cluster never straddles a split boundary — the leakage property
+    straddling = (
+        split.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter("k > 1")
+        .count()
+    )
+    assert straddling == 0
+    assert {r["split"] for r in split.select("split").distinct().collect()} <= {
+        "train",
+        "val",
+        "test",
+    }
+
+
+def test_corpus_rebalance_rates_plan_is_consistent(spark, sf_dir):
+    plan = QUERIES["corpus_rebalance_rates"](spark, sf_dir).collect()
+    assert plan
+    total = sum(r["n_docs"] for r in plan)
+    target = total / len(plan)
+    for r in plan:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 < r["gate"] <= 10000
+        # under-represented sources keep everything
+        if r["n_docs"] <= target:
+            assert r["gate"] == 10000 and r["n_kept"] == r["n_docs"]
+        # hash gate realizes its rate within coarse binomial tolerance
+        assert abs(r["realized_rate"] - r["gate"] / 10000.0) < 0.25
