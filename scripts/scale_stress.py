@@ -216,7 +216,15 @@ def main() -> int:
     from bench import HEADLINE
     from pwc_challenge_dataengineer_spark.session import get_spark
 
-    names = list(HEADLINE) + ["embedding_near_dup_lsh"]
+    names = list(HEADLINE) + [
+        "embedding_near_dup_lsh",
+        # round-4 corpus operators with non-trivial scale shapes: the
+        # repeated-4-gram shuffle, the cluster-keyed split (MinHash +
+        # label propagation + assignment join), and the corpus-LM join
+        "dup_ngram_spans",
+        "leakage_safe_split",
+        "unigram_lm_score",
+    ]
     spark = get_spark("scale-stress")
 
     if not args.skip_inflate:
