@@ -510,3 +510,120 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_exact_intersect"),
     )
     return exact.crossJoin(piv)
+
+
+@register(
+    "sliding_distinct_users_hll",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT)
+                   AS hidx,
+               user_id
+        FROM events
+    ),
+    h AS (
+        SELECT hidx,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM ev
+    ),
+    obs AS (
+        SELECT hidx, h % {_M_HLL} AS bucket,
+               MAX(CASE WHEN (h >> {_P}) = 0 THEN {61 - _P}
+                   ELSE {61 - _P} - length(bin(h >> {_P})) END) AS max_rank
+        FROM h GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT e.hidx, g.range AS bucket
+        FROM (SELECT DISTINCT hidx FROM ev) e CROSS JOIN range({_M_HLL}) g
+    ),
+    regs AS (
+        SELECT g.hidx, g.bucket, COALESCE(o.max_rank, 0) AS max_rank
+        FROM grid g LEFT JOIN obs o
+          ON g.hidx = o.hidx AND g.bucket = o.bucket
+    ),
+    slid AS (
+        SELECT hidx, bucket,
+               MAX(max_rank) OVER (
+                   PARTITION BY bucket ORDER BY hidx
+                   RANGE BETWEEN 23 PRECEDING AND CURRENT ROW
+               ) AS max_rank
+        FROM regs
+    ),
+    agg AS (
+        SELECT hidx,
+               SUM(power(2.0, -max_rank)) AS harm,
+               CAST(SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_empty
+        FROM slid GROUP BY 1
+    ),
+    est AS (
+        SELECT hidx, v_empty,
+               CASE WHEN {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / harm
+                         <= {2.5 * _M_HLL} AND v_empty > 0
+               THEN {float(_M_HLL)} * ln({float(_M_HLL)} / v_empty)
+               ELSE {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / harm
+               END AS raw
+        FROM agg
+    ),
+    contrib AS (
+        SELECT user_id, hidx + s.s AS wend
+        FROM ev, (SELECT unnest(generate_series(0, 23)) AS s) s
+    ),
+    present AS (SELECT DISTINCT hidx AS wend FROM ev),
+    ex AS (
+        SELECT c.wend, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_exact
+        FROM contrib c JOIN present p ON c.wend = p.wend
+        GROUP BY 1
+    )
+    SELECT est.hidx AS window_end_hidx, ex.n_exact, est.v_empty,
+           round(est.raw, 6) AS hll_estimate
+    FROM est JOIN ex ON est.hidx = ex.wend
+    """,
+)
+def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24-hour distinct-user estimates WITHOUT rescanning events:
+    build one HLL register table per hour (fixed 2^p rows each), then the
+    24h window is a register-wise MAX over the trailing 23 hours — a window
+    frame over sketches, the composition streaming dashboards actually run
+    at 100 TB (hourly sketches persist; any window length is a frame over
+    them, where exact COUNT(DISTINCT) would re-shuffle a day of raw events
+    per window). The exact sliding count is computed alongside (each event
+    contributes to the 24 windows it falls in — one bounded explode) so the
+    realized estimator error is visible row by row; at production scale the
+    exact arm is the one you drop. The sliding register table and the
+    piecewise estimator are identical arithmetic on both engines, so the
+    driver hash-pins the whole sketch-window algebra."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        (F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600))
+        .cast("bigint")
+        .alias("hidx"),
+        "user_id",
+    )
+    regs = hll_registers(ev, "user_id", ["hidx"], p=_P)
+    w24 = (
+        Window.partitionBy("bucket").orderBy("hidx").rangeBetween(-23, 0)
+    )
+    slid = regs.select(
+        "hidx", "bucket", F.max("max_rank").over(w24).alias("max_rank")
+    )
+    est = hll_estimate(slid, ["hidx"], p=_P)
+    contrib = ev.select(
+        "user_id",
+        F.explode(F.sequence(F.col("hidx"), F.col("hidx") + 23)).alias("wend"),
+    )
+    present = ev.select(F.col("hidx").alias("wend")).distinct()
+    exact = (
+        contrib.join(present, "wend")
+        .groupBy("wend")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return est.join(exact, est.hidx == exact.wend).select(
+        F.col("hidx").alias("window_end_hidx"),
+        "n_exact",
+        "v_empty",
+        F.round("hll_raw", 6).alias("hll_estimate"),
+    )

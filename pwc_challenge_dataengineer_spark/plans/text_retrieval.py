@@ -561,3 +561,104 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nll"), 6).alias("avg_nll"),
         F.round(F.exp(F.avg("nll")), 4).alias("unigram_ppl"),
     )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_COS_SQL = """
+    list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+
+def _rrf_oracle() -> str:
+    from .catalog import ORACLES
+
+    return f"""
+    WITH lex_all AS ({ORACLES["bm25_keyword_search"]}),
+    lex AS (
+        SELECT doc_id, rank_lex FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INT) AS rank_lex
+            FROM lex_all
+        ) WHERE rank_lex <= 20
+    ),
+    sem AS (
+        SELECT doc_id, rank_sem FROM (
+            SELECT c.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY round({_RRF_COS_SQL}, 6) DESC, c.vec_id)
+                        AS INT) AS rank_sem
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id = 0 AND c.vec_id <> 0
+        ) WHERE rank_sem <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               CAST(COALESCE(l.rank_lex, 0) AS INT) AS rank_lex,
+               CAST(COALESCE(s.rank_sem, 0) AS INT) AS rank_sem,
+               COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + s.rank_sem), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_score, rrf_rank FROM (
+        SELECT doc_id, rank_lex, rank_sem, round(rrf, 9) AS rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+                   AS rrf_rank
+        FROM fused
+    ) WHERE rrf_rank <= 10
+    """
+
+
+@register("hybrid_search_rrf", oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical top-20
+    (the registered bm25_keyword_search scoring) and the embedding-cosine
+    semantic top-20 (query = vector 0; the synthetic vec_id domain doubles
+    as the doc id) merge as score = Σ 1/(60+rank) over the lists a doc
+    appears in — the standard fusion for BM25+dense rankers, needing no
+    score calibration between the two scales. Docs in only one list keep
+    their single term (rank 0 marks absence). Scale shape: each arm ends in
+    an orderBy().limit(20) — a distributed TakeOrdered, never a global
+    window over the corpus — and the fusion join touches ≤ 40 rows."""
+    from pyspark.sql.window import Window
+
+    from ..functions.similarity import cosine_topk_brute
+    from ..schemas import load_table as _lt
+
+    lex_top = (
+        bm25_keyword_search(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("rank_lex")
+    )
+    emb = _lt(spark, sf_dir, "embeddings")
+    sem = cosine_topk_brute(
+        emb.filter(F.col("vec_id") == 0), emb, id_col="vec_id",
+        vec_col="embedding", k=20,
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_sem"))
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_lex", F.lit(0)).cast("int").alias("rank_lex"),
+        F.coalesce("rank_sem", F.lit(0)).cast("int").alias("rank_sem"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w_rrf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w_rrf).cast("int"))
+        .filter(F.col("rrf_rank") <= 10)
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            F.round("rrf", 9).alias("rrf_score"),
+            "rrf_rank",
+        )
+    )

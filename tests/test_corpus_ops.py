@@ -165,3 +165,35 @@ def test_corpus_rebalance_rates_plan_is_consistent(spark, sf_dir):
             assert r["gate"] == 10000 and r["n_kept"] == r["n_docs"]
         # hash gate realizes its rate within coarse binomial tolerance
         assert abs(r["realized_rate"] - r["gate"] / 10000.0) < 0.25
+
+
+def test_hybrid_search_rrf_ranking(spark, sf_dir):
+    rows = QUERIES["hybrid_search_rrf"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sorted(r["rrf_rank"] for r in rows) == list(range(1, 11))
+    by_rank = sorted(rows, key=lambda r: r["rrf_rank"])
+    scores = [r["rrf_score"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0 <= r["rank_lex"] <= 20 and 0 <= r["rank_sem"] <= 20
+        # a fused doc must appear in at least one arm
+        assert r["rank_lex"] > 0 or r["rank_sem"] > 0
+
+
+def test_sliding_hll_tracks_exact(spark, sf_dir):
+    rows = QUERIES["sliding_distinct_users_hll"](spark, sf_dir).collect()
+    assert rows
+    from pwc_challenge_dataengineer_spark.schemas import load_table
+
+    n_hours = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("hour", "ts"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_hours
+    # p=8 HLL: ~6.5% rse; allow a generous envelope at small counts
+    for r in rows:
+        assert abs(r["hll_estimate"] - r["n_exact"]) <= max(
+            6.0, 0.3 * r["n_exact"]
+        )
