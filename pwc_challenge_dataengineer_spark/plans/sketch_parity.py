@@ -40,47 +40,67 @@ _M_HLL = 1 << _P
 _ALPHA_SQL = f"(0.7213 / (1.0 + 1.079 / {float(_M_HLL)}))"
 
 
-@register(
-    "hll_distinct_users",
-    oracle=f"""
-    WITH h AS (
-        SELECT event_type,
+def _hll_regs_sql(src: str, grp: str) -> str:
+    """Shared oracle fragment: CTE chain ``h → obs → grid → regs`` turning
+    ``<src>(<grp>, user_id)`` rows into the dense HLL register table
+    ``regs(<grp>, bucket, max_rank)``. One definition for every HLL oracle
+    in this module, mirroring functions/sketches.hll_registers — the
+    estimator SQL cannot drift between queries."""
+    return f"""h AS (
+        SELECT {grp},
                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-        FROM events
+        FROM {src}
     ),
     obs AS (
-        SELECT event_type, h % {_M_HLL} AS bucket,
+        SELECT {grp}, h % {_M_HLL} AS bucket,
                MAX(CASE WHEN (h >> {_P}) = 0 THEN {61 - _P}
                    ELSE {61 - _P} - length(bin(h >> {_P})) END) AS max_rank
         FROM h GROUP BY 1, 2
     ),
     grid AS (
-        SELECT e.event_type, g.range AS bucket
-        FROM (SELECT DISTINCT event_type FROM events) e
+        SELECT s.{grp}, g.range AS bucket
+        FROM (SELECT DISTINCT {grp} FROM {src}) s
         CROSS JOIN range({_M_HLL}) g
     ),
     regs AS (
-        SELECT g.event_type, g.bucket, COALESCE(o.max_rank, 0) AS max_rank
+        SELECT g.{grp}, g.bucket, COALESCE(o.max_rank, 0) AS max_rank
         FROM grid g LEFT JOIN obs o
-          ON g.event_type = o.event_type AND g.bucket = o.bucket
-    ),
-    agg AS (
-        SELECT event_type,
+          ON g.{grp} = o.{grp} AND g.bucket = o.bucket
+    )"""
+
+
+def _hll_agg_sql(src: str, grp: str) -> str:
+    """Shared oracle fragment: harmonic-sum + empty-register counts per
+    group over a register table (mirrors functions/sketches.hll_estimate's
+    aggregation)."""
+    return f"""SELECT {grp},
                SUM(power(2.0, -max_rank)) AS harm,
                CAST(SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS v_empty
-        FROM regs GROUP BY 1
-    ),
+        FROM {src} GROUP BY 1"""
+
+
+def _hll_est_case(harm: str, v_empty: str) -> str:
+    """Shared oracle fragment: the piecewise bias-corrected estimator with
+    linear-counting small-range correction."""
+    return f"""CASE WHEN {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / {harm}
+                         <= {2.5 * _M_HLL} AND {v_empty} > 0
+               THEN {float(_M_HLL)} * ln({float(_M_HLL)} / {v_empty})
+               ELSE {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / {harm}
+               END"""
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH {_hll_regs_sql("events", "event_type")},
+    agg AS ({_hll_agg_sql("regs", "event_type")}),
     ex AS (
         SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
         FROM events GROUP BY 1
     )
     SELECT a.event_type, ex.n_exact, a.v_empty,
-           round(CASE WHEN {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / a.harm
-                           <= {2.5 * _M_HLL} AND a.v_empty > 0
-                 THEN {float(_M_HLL)} * ln({float(_M_HLL)} / a.v_empty)
-                 ELSE {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / a.harm
-                 END, 6) AS hll_estimate
+           round({_hll_est_case("a.harm", "a.v_empty")}, 6) AS hll_estimate
     FROM agg a JOIN ex ON a.event_type = ex.event_type
     """,
 )
@@ -395,41 +415,10 @@ _VAL_CUT = 180.0  # segment threshold: high-value purchase vs error users
         UNION
         SELECT 'u' AS seg, user_id FROM segs
     ),
-    h AS (
-        SELECT seg,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
-                   AS h
-        FROM tagged
-    ),
-    obs AS (
-        SELECT seg, h % {_M_HLL} AS bucket,
-               MAX(CASE WHEN (h >> {_P}) = 0 THEN {61 - _P}
-                   ELSE {61 - _P} - length(bin(h >> {_P})) END) AS max_rank
-        FROM h GROUP BY 1, 2
-    ),
-    grid AS (
-        SELECT s.seg, g.range AS bucket
-        FROM (SELECT DISTINCT seg FROM tagged) s CROSS JOIN range({_M_HLL}) g
-    ),
-    regs AS (
-        SELECT g.seg, g.bucket, COALESCE(o.max_rank, 0) AS max_rank
-        FROM grid g LEFT JOIN obs o
-          ON g.seg = o.seg AND g.bucket = o.bucket
-    ),
-    agg AS (
-        SELECT seg,
-               SUM(power(2.0, -max_rank)) AS harm,
-               CAST(SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS v_empty
-        FROM regs GROUP BY 1
-    ),
+    {_hll_regs_sql("tagged", "seg")},
+    agg AS ({_hll_agg_sql("regs", "seg")}),
     est AS (
-        SELECT seg,
-               CASE WHEN {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / harm
-                         <= {2.5 * _M_HLL} AND v_empty > 0
-               THEN {float(_M_HLL)} * ln({float(_M_HLL)} / v_empty)
-               ELSE {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / harm
-               END AS raw
+        SELECT seg, {_hll_est_case("harm", "v_empty")} AS raw
         FROM agg
     ),
     piv AS (
@@ -521,27 +510,7 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                user_id
         FROM events
     ),
-    h AS (
-        SELECT hidx,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
-                   AS h
-        FROM ev
-    ),
-    obs AS (
-        SELECT hidx, h % {_M_HLL} AS bucket,
-               MAX(CASE WHEN (h >> {_P}) = 0 THEN {61 - _P}
-                   ELSE {61 - _P} - length(bin(h >> {_P})) END) AS max_rank
-        FROM h GROUP BY 1, 2
-    ),
-    grid AS (
-        SELECT e.hidx, g.range AS bucket
-        FROM (SELECT DISTINCT hidx FROM ev) e CROSS JOIN range({_M_HLL}) g
-    ),
-    regs AS (
-        SELECT g.hidx, g.bucket, COALESCE(o.max_rank, 0) AS max_rank
-        FROM grid g LEFT JOIN obs o
-          ON g.hidx = o.hidx AND g.bucket = o.bucket
-    ),
+    {_hll_regs_sql("ev", "hidx")},
     slid AS (
         SELECT hidx, bucket,
                MAX(max_rank) OVER (
@@ -550,20 +519,9 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS max_rank
         FROM regs
     ),
-    agg AS (
-        SELECT hidx,
-               SUM(power(2.0, -max_rank)) AS harm,
-               CAST(SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS v_empty
-        FROM slid GROUP BY 1
-    ),
+    agg AS ({_hll_agg_sql("slid", "hidx")}),
     est AS (
-        SELECT hidx, v_empty,
-               CASE WHEN {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / harm
-                         <= {2.5 * _M_HLL} AND v_empty > 0
-               THEN {float(_M_HLL)} * ln({float(_M_HLL)} / v_empty)
-               ELSE {_ALPHA_SQL} * {float(_M_HLL * _M_HLL)} / harm
-               END AS raw
+        SELECT hidx, v_empty, {_hll_est_case("harm", "v_empty")} AS raw
         FROM agg
     ),
     contrib AS (

@@ -191,6 +191,39 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _shingle_cand_sql(min_common: int) -> str:
+    """Shared oracle fragment: per-doc shingle counts + bounded candidate
+    pairs sharing >= min_common shingles (the candidate generation of
+    ngram_jaccard_pairs and containment_pairs — one definition, so the
+    candidate bound can't drift between the two)."""
+    return f"""counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh sa JOIN sh sb
+          ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_common}
+    )"""
+
+
+def _shingle_candidates(docs: DataFrame, min_common: int):
+    """Spark twin of _shingle_cand_sql: returns (common, counts) where
+    ``common`` holds (id_a, id_b, n_common) pairs sharing >= min_common
+    3-gram shingles and ``counts`` the per-doc shingle cardinalities."""
+    sh = exploded_shingles(docs, "doc_id", "text", k=3)
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return common, counts
+
+
 @register(
     "minhash_lsh_pairs",
     oracle=f"""
@@ -347,13 +380,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLES_SQL},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    common AS (
-        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_common
-        FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 8
-    )
+    {_shingle_cand_sql(8)}
     SELECT m.id_a, m.id_b, m.n_common,
            round(CAST(m.n_common AS DOUBLE) / (na.n + nb.n - m.n_common), 6) AS jaccard
     FROM common m
@@ -366,17 +393,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the shingle-join naturally bounds candidates; at 100 TB prefer the
     MinHash/LSH pipeline which avoids the quadratic shingle join)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, "doc_id", "text", k=3)
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= 8)
-    )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common, counts = _shingle_candidates(docs, min_common=8)
     return (
         common.join(counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
         .join(counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
@@ -837,14 +854,7 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "containment_pairs",
     oracle=f"""
     WITH {_SHINGLES_SQL},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    common AS (
-        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, COUNT(*) AS n_common
-        FROM sh sa JOIN sh sb
-          ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 4
-    ),
+    {_shingle_cand_sql(4)},
     scored AS (
         SELECT
             CASE WHEN na.n <= nb.n THEN m.id_a ELSE m.id_b END AS contained_id,
@@ -874,17 +884,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps to the MinHash bucket join; containment scoring is the same
     broadcast of the |doc|-row count table either way."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, "doc_id", "text", k=3)
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= 4)
-    )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common, counts = _shingle_candidates(docs, min_common=4)
     joined = common.join(
         F.broadcast(counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))),
         "id_a",

@@ -540,9 +540,9 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks(docs)
     vc = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    tot = toks.agg(
-        F.count("*").alias("t"), F.count_distinct("tok").alias("v")
-    )
+    # T and V fall out of the |vocab|-row LM itself — no extra pass over
+    # the token stream, and no global count_distinct shuffle
+    tot = vc.agg(F.sum("cnt").alias("t"), F.count("*").alias("v"))
     nll = (
         toks.join(F.broadcast(vc), "tok")
         .crossJoin(F.broadcast(tot))
