@@ -212,3 +212,88 @@ def pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.join(
         F.broadcast(frontier), ["total_spend", "n_orders"], "left_semi"
     ).select("custkey", "total_spend", "n_orders")
+
+
+@register(
+    "revenue_trend_forecast",
+    oracle="""
+    WITH daily AS (
+        SELECT n.n_name AS nation,
+               date_diff('day', DATE '1995-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS x,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS y
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        -- every moment sums exactly (BIGINT / DECIMAL) before ONE cast to
+        -- double, so the closed-form OLS arithmetic is order-insensitive
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+               CAST(MAX(x) AS BIGINT) AS x_max
+        FROM daily GROUP BY 1
+    )
+    SELECT nation, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 + (n * sxy - sx * sy) / (n * sxx - sx * sx) * (x_max + 1),
+                 6) AS forecast_next_day
+    FROM m
+    """,
+)
+def revenue_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS revenue trend + one-step forecast from closed-form
+    moment sums — grouped linear regression as a pure aggregation, the
+    scale-safe substitute for per-group model fitting: x (day index) and
+    x² sum exactly as integers, y sums exactly as DECIMAL, so the
+    slope/intercept arithmetic over their double casts is identical on
+    both engines (same discipline as price_qty_corr above). The daily
+    rollup is one join-then-agg; the regression itself adds NO shuffle —
+    the moments ride the same groupBy — and the moments are mergeable, so
+    the trend can be maintained incrementally per partition/day at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01")
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+        )
+    )
+    m = daily.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.max("x").cast("bigint").alias("x_max"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return m.select(
+        "nation",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(intercept + slope * (F.col("x_max") + 1), 6).alias(
+            "forecast_next_day"
+        ),
+    )

@@ -332,3 +332,134 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "fingerprint", "n_chars", "group_size")
     )
+
+
+_BPE_K = 4  # learned merge rounds
+_BPE_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _bpe_oracle(k: int) -> str:
+    """Unrolled-CTE oracle for k BPE merge rounds: each round recounts the
+    weighted adjacent-symbol pairs, picks the argmax (count desc, symbols
+    asc) and rewrites every word's symbol sequence via two passes of
+    left-to-right non-overlapping replacement (see bpe_learn_merges)."""
+    sql = f"""WITH toks AS (SELECT unnest({_BPE_TOKS_SQL}) AS tok FROM documents),
+    w0 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wcount FROM toks
+           WHERE tok <> '' GROUP BY 1),
+    seq0 AS (SELECT wcount,
+        array_to_string(list_transform(range(1, length(tok)+1), i -> tok[i:i]),
+                        ' ') || ' </w>' AS seq
+        FROM w0)"""
+    for it in range(1, k + 1):
+        p = it - 1
+        sql += f""",
+    px{it} AS (SELECT wcount, s, unnest(generate_series(1, len(s)-1)) AS i
+               FROM (SELECT wcount, string_split(seq, ' ') AS s FROM seq{p})
+               WHERE len(s) >= 2),
+    b{it} AS (SELECT s[i] AS a, s[i+1] AS b,
+                     CAST(SUM(wcount) AS BIGINT) AS cnt
+              FROM px{it} GROUP BY 1, 2
+              ORDER BY cnt DESC, a, b LIMIT 1),
+    seq{it} AS (SELECT s.wcount,
+        trim(replace(replace(' ' || s.seq || ' ',
+                             ' ' || b.a || ' ' || b.b || ' ',
+                             ' ' || b.a || b.b || ' '),
+                     ' ' || b.a || ' ' || b.b || ' ',
+                     ' ' || b.a || b.b || ' ')) AS seq
+        FROM seq{p} s CROSS JOIN b{it} b)"""
+    union = " UNION ALL ".join(
+        f"SELECT CAST({it} AS INT) AS iteration, a AS sym_a, b AS sym_b,"
+        f" a || b AS merged, cnt AS pair_count FROM b{it}"
+        for it in range(1, k + 1)
+    )
+    return f"{sql}\n    SELECT * FROM ({union})"
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle(_BPE_K))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: learn the first 4 merge rules
+    over the corpus word-frequency dictionary — each round counts adjacent
+    symbol pairs weighted by word frequency (one map-side-combined groupBy
+    over the |vocab|-row dictionary), takes the argmax pair
+    (deterministic: count desc, symbols asc), and applies the merge to
+    every word's symbol sequence. This is the actual BPE training loop
+    (Sennrich-style, on the word dict rather than the raw corpus), which
+    token_count_bpe only consumes; at 100 TB the pair recount stays
+    |vocab|-sized — corpus size only enters through the one-time word
+    count.
+
+    Merge application is TWO passes of left-to-right non-overlapping
+    string replacement of ' a b ' — identical scan semantics in Spark and
+    DuckDB, hence oracle-reproducible; for runs of a repeated pair longer
+    than 4 symbols this under-merges vs strict greedy BPE (a documented,
+    deterministic approximation; natural-language words rarely contain
+    them). The per-round argmax is a 1-row broadcast, so the plan is k
+    chained vocab-local stages with no driver-side loop state."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "tok"
+            )
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("wcount"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+    )
+    cur = words.select(
+        "wcount",
+        F.concat(F.concat_ws(" ", chars), F.lit(" </w>")).alias("seq"),
+    )
+    merges = None
+    for it in range(1, _BPE_K + 1):
+        # guard: a fully-merged word's seq can reach 1 symbol, and Spark's
+        # sequence(1, 0) is a DESCENDING [1, 0], not empty (oracle twin:
+        # WHERE len(s) >= 2)
+        pairs = cur.filter(F.size(F.split(F.col("seq"), " ")) >= 2).select(
+            "wcount",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(seq, ' ')) - 1),"
+                    " i -> struct(element_at(split(seq, ' '), i) AS a,"
+                    "             element_at(split(seq, ' '), i + 1) AS b))"
+                )
+            ).alias("p"),
+        ).select("wcount", "p.a", "p.b")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        merges_it = best.select(
+            F.lit(it).cast("int").alias("iteration"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("pair_count"),
+        )
+        merges = merges_it if merges is None else merges.unionByName(merges_it)
+        padded = F.concat(F.lit(" "), F.col("seq"), F.lit(" "))
+        pat = F.concat(
+            F.lit(" "), F.col("__a"), F.lit(" "), F.col("__b"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col("__a"), F.col("__b"), F.lit(" "))
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    best.select(
+                        F.col("a").alias("__a"), F.col("b").alias("__b")
+                    )
+                )
+            )
+            .select(
+                "wcount",
+                F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias(
+                    "seq"
+                ),
+            )
+        )
+    return merges

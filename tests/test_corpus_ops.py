@@ -197,3 +197,45 @@ def test_sliding_hll_tracks_exact(spark, sf_dir):
         assert abs(r["hll_estimate"] - r["n_exact"]) <= max(
             6.0, 0.3 * r["n_exact"]
         )
+
+
+def test_bpe_learn_merges_on_planted_corpus(spark, tmp_path):
+    """Corpus dominated by the word 'ab': round 1 must merge ('a','b')
+    (tiebreak vs ('b','</w>') on symbol order), round 2 ('ab','</w>')."""
+    rows = [(1, "ab ab ab"), (2, "ab cd")]
+    df = (
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["iteration"]: r for r in QUERIES["bpe_learn_merges"](spark, str(tmp_path)).collect()}
+    assert (out[1]["sym_a"], out[1]["sym_b"], out[1]["pair_count"]) == ("a", "b", 4)
+    assert (out[2]["sym_a"], out[2]["sym_b"], out[2]["pair_count"]) == ("ab", "</w>", 4)
+
+
+def test_bpe_merge_counts_non_increasing(spark, sf_dir):
+    """BPE invariant: a later round's best pair can never beat an earlier
+    round's (new pairs created by a merge are bounded by that merge's
+    count)."""
+    rows = sorted(
+        QUERIES["bpe_learn_merges"](spark, sf_dir).collect(),
+        key=lambda r: r["iteration"],
+    )
+    assert len(rows) == 4
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["merged"] == r["sym_a"] + r["sym_b"]
+
+
+def test_revenue_trend_forecast_consistency(spark, sf_dir):
+    import math
+
+    rows = QUERIES["revenue_trend_forecast"](spark, sf_dir).collect()
+    assert len(rows) == 25  # one per nation
+    for r in rows:
+        assert r["n"] > 2
+        for v in (r["slope"], r["intercept"], r["forecast_next_day"]):
+            assert math.isfinite(v)
