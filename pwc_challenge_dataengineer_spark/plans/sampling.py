@@ -384,3 +384,105 @@ def corpus_rebalance_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_docs"), 6
         ).alias("realized_rate"),
     )
+
+
+_MIX_ALPHA = 0.3  # multinomial temperature for low-resource upsampling
+
+
+@register(
+    "source_mix_diagnostics",
+    oracle=f"""
+    WITH toks AS (
+        SELECT d.source, unnest(string_split_regex(lower(trim(d.text)),
+                                                   '\\s+')) AS tok
+        FROM documents d
+    ),
+    t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+    st AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t2 GROUP BY 1, 2
+    ),
+    s_tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+    g AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cg FROM st GROUP BY 1),
+    g_tot AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_g FROM g),
+    kl AS (
+        SELECT st.source,
+               SUM((CAST(st.c AS DOUBLE) / s_tot.n_s)
+                   * ln((CAST(st.c AS DOUBLE) / s_tot.n_s)
+                        / (CAST(g.cg AS DOUBLE) / g_tot.n_g))) AS kl_bits
+        FROM st
+        JOIN s_tot ON st.source = s_tot.source
+        JOIN g ON st.tok = g.tok
+        CROSS JOIN g_tot
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT source, n_s,
+               power(CAST(n_s AS DOUBLE), {_MIX_ALPHA}) AS raw_w
+        FROM s_tot
+    ),
+    w_tot AS (SELECT SUM(raw_w) AS z FROM w)
+    SELECT w.source, w.n_s AS n_tokens,
+           round(CAST(w.n_s AS DOUBLE)
+                 / (SELECT CAST(SUM(n_s) AS DOUBLE) FROM s_tot), 6)
+               AS token_share,
+           round(w.raw_w / w_tot.z, 6) AS alpha_weight,
+           round(kl.kl_bits, 6) AS kl_to_corpus
+    FROM w CROSS JOIN w_tot JOIN kl ON kl.source = w.source
+    """,
+)
+def source_mix_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-mix diagnostics for multilingual/multi-domain
+    training: token share, the temperature-scaled sampling weight
+    w_s ∝ n_s^0.3 (the multinomial alpha-smoothing used to upsample
+    low-resource sources), and the KL divergence of each source's unigram
+    distribution from the corpus distribution (domain shift — sources with
+    high KL are the ones a mixing change actually affects). KL sums per
+    (source, tok) over the |sources|x|vocab| aggregate — map-side combined,
+    with the corpus marginals broadcast; at 100 TB nothing here scales with
+    corpus size except the one token-count pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    t2 = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    st = t2.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    g = st.groupBy("tok").agg(F.sum("c").alias("cg"))
+    g_tot = g.agg(F.sum("cg").alias("n_g"))
+    kl = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(g), "tok")
+        .crossJoin(F.broadcast(g_tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (F.col("c").cast("double") / F.col("n_s"))
+                * F.log(
+                    (F.col("c").cast("double") / F.col("n_s"))
+                    / (F.col("cg").cast("double") / F.col("n_g"))
+                )
+            ).alias("kl_bits")
+        )
+    )
+    w = s_tot.select(
+        "source",
+        "n_s",
+        F.pow(F.col("n_s").cast("double"), F.lit(_MIX_ALPHA)).alias("raw_w"),
+    )
+    w_tot = w.agg(F.sum("raw_w").alias("z"))
+    total = s_tot.agg(F.sum("n_s").cast("double").alias("nt"))
+    return (
+        w.crossJoin(F.broadcast(w_tot))
+        .crossJoin(F.broadcast(total))
+        .join(kl, "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.round(F.col("n_s").cast("double") / F.col("nt"), 6).alias(
+                "token_share"
+            ),
+            F.round(F.col("raw_w") / F.col("z"), 6).alias("alpha_weight"),
+            F.round("kl_bits", 6).alias("kl_to_corpus"),
+        )
+    )

@@ -239,3 +239,21 @@ def test_revenue_trend_forecast_consistency(spark, sf_dir):
         assert r["n"] > 2
         for v in (r["slope"], r["intercept"], r["forecast_next_day"]):
             assert math.isfinite(v)
+
+
+def test_source_mix_diagnostics_invariants(spark, sf_dir):
+    rows = QUERIES["source_mix_diagnostics"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["alpha_weight"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # KL is non-negative; alpha smoothing compresses toward uniform:
+        # small sources get alpha_weight above their raw share, large ones
+        # below
+        assert r["kl_to_corpus"] >= 0
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r["token_share"] < mean_share:
+            assert r["alpha_weight"] >= r["token_share"]
+        elif r["token_share"] > mean_share:
+            assert r["alpha_weight"] <= r["token_share"]
