@@ -704,11 +704,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_N = 4  # n-gram length for duplicated-span detection
 
-
-@register(
-    "dup_ngram_spans",
-    oracle=f"""
-    WITH d AS (
+# Shared oracle fragment for the duplicated-n-gram position pipeline:
+# d (token arrays) → base (doc lengths) → pos (gram start positions) →
+# g (gram hashes) → dup (grams in >= 2 docs) → hits (duplicated positions).
+# One definition serves dup_ngram_spans (the report) and
+# dedup_span_excision (the transform).
+_DUP_HITS_SQL = f"""d AS (
         SELECT doc_id, {_TOKS} AS arr FROM documents
     ),
     base AS (SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_toks FROM d),
@@ -723,7 +724,41 @@ _SPAN_N = 4  # n-gram length for duplicated-span detection
         FROM pos
     ),
     dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
-    hits AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gh)),
+    hits AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gh))"""
+
+
+def _dup_ngram_hits(docs: DataFrame, n: int):
+    """Spark twin of _DUP_HITS_SQL: returns (d, hits) where ``d`` holds
+    (doc_id, arr) token arrays and ``hits`` the (doc_id, i) start positions
+    of n-grams that occur in >= 2 distinct documents."""
+    d = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("arr"),
+    )
+    pos = d.filter(F.size("arr") >= n).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("arr") - (n - 1))).alias("i"),
+        "arr",
+    )
+    g = pos.select(
+        "doc_id",
+        "i",
+        F.md5(F.concat_ws(" ", F.expr(f"slice(arr, i, {n})"))).alias("gh"),
+    )
+    dup = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    hits = g.join(dup, "gh").select("doc_id", "i")
+    return d, hits
+
+
+@register(
+    "dup_ngram_spans",
+    oracle=f"""
+    WITH {_DUP_HITS_SQL},
     isl0 AS (
         SELECT doc_id, i,
                MAX(i + {_SPAN_N - 1}) OVER (
@@ -786,28 +821,8 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = _SPAN_N
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("arr"),
-    )
+    d, hits = _dup_ngram_hits(docs, n)
     base = d.select("doc_id", F.size("arr").cast("bigint").alias("n_toks"))
-    pos = d.filter(F.size("arr") >= n).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("arr") - (n - 1))).alias("i"),
-        "arr",
-    )
-    g = pos.select(
-        "doc_id",
-        "i",
-        F.md5(F.concat_ws(" ", F.expr(f"slice(arr, i, {n})"))).alias("gh"),
-    )
-    dup = (
-        g.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
-    )
-    hits = g.join(dup, "gh").select("doc_id", "i")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("i")
@@ -998,4 +1013,86 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "cluster_id",
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "dedup_span_excision",
+    oracle=f"""
+    WITH {_DUP_HITS_SQL},
+    covered AS (
+        SELECT DISTINCT doc_id, i + s.s AS p
+        FROM hits, (SELECT unnest(generate_series(0, {_SPAN_N - 1})) AS s) s
+    ),
+    toks AS (
+        SELECT doc_id, unnest(arr) AS tok,
+               unnest(generate_series(1, len(arr))) AS p
+        FROM d
+    ),
+    kept AS (
+        SELECT t.doc_id, t.tok, t.p
+        FROM toks t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.p = c.p
+        WHERE c.p IS NULL
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS kept_toks,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+        FROM kept GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_toks,
+           CAST(COALESCE(c.kept_toks, 0) AS BIGINT) AS kept_toks,
+           CAST(b.n_toks - COALESCE(c.kept_toks, 0) AS BIGINT)
+               AS removed_toks,
+           COALESCE(c.cleaned_md5, md5('')) AS cleaned_md5
+    FROM base b LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM half of substring-level dedup: excise every token
+    covered by a cross-document duplicated 4-gram (the positions
+    dup_ngram_spans reports) and rebuild each document from its surviving
+    tokens in order. Emits kept/removed counts plus the md5 of the cleaned
+    text, so the oracle pins the reconstruction itself — including token
+    ORDER, which survives the shuffle because the rebuild sorts an
+    explicit (position, token) struct array rather than trusting
+    collect_list order. Scale shape: covered positions come from one
+    bounded explode of the hit list; the keep-filter is a left-anti join
+    on (doc, position); reconstruction is one groupBy(doc) over the kept
+    tokens — no task ever holds more than one document."""
+    docs = load_table(spark, sf_dir, "documents")
+    d, hits = _dup_ngram_hits(docs, _SPAN_N)
+    base = d.select("doc_id", F.size("arr").cast("bigint").alias("n_toks"))
+    covered = hits.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("i"), F.col("i") + (_SPAN_N - 1))
+        ).alias("p"),
+    ).distinct()
+    toks = d.select(
+        "doc_id", F.posexplode("arr").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_toks"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(p, tok))),"
+                    " x -> x.tok)"
+                ),
+            )
+        ).alias("cleaned_md5"),
+    )
+    empty_md5 = F.md5(F.lit(""))
+    return base.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("kept_toks", F.lit(0)).cast("bigint").alias("kept_toks"),
+        (F.col("n_toks") - F.coalesce("kept_toks", F.lit(0)))
+        .cast("bigint")
+        .alias("removed_toks"),
+        F.coalesce("cleaned_md5", empty_md5).alias("cleaned_md5"),
     )

@@ -257,3 +257,39 @@ def test_source_mix_diagnostics_invariants(spark, sf_dir):
             assert r["alpha_weight"] >= r["token_share"]
         elif r["token_share"] > mean_share:
             assert r["alpha_weight"] <= r["token_share"]
+
+
+def test_span_excision_consistent_with_span_report(spark, sf_dir):
+    """The transform and the report must agree doc-by-doc: tokens removed
+    by excision == tokens covered by the reported spans."""
+    report = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in QUERIES["dup_ngram_spans"](spark, sf_dir).collect()
+    }
+    excised = QUERIES["dedup_span_excision"](spark, sf_dir).collect()
+    assert len(excised) == len(report)
+    for r in excised:
+        assert r["removed_toks"] == report[r["doc_id"]]
+        assert r["kept_toks"] + r["removed_toks"] == r["n_toks"]
+
+
+def test_span_excision_planted(spark, tmp_path):
+    import hashlib
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} seven eight nine ten eleven twelve"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in QUERIES["dedup_span_excision"](spark, str(tmp_path)).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]["removed_toks"] == 8
+    assert out[1]["cleaned_md5"] == md5("one two three four five six")
+    assert out[2]["cleaned_md5"] == md5("seven eight nine ten eleven twelve")
