@@ -641,14 +641,35 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") == 0), emb, id_col="vec_id",
         vec_col="embedding", k=20,
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_sem"))
-    fused = lex.join(sem, "doc_id", "full_outer").select(
-        "doc_id",
-        F.coalesce("rank_lex", F.lit(0)).cast("int").alias("rank_lex"),
-        F.coalesce("rank_sem", F.lit(0)).cast("int").alias("rank_sem"),
-        (
-            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_sem")), F.lit(0.0))
-        ).alias("rrf"),
+    # Fusion as union + groupBy-max rather than a full-outer join: full
+    # outer can't broadcast, so Spark planned the only sort-merge join in
+    # the repo for two <= 20-row inputs. The union aggregate is join-free
+    # (rank 0 marks absence, exactly the oracle's COALESCE semantics).
+    fused = (
+        lex.select("doc_id", "rank_lex", F.lit(0).alias("rank_sem"))
+        .unionByName(
+            sem.select("doc_id", F.lit(0).alias("rank_lex"), "rank_sem")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("rank_lex").cast("int").alias("rank_lex"),
+            F.max("rank_sem").cast("int").alias("rank_sem"),
+        )
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            (
+                F.when(
+                    F.col("rank_lex") > 0,
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("rank_sem") > 0,
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_sem")),
+                ).otherwise(F.lit(0.0))
+            ).alias("rrf"),
+        )
     )
     w_rrf = Window.orderBy(F.col("rrf").desc(), "doc_id")
     return (
