@@ -505,3 +505,103 @@ def ann_ivf_fixed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_sub: int = 8,
+    d_sub: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC),
+    deterministic-codebook variant: split each vector into ``n_sub``
+    subvectors, encode every subvector as its nearest codeword (codebook =
+    subvectors of the ``n_codes`` lowest-id corpus vectors — the persisted-
+    artifact stand-in, same convention as ann_ivf_fixed_topk), and rank
+    candidates for the query (vector 0) by the sum of per-subspace
+    query→codeword distance-table lookups. Emits approx vs exact squared
+    distance side by side so the quantization error is visible per row.
+
+    This is the memory side of large-scale ANN: vectors compress
+    64 doubles → n_sub code bytes (64x), the distance table is
+    n_sub×n_codes and broadcast, and scoring a candidate is n_sub integer
+    lookups + a fixed-order sum — no float vector math per candidate. All
+    argmins round to 6dp with code-id tiebreaks and the ADC sum adds its 8
+    lanes in one fixed order, so the whole operator value-matches a SQL
+    oracle."""
+    from pyspark.sql.window import Window
+
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("e")
+    )
+    first_n = Window.orderBy("vec_id")
+    cb = (
+        v.orderBy("vec_id")
+        .limit(n_codes)
+        .withColumn("k", (F.row_number().over(first_n) - 1).cast("int"))
+    )
+    ms = F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("m")
+    sub = cb.select("k", ms, "e").select(
+        "k", "m", F.expr(f"slice(e, m * {d_sub} + 1, {d_sub})").alias("ce")
+    )
+    vsub = v.select("vec_id", ms, "e").select(
+        "vec_id", "m", F.expr(f"slice(e, m * {d_sub} + 1, {d_sub})").alias("ve")
+    )
+    enc0 = vsub.join(F.broadcast(sub), "m").select(
+        "vec_id",
+        "m",
+        "k",
+        F.round(sq_l2(F.col("ve"), F.col("ce")), 6).alias("d2"),
+    )
+    argmin = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
+    codes = (
+        enc0.withColumn("__rn", F.row_number().over(argmin))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "m", "k")
+    )
+    dt = (
+        vsub.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(sub), "m")
+        .select(
+            "m",
+            "k",
+            F.round(sq_l2(F.col("ve"), F.col("ce")), 6).alias("qd2"),
+        )
+    )
+    lanes = [
+        F.max(F.when(F.col("m") == i, F.col("qd2"))).alias(f"t{i}")
+        for i in range(n_sub)
+    ]
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(dt), ["m", "k"])
+        .groupBy("vec_id")
+        .agg(*lanes)
+    )
+    # fixed-order lane sum — identical operand bits + identical order on
+    # both engines, so the double result is bit-equal
+    total = F.col("t0")
+    for i in range(1, n_sub):
+        total = total + F.col(f"t{i}")
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    scored = (
+        adc.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(total, 6).alias("approx_d2"),
+        )
+        .join(
+            v.select(F.col("vec_id").alias("neighbor_id"), "e"), "neighbor_id"
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "neighbor_id",
+            "approx_d2",
+            F.round(sq_l2(F.col("e"), F.col("qe")), 6).alias("exact_d2"),
+        )
+    )
+    top = scored.orderBy("approx_d2", "neighbor_id").limit(k)
+    w = Window.orderBy("approx_d2", "neighbor_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

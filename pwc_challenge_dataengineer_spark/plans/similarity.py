@@ -660,3 +660,91 @@ def ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return _ivf(emb, k=5, n_cells=16, n_probe=2, n_queries=5)
+
+
+def _pq_sub_l2(a: str, b: str) -> str:
+    """Oracle twin of functions.similarity.sq_l2 on already-sliced DOUBLE[]
+    subvectors: ||a||^2 - 2<a,b> + ||b||^2, term-for-term."""
+    return (
+        f"list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b})"
+    )
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, e
+        FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+    ),
+    sub AS (
+        SELECT c.k, mm.m, c.e[mm.m * 8 + 1 : mm.m * 8 + 8] AS ce
+        FROM cb c, (SELECT unnest(generate_series(0, 7)) AS m) mm
+    ),
+    vsub AS (
+        SELECT v.vec_id, mm.m, v.e[mm.m * 8 + 1 : mm.m * 8 + 8] AS ve
+        FROM v, (SELECT unnest(generate_series(0, 7)) AS m) mm
+    ),
+    enc0 AS (
+        SELECT vs.vec_id, vs.m, s.k,
+               round({_pq_sub_l2("vs.ve", "s.ce")}, 6) AS d2
+        FROM vsub vs JOIN sub s ON vs.m = s.m
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+            FROM enc0
+        ) WHERE rn = 1
+    ),
+    dt AS (
+        SELECT s.m, s.k, round({_pq_sub_l2("q.ve", "s.ce")}, 6) AS qd2
+        FROM (SELECT m, ve FROM vsub WHERE vec_id = 0) q
+        JOIN sub s ON q.m = s.m
+    ),
+    adc AS (
+        SELECT c.vec_id,
+               {", ".join(
+                   f"MAX(CASE WHEN c.m = {i} THEN dt.qd2 END) AS t{i}"
+                   for i in range(8))}
+        FROM codes c JOIN dt ON c.m = dt.m AND c.k = dt.k
+        WHERE c.vec_id <> 0
+        GROUP BY 1
+    ),
+    qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    scored AS (
+        SELECT a.vec_id AS neighbor_id,
+               round(t0 + t1 + t2 + t3 + t4 + t5 + t6 + t7, 6) AS approx_d2,
+               round({_pq_sub_l2("v.e", "qv.qe")}, 6) AS exact_d2
+        FROM adc a
+        JOIN v ON v.vec_id = a.vec_id
+        CROSS JOIN qv
+    )
+    SELECT neighbor_id, approx_d2, exact_d2, rank FROM (
+        SELECT neighbor_id, approx_d2, exact_d2,
+               CAST(row_number() OVER (
+                   ORDER BY approx_d2, neighbor_id) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    vectors compress to 8 code bytes (one per 8-dim subspace, codebook =
+    subvectors of the 16 lowest-id corpus vectors — the persisted-artifact
+    convention of ann_ivf_fixed_topk), and the query ranks candidates by 8
+    distance-table lookups summed in one fixed lane order. approx_d2 sits
+    next to exact_d2 so the quantization error is a visible column. The
+    memory side of billion-scale ANN: 64 doubles → 8 bytes per vector, the
+    n_sub×n_codes table broadcasts, and candidate scoring does no float
+    vector math. Every argmin rounds to 6dp with code-id tiebreaks, so
+    encode, table build, and ADC ranking all value-match the oracle."""
+    from ..functions.similarity import pq_adc_topk as _pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _pq(emb, k=10, n_sub=8, d_sub=8, n_codes=16)

@@ -293,3 +293,38 @@ def test_span_excision_planted(spark, tmp_path):
     assert out[1]["removed_toks"] == 8
     assert out[1]["cleaned_md5"] == md5("one two three four five six")
     assert out[2]["cleaned_md5"] == md5("seven eight nine ten eleven twelve")
+
+
+def test_pq_adc_approximates_exact_ranking(spark, sf_dir):
+    """PQ/ADC invariants: approx distances are non-negative, ranks are a
+    permutation 1..10 ordered by approx distance, and the ADC top-10 must
+    overlap substantially with the exact top-10 (quantization preserves
+    coarse geometry)."""
+    rows = QUERIES["pq_adc_topk"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sorted(r["rank"] for r in rows) == list(range(1, 11))
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    approx = [r["approx_d2"] for r in by_rank]
+    assert approx == sorted(approx)
+    assert all(r["approx_d2"] >= 0 and r["exact_d2"] >= 0 for r in rows)
+    # exact top-10 for the same query
+    from pwc_challenge_dataengineer_spark.functions.similarity import (
+        as_double_array,
+        sq_l2,
+    )
+    from pwc_challenge_dataengineer_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("e")
+    )
+    q = emb.filter("vec_id = 0").select(F.col("e").alias("qe"))
+    exact_top = (
+        emb.filter("vec_id <> 0")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(sq_l2(F.col("e"), F.col("qe")), 6).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    overlap = {r["vec_id"] for r in exact_top} & {r["neighbor_id"] for r in rows}
+    assert len(overlap) >= 3
