@@ -683,3 +683,116 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rrf_rank",
         )
     )
+
+
+_LM_LAMBDA = 0.7  # bigram weight in the interpolated model
+
+
+@register(
+    "bigram_lm_score",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(t) AS tok FROM d
+    ),
+    t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM uni
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM d WHERE len(t) >= 2) q
+    ),
+    bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bcnt
+        FROM bg GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               -ln({_LM_LAMBDA} * (CAST(b.bcnt AS DOUBLE) - 1.0 + 1.0)
+                       / (CAST(u1.cnt AS DOUBLE) + tot.v)
+                   + {1.0 - _LM_LAMBDA}
+                       * (CAST(u2.cnt AS DOUBLE) + 1.0)
+                       / (CAST(tot.t AS DOUBLE) + tot.v)) AS nll
+        FROM bg g
+        JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+        JOIN uni u1 ON g.w1 = u1.tok
+        JOIN uni u2 ON g.w2 = u2.tok
+        CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(nll), 6) AS avg_nll,
+           round(exp(AVG(nll)), 4) AS bigram_ppl
+    FROM scored GROUP BY 1
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — the step up from
+    unigram_lm_score toward the KenLM quality filter: per-bigram
+    probability is lambda * p_bigram + (1-lambda) * p_unigram_laplace,
+    where the bigram term uses add-one-ish smoothing against the history
+    count ((bcnt-1+1)/(cnt_w1 + V) — written exactly that way so BOTH
+    engines fold the identical arithmetic) and the unigram back-off is
+    the same Laplace model unigram_lm_score certifies. Scale shape: the
+    bigram table is a (w1, w2) aggregate with map-side combine —
+    vocab²-bounded, not corpus-bounded — and joins back to the bigram
+    stream by hash; per-doc averaging is one shuffle on doc_id. Training
+    and scoring remain a single distributed job with no model object."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    )
+    toks = d.select("doc_id", F.explode("t").alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("t"), F.count("*").alias("v"))
+    bg = d.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    lam = F.lit(_LM_LAMBDA)
+    scored = (
+        bg.join(F.broadcast(bi), ["w1", "w2"])
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    lam
+                    * (F.col("bcnt").cast("double") - F.lit(1.0) + F.lit(1.0))
+                    / (F.col("c1").cast("double") + F.col("v"))
+                    + (F.lit(1.0) - lam)
+                    * (F.col("c2").cast("double") + F.lit(1.0))
+                    / (F.col("t").cast("double") + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("nll")), 4).alias("bigram_ppl"),
+    )

@@ -328,3 +328,16 @@ def test_pq_adc_approximates_exact_ranking(spark, sf_dir):
     )
     overlap = {r["vec_id"] for r in exact_top} & {r["neighbor_id"] for r in rows}
     assert len(overlap) >= 3
+
+
+def test_bigram_lm_vs_unigram(spark, sf_dir):
+    """Interpolated bigram LM covers exactly the docs the unigram model
+    scores, every NLL is positive, and perplexity is exp(avg_nll)."""
+    bi = {r["doc_id"]: r for r in QUERIES["bigram_lm_score"](spark, sf_dir).collect()}
+    uni = {r["doc_id"]: r for r in QUERIES["unigram_lm_score"](spark, sf_dir).collect()}
+    assert set(bi) == set(uni)
+    assert all(r["avg_nll"] > 0 for r in bi.values())
+    import math
+
+    for r in list(bi.values())[:20]:
+        assert abs(r["bigram_ppl"] - round(math.exp(r["avg_nll"]), 2)) < 0.05
