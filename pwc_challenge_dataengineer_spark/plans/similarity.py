@@ -748,3 +748,130 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return _pq(emb, k=10, n_sub=8, d_sub=8, n_codes=16)
+
+
+_MMR_LAM = 0.7
+_MMR_CAND = 10
+_MMR_OUT = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-CTE oracle for greedy MMR selection: candidates are the
+    exact cosine top-10 for query vector 0; each of the 5 rounds picks
+    argmax of lambda*relevance - (1-lambda)*max-sim-to-selected, on
+    6dp-rounded similarities with id tiebreaks throughout."""
+    sql = f"""
+    WITH cand AS (
+        SELECT neighbor_id AS cid, cosine_sim AS rel FROM (
+            SELECT c.vec_id AS neighbor_id,
+                   round({_COS_SQL}, 6) AS cosine_sim,
+                   row_number() OVER (
+                       ORDER BY round({_COS_SQL}, 6) DESC, c.vec_id) AS rnk
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id = 0 AND c.vec_id <> 0
+        ) WHERE rnk <= {_MMR_CAND}
+    ),
+    psim AS (
+        SELECT a.vec_id AS ca, b.vec_id AS cb,
+               round({_COS_SQL.replace("q.", "a.").replace("c.", "b.")}, 6)
+                   AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id IN (SELECT cid FROM cand)
+          AND b.vec_id IN (SELECT cid FROM cand)
+          AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+        SELECT cid, rel, 1 AS step, rel AS mmr
+        FROM cand ORDER BY rel DESC, cid LIMIT 1
+    )"""
+    for t in range(2, _MMR_OUT + 1):
+        p = t - 1
+        sql += f""",
+    sc{t} AS (
+        SELECT c.cid, c.rel,
+               round({_MMR_LAM} * c.rel - {round(1 - _MMR_LAM, 10)}
+                     * MAX(p.sim), 6) AS score
+        FROM cand c
+        JOIN psim p ON p.ca = c.cid
+        JOIN s{p} s ON p.cb = s.cid
+        WHERE c.cid NOT IN (SELECT cid FROM s{p})
+        GROUP BY c.cid, c.rel
+    ),
+    pick{t} AS (
+        SELECT cid, rel, {t} AS step, score AS mmr
+        FROM sc{t} ORDER BY score DESC, cid LIMIT 1
+    ),
+    s{t} AS (SELECT * FROM s{p} UNION ALL SELECT * FROM pick{t})"""
+    sql += f"""
+    SELECT CAST(step AS INT) AS rank, cid AS neighbor_id,
+           rel AS relevance, mmr AS mmr_score
+    FROM s{_MMR_OUT}"""
+    return sql
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware reranking by maximal marginal relevance: from the
+    exact cosine top-10 for query vector 0, greedily select 5 results
+    maximizing lambda*relevance − (1−lambda)*max-similarity-to-already-
+    selected (lambda=0.7) — the standard redundancy-removal step between
+    retrieval and a RAG context window. The greedy loop unrolls into 5
+    chained stages over a 10-row broadcast candidate set (the same
+    1-row-argmax-broadcast pattern as bpe_learn_merges), so there is no
+    driver-side loop state and every pick is reproducible: similarities
+    round to 6dp, every argmax tiebreaks on the id. At scale the candidate
+    set comes from ANN (ann_lsh_topk / pq_adc_topk); MMR's cost depends
+    only on the candidate count, never the corpus."""
+    from pyspark.sql.window import Window
+
+    from ..functions.similarity import as_double_array, cosine, cosine_topk_brute
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_topk_brute(
+        emb.filter(F.col("vec_id") == 0), emb, id_col="vec_id",
+        vec_col="embedding", k=_MMR_CAND,
+    ).select(F.col("neighbor_id").alias("cid"), F.col("cosine_sim").alias("rel"))
+    e = emb.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+    ce = cand.join(e, cand.cid == e.vec_id).select("cid", "e")
+    ps = (
+        ce.alias("a")
+        .join(ce.alias("b"), F.col("a.cid") != F.col("b.cid"))
+        .select(
+            F.col("a.cid").alias("ca"),
+            F.col("b.cid").alias("cb"),
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("sim"),
+        )
+    )
+    sel = cand.orderBy(F.col("rel").desc(), "cid").limit(1).select(
+        "cid", "rel", F.lit(1).alias("step"), F.col("rel").alias("mmr")
+    )
+    for t in range(2, _MMR_OUT + 1):
+        sel_ids = sel.select(F.col("cid").alias("scid"))
+        pen = (
+            ps.join(F.broadcast(sel_ids), ps.cb == F.col("scid"))
+            .groupBy("ca")
+            .agg(F.max("sim").alias("pen"))
+        )
+        scores = (
+            cand.join(F.broadcast(sel_ids), cand.cid == F.col("scid"), "left_anti")
+            .join(F.broadcast(pen), cand.cid == pen.ca)
+            .select(
+                "cid",
+                "rel",
+                F.round(
+                    F.lit(_MMR_LAM) * F.col("rel")
+                    - F.lit(round(1 - _MMR_LAM, 10)) * F.col("pen"),
+                    6,
+                ).alias("score"),
+            )
+        )
+        pick = scores.orderBy(F.col("score").desc(), "cid").limit(1).select(
+            "cid", "rel", F.lit(t).alias("step"), F.col("score").alias("mmr")
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        F.col("step").cast("int").alias("rank"),
+        F.col("cid").alias("neighbor_id"),
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    )

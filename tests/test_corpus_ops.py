@@ -341,3 +341,20 @@ def test_bigram_lm_vs_unigram(spark, sf_dir):
 
     for r in list(bi.values())[:20]:
         assert abs(r["bigram_ppl"] - round(math.exp(r["avg_nll"]), 2)) < 0.05
+
+
+def test_mmr_diversifies(spark, sf_dir):
+    """MMR invariants: 5 distinct picks, rank 1 is the raw-relevance argmax
+    with mmr == relevance, and every later score is lambda*rel - (1-lambda)*
+    pen with pen a cosine in [-1, 1]."""
+    rows = sorted(
+        QUERIES["mmr_diverse_topk"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    ids = [r["neighbor_id"] for r in rows]
+    assert len(set(ids)) == 5
+    assert rows[0]["mmr_score"] == rows[0]["relevance"]
+    for r in rows[1:]:
+        # pen = max cosine to the already-selected set, a value in [-1, 1]
+        assert 0.7 * r["relevance"] - 0.3 - 1e-9 <= r["mmr_score"] <= 0.7 * r["relevance"] + 0.3 + 1e-9
