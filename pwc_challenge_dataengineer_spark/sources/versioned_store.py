@@ -225,16 +225,33 @@ class VersionedTable:
         the same cost shape Delta's OPTIMIZE pays. Data content is
         unchanged; only layout. Commits a new version ("optimize")."""
         df = self.read()
+        spark = df.sparkSession
         if zorder_by:
             code = zorder_code(df, zorder_by, bits_per_col)
-            clustered = (
-                code.repartitionByRange(n_files, F.col("__z"))
-                .sortWithinPartitions("__z")
-                .drop("__z")
-            )
+            # Range-exchange boundaries come from a per-partition sample whose
+            # seed varies with session history; a boundary landing inside a
+            # Morton quadrant makes that file span ~the full range on one
+            # z-ordered column. A maintenance rewrite can afford a denser
+            # sample for near-exact quantile boundaries (still bounded per
+            # partition, so this holds at any table size).
+            key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "2000")
+            try:
+                clustered = (
+                    code.repartitionByRange(n_files, F.col("__z"))
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
         else:
-            clustered = df.coalesce(n_files)
-        return self.write(clustered.localCheckpoint(eager=True), operation="optimize")
+            clustered = df.coalesce(n_files).localCheckpoint(eager=True)
+        return self.write(clustered, operation="optimize")
 
     # -- retention ---------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[int]:
