@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "timeseries",
     "tpch",
     "training_prep",
+    "linkage_spatial",
 )
 
 

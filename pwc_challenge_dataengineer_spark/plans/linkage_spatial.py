@@ -1,0 +1,239 @@
+"""Record linkage and spatial-join operator families (beyond-reference;
+complements the token-set fuzzy matching in fuzzy_part_name_pairs and the
+banded range join in operators/asof.py).
+
+- levenshtein_linkage  blocked edit-distance record linkage over part
+  names: block on the name's head noun (last word), band on length, then
+  verify with Levenshtein — the classic Fellegi-Sunter-style blocking
+  pipeline, with the quadratic comparison confined to blocks.
+- grid_spatial_knn     nearest-supplier-within-radius per customer over
+  deterministic pseudo-coordinates, via a grid-cell bucketed neighbor
+  join (9-cell probe) — the standard scale shape for spatial kNN: a
+  bounded cell join instead of a cross product.
+
+Parity: both queries are exact-integer/string computations end-to-end
+(Levenshtein is an integer; the grid geometry runs in integer deci-units,
+so distance ranking compares exact bigints); the only doubles are final
+single-division similarity/distance outputs on identical operands.
+
+Scale posture: linkage cost is sum over blocks of |block|^2 bounded by the
+length band (no global cross join); the spatial join shuffles on cell id
+with per-cell fan-out capped by the 9-probe pattern, and skewed cells can
+reuse the salted-join kit in operators/scalable.py. Reference parity: the
+reference's fuzzy/duplicate matching lives in its pandas/Polars silver
+cleaning (src/etl/silver) — re-expressed here as set-based Spark plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..schemas import load_table
+from .catalog import register
+
+
+@register(
+    "levenshtein_linkage",
+    oracle="""
+    WITH named AS (
+        SELECT p_partkey, p_name,
+               regexp_extract(p_name, '(\\S+)$', 1) AS block,
+               CAST(length(p_name) AS INT) AS ln
+        FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+           ROUND(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                       / greatest(a.ln, b.ln), 6) AS similarity
+    FROM named a
+    JOIN named b
+      ON a.block = b.block
+     AND a.p_partkey < b.p_partkey
+     AND abs(a.ln - b.ln) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    """,
+)
+def levenshtein_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage: candidate part-name pairs that
+    share a blocking key (the name's last word) and sit within a length
+    band, verified by Levenshtein distance <= 5. Blocking bounds the
+    comparison count to sum(|block|^2) instead of |part|^2, and the length
+    band is a cheap pre-filter that prunes most in-block pairs before the
+    O(len^2) edit-distance kernel runs — the textbook linkage shape.
+
+    Exact-integer parity: Levenshtein and lengths are integers in both
+    engines; similarity is a single IEEE division on identical operands."""
+    named = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", r"(\S+)$", 1).alias("block"),
+        F.length("p_name").cast("int").alias("ln"),
+    )
+    a = named.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "block",
+        F.col("ln").alias("ln_a"),
+    )
+    b = named.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "block",
+        F.col("ln").alias("ln_b"),
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "block")
+        .filter(
+            (F.col("part_a") < F.col("part_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 3)
+        )
+        .filter(lev <= 5)
+        .select(
+            "part_a",
+            "part_b",
+            "name_a",
+            "name_b",
+            lev.cast("int").alias("lev"),
+            F.round(
+                1.0
+                - lev.cast("double") / F.greatest("ln_a", "ln_b"),
+                6,
+            ).alias("similarity"),
+        )
+    )
+
+
+# Deterministic pseudo-coordinates in integer deci-units on a 10000x10000
+# grid (0..9999 per axis = 0..999.9 "units"): LCG-style mixes of the keys,
+# computed identically in Spark and DuckDB with plain BIGINT arithmetic (no
+# hash function, no float) so the geometry is bit-identical cross-engine.
+_CELL = 500  # 50-unit cells in deci-units
+_R2 = 500 * 500  # radius = one cell width, squared, in deci-units^2
+
+
+@register(
+    "grid_spatial_knn",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               (c_custkey * 48271 + 11) % 10000 AS pxi,
+               (c_custkey * 69621 + 7) % 10000 AS pyi
+        FROM customer
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               (s_suppkey * 40503 + 3) % 10000 AS sxi,
+               (s_suppkey * 16807 + 5) % 10000 AS syi
+        FROM supplier
+    ),
+    probes AS (
+        SELECT c.c_custkey, c.pxi, c.pyi,
+               CAST(FLOOR(c.pxi / {_CELL}.0) AS BIGINT) + dx.v AS cx,
+               CAST(FLOOR(c.pyi / {_CELL}.0) AS BIGINT) + dy.v AS cy
+        FROM cust c,
+             (VALUES (-1), (0), (1)) dx(v),
+             (VALUES (-1), (0), (1)) dy(v)
+    ),
+    hits AS (
+        SELECT p.c_custkey, s.s_suppkey, p.pxi, p.pyi, s.sxi, s.syi,
+               (p.pxi - s.sxi) * (p.pxi - s.sxi)
+               + (p.pyi - s.syi) * (p.pyi - s.syi) AS d2
+        FROM probes p
+        JOIN supp s
+          ON p.cx = CAST(FLOOR(s.sxi / {_CELL}.0) AS BIGINT)
+         AND p.cy = CAST(FLOOR(s.syi / {_CELL}.0) AS BIGINT)
+        WHERE (p.pxi - s.sxi) * (p.pxi - s.sxi)
+              + (p.pyi - s.syi) * (p.pyi - s.syi) <= {_R2}
+    ),
+    ranked AS (
+        SELECT c_custkey, s_suppkey, d2,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY d2, s_suppkey) AS rn
+        FROM hits
+    )
+    SELECT c_custkey,
+           s_suppkey AS nearest_suppkey,
+           CAST(d2 AS BIGINT) AS dist2_deci,
+           ROUND(sqrt(CAST(d2 AS DOUBLE)) / 10.0, 6) AS dist_units
+    FROM ranked WHERE rn = 1
+    """,
+)
+def grid_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier within a 50-unit radius for every customer, on
+    deterministic pseudo-coordinates, via grid-cell bucketing: each customer
+    probes its cell plus the 8 neighbors (cell width == search radius
+    guarantees full coverage), suppliers are joined on exact cell id, and the
+    winner is the min squared distance with a key tiebreak.
+
+    The geometry runs entirely in integer deci-units, so candidate
+    filtering and ranking compare exact BIGINTs — no float tolerance
+    anywhere; the output distance is one sqrt+division on an exact integer.
+
+    Scale shape: a 9-cell bucketed equi-join (shuffle on cell id) instead
+    of a customer x supplier cross join; per-task fan-out is bounded by
+    cell occupancy, and a skewed cell would take the salted-join kit
+    (operators/scalable.py) unchanged."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271 + 11) % 10000).alias("pxi"),
+        ((F.col("c_custkey") * 69621 + 7) % 10000).alias("pyi"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 40503 + 3) % 10000).alias("sxi"),
+        ((F.col("s_suppkey") * 16807 + 5) % 10000).alias("syi"),
+    ).select(
+        "s_suppkey",
+        "sxi",
+        "syi",
+        F.floor(F.col("sxi") / float(_CELL)).cast("bigint").alias("scx"),
+        F.floor(F.col("syi") / float(_CELL)).cast("bigint").alias("scy"),
+    )
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    probes = (
+        cust.select(
+            "c_custkey", "pxi", "pyi", F.explode(off).alias("dx")
+        )
+        .select("c_custkey", "pxi", "pyi", "dx", F.explode(off).alias("dy"))
+        .select(
+            "c_custkey",
+            "pxi",
+            "pyi",
+            (
+                F.floor(F.col("pxi") / float(_CELL)).cast("bigint")
+                + F.col("dx")
+            ).alias("cx"),
+            (
+                F.floor(F.col("pyi") / float(_CELL)).cast("bigint")
+                + F.col("dy")
+            ).alias("cy"),
+        )
+    )
+    d2 = (F.col("pxi") - F.col("sxi")) * (F.col("pxi") - F.col("sxi")) + (
+        F.col("pyi") - F.col("syi")
+    ) * (F.col("pyi") - F.col("syi"))
+    hits = (
+        probes.join(
+            F.broadcast(supp),
+            (F.col("cx") == F.col("scx")) & (F.col("cy") == F.col("scy")),
+        )
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= _R2)
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.col("d2").cast("bigint").alias("dist2_deci"),
+            F.round(F.sqrt(F.col("d2").cast("double")) / 10.0, 6).alias(
+                "dist_units"
+            ),
+        )
+    )

@@ -796,3 +796,114 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nll"), 6).alias("avg_nll"),
         F.round(F.exp(F.avg("nll")), 4).alias("bigram_ppl"),
     )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    w AS (
+        SELECT CAST(CEIL((MAX(doc_id) + 1) / 100.0) AS BIGINT) AS wd
+        FROM documents
+    ),
+    bt AS (
+        SELECT CAST(FLOOR(t.doc_id / w.wd) AS BIGINT) AS bucket,
+               COUNT(*) AS toks_n
+        FROM toks t, w GROUP BY 1
+    ),
+    ft AS (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+    nt AS (
+        SELECT CAST(FLOOR(f.fd / w.wd) AS BIGINT) AS bucket,
+               COUNT(*) AS types_n
+        FROM ft f, w GROUP BY 1
+    ),
+    db AS (
+        SELECT CAST(FLOOR(d.doc_id / w.wd) AS BIGINT) AS bucket,
+               COUNT(*) AS docs_n
+        FROM documents d, w GROUP BY 1
+    ),
+    cum AS (
+        SELECT db.bucket,
+               CAST(SUM(db.docs_n) OVER cw AS BIGINT) AS cum_docs,
+               CAST(SUM(COALESCE(bt.toks_n, 0)) OVER cw AS BIGINT)
+                   AS cum_tokens,
+               CAST(SUM(COALESCE(nt.types_n, 0)) OVER cw AS BIGINT)
+                   AS cum_types
+        FROM db
+        LEFT JOIN bt USING (bucket)
+        LEFT JOIN nt USING (bucket)
+        WINDOW cw AS (ORDER BY db.bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket, cum_docs, cum_tokens, cum_types,
+           ROUND(ln(CAST(cum_types AS DOUBLE))
+                 / ln(CAST(cum_tokens AS DOUBLE)), 6) AS heaps_beta
+    FROM cum
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct token types vs
+    cumulative token count, sampled at ~100 doc-id checkpoints, with the
+    empirical Heaps exponent beta = ln(types)/ln(tokens) at each point —
+    the diagnostic behind tokenizer vocab sizing (is the corpus's type
+    growth saturating, i.e. beta falling, or still open-vocabulary?).
+
+    Cumulative-distinct is computed distributively: each type is charged to
+    the bucket of its FIRST occurrence (min doc_id per token — one
+    map-side-combined groupBy), so the running distinct count is a plain
+    cumulative sum of per-bucket first-occurrence counts. The only window
+    runs over <= 100 bucket rows regardless of corpus size; everything else
+    is explode -> groupBy. All counts are exact integers; the exponent is
+    one IEEE log-division on identical operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    wd = docs.agg(
+        F.ceil((F.max("doc_id") + 1) / 100.0).cast("bigint").alias("wd")
+    )
+    toks = _toks(docs).crossJoin(F.broadcast(wd))
+    bucket = F.floor(F.col("doc_id") / F.col("wd")).cast("bigint")
+    bt = toks.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("toks_n")
+    )
+    ft = toks.groupBy("tok").agg(
+        F.min("doc_id").alias("fd"), F.first("wd").alias("wd")
+    )
+    nt = ft.groupBy(
+        F.floor(F.col("fd") / F.col("wd")).cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("types_n"))
+    db = (
+        docs.crossJoin(F.broadcast(wd))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("docs_n"))
+    )
+    cw = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        db.join(bt, "bucket", "left")
+        .join(nt, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("docs_n").over(cw).cast("bigint").alias("cum_docs"),
+            F.sum(F.coalesce("toks_n", F.lit(0)))
+            .over(cw)
+            .cast("bigint")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce("types_n", F.lit(0)))
+            .over(cw)
+            .cast("bigint")
+            .alias("cum_types"),
+        )
+    )
+    return cum.select(
+        "bucket",
+        "cum_docs",
+        "cum_tokens",
+        "cum_types",
+        F.round(
+            F.log(F.col("cum_types").cast("double"))
+            / F.log(F.col("cum_tokens").cast("double")),
+            6,
+        ).alias("heaps_beta"),
+    )

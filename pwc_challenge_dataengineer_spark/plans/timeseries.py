@@ -316,3 +316,190 @@ def max_drawdown_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_drawdown"),
         F.max("peak").cast("double").alias("peak_balance"),
     )
+
+
+@register(
+    "stl_decompose_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    framed AS (
+        SELECT d, r,
+               CAST(isodow(d) AS INT) AS dow,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n7,
+               CAST(SUM(r) OVER w AS DECIMAL(19,0)) AS s7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    interior AS (
+        SELECT d, dow, r, s7,
+               CAST(r AS DECIMAL(19,0)) * 7 - s7 AS detr7
+        FROM framed WHERE n7 = 7
+    ),
+    seasonal AS (
+        SELECT dow, CAST(SUM(detr7) AS DOUBLE) / COUNT(*) AS seas7
+        FROM interior GROUP BY dow
+    ),
+    resid AS (
+        SELECT i.d, i.dow, i.r, i.s7, s.seas7,
+               CAST(i.detr7 AS DOUBLE) - s.seas7 AS resid7
+        FROM interior i JOIN seasonal s USING (dow)
+    ),
+    mad AS (SELECT quantile_cont(abs(resid7), 0.5) AS mad7 FROM resid)
+    SELECT r.d, r.dow,
+           ROUND(CAST(r.r AS DOUBLE) / 1e4, 4) AS revenue,
+           ROUND(CAST(r.s7 AS DOUBLE) / 7e4, 4) AS trend,
+           ROUND(r.seas7 / 7e4, 4) AS seasonal,
+           ROUND(r.resid7 / 7e4, 4) AS residual,
+           abs(r.resid7) > 5 * m.mad7 AS is_anomaly
+    FROM resid r, mad m
+    """,
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition of daily revenue: centered 7-day moving-average
+    trend, ISO-day-of-week seasonal component from the detrended series, and
+    MAD-thresholded residual anomalies (|residual| > 5 x median|residual|).
+
+    Float parity: the series stays in exact 1e-4-dollar integer units through
+    the trend window (detr7 = 7*r - s7 is an exact decimal, avoiding the /7
+    division), the seasonal means and residuals are single IEEE ops on
+    identical operands, and the anomaly threshold is an exact percentile
+    (sorted-value pick/interpolate, no order-dependent summation).
+
+    Scale posture: the daily series is calendar-bounded (~2.4k rows at any
+    SF), so the unpartitioned trend window and the 7-row seasonal broadcast
+    are trivially cheap; all heavy lifting is the map-side-combined daily
+    groupBy. Reference parity: the reference's seasonal-trend analytics live
+    in src/analytics (advanced_analytics time-series helpers)."""
+    daily = _daily_revenue(spark, sf_dir).withColumn(
+        "dow", (F.weekday("d") + 1).cast("int")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    framed = daily.select(
+        "d",
+        "r",
+        "dow",
+        F.count("*").over(w7).cast("bigint").alias("n7"),
+        F.sum("r").over(w7).cast("decimal(19,0)").alias("s7"),
+    )
+    interior = framed.filter(F.col("n7") == 7).withColumn(
+        "detr7", F.col("r").cast("decimal(19,0)") * 7 - F.col("s7")
+    )
+    seasonal = interior.groupBy("dow").agg(
+        (F.sum("detr7").cast("double") / F.count("*")).alias("seas7")
+    )
+    resid = interior.join(F.broadcast(seasonal), "dow").withColumn(
+        "resid7", F.col("detr7").cast("double") - F.col("seas7")
+    )
+    mad = resid.agg(
+        F.expr("percentile(abs(resid7), 0.5)").alias("mad7")
+    )
+    return resid.crossJoin(F.broadcast(mad)).select(
+        "d",
+        "dow",
+        F.round(F.col("r").cast("double") / 1e4, 4).alias("revenue"),
+        F.round(F.col("s7").cast("double") / 7e4, 4).alias("trend"),
+        F.round(F.col("seas7") / 7e4, 4).alias("seasonal"),
+        F.round(F.col("resid7") / 7e4, 4).alias("residual"),
+        (F.abs(F.col("resid7")) > 5 * F.col("mad7")).alias("is_anomaly"),
+    )
+
+
+@register(
+    "theil_sen_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT p.p_brand,
+               CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT)
+                   AS m,
+               CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS DECIMAL(18,0))
+                        * CAST(100 - CAST(l.l_discount AS DECIMAL(18,2)) * 100
+                               AS DECIMAL(18,0)))
+                    AS DECIMAL(19,0)) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.p_brand,
+               CAST(b.r - a.r AS DOUBLE) / (b.m - a.m) AS slope
+        FROM monthly a
+        JOIN monthly b ON a.p_brand = b.p_brand AND a.m < b.m
+    ),
+    months AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly
+        GROUP BY 1
+    )
+    SELECT s.p_brand, mo.n_months,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(s.slope, 0.5) / 1e4, 6) AS slope_usd_per_month
+    FROM slopes s JOIN months mo USING (p_brand)
+    GROUP BY s.p_brand, mo.n_months
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per brand: the median of all pairwise
+    month-over-month revenue slopes — the outlier-resistant alternative to
+    the OLS fit in revenue_trend_forecast (one wild month cannot move a
+    median of ~3.5k pairwise slopes the way it moves a least-squares line).
+
+    Float parity: monthly revenue accumulates in exact 1e-4-dollar decimals;
+    each slope is one IEEE division of identical operands; the median is an
+    exact percentile (sort + pick), never an order-dependent sum.
+
+    Scale posture: the pairwise self-join is per-brand over a
+    calendar-bounded series (~84 months at any SF), so it is O(brands x 84^2)
+    regardless of fact size; the heavy work is the map-side-combined monthly
+    rollup. The lineitem->part join shuffles on partkey at scale (part grows
+    with SF, so no broadcast is assumed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    p100 = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    d100 = (
+        F.lit(100) - F.col("l_discount").cast("decimal(18,2)") * 100
+    ).cast("decimal(18,0)")
+    monthly = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(F.sum(p100 * d100).cast("decimal(19,0)").alias("r"))
+    )
+    a = monthly.select(
+        "p_brand", F.col("m").alias("ma"), F.col("r").alias("ra")
+    )
+    b = monthly.select(
+        "p_brand", F.col("m").alias("mb"), F.col("r").alias("rb")
+    )
+    slopes = (
+        a.join(b, "p_brand")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            "p_brand",
+            (
+                (F.col("rb") - F.col("ra")).cast("double")
+                / (F.col("mb") - F.col("ma"))
+            ).alias("slope"),
+        )
+    )
+    months = monthly.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_months")
+    )
+    return (
+        slopes.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("percentile(slope, 0.5)").alias("med"),
+        )
+        .join(F.broadcast(months), "p_brand")
+        .select(
+            "p_brand",
+            "n_months",
+            "n_pairs",
+            F.round(F.col("med") / 1e4, 6).alias("slope_usd_per_month"),
+        )
+    )
