@@ -237,3 +237,85 @@ def grid_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH named AS (
+        SELECT p_partkey, p_name, CAST(length(p_name) AS INT) AS ln
+        FROM part
+    ),
+    seq AS (
+        SELECT p_partkey, p_name, ln,
+               lead(p_partkey, 1) OVER w AS k1,
+               lead(p_name, 1)    OVER w AS n1,
+               lead(p_partkey, 2) OVER w AS k2,
+               lead(p_name, 2)    OVER w AS n2,
+               lead(p_partkey, 3) OVER w AS k3,
+               lead(p_name, 3)    OVER w AS n3
+        FROM named
+        WINDOW w AS (ORDER BY p_name, p_partkey)
+    ),
+    pairs AS (
+        SELECT p_partkey AS part_a, p_name AS name_a,
+               k1 AS part_b, n1 AS name_b, 1 AS nbr_offset FROM seq
+        WHERE k1 IS NOT NULL
+        UNION ALL
+        SELECT p_partkey, p_name, k2, n2, 2 FROM seq WHERE k2 IS NOT NULL
+        UNION ALL
+        SELECT p_partkey, p_name, k3, n3, 3 FROM seq WHERE k3 IS NOT NULL
+    )
+    SELECT part_a, part_b, name_a, name_b,
+           CAST(nbr_offset AS INT) AS nbr_offset,
+           CAST(levenshtein(name_a, name_b) AS INT) AS lev
+    FROM pairs
+    WHERE levenshtein(name_a, name_b) <= 5
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage: sort records by the comparison
+    key and compare each record only to its next 3 neighbors in sort order
+    — the complementary blocking strategy to levenshtein_linkage (head-noun
+    blocks miss pairs whose last word differs; a sorted scan catches pairs
+    that agree on a long prefix regardless of block).
+
+    Scale posture: at cluster scale the sort is a range partition and each
+    task scans its own partition with a w-row overlap fetched from the
+    next partition boundary — the window-over-sort here expresses exactly
+    that shape (a fixed fan-out of 3 lead pairs per row, never a block
+    self-join). Exact integers/strings throughout."""
+    named = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    w = Window.orderBy("p_name", "p_partkey")
+    seq = named.select(
+        "p_partkey",
+        "p_name",
+        *[
+            c
+            for o in (1, 2, 3)
+            for c in (
+                F.lead("p_partkey", o).over(w).alias(f"k{o}"),
+                F.lead("p_name", o).over(w).alias(f"n{o}"),
+            )
+        ],
+    )
+    parts = [
+        seq.filter(F.col(f"k{o}").isNotNull()).select(
+            F.col("p_partkey").alias("part_a"),
+            F.col(f"k{o}").alias("part_b"),
+            F.col("p_name").alias("name_a"),
+            F.col(f"n{o}").alias("name_b"),
+            F.lit(o).cast("int").alias("nbr_offset"),
+        )
+        for o in (1, 2, 3)
+    ]
+    pairs = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    lev = F.levenshtein("name_a", "name_b")
+    return pairs.filter(lev <= 5).select(
+        "part_a",
+        "part_b",
+        "name_a",
+        "name_b",
+        "nbr_offset",
+        lev.cast("int").alias("lev"),
+    )

@@ -907,3 +907,49 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("heaps_beta"),
     )
+
+
+@register(
+    "inverted_index_build",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    postings AS (
+        SELECT tok,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(SUM(1) AS BIGINT) AS cf,
+               (array_agg(DISTINCT doc_id ORDER BY doc_id))[1:50]
+                   AS plist
+        FROM toks GROUP BY tok
+    )
+    SELECT tok, df, cf,
+           array_to_string(plist, ',') AS postings_head_csv
+    FROM postings
+    """,
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per token, document frequency, collection
+    frequency, and the head of the sorted postings list (first 50 doc ids,
+    serialized CSV per the array-agg determinism convention) — the build
+    step behind bm25_keyword_search's scoring statistics.
+
+    Scale posture: one explode -> token groupBy (map-side combined). The
+    head cap bounds the per-token payload, which is exactly how a
+    distributed index build handles hot tokens: postings beyond the cap
+    land in further doc-id-range segments (the same sharding shape
+    streaming/dedup_stream.py uses for its signature store) rather than
+    one unbounded row. All values are exact integers/strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _toks(docs)
+        .groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+            F.count("*").cast("bigint").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 50),
+            ).alias("postings_head_csv"),
+        )
+    )

@@ -503,3 +503,275 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("med") / 1e4, 6).alias("slope_usd_per_month"),
         )
     )
+
+
+_MONTHLY_SQL = """
+        SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS DECIMAL(18,0))
+                        * CAST(100 - CAST(l_discount AS DECIMAL(18,2)) * 100
+                               AS DECIMAL(18,0)))
+                    AS DECIMAL(19,0)) AS r
+        FROM lineitem GROUP BY 1
+"""
+
+
+def _monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p100 = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    d100 = (
+        F.lit(100) - F.col("l_discount").cast("decimal(18,2)") * 100
+    ).cast("decimal(18,0)")
+    return li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("m")
+    ).agg(F.sum(p100 * d100).cast("decimal(19,0)").alias("r"))
+
+
+@register(
+    "forecast_backtest_mape",
+    oracle=f"""
+    WITH monthly AS ({_MONTHLY_SQL}),
+    lagged AS (
+        SELECT m, r,
+               lag(r, 1)  OVER w AS l1,
+               lag(r, 2)  OVER w AS l2,
+               lag(r, 3)  OVER w AS l3,
+               lag(r, 12) OVER w AS l12,
+               row_number() OVER w AS rn
+        FROM monthly
+        WINDOW w AS (ORDER BY m)
+    ),
+    evalm AS (
+        SELECT m, CAST(r AS DOUBLE) AS y,
+               CAST(l1 AS DOUBLE) AS f_naive,
+               CAST(l12 AS DOUBLE) AS f_seasonal,
+               CAST(l1 + l2 + l3 AS DOUBLE) / 3 AS f_ma3
+        FROM lagged WHERE rn > 12
+    ),
+    apes AS (
+        SELECT method, ape, m FROM (
+            SELECT m, 'naive1' AS method,
+                   abs(y - f_naive) / y AS ape FROM evalm
+            UNION ALL
+            SELECT m, 'seasonal12', abs(y - f_seasonal) / y FROM evalm
+            UNION ALL
+            SELECT m, 'ma3', abs(y - f_ma3) / y FROM evalm
+        )
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           ROUND(AVG(ape), 6) AS mape,
+           ROUND(MAX(ape), 6) AS max_ape
+    FROM apes GROUP BY method
+    """,
+)
+def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest: replay three zero-parameter
+    forecasters (naive last-month, seasonal-naive month-minus-12, and a
+    3-month moving average) over every month with a full history window and
+    score them by MAPE / worst-case APE — the evaluation harness that picks
+    a baseline before anyone reaches for a model (complements
+    revenue_trend_forecast's OLS and theil_sen_trend's robust slope).
+
+    Parity: monthly revenue is exact decimal; every forecast and APE is a
+    fixed IEEE expression on identical operands; only the final AVG sums
+    doubles (70-odd values, ~1 ulp noise, rounded at 6dp).
+
+    Scale: the series is calendar-bounded, so the lag window is a
+    single-task detail; the heavy work is the map-side-combined monthly
+    rollup over lineitem."""
+    monthly = _monthly_revenue(spark, sf_dir)
+    w = Window.orderBy("m")
+    lagged = monthly.select(
+        "m",
+        "r",
+        F.lag("r", 1).over(w).alias("l1"),
+        F.lag("r", 2).over(w).alias("l2"),
+        F.lag("r", 3).over(w).alias("l3"),
+        F.lag("r", 12).over(w).alias("l12"),
+        F.row_number().over(w).alias("rn"),
+    )
+    ev = lagged.filter(F.col("rn") > 12).select(
+        "m",
+        F.col("r").cast("double").alias("y"),
+        F.col("l1").cast("double").alias("f_naive"),
+        F.col("l12").cast("double").alias("f_seasonal"),
+        (
+            (F.col("l1") + F.col("l2") + F.col("l3")).cast("double") / 3
+        ).alias("f_ma3"),
+    )
+    apes = (
+        ev.select(
+            "m",
+            F.lit("naive1").alias("method"),
+            (F.abs(F.col("y") - F.col("f_naive")) / F.col("y")).alias("ape"),
+        )
+        .unionAll(
+            ev.select(
+                "m",
+                F.lit("seasonal12").alias("method"),
+                (F.abs(F.col("y") - F.col("f_seasonal")) / F.col("y")).alias(
+                    "ape"
+                ),
+            )
+        )
+        .unionAll(
+            ev.select(
+                "m",
+                F.lit("ma3").alias("method"),
+                (F.abs(F.col("y") - F.col("f_ma3")) / F.col("y")).alias(
+                    "ape"
+                ),
+            )
+        )
+    )
+    return apes.groupBy("method").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.round(F.avg("ape"), 6).alias("mape"),
+        F.round(F.max("ape"), 6).alias("max_ape"),
+    )
+
+
+@register(
+    "kaplan_meier_churn",
+    oracle="""
+    WITH span AS (
+        SELECT o_custkey,
+               date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                         MAX(CAST(o_orderdate AS DATE))) AS dur,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d
+        FROM orders GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+    obs AS (
+        SELECT s.o_custkey, c.c_mktsegment,
+               CAST(FLOOR(s.dur / 30.0) AS BIGINT) AS tb,
+               s.last_d < h.mx - INTERVAL 180 DAY AS churned
+        FROM span s
+        JOIN customer c ON s.o_custkey = c.c_custkey, horizon h
+    ),
+    bucketed AS (
+        SELECT c_mktsegment, tb,
+               CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_events,
+               CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_censored
+        FROM obs GROUP BY 1, 2
+    ),
+    risk AS (
+        SELECT c_mktsegment, tb, d_events, c_censored,
+               CAST(SUM(d_events + c_censored) OVER (
+                        PARTITION BY c_mktsegment ORDER BY tb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (d_events + c_censored)
+                    AS BIGINT) AS left_before,
+               CAST(SUM(d_events + c_censored) OVER (
+                        PARTITION BY c_mktsegment) AS BIGINT) AS total
+        FROM bucketed
+    ),
+    km AS (
+        SELECT c_mktsegment, tb, d_events, c_censored,
+               total - left_before AS n_risk,
+               SUM(ln(1.0 - CAST(d_events AS DOUBLE)
+                            / (total - left_before))) OVER (
+                   PARTITION BY c_mktsegment ORDER BY tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lnsurv
+        FROM risk
+    )
+    SELECT c_mktsegment, tb * 30 AS t_days, n_risk, d_events, c_censored,
+           ROUND(exp(lnsurv), 6) AS survival
+    FROM km
+    """,
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer engagement per market
+    segment: duration = days between a customer's first and last order,
+    an observation is a churn EVENT if the last order predates the
+    dataset horizon by >180 days and right-CENSORED otherwise, durations
+    grouped into 30-day buckets. S(t) multiplies the per-bucket hazard
+    complements (1 - d/n) over buckets <= t — computed as exp of a
+    cumulative ln-sum so both engines evaluate the identical expression
+    (an all-events terminal bucket yields ln(0) -> -inf -> survival 0.0
+    in both engines).
+
+    Parity: counts and at-risk denominators are exact integers; the only
+    floats are the per-bucket ln terms (identical operands) accumulated
+    over a calendar-bounded bucket count (<~80 rows/segment, ~1 ulp),
+    rounded at 6dp.
+
+    Scale: one shuffle to per-customer spans, one to (segment, bucket);
+    the survival windows run over the tiny bucketed series."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    span = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max(F.col("o_orderdate").cast("date")),
+            F.min(F.col("o_orderdate").cast("date")),
+        ).alias("dur"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    horizon = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("mx")
+    )
+    obs = (
+        span.join(cust, span.o_custkey == cust.c_custkey)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "c_mktsegment",
+            F.floor(F.col("dur") / 30.0).cast("bigint").alias("tb"),
+            (F.col("last_d") < F.date_sub(F.col("mx"), 180)).alias(
+                "churned"
+            ),
+        )
+    )
+    bucketed = obs.groupBy("c_mktsegment", "tb").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_events"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c_censored"),
+    )
+    leaving = F.col("d_events") + F.col("c_censored")
+    wcum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("c_mktsegment")
+    risk = bucketed.select(
+        "c_mktsegment",
+        "tb",
+        "d_events",
+        "c_censored",
+        (F.sum(leaving).over(wcum) - leaving)
+        .cast("bigint")
+        .alias("left_before"),
+        F.sum(leaving).over(wall).cast("bigint").alias("total"),
+    )
+    n_risk = F.col("total") - F.col("left_before")
+    km = risk.select(
+        "c_mktsegment",
+        "tb",
+        "d_events",
+        "c_censored",
+        n_risk.alias("n_risk"),
+        F.sum(
+            F.log(1.0 - F.col("d_events").cast("double") / n_risk)
+        )
+        .over(wcum)
+        .alias("lnsurv"),
+    )
+    return km.select(
+        "c_mktsegment",
+        (F.col("tb") * 30).alias("t_days"),
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.round(F.exp("lnsurv"), 6).alias("survival"),
+    )
