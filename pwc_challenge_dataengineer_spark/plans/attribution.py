@@ -123,3 +123,78 @@ def attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_revenue"),
         )
     )
+
+
+@register(
+    "attribution_path_removal",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, MIN(ts) AS first_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touched AS (
+        SELECT DISTINCT e.user_id, e.event_type AS channel
+        FROM events e JOIN conv c ON e.user_id = c.user_id
+        WHERE e.ts < c.first_purchase AND e.event_type <> 'purchase'
+    ),
+    per_channel AS (
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_paths_with
+        FROM touched GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_conv,
+               CAST(SUM(n_paths_with) AS BIGINT) AS touch_total
+        FROM per_channel
+    )
+    SELECT p.channel, t.n_conv, p.n_paths_with,
+           ROUND(CAST(p.n_paths_with AS DOUBLE) / t.n_conv, 6)
+               AS removal_share,
+           ROUND(CAST(p.n_paths_with AS DOUBLE) / t.touch_total, 6)
+               AS weight
+    FROM per_channel p, totals t
+    """,
+)
+def attribution_path_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-removal attribution: for each channel, the share of converting
+    users whose pre-conversion path contains that channel (the conversions
+    'at risk' if the channel were removed — the path-counting
+    approximation of a Markov removal effect), plus weights normalized
+    across channels. Complements first/last-touch above: position-blind,
+    whole-path credit.
+
+    One shuffle to first-purchase times, one distinct over (user, channel)
+    — the path never materializes as a string, so arbitrarily long
+    histories cost nothing extra. Exact integer counts; two IEEE
+    divisions on identical operands."""
+    events = load_table(spark, sf_dir, "events")
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    touched = (
+        events.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("first_purchase"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    per_channel = touched.groupBy("channel").agg(
+        F.count("*").cast("bigint").alias("n_paths_with")
+    )
+    totals = per_channel.agg(
+        F.sum("n_paths_with").cast("bigint").alias("touch_total")
+    ).crossJoin(conv.agg(F.count("*").cast("bigint").alias("n_conv")))
+    return per_channel.crossJoin(F.broadcast(totals)).select(
+        "channel",
+        "n_conv",
+        "n_paths_with",
+        F.round(
+            F.col("n_paths_with").cast("double") / F.col("n_conv"), 6
+        ).alias("removal_share"),
+        F.round(
+            F.col("n_paths_with").cast("double") / F.col("touch_total"), 6
+        ).alias("weight"),
+    )

@@ -258,3 +258,98 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("global_clustering"),
     )
+
+
+_PEEL_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, _PEEL_ROUNDS + 1):
+        rounds.append(f"""
+    e{r} AS (
+        SELECT e.s, e.p FROM e{r - 1} e
+        JOIN (SELECT s, COUNT(*) AS c FROM e{r - 1} GROUP BY s) ds
+          ON e.s = ds.s
+        JOIN (SELECT p, COUNT(*) AS c FROM e{r - 1} GROUP BY p) dp
+          ON e.p = dp.p, th
+        WHERE ds.c >= th.ks AND dp.c >= th.kp
+    )""")
+    summaries = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS peel_round,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT p) AS BIGINT) AS n_parts
+    FROM e{r}"""
+        for r in range(_PEEL_ROUNDS + 1)
+    )
+    return f"""
+    WITH e0 AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    th AS (
+        SELECT CAST(CEIL(0.95 * (SELECT AVG(c) FROM
+                   (SELECT COUNT(*) AS c FROM e0 GROUP BY s))) AS BIGINT)
+                   AS ks,
+               CAST(CEIL(0.90 * (SELECT AVG(c) FROM
+                   (SELECT COUNT(*) AS c FROM e0 GROUP BY p))) AS BIGINT)
+                   AS kp
+    ),{",".join(rounds)}
+{summaries}
+    """
+
+
+@register("kcore_bipartite_peel", oracle=_kcore_oracle())
+def kcore_bipartite_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round (ks, kp)-core peeling of the supplier-part bipartite
+    graph: repeatedly delete suppliers with fewer than ks distinct parts
+    and parts with fewer than kp distinct suppliers (thresholds fixed
+    up-front at 95% / 90% of the initial mean degrees, so they bite at any
+    SF), for a fixed 4 rounds — the dense-subgraph extraction primitive
+    behind co-occurrence mining. Emits the per-round survivor summary so
+    the oracle verifies the whole peel trajectory, not just the fixpoint.
+
+    Each round is two degree aggregations + two filter joins — the same
+    one-shuffle-per-iteration shape as pagerank above; on a cluster the
+    surviving edge set is localCheckpointed between rounds (as
+    dedup_components does) so round r doesn't re-derive rounds 1..r-1.
+    Exact integer counts throughout; the thresholds are one ceil of a
+    mean of integers (identical IEEE ops cross-engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ks = (
+        e.groupBy("s")
+        .count()
+        .agg(F.ceil(F.avg("count") * 0.95).cast("bigint").alias("ks"))
+    )
+    kp = (
+        e.groupBy("p")
+        .count()
+        .agg(F.ceil(F.avg("count") * 0.90).cast("bigint").alias("kp"))
+    )
+    th = ks.crossJoin(kp)
+
+    def summary(df: DataFrame, r: int) -> DataFrame:
+        return df.agg(
+            F.lit(r).cast("int").alias("peel_round"),
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.countDistinct("s").cast("bigint").alias("n_suppliers"),
+            F.countDistinct("p").cast("bigint").alias("n_parts"),
+        ).select("peel_round", "n_edges", "n_suppliers", "n_parts")
+
+    cur = e
+    out = summary(cur, 0)
+    for r in range(1, _PEEL_ROUNDS + 1):
+        ds = cur.groupBy("s").agg(F.count("*").alias("c_s"))
+        dp = cur.groupBy("p").agg(F.count("*").alias("c_p"))
+        cur = (
+            cur.join(ds, "s")
+            .join(dp, "p")
+            .crossJoin(F.broadcast(th))
+            .filter((F.col("c_s") >= F.col("ks")) & (F.col("c_p") >= F.col("kp")))
+            .select("s", "p")
+        )
+        out = out.unionAll(summary(cur, r))
+    return out

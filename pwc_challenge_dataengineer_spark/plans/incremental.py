@@ -326,3 +326,103 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier",
         F.col("valid_from").isNotNull().alias("matched"),
     )
+
+
+@register(
+    "ivm_join_view",
+    oracle="""
+    WITH wm AS (
+        SELECT CAST(MAX(CAST(o_orderdate AS DATE)) - INTERVAL 12 MONTH
+                    AS DATE) AS w
+        FROM orders
+    ),
+    b_new AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 20 = 0
+                    THEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100
+                              AS DECIMAL(18,2))
+                    ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS acctbal
+        FROM customer
+    )
+    SELECT b.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT b.c_custkey) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(SUM(b.acctbal) AS DOUBLE) AS acctbal_sum
+    FROM orders o JOIN b_new b ON o.o_custkey = b.c_custkey
+    GROUP BY 1
+    """,
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view, verified against a
+    full recompute. The view is orders JOIN customer; the maintained state
+    is V_old = A_old JOIN B_old (orders up to a 12-months-back watermark,
+    customers as stored). Two delta batches arrive: dA (orders after the
+    watermark) and dB (every 20th customer's acctbal updated). The Spark
+    side applies the textbook delta rules instead of recomputing:
+
+        V_new = (V_old anti-join dB-keys)     -- retract stale B rows
+              UNION  A_old JOIN B_delta        -- re-derive with new B
+              UNION  dA JOIN B_new             -- new A against current B
+
+    and the DuckDB oracle computes the full join on the updated inputs —
+    so the hash compare IS the proof that the delta algebra equals
+    recompute (reference parity: src/etl incremental strategies, which
+    only maintain aggregate views; join-view IVM is the harder case).
+    Output is the view folded to per-nation exact-decimal checksums.
+
+    Scale: every leg is an equi-join on custkey — at cluster scale V_old
+    and B are bucketed on custkey so all three legs co-locate and the
+    retraction anti-join is map-side; dB is typically tiny and
+    broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wm = orders.agg(
+        F.add_months(F.max(F.col("o_orderdate").cast("date")), -12).alias(
+            "w"
+        )
+    )
+    o = orders.crossJoin(F.broadcast(wm)).select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        (F.col("o_orderdate").cast("date") >= F.col("w")).alias(
+            "is_delta"
+        ),
+    )
+    a_old = o.filter(~F.col("is_delta")).drop("is_delta")
+    d_a = o.filter("is_delta").drop("is_delta")
+
+    b_old = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+    )
+    d_b = b_old.filter(F.col("c_custkey") % 20 == 0).withColumn(
+        "acctbal",
+        (F.col("acctbal") + 100).cast("decimal(18,2)"),
+    )
+    b_new = b_old.filter(F.col("c_custkey") % 20 != 0).unionByName(d_b)
+
+    view_cols = ["c_custkey", "c_nationkey", "acctbal", "price"]
+    v_old = a_old.join(b_old, a_old.o_custkey == b_old.c_custkey).select(
+        *view_cols
+    )
+    # Delta rules: retract every V_old row whose B-side key changed, then
+    # re-derive those keys against the new B, then join the A delta.
+    retracted = v_old.join(
+        d_b.select("c_custkey"), "c_custkey", "left_anti"
+    )
+    rederived = a_old.join(d_b, a_old.o_custkey == d_b.c_custkey).select(
+        *view_cols
+    )
+    new_a = d_a.join(b_new, d_a.o_custkey == b_new.c_custkey).select(
+        *view_cols
+    )
+    v_new = retracted.unionByName(rederived).unionByName(new_a)
+    return v_new.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("c_custkey").cast("bigint").alias("n_custs"),
+        F.sum("price").cast("double").alias("revenue"),
+        F.sum("acctbal").cast("double").alias("acctbal_sum"),
+    )
