@@ -319,3 +319,115 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nbr_offset",
         lev.cast("int").alias("lev"),
     )
+
+
+_LP_ROUNDS = 5
+
+
+def _density_oracle() -> str:
+    rounds = []
+    for r in range(1, _LP_ROUNDS + 1):
+        rounds.append(f"""
+    l{r} AS (
+        SELECT l.cid,
+               LEAST(l.lab, COALESCE(MIN(nb.lab), l.lab)) AS lab
+        FROM l{r - 1} l
+        LEFT JOIN edges e ON l.cid = e.ca
+        LEFT JOIN l{r - 1} nb ON e.cb = nb.cid
+        GROUP BY l.cid, l.lab
+    )""")
+    return f"""
+    WITH pts AS (
+        SELECT CAST(FLOOR(((c_custkey * 48271 + 11) % 10000) / {_CELL}.0)
+                    AS BIGINT) AS cx,
+               CAST(FLOOR(((c_custkey * 69621 + 7) % 10000) / {_CELL}.0)
+                    AS BIGINT) AS cy
+        FROM customer
+    ),
+    cells AS (
+        SELECT cx, cy, cx * 100 + cy AS cid,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pts GROUP BY 1, 2
+    ),
+    th AS (
+        SELECT CAST(CEIL(1.1 * AVG(cnt)) AS BIGINT) AS mp FROM cells
+    ),
+    core AS (SELECT c.* FROM cells c, th WHERE c.cnt >= th.mp),
+    edges AS (
+        SELECT a.cid AS ca, b.cid AS cb
+        FROM core a JOIN core b
+          ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+    ),
+    l0 AS (SELECT cid, cid AS lab FROM core),{",".join(rounds)}
+    SELECT l.lab AS cluster_label,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.cnt) AS BIGINT) AS n_points
+    FROM l{_LP_ROUNDS} l JOIN core c ON l.cid = c.cid
+    GROUP BY 1
+    """
+
+
+@register("grid_density_clusters", oracle=_density_oracle())
+def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style density clustering on the customer pseudo-coordinate
+    grid: cells holding >= ceil(1.1 x mean cell occupancy) points are CORE
+    (the data-relative threshold bites at any SF), and core cells that
+    touch (4-neighborhood) merge into clusters via {_LP_ROUNDS} rounds of
+    min-label propagation — the same bounded-iteration determinism
+    contract as pagerank_bipartite (both engines run the identical round
+    count, so partially-converged labels still hash-match; full
+    convergence at cluster scale uses functions/dedup_fuzzy.py's
+    components kit with its convergence probe instead).
+
+    Scale: points fold to cells in one map-side-combined groupBy (the
+    universe is the GRID, not the points), the adjacency self-join and
+    per-round label joins run over core cells only, and every count is an
+    exact integer."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.floor(((F.col("c_custkey") * 48271 + 11) % 10000) / float(_CELL))
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(((F.col("c_custkey") * 69621 + 7) % 10000) / float(_CELL))
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    ).withColumn("cid", F.col("cx") * 100 + F.col("cy"))
+    th = cells.agg(F.ceil(1.1 * F.avg("cnt")).cast("bigint").alias("mp"))
+    core = cells.crossJoin(F.broadcast(th)).filter(
+        F.col("cnt") >= F.col("mp")
+    ).select("cid", "cx", "cy", "cnt")
+    a = core.select(
+        F.col("cid").alias("ca"), F.col("cx").alias("ax"), F.col("cy").alias("ay")
+    )
+    b = core.select(
+        F.col("cid").alias("cb"), F.col("cx").alias("bx"), F.col("cy").alias("by")
+    )
+    edges = a.join(
+        b,
+        F.abs(F.col("ax") - F.col("bx")) + F.abs(F.col("ay") - F.col("by"))
+        == 1,
+    ).select("ca", "cb")
+    lab = core.select("cid", F.col("cid").alias("lab"))
+    for _ in range(_LP_ROUNDS):
+        nb = lab.select(F.col("cid").alias("cb"), F.col("lab").alias("nlab"))
+        lab = (
+            lab.join(F.broadcast(edges), lab.cid == edges.ca, "left")
+            .join(F.broadcast(nb), "cb", "left")
+            .groupBy("cid", "lab")
+            .agg(F.min("nlab").alias("mn"))
+            .select(
+                "cid",
+                F.least(F.col("lab"), F.coalesce("mn", "lab")).alias("lab"),
+            )
+        )
+    return (
+        lab.join(core, "cid")
+        .groupBy(F.col("lab").alias("cluster_label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("cnt").cast("bigint").alias("n_points"),
+        )
+    )

@@ -1065,3 +1065,158 @@ def kmeans_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k INT, n_points BIGINT, sizes_sum_to_n BOOLEAN, "
         "all_clusters_nonempty BOOLEAN, wss_below_total_ss BOOLEAN",
     )
+
+
+@register(
+    "infogain_best_split",
+    oracle="""
+    WITH bucketed AS (
+        SELECT o_orderstatus AS cls,
+               CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) / 50000)
+                    AS BIGINT) AS bk,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    cands AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS t),
+    sides AS (
+        SELECT c.t, b.cls,
+               CAST(SUM(CASE WHEN b.bk < c.t THEN b.cnt ELSE 0 END)
+                    AS BIGINT) AS nl,
+               CAST(SUM(CASE WHEN b.bk >= c.t THEN b.cnt ELSE 0 END)
+                    AS BIGINT) AS nr
+        FROM cands c, bucketed b
+        GROUP BY 1, 2
+    ),
+    tsum AS (
+        SELECT t, CAST(SUM(nl) AS BIGINT) AS n_left,
+               CAST(SUM(nr) AS BIGINT) AS n_right
+        FROM sides GROUP BY t
+    ),
+    ent AS (
+        SELECT s.t,
+               SUM(CASE WHEN s.nl > 0 THEN
+                   -(CAST(s.nl AS DOUBLE) / ts.n_left)
+                    * log2(CAST(s.nl AS DOUBLE) / ts.n_left)
+                   ELSE 0 END) AS hl,
+               SUM(CASE WHEN s.nr > 0 THEN
+                   -(CAST(s.nr AS DOUBLE) / ts.n_right)
+                    * log2(CAST(s.nr AS DOUBLE) / ts.n_right)
+                   ELSE 0 END) AS hr
+        FROM sides s JOIN tsum ts USING (t)
+        GROUP BY s.t
+    ),
+    pcls AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS c FROM bucketed
+             GROUP BY 1),
+    ptot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM pcls),
+    pent AS (
+        SELECT SUM(-(CAST(p.c AS DOUBLE) / t.n)
+                   * log2(CAST(p.c AS DOUBLE) / t.n)) AS h,
+               MAX(t.n) AS n
+        FROM pcls p, ptot t
+    ),
+    scored AS (
+        SELECT ts.t * 50000 AS split_at, ts.n_left, ts.n_right,
+               ROUND(pe.h - (ts.n_left * e.hl + ts.n_right * e.hr) / pe.n, 6)
+                   AS info_gain
+        FROM tsum ts JOIN ent e USING (t), pent pe
+    )
+    SELECT split_at, n_left, n_right, info_gain,
+           row_number() OVER (ORDER BY info_gain DESC, split_at) = 1
+               AS is_best
+    FROM scored
+    """,
+)
+def infogain_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature evaluation: the information gain of splitting
+    orders on each candidate o_totalprice threshold (50k..450k) against
+    the o_orderstatus class, with the argmax flagged — the single-feature
+    scoring primitive behind tree building and feature selection.
+
+    The fact table folds ONCE into a (class, price-bucket) contingency
+    table (map-side combined, <=30 rows at any SF); every candidate split
+    is then evaluated over that tiny table, so adding candidates costs
+    nothing at scale. Counts are exact integers; entropies are fixed
+    <=3-term sums of identical IEEE operands rounded at 6dp, and the
+    argmax ranks the ROUNDED gain with a threshold tiebreak so the flag
+    is deterministic cross-engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucketed = orders.groupBy(
+        F.col("o_orderstatus").alias("cls"),
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)") / 50000)
+        .cast("bigint")
+        .alias("bk"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    cands = spark.range(1, 10).select(F.col("id").alias("t"))
+    sides = (
+        F.broadcast(cands)
+        .crossJoin(bucketed)
+        .groupBy("t", "cls")
+        .agg(
+            F.sum(F.when(F.col("bk") < F.col("t"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(
+                F.when(F.col("bk") >= F.col("t"), F.col("cnt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nr"),
+        )
+    )
+    tsum = sides.groupBy("t").agg(
+        F.sum("nl").cast("bigint").alias("n_left"),
+        F.sum("nr").cast("bigint").alias("n_right"),
+    )
+    pl = F.col("nl").cast("double") / F.col("n_left")
+    pr = F.col("nr").cast("double") / F.col("n_right")
+    ent = (
+        sides.join(tsum, "t")
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.col("nl") > 0, -pl * F.log2(pl)).otherwise(0.0)
+            ).alias("hl"),
+            F.sum(
+                F.when(F.col("nr") > 0, -pr * F.log2(pr)).otherwise(0.0)
+            ).alias("hr"),
+        )
+    )
+    pcls = bucketed.groupBy("cls").agg(
+        F.sum("cnt").cast("bigint").alias("c")
+    )
+    ptot = pcls.agg(F.sum("c").cast("bigint").alias("n"))
+    pp = F.col("c").cast("double") / F.col("n")
+    pent = (
+        pcls.crossJoin(F.broadcast(ptot))
+        .agg(
+            F.sum(-pp * F.log2(pp)).alias("h"),
+            F.max("n").alias("n"),
+        )
+    )
+    scored = (
+        tsum.join(ent, "t")
+        .crossJoin(F.broadcast(pent))
+        .select(
+            (F.col("t") * 50000).alias("split_at"),
+            "n_left",
+            "n_right",
+            F.round(
+                F.col("h")
+                - (
+                    F.col("n_left") * F.col("hl")
+                    + F.col("n_right") * F.col("hr")
+                )
+                / F.col("n"),
+                6,
+            ).alias("info_gain"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wbest = W.orderBy(F.desc("info_gain"), F.asc("split_at"))
+    return scored.select(
+        "split_at",
+        "n_left",
+        "n_right",
+        "info_gain",
+        (F.row_number().over(wbest) == 1).alias("is_best"),
+    )

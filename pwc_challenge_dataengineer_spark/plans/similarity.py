@@ -875,3 +875,116 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("relevance"),
         F.col("mmr").alias("mmr_score"),
     )
+
+
+_DOT_SQL = (
+    "list_dot_product(CAST(q.embedding AS DOUBLE[]),"
+    " CAST(c.embedding AS DOUBLE[]))"
+)
+
+
+@register(
+    "ndcg_eval_dot_vs_cosine",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cos_sim,
+               round({_DOT_SQL}, 6) AS dot_sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS INT)
+                   AS rank_cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot_sim DESC, neighbor_id) AS INT)
+                   AS rank_dot
+        FROM scored
+    ),
+    graded AS (
+        SELECT query_id, neighbor_id, rank_cos, rank_dot,
+               CAST(greatest(0, 11 - rank_cos) AS DOUBLE) AS rel
+        FROM ranked
+    )
+    SELECT query_id,
+           ROUND(SUM(CASE WHEN rank_dot <= 10
+                          THEN rel / log2(CAST(rank_dot + 1 AS DOUBLE))
+                          ELSE 0 END), 6) AS dcg_at10,
+           ROUND(SUM(CASE WHEN rank_cos <= 10
+                          THEN rel / log2(CAST(rank_cos + 1 AS DOUBLE))
+                          ELSE 0 END), 6) AS idcg_at10,
+           ROUND(SUM(CASE WHEN rank_dot <= 10
+                          THEN rel / log2(CAST(rank_dot + 1 AS DOUBLE))
+                          ELSE 0 END)
+                 / SUM(CASE WHEN rank_cos <= 10
+                            THEN rel / log2(CAST(rank_cos + 1 AS DOUBLE))
+                            ELSE 0 END), 6) AS ndcg_at10
+    FROM graded GROUP BY query_id
+    """,
+)
+def ndcg_eval_dot_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-metric evaluation harness: NDCG@10 of the raw dot-product
+    ranking against graded relevance derived from the exact cosine ranking
+    (rel = 11 - cosine_rank for the top 10, else 0) — the measurement that
+    tells you whether skipping normalization (a common ANN shortcut)
+    changes retrieval quality. The same template scores any candidate
+    ranking (IVF, LSH, PQ) against any graded truth.
+
+    Both rankings use the deterministic (rounded-score DESC, id) order the
+    whole similarity family uses, so ranks are exact integers; each DCG is
+    a <=10-term sum of identical IEEE operands, rounded at 6dp.
+
+    Scale: evaluation runs over a fixed query panel (10 queries), so the
+    brute-force scoring pass is panel x corpus — one broadcast of the
+    panel, never corpus x corpus."""
+    from pyspark.sql.window import Window
+
+    from ..functions.similarity import as_double_array, cosine, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("dot_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_sim"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wc).cast("int").alias("rank_cos"),
+        F.row_number().over(wd).cast("int").alias("rank_dot"),
+    )
+    rel = F.greatest(F.lit(0), 11 - F.col("rank_cos")).cast("double")
+    dcg_term = F.when(
+        F.col("rank_dot") <= 10,
+        rel / F.log2((F.col("rank_dot") + 1).cast("double")),
+    ).otherwise(0.0)
+    idcg_term = F.when(
+        F.col("rank_cos") <= 10,
+        rel / F.log2((F.col("rank_cos") + 1).cast("double")),
+    ).otherwise(0.0)
+    return ranked.groupBy("query_id").agg(
+        F.round(F.sum(dcg_term), 6).alias("dcg_at10"),
+        F.round(F.sum(idcg_term), 6).alias("idcg_at10"),
+        F.round(F.sum(dcg_term) / F.sum(idcg_term), 6).alias("ndcg_at10"),
+    )
