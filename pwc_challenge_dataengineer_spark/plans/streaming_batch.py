@@ -151,3 +151,70 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_type", F.col("ts").alias("first_ts"), "event_id")
     )
+
+
+@register(
+    "late_arrival_accounting",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, ts, event_type,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS high_water
+        FROM events
+    ),
+    flagged AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(date_diff('second', ts, high_water) AS BIGINT)
+                   AS skew_s
+        FROM seq
+    )
+    SELECT hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN skew_s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(MAX(skew_s) AS BIGINT) AS max_skew_s,
+           ROUND(CAST(SUM(skew_s) AS DOUBLE) / COUNT(*), 2) AS avg_skew_s
+    FROM flagged GROUP BY 1
+    """,
+)
+def late_arrival_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness accounting — the measurement that SIZES a
+    streaming watermark: replay events in arrival order (event_id is the
+    arrival proxy), track the event-time high-water mark, and report per
+    event-time hour how many events arrived more than 10 minutes behind
+    it plus the worst/average lateness. Run this before choosing
+    withWatermark()'s delay and dropDuplicatesWithinWatermark's window
+    (streaming/windows.py); an unbounded max_skew_s says the source needs
+    reordering or a bigger state budget.
+
+    The running high-water window is per-arrival-sequence — at cluster
+    scale arrival order exists per source partition (a Kafka partition),
+    so the window partitions by source partition id and this global
+    emulation is the single-partition special case. Exact integer
+    second-diffs; one double division rounded at 2dp."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seq = events.select(
+        "ts", F.max("ts").over(w).alias("high_water")
+    )
+    flagged = seq.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        (
+            F.unix_timestamp("high_water") - F.unix_timestamp("ts")
+        ).cast("bigint").alias("skew_s"),
+    )
+    return flagged.groupBy("hour").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("skew_s") > 600, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("skew_s").cast("bigint").alias("max_skew_s"),
+        F.round(
+            F.sum("skew_s").cast("double") / F.count("*"), 2
+        ).alias("avg_skew_s"),
+    )

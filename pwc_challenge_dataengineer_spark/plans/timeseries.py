@@ -775,3 +775,204 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_censored",
         F.round(F.exp("lnsurv"), 6).alias("survival"),
     )
+
+
+@register(
+    "price_volume_decomposition",
+    oracle="""
+    WITH yr AS (
+        SELECT CAST(year(MAX(l_shipdate)) - 1 AS BIGINT) AS y FROM lineitem
+    ),
+    agg AS (
+        SELECT p.p_brand,
+               CAST(year(l.l_shipdate) AS BIGINT) AS yy,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS qty,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey, yr
+        WHERE CAST(year(l.l_shipdate) AS BIGINT) IN (yr.y, yr.y - 1)
+        GROUP BY 1, 2
+    ),
+    pivoted AS (
+        SELECT a.p_brand,
+               a.qty AS qty_y, a.rev AS rev_y,
+               b.qty AS qty_p, b.rev AS rev_p
+        FROM agg a JOIN agg b
+          ON a.p_brand = b.p_brand AND a.yy = b.yy + 1
+        JOIN yr ON a.yy = yr.y
+    )
+    SELECT p_brand,
+           ROUND(rev_y - rev_p, 4) AS rev_change,
+           ROUND((qty_y - qty_p) * (rev_p / qty_p), 4) AS volume_effect,
+           ROUND((rev_y / qty_y - rev_p / qty_p) * qty_y, 4)
+               AS price_effect
+    FROM pivoted
+    """,
+)
+def price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of year-over-year revenue change per
+    brand: dR = dQ x p_prior (volume effect) + dP x q_current (price
+    effect) — the FP&A bridge that says WHY revenue moved, with the
+    identity rev_change == volume_effect + price_effect holding exactly
+    by construction. The comparison year is data-derived (last complete
+    year), so the query works unchanged at any SF.
+
+    Parity: quantities and revenues aggregate in exact decimals and
+    convert to double once; effects are fixed IEEE expressions on those
+    identical operands, rounded at 4dp. One filtered fact scan,
+    map-side-combined (brand, year) rollup, tiny self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    yr = li.agg(
+        (F.year(F.max("l_shipdate")) - 1).cast("bigint").alias("y")
+    )
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .crossJoin(F.broadcast(yr))
+        .filter(
+            (F.year("l_shipdate").cast("bigint") == F.col("y"))
+            | (F.year("l_shipdate").cast("bigint") == F.col("y") - 1)
+        )
+        .groupBy(
+            "p_brand", F.year("l_shipdate").cast("bigint").alias("yy")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    a = agg.select(
+        "p_brand",
+        F.col("yy").alias("ya"),
+        F.col("qty").alias("qty_y"),
+        F.col("rev").alias("rev_y"),
+    )
+    b = agg.select(
+        "p_brand",
+        F.col("yy").alias("yb"),
+        F.col("qty").alias("qty_p"),
+        F.col("rev").alias("rev_p"),
+    )
+    piv = (
+        a.join(b, "p_brand")
+        .filter(F.col("ya") == F.col("yb") + 1)
+        .crossJoin(F.broadcast(yr))
+        .filter(F.col("ya") == F.col("y"))
+    )
+    return piv.select(
+        "p_brand",
+        F.round(F.col("rev_y") - F.col("rev_p"), 4).alias("rev_change"),
+        F.round(
+            (F.col("qty_y") - F.col("qty_p"))
+            * (F.col("rev_p") / F.col("qty_p")),
+            4,
+        ).alias("volume_effect"),
+        F.round(
+            (
+                F.col("rev_y") / F.col("qty_y")
+                - F.col("rev_p") / F.col("qty_p")
+            )
+            * F.col("qty_y"),
+            4,
+        ).alias("price_effect"),
+    )
+
+
+@register(
+    "forecast_conformal_band",
+    oracle=f"""
+    WITH monthly AS ({_MONTHLY_SQL}),
+    lagged AS (
+        SELECT m, r,
+               lag(r, 1) OVER w AS l1, lag(r, 2) OVER w AS l2,
+               lag(r, 3) OVER w AS l3,
+               row_number() OVER w AS rn,
+               COUNT(*) OVER () AS n_all
+        FROM monthly WINDOW w AS (ORDER BY m)
+    ),
+    scored AS (
+        SELECT m, CAST(r AS DOUBLE) AS y,
+               CAST(l1 + l2 + l3 AS DOUBLE) / 3 AS f_ma3,
+               abs(CAST(r AS DOUBLE) - CAST(l1 + l2 + l3 AS DOUBLE) / 3)
+                   AS abs_resid,
+               rn, n_all
+        FROM lagged WHERE rn > 3
+    ),
+    q AS (
+        SELECT quantile_cont(abs_resid, 0.9) AS q90
+        FROM scored, (SELECT MAX(n_all) AS n FROM scored) t
+        WHERE rn <= t.n - 6
+    )
+    SELECT s.m,
+           ROUND(s.y / 1e4, 4) AS actual,
+           ROUND(s.f_ma3 / 1e4, 4) AS forecast,
+           ROUND((s.f_ma3 - q.q90) / 1e4, 4) AS band_lo,
+           ROUND((s.f_ma3 + q.q90) / 1e4, 4) AS band_hi,
+           s.abs_resid <= q.q90 AS in_band
+    FROM scored s, q, (SELECT MAX(n_all) AS n FROM scored) t
+    WHERE s.rn > t.n - 6
+    """,
+)
+def forecast_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction band for the MA3 forecaster: calibrate
+    the 90th percentile of absolute residuals on all but the last 6
+    months, then emit the band and the coverage flag for the 6 held-out
+    months — distribution-free uncertainty quantification on top of
+    forecast_backtest_mape's point forecasts.
+
+    Parity: forecasts/residuals are fixed IEEE ops on exact-decimal
+    monthly sums; the calibration quantile is an exact sorted-value
+    interpolation (no order-dependent summation anywhere); the band
+    comparison uses the same unrounded doubles on both engines.
+
+    Scale: calendar-bounded series — the windows and the quantile run
+    over <=100 rows regardless of fact size."""
+    monthly = _monthly_revenue(spark, sf_dir)
+    w = Window.orderBy("m")
+    lagged = monthly.select(
+        "m",
+        "r",
+        F.lag("r", 1).over(w).alias("l1"),
+        F.lag("r", 2).over(w).alias("l2"),
+        F.lag("r", 3).over(w).alias("l3"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_all"),
+    )
+    f_ma3 = (F.col("l1") + F.col("l2") + F.col("l3")).cast("double") / 3
+    scored = lagged.filter(F.col("rn") > 3).select(
+        "m",
+        F.col("r").cast("double").alias("y"),
+        f_ma3.alias("f_ma3"),
+        F.abs(F.col("r").cast("double") - f_ma3).alias("abs_resid"),
+        "rn",
+        "n_all",
+    )
+    q = (
+        scored.filter(F.col("rn") <= F.col("n_all") - 6)
+        .agg(F.expr("percentile(abs_resid, 0.9)").alias("q90"))
+    )
+    return (
+        scored.filter(F.col("rn") > F.col("n_all") - 6)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "m",
+            F.round(F.col("y") / 1e4, 4).alias("actual"),
+            F.round(F.col("f_ma3") / 1e4, 4).alias("forecast"),
+            F.round((F.col("f_ma3") - F.col("q90")) / 1e4, 4).alias(
+                "band_lo"
+            ),
+            F.round((F.col("f_ma3") + F.col("q90")) / 1e4, 4).alias(
+                "band_hi"
+            ),
+            (F.col("abs_resid") <= F.col("q90")).alias("in_band"),
+        )
+    )
