@@ -448,3 +448,67 @@ def distribution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp.alias("expected_share"),
         (F.abs(obs - exp) <= F.lit(0.15)).alias("passed"),
     )
+
+
+@register(
+    "table_checksum_audit",
+    oracle="""
+    WITH rows_h AS (
+        SELECT c.c_nationkey,
+               ('0x' || substr(md5(
+                   CAST(o.o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o.o_custkey AS VARCHAR) || '|' ||
+                   o.o_orderstatus || '|' ||
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                   || '|' ||
+                   CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) || '|' ||
+                   o.o_orderpriority
+               ), 1, 12))::BIGINT AS h
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS checksum
+    FROM rows_h GROUP BY 1
+    """,
+)
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum per partition key — the
+    reconciliation primitive behind migration/replication audits ("did
+    the copy preserve every row?"): each row folds to a 48-bit slice of
+    the md5 of its canonical pipe-joined representation, and the
+    per-nation checksum is the exact decimal sum of those hashes, so any
+    dropped, duplicated, or mutated row changes the total while row order
+    and partitioning cannot (sums commute). Canonicalization pins the
+    formatting (DECIMAL(18,2) money, DATE dates) so both engines hash
+    identical bytes; the sum accumulates in DECIMAL(38,0) on both sides
+    because a bigint sum would overflow (silently in Spark, promoted in
+    DuckDB — exactly the cross-engine trap verify_local's type gate now
+    catches). One map-side-combined shuffle at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast("bigint")
+    return (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_nationkey", h.alias("h"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("checksum"),
+        )
+    )
