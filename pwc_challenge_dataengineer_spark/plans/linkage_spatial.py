@@ -37,50 +37,61 @@ from .catalog import register
 @register(
     "levenshtein_linkage",
     oracle="""
-    WITH named AS (
-        SELECT p_partkey, p_name,
+    WITH names AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt,
                regexp_extract(p_name, '(\\S+)$', 1) AS block,
                CAST(length(p_name) AS INT) AS ln
-        FROM part
+        FROM part GROUP BY 1
     )
-    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
-           a.p_name AS name_a, b.p_name AS name_b,
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
            ROUND(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
-                       / greatest(a.ln, b.ln), 6) AS similarity
-    FROM named a
-    JOIN named b
+                       / greatest(a.ln, b.ln), 6) AS similarity,
+           a.cnt * b.cnt AS n_record_pairs
+    FROM names a
+    JOIN names b
       ON a.block = b.block
-     AND a.p_partkey < b.p_partkey
+     AND a.p_name < b.p_name
      AND abs(a.ln - b.ln) <= 3
-    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 5
     """,
 )
 def levenshtein_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked edit-distance record linkage: candidate part-name pairs that
-    share a blocking key (the name's last word) and sit within a length
-    band, verified by Levenshtein distance <= 5. Blocking bounds the
-    comparison count to sum(|block|^2) instead of |part|^2, and the length
-    band is a cheap pre-filter that prunes most in-block pairs before the
-    O(len^2) edit-distance kernel runs — the textbook linkage shape.
+    """Blocked edit-distance record linkage at the DICTIONARY level: the
+    part names fold to their distinct values first (with multiplicities),
+    then candidate name pairs that share a blocking key (the name's last
+    word) and sit within a length band are verified by Levenshtein
+    distance 1..5; each verified name pair carries the number of record
+    pairs it links (cnt_a x cnt_b). Folding to the dictionary is what
+    makes linkage over a low-cardinality attribute scale-sane: the
+    quadratic comparison runs over the (bounded) vocabulary, never over
+    the records — the record-level pair count grows with SF^2 while this
+    output stays dictionary-sized. Exact-duplicate names (lev 0) are the
+    exact-dedup family's job and are excluded here.
 
-    Exact-integer parity: Levenshtein and lengths are integers in both
-    engines; similarity is a single IEEE division on identical operands."""
-    named = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_name",
-        F.regexp_extract("p_name", r"(\S+)$", 1).alias("block"),
-        F.length("p_name").cast("int").alias("ln"),
+    Exact-integer parity: Levenshtein, lengths, and multiplicity products
+    are integers in both engines; similarity is a single IEEE division on
+    identical operands."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            "p_name",
+            "cnt",
+            F.regexp_extract("p_name", r"(\S+)$", 1).alias("block"),
+            F.length("p_name").cast("int").alias("ln"),
+        )
     )
-    a = named.select(
-        F.col("p_partkey").alias("part_a"),
+    a = names.select(
         F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
         "block",
         F.col("ln").alias("ln_a"),
     )
-    b = named.select(
-        F.col("p_partkey").alias("part_b"),
+    b = names.select(
         F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
         "block",
         F.col("ln").alias("ln_b"),
     )
@@ -88,13 +99,11 @@ def levenshtein_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "block")
         .filter(
-            (F.col("part_a") < F.col("part_b"))
+            (F.col("name_a") < F.col("name_b"))
             & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 3)
         )
-        .filter(lev <= 5)
+        .filter((lev >= 1) & (lev <= 5))
         .select(
-            "part_a",
-            "part_b",
             "name_a",
             "name_b",
             lev.cast("int").alias("lev"),
@@ -103,6 +112,7 @@ def levenshtein_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - lev.cast("double") / F.greatest("ln_a", "ln_b"),
                 6,
             ).alias("similarity"),
+            (F.col("cnt_a") * F.col("cnt_b")).alias("n_record_pairs"),
         )
     )
 

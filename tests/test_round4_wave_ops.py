@@ -142,9 +142,10 @@ def test_linkage_pairs_verified(spark, sf_dir):
     strategy's pairs all share the blocking key by construction."""
     blocked = QUERIES["levenshtein_linkage"](spark, sf_dir).collect()
     for r in blocked:
-        assert r["lev"] <= 5
+        assert 1 <= r["lev"] <= 5  # lev 0 belongs to exact dedup
         assert r["name_a"].rsplit(" ", 1)[-1] == r["name_b"].rsplit(" ", 1)[-1]
-        assert r["part_a"] < r["part_b"]
+        assert r["name_a"] < r["name_b"]
+        assert r["n_record_pairs"] >= 1
     nbr = QUERIES["sorted_neighborhood_pairs"](spark, sf_dir).collect()
     for r in nbr:
         assert r["lev"] <= 5
