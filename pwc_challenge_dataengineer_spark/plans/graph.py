@@ -353,3 +353,76 @@ def kcore_bipartite_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(summary(cur, r))
     return out
+
+
+@register(
+    "degree_assortativity",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    dp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+    pairs AS (
+        SELECT ds.d AS x, dp.d AS y
+        FROM e JOIN ds ON e.s = ds.s JOIN dp ON e.p = dp.p
+    ),
+    moments AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+        FROM pairs
+    )
+    SELECT n AS n_edges,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS assortativity
+    FROM moments
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier-part bipartite graph: the
+    Pearson correlation between the endpoint degrees across edges — do
+    high-degree suppliers connect to high-degree parts (assortative, > 0)
+    or to the long tail (disassortative, < 0)? The one-number structural
+    diagnostic that complements degree_distribution's marginals and
+    kcore_bipartite_peel's dense core.
+
+    All five moments accumulate as exact integer/decimal sums (degrees
+    are bigints; DECIMAL(38,0) prevents both Spark's silent bigint wrap
+    and DuckDB's HUGEINT promotion), and the correlation is one fixed
+    IEEE expression on those identical operands. Two degree aggregations
+    + two joins back to the edge list — the same shuffle shape as one
+    pagerank iteration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ds = e.groupBy("s").agg(F.count("*").cast("bigint").alias("x"))
+    dp = e.groupBy("p").agg(F.count("*").cast("bigint").alias("y"))
+    pairs = e.join(ds, "s").join(dp, "p").select("x", "y")
+    m = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (nd * F.col("sxy").cast("double") - sx * sy) / (
+        F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+        * F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return m.select(
+        F.col("n").alias("n_edges"), F.round(corr, 6).alias("assortativity")
+    )

@@ -953,3 +953,82 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings_head_csv"),
         )
     )
+
+
+@register(
+    "term_cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    df AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ),
+    vocab AS (
+        SELECT tok, c FROM df ORDER BY c DESC, tok LIMIT 50
+    ),
+    vt AS (
+        SELECT t.doc_id, t.tok, v.c FROM toks t JOIN vocab v USING (tok)
+    ),
+    co AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               a.c AS c_a, b.c AS c_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM vt a JOIN vt b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, c_ab,
+           ROUND(ln(CAST(c_ab AS DOUBLE) * n.n_docs
+                    / (CAST(c_a AS DOUBLE) * c_b)), 6) AS pmi
+    FROM co, n
+    WHERE c_ab >= 5
+    """,
+)
+def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level term co-occurrence PMI over the top-50-df vocabulary:
+    pmi(a,b) = ln(P(a,b) / (P(a)P(b))) with probabilities as document
+    frequencies — the query-expansion / related-terms signal that
+    complements bigram_lift's ADJACENT-pair association (this one is
+    position-blind within the document).
+
+    The vocabulary cap is the scale contract: restricting to the top-50
+    terms bounds the per-document pair fan-out at C(50,2) regardless of
+    document length, and the candidate pair space at 1225 rows regardless
+    of corpus size — the same bounded-payload discipline as
+    inverted_index_build's postings cap. The cap's cut is deterministic
+    ((df DESC, token) ordering). Exact integer counts; one log of a
+    ratio of identical operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(docs).distinct()
+    df = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    vocab = df.orderBy(F.desc("c"), F.asc("tok")).limit(50)
+    vt = toks.join(F.broadcast(vocab), "tok")
+    a = vt.select(
+        "doc_id", F.col("tok").alias("tok_a"), F.col("c").alias("c_a")
+    )
+    b = vt.select(
+        "doc_id", F.col("tok").alias("tok_b"), F.col("c").alias("c_b")
+    )
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "c_a", "c_b")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return co.crossJoin(F.broadcast(n)).select(
+        "tok_a",
+        "tok_b",
+        "c_ab",
+        F.round(
+            F.log(
+                F.col("c_ab").cast("double")
+                * F.col("n_docs")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
