@@ -226,9 +226,12 @@ def grid_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("pxi") - F.col("sxi")) * (F.col("pxi") - F.col("sxi")) + (
         F.col("pyi") - F.col("syi")
     ) * (F.col("pyi") - F.col("syi"))
+    # no broadcast hint: AQE broadcasts the supplier side while it fits and
+    # reverts to the cell-id shuffle join past the envelope — which is the
+    # 100 TB shape the docstring describes
     hits = (
         probes.join(
-            F.broadcast(supp),
+            supp,
             (F.col("cx") == F.col("scx")) & (F.col("cy") == F.col("scy")),
         )
         .withColumn("d2", d2)
