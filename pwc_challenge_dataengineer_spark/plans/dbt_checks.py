@@ -455,15 +455,16 @@ def distribution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rows_h AS (
         SELECT c.c_nationkey,
-               ('0x' || substr(md5(
-                   CAST(o.o_orderkey AS VARCHAR) || '|' ||
-                   CAST(o.o_custkey AS VARCHAR) || '|' ||
-                   o.o_orderstatus || '|' ||
-                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
-                   || '|' ||
-                   CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) || '|' ||
-                   o.o_orderpriority
-               ), 1, 12))::BIGINT AS h
+               ('0x' || substr(md5(concat_ws('|',
+                   COALESCE(CAST(o.o_orderkey AS VARCHAR), chr(1)),
+                   COALESCE(CAST(o.o_custkey AS VARCHAR), chr(1)),
+                   COALESCE(o.o_orderstatus, chr(1)),
+                   COALESCE(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                 AS VARCHAR), chr(1)),
+                   COALESCE(CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR),
+                            chr(1)),
+                   COALESCE(o.o_orderpriority, chr(1))
+               )), 1, 12))::BIGINT AS h
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     )
     SELECT c_nationkey,
@@ -481,21 +482,31 @@ def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-nation checksum is the exact decimal sum of those hashes, so any
     dropped, duplicated, or mutated row changes the total while row order
     and partitioning cannot (sums commute). Canonicalization pins the
-    formatting (DECIMAL(18,2) money, DATE dates) so both engines hash
-    identical bytes; the sum accumulates in DECIMAL(38,0) on both sides
+    formatting (DECIMAL(18,2) money, DATE dates) and encodes NULL as an
+    explicit chr(1) sentinel inside concat_ws on BOTH engines — without
+    the sentinel Spark's concat_ws silently skips NULLs (colliding
+    ('a', NULL) with ('a')) while a '||' chain would propagate NULL to a
+    NULL hash the SUM skips, so the two engines would checksum nullable
+    inputs differently; the sum accumulates in DECIMAL(38,0) on both sides
     because a bigint sum would overflow (silently in Spark, promoted in
     DuckDB — exactly the cross-engine trap verify_local's type gate now
     catches). One map-side-combined shuffle at any scale."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    sentinel = F.lit("\x01")
     row_str = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-        F.col("o_orderdate").cast("date").cast("string"),
-        F.col("o_orderpriority"),
+        F.coalesce(F.col("o_orderkey").cast("string"), sentinel),
+        F.coalesce(F.col("o_custkey").cast("string"), sentinel),
+        F.coalesce(F.col("o_orderstatus"), sentinel),
+        F.coalesce(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            sentinel,
+        ),
+        F.coalesce(
+            F.col("o_orderdate").cast("date").cast("string"), sentinel
+        ),
+        F.coalesce(F.col("o_orderpriority"), sentinel),
     )
     h = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10).cast("bigint")
     return (

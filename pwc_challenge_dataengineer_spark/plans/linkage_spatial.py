@@ -293,26 +293,44 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks miss pairs whose last word differs; a sorted scan catches pairs
     that agree on a long prefix regardless of block).
 
-    Scale posture: at cluster scale the sort is a range partition and each
-    task scans its own partition with a w-row overlap fetched from the
-    next partition boundary — the window-over-sort here expresses exactly
-    that shape (a fixed fan-out of 3 lead pairs per row, never a block
-    self-join). Exact integers/strings throughout."""
-    named = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    w = Window.orderBy("p_name", "p_partkey")
+    Scale posture: the sort is RANGE-PARTITIONED, not a single global
+    window — rows partition on the first word of p_name (a fixed palette,
+    so blocks are contiguous in (p_name, p_partkey) order because the
+    space separator sorts below every letter), each block computes its
+    lead-1..3 pairs inside its own partition, and the w-row cross-boundary
+    overlap is generated explicitly: the first/last 3 rows of every block
+    form a candidate set bounded by 6 x |palette| rows (SF-independent),
+    and one window over that tiny set reproduces the straddling pairs with
+    their exact global offsets. Proof sketch: any pair at global offset
+    <= 3 whose endpoints sit in different blocks has every intervening row
+    within 3 of a block edge (a whole block between them would force the
+    offset past 3), so the candidate set is gap-free where it matters and
+    lead() inside it equals the global lead. Exact integers/strings
+    throughout."""
+    named = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .withColumn("pk", F.split(F.col("p_name"), " ").getItem(0))
+    )
+    w_blk = Window.partitionBy("pk").orderBy("p_name", "p_partkey")
+    lead_cols = [
+        c
+        for o in (1, 2, 3)
+        for c in (
+            F.lead("p_partkey", o).over(w_blk).alias(f"k{o}"),
+            F.lead("p_name", o).over(w_blk).alias(f"n{o}"),
+        )
+    ]
     seq = named.select(
         "p_partkey",
         "p_name",
-        *[
-            c
-            for o in (1, 2, 3)
-            for c in (
-                F.lead("p_partkey", o).over(w).alias(f"k{o}"),
-                F.lead("p_name", o).over(w).alias(f"n{o}"),
-            )
-        ],
+        "pk",
+        F.row_number().over(w_blk).alias("rn"),
+        F.count("*").over(Window.partitionBy("pk")).alias("cnt"),
+        *lead_cols,
     )
-    parts = [
+
+    within = [
         seq.filter(F.col(f"k{o}").isNotNull()).select(
             F.col("p_partkey").alias("part_a"),
             F.col(f"k{o}").alias("part_b"),
@@ -322,7 +340,42 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for o in (1, 2, 3)
     ]
-    pairs = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    # Cross-boundary overlap: head-3 / tail-3 of each block (bounded by
+    # the palette size), one tiny window, keep only block-straddling pairs.
+    border_src = seq.filter(
+        (F.col("rn") <= 3) | (F.col("rn") > F.col("cnt") - 3)
+    ).select("p_partkey", "p_name", "pk")
+    w_border = Window.orderBy("p_name", "p_partkey")
+    border_seq = border_src.select(
+        "p_partkey",
+        "p_name",
+        "pk",
+        *[
+            c
+            for o in (1, 2, 3)
+            for c in (
+                F.lead("p_partkey", o).over(w_border).alias(f"k{o}"),
+                F.lead("p_name", o).over(w_border).alias(f"n{o}"),
+                F.lead("pk", o).over(w_border).alias(f"pk{o}"),
+            )
+        ],
+    )
+    border = [
+        border_seq.filter(
+            F.col(f"k{o}").isNotNull()
+            & (F.col("pk") != F.col(f"pk{o}"))
+        ).select(
+            F.col("p_partkey").alias("part_a"),
+            F.col(f"k{o}").alias("part_b"),
+            F.col("p_name").alias("name_a"),
+            F.col(f"n{o}").alias("name_b"),
+            F.lit(o).cast("int").alias("nbr_offset"),
+        )
+        for o in (1, 2, 3)
+    ]
+    pairs = within[0]
+    for extra in within[1:] + border:
+        pairs = pairs.unionAll(extra)
     lev = F.levenshtein("name_a", "name_b")
     return pairs.filter(lev <= 5).select(
         "part_a",

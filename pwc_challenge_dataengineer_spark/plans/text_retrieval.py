@@ -801,9 +801,10 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vocab_growth_curve",
     oracle=f"""
-    WITH toks AS (
+    WITH toks0 AS (
         SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
     ),
+    toks AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
     w AS (
         SELECT CAST(CEIL((MAX(doc_id) + 1) / 100.0) AS BIGINT) AS wd
         FROM documents
@@ -912,9 +913,10 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "inverted_index_build",
     oracle=f"""
-    WITH toks AS (
+    WITH toks0 AS (
         SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
     ),
+    toks AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
     postings AS (
         SELECT tok,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
@@ -958,9 +960,10 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "term_cooccurrence_pmi",
     oracle=f"""
-    WITH toks AS (
+    WITH toks0 AS (
         SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
     ),
+    toks AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''),
     df AS (
         SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
     ),

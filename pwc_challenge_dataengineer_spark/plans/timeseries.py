@@ -676,15 +676,23 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     km AS (
         SELECT c_mktsegment, tb, d_events, c_censored,
                total - left_before AS n_risk,
-               SUM(ln(1.0 - CAST(d_events AS DOUBLE)
-                            / (total - left_before))) OVER (
+               SUM(CASE WHEN d_events < total - left_before
+                        THEN ln(1.0 - CAST(d_events AS DOUBLE)
+                                      / (total - left_before))
+                        ELSE NULL END) OVER (
                    PARTITION BY c_mktsegment ORDER BY tb
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS lnsurv
+                   AS lnsurv,
+               MAX(CASE WHEN d_events >= total - left_before
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY c_mktsegment ORDER BY tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS extinct
         FROM risk
     )
     SELECT c_mktsegment, tb * 30 AS t_days, n_risk, d_events, c_censored,
-           ROUND(exp(lnsurv), 6) AS survival
+           CASE WHEN extinct = 1 THEN 0.0
+                ELSE ROUND(exp(lnsurv), 6) END AS survival
     FROM km
     """,
 )
@@ -695,9 +703,13 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset horizon by >180 days and right-CENSORED otherwise, durations
     grouped into 30-day buckets. S(t) multiplies the per-bucket hazard
     complements (1 - d/n) over buckets <= t — computed as exp of a
-    cumulative ln-sum so both engines evaluate the identical expression
-    (an all-events terminal bucket yields ln(0) -> -inf -> survival 0.0
-    in both engines).
+    cumulative ln-sum so both engines evaluate the identical expression.
+    An all-events bucket (d == n) is an explicit extinction flag, NOT a
+    ln(0) evaluation: DuckDB's ln(0) raises Out of Range and Spark-4
+    ANSI ln(0.0) returns NULL (which a window SUM would silently skip),
+    so both engines guard the hazard term with d < n and emit survival
+    0.0 for the extinct bucket and every later one via a cumulative
+    extinction marker.
 
     Parity: counts and at-risk denominators are exact integers; the only
     floats are the per-bucket ln terms (identical operands) accumulated
@@ -762,10 +774,20 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_censored",
         n_risk.alias("n_risk"),
         F.sum(
-            F.log(1.0 - F.col("d_events").cast("double") / n_risk)
+            F.when(
+                F.col("d_events") < n_risk,
+                F.log(
+                    1.0 - F.col("d_events").cast("double") / n_risk
+                ),
+            )
         )
         .over(wcum)
         .alias("lnsurv"),
+        F.max(
+            F.when(F.col("d_events") >= n_risk, 1).otherwise(0)
+        )
+        .over(wcum)
+        .alias("extinct"),
     )
     return km.select(
         "c_mktsegment",
@@ -773,7 +795,9 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         "d_events",
         "c_censored",
-        F.round(F.exp("lnsurv"), 6).alias("survival"),
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsurv"), 6))
+        .alias("survival"),
     )
 
 
