@@ -833,9 +833,13 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("neighbor_id").alias("cid"), F.col("cosine_sim").alias("rel"))
     e = emb.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
     ce = cand.join(e, cand.cid == e.vec_id).select("cid", "e")
+    # Non-equi pair join over the k-row candidate set: broadcast the right
+    # side explicitly or Spark plans a CartesianProduct (it cannot see the
+    # 10-row bound through the join+limit lineage). The bound is by
+    # construction (k=_MMR_CAND), so the hint is correct at every SF.
     ps = (
         ce.alias("a")
-        .join(ce.alias("b"), F.col("a.cid") != F.col("b.cid"))
+        .join(F.broadcast(ce.alias("b")), F.col("a.cid") != F.col("b.cid"))
         .select(
             F.col("a.cid").alias("ca"),
             F.col("b.cid").alias("cb"),

@@ -1,0 +1,59 @@
+"""Physical-plan gate on a pinned query subset.
+
+The full-catalog sweep lives in scripts/plan_inventory.py (regenerates
+PLANS.md and exits nonzero on violations); this test runs the identical
+gate on a pinned, shape-diverse subset so a plan regression — a new
+CartesianProduct, a broadcast that silently became a sort-merge join, a
+filter that stopped reaching the parquet reader — fails the suite in
+seconds instead of surfacing in the next full sweep.
+
+Subset selection: every distinct join/agg/window/iterative shape family
+has a representative, including the three shapes that HAVE failed the
+gate historically (non-equi candidate pair join -> CartesianProduct;
+full-outer SMJ misclassified; scan-filter queries where pushdown
+matters).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pwc_challenge_dataengineer_spark.plans.catalog import QUERIES
+from pwc_challenge_dataengineer_spark.plans.plan_audit import (
+    audit_df,
+    gate_violations,
+)
+
+# Pinned: name -> why it is in the subset.
+GATE_SUBSET = {
+    "sales_summary": "headline multi-join agg",
+    "star_join_filtered": "canonical star: 4 broadcasts + 1 agg exchange",
+    "broadcast_region_join": "explicit broadcast chain",
+    "change_classify": "full-outer SMJ (legal shape, must not gate-fail)",
+    "basket_jaccard_yoy": "full-outer on composite key",
+    "mmr_diverse_topk": "non-equi candidate pair join (was CartesianProduct)",
+    "top3_per_nation": "partitioned window + filter",
+    "tpch_q3": "shipped-priority join-agg with scan filters",
+    "tpch_q19": "disjunctive pushable predicates",
+    "minhash_lsh_pairs": "LSH bucket self-join",
+    "left_anti_idempotent": "anti-join idempotency shape",
+    "keyset_orders_page": "keyset pagination: filter must push down",
+}
+
+
+@pytest.mark.parametrize("name", sorted(GATE_SUBSET))
+def test_plan_gate(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    stats = audit_df(name, df)
+    bad = gate_violations([stats])
+    assert not bad, f"{GATE_SUBSET[name]}: {bad}"
+
+
+def test_full_outer_smj_is_not_a_violation(spark, sf_dir):
+    """The gate must classify full-outer SMJs as legal, not as missing
+    broadcasts — Spark has no broadcast full-outer strategy."""
+    st = audit_df(
+        "change_classify", QUERIES["change_classify"](spark, sf_dir)
+    )
+    assert st.smj_full_outer >= 1
+    assert st.smj == 0
