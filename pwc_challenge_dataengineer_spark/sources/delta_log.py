@@ -17,9 +17,18 @@ of JSON actions — ``protocol``, ``metaData``, ``add``, ``remove``,
 - ``read_delta_log(spark, path, version_as_of=None)``: replay the JSON
   commits (tombstone removes, accumulate adds) and read the surviving
   file set — Delta time travel over any table whose log consists of JSON
-  commits. Parquet checkpoints (``_last_checkpoint``) and advanced
-  actions (deletion vectors, column mapping) are out of scope and raise,
-  rather than silently mis-reading a table that needs them.
+  commits, OR of a parquet checkpoint plus later JSON commits. Real
+  Delta tables write a checkpoint every 10 commits and clean up old JSON
+  commits after the retention window, so any table of nontrivial age has
+  ``_last_checkpoint`` and a partial JSON tail: the replay loads the
+  snapshot state from the checkpoint (single- or multi-part) and applies
+  only the JSON commits after it. Export writes spec-shaped checkpoints
+  (one parquet row per action, struct columns add/remove/metaData/
+  protocol, partitionValues as map<string,string>) every
+  ``checkpoint_interval`` commits together with ``_last_checkpoint``.
+  Advanced reader features (deletion vectors, column mapping —
+  minReaderVersion >= 2) remain out of scope and raise, rather than
+  silently mis-reading a table that needs them.
 
 Reference parity: delta_lake_manager.py:85-416 (write/MERGE/time
 travel/CDF) — the semantics live in sources/versioned_store.py; this
@@ -52,10 +61,112 @@ def _schema_json(spark: SparkSession, root: str, version: int) -> str:
     return spark.read.parquet(os.path.join(root, f"v={version}")).schema.json()
 
 
-def export_delta_log(table: VersionedTable) -> str:
+def _write_checkpoint(
+    log_dir: str,
+    version: int,
+    protocol: dict,
+    meta: dict,
+    live_adds: list[dict],
+    tombstones: list[dict],
+) -> None:
+    """Write ``<version>.checkpoint.parquet`` + ``_last_checkpoint``.
+
+    Spec shape (PROTOCOL.md "Checkpoints"): one row per action, struct
+    columns for each action type, null elsewhere; the checkpoint carries
+    the protocol, the latest metaData, every live add, and the remove
+    tombstones (vacuum bookkeeping — readers reconstruct state from the
+    adds alone)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    rows_proto: list = [protocol]
+    rows_meta: list = [
+        {
+            "id": meta["id"],
+            "format": {"provider": meta["format"]["provider"]},
+            "schemaString": meta["schemaString"],
+            "partitionColumns": meta["partitionColumns"],
+            "createdTime": meta["createdTime"],
+        }
+    ]
+    rows_add = [
+        {
+            "path": a["path"],
+            "partitionValues": list(a.get("partitionValues", {}).items()),
+            "size": a["size"],
+            "modificationTime": a["modificationTime"],
+            "dataChange": a["dataChange"],
+        }
+        for a in live_adds
+    ]
+    rows_rm = [
+        {
+            "path": r["path"],
+            "deletionTimestamp": r["deletionTimestamp"],
+            "dataChange": r["dataChange"],
+        }
+        for r in tombstones
+    ]
+    n = len(rows_proto) + len(rows_meta) + len(rows_add) + len(rows_rm)
+    col_proto = rows_proto + [None] * (n - 1)
+    col_meta = [None] + rows_meta + [None] * (n - 2)
+    col_add = (
+        [None] * 2 + rows_add + [None] * len(rows_rm)
+    )
+    col_rm = [None] * (2 + len(rows_add)) + rows_rm
+    tbl = pa.table(
+        {
+            "protocol": pa.array(col_proto, type=proto_t),
+            "metaData": pa.array(col_meta, type=meta_t),
+            "add": pa.array(col_add, type=add_t),
+            "remove": pa.array(col_rm, type=remove_t),
+        }
+    )
+    pq.write_table(
+        tbl, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": n}, fh)
+
+
+def export_delta_log(
+    table: VersionedTable, checkpoint_interval: int = 10
+) -> str:
     """Write ``_delta_log`` into the table root covering every committed
     version. Returns the log directory path. Idempotent: re-export
-    rewrites the same commit files."""
+    rewrites the same commit files. Every ``checkpoint_interval``
+    commits (Delta's default cadence is 10) a parquet checkpoint of the
+    full snapshot state is written alongside, plus ``_last_checkpoint``
+    pointing at the newest one, so the log stays readable after
+    real-world log cleanup deletes aged JSON commits."""
     spark = table.spark
     root = table.path
     log_dir = os.path.join(root, _LOG)
@@ -77,11 +188,17 @@ def export_delta_log(table: VersionedTable) -> str:
     # idempotence: a re-export must not leave stale higher-numbered commits
     # from a longer earlier history lying around for replay to trip over
     for f in os.listdir(log_dir):
-        if f.endswith(".json") and f[0].isdigit():
+        if (
+            f.endswith((".json", ".checkpoint.parquet"))
+            and f[0].isdigit()
+        ) or f == "_last_checkpoint":
             os.remove(os.path.join(log_dir, f))
     table_id = str(uuid.uuid4())
     prev_files: list[str] = []
     prev_schema: str | None = None
+    cur_proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    cur_meta: dict | None = None
+    tombstones: list[dict] = []
     for i, e in enumerate(entries):
         v = e["version"]
         ts_ms = int(e["ts"] * 1000)
@@ -102,44 +219,43 @@ def export_delta_log(table: VersionedTable) -> str:
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
         if schema != prev_schema:
-            actions.append(
-                {
-                    "metaData": {
-                        "id": table_id,
-                        "format": {"provider": "parquet", "options": {}},
-                        "schemaString": schema,
-                        "partitionColumns": [],
-                        "configuration": {},
-                        "createdTime": ts_ms,
-                    }
-                }
-            )
+            cur_meta = {
+                "id": table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": ts_ms,
+            }
+            actions.append({"metaData": cur_meta})
             prev_schema = schema
         for f in prev_files:
-            actions.append(
-                {
-                    "remove": {
-                        "path": f,
-                        "deletionTimestamp": ts_ms,
-                        "dataChange": True,
-                    }
-                }
-            )
+            rm = {
+                "path": f,
+                "deletionTimestamp": ts_ms,
+                "dataChange": True,
+            }
+            actions.append({"remove": rm})
+            tombstones.append(rm)
+        live_adds: list[dict] = []
         for f in files:
             st = os.stat(os.path.join(root, f))
-            actions.append(
-                {
-                    "add": {
-                        "path": f,
-                        "partitionValues": {},
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": f,
+                "partitionValues": {},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+            }
+            actions.append({"add": add})
+            live_adds.append(add)
         with open(os.path.join(log_dir, f"{i:020d}.json"), "w") as fh:
             fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        if i > 0 and i % checkpoint_interval == 0:
+            assert cur_meta is not None
+            _write_checkpoint(
+                log_dir, i, cur_proto, cur_meta, live_adds, tombstones
+            )
         prev_files = files
     return log_dir
 
@@ -155,42 +271,125 @@ def _commit_ts_ms(log_dir: str, commit: str) -> int:
     return int(os.path.getmtime(os.path.join(log_dir, commit)) * 1000)
 
 
+def _check_protocol(p: dict) -> None:
+    if p.get("minReaderVersion", 1) > 1:
+        # reader version 2 = column mapping (physical parquet names need
+        # remapping), 3 = reader features (deletion vectors, ...) —
+        # mis-reading is worse than raising
+        raise NotImplementedError(
+            f"minReaderVersion {p['minReaderVersion']} requires reader "
+            "features this replay lacks (column mapping / deletion vectors)"
+        )
+
+
+def _read_checkpoint_state(log_dir: str, version: int) -> list[str]:
+    """Live add-file paths from the checkpoint at ``version`` (single- or
+    multi-part)."""
+    import pyarrow.parquet as pq
+
+    single = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(single):
+        parts = [single]
+    else:
+        prefix = f"{version:020d}.checkpoint."
+        parts = sorted(
+            os.path.join(log_dir, f)
+            for f in os.listdir(log_dir)
+            if f.startswith(prefix) and f.endswith(".parquet")
+        )
+        if not parts:
+            raise ValueError(
+                f"_last_checkpoint points at version {version} but no "
+                "checkpoint parquet exists"
+            )
+    live: list[str] = []
+    for part in parts:
+        t = pq.read_table(part)
+        cols = t.column_names
+        if "protocol" in cols:
+            for p in t.column("protocol").to_pylist():
+                if p is not None:
+                    _check_protocol(p)
+        for a in t.column("add").to_pylist():
+            if a is not None:
+                live.append(a["path"])
+    return live
+
+
 def replay_log(
     path: str,
     version_as_of: int | None = None,
     timestamp_as_of_ms: int | None = None,
 ) -> list[str]:
-    """Surviving add-file paths after replaying JSON commits 0..version
-    (or up to the last commit at/before ``timestamp_as_of_ms``)."""
+    """Surviving add-file paths at the requested version (default:
+    latest).
+
+    Resolution order mirrors Delta's snapshot construction: if
+    ``_last_checkpoint`` names a checkpoint at or before the target
+    version, state loads from the checkpoint parquet and only the JSON
+    commits after it replay; otherwise the JSON commits replay from 0.
+    Time travel BEHIND the newest checkpoint still works as long as the
+    early JSON commits exist (export keeps them; real-world log cleanup
+    may not — then the error says so instead of guessing)."""
     log_dir = os.path.join(path, _LOG)
-    if os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
-        raise NotImplementedError(
-            "parquet checkpoints not supported; JSON-commit logs only"
-        )
+    ckpt_version: int | None = None
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as fh:
+            ckpt_version = int(json.load(fh)["version"])
     commits = sorted(
         f for f in os.listdir(log_dir) if f.endswith(".json") and f[0].isdigit()
     )
+    have = [int(c.split(".")[0]) for c in commits]
     if timestamp_as_of_ms is not None:
-        commits = [
+        qual = [
             c for c in commits if _commit_ts_ms(log_dir, c) <= timestamp_as_of_ms
         ]
-        if not commits:
+        if not qual:
             raise ValueError(
                 f"no commits at or before timestamp {timestamp_as_of_ms}"
+                + (
+                    " (history before the checkpoint may have been cleaned)"
+                    if ckpt_version is not None
+                    else ""
+                )
             )
+        version_as_of = int(qual[-1].split(".")[0])
     if version_as_of is not None:
-        have = [int(c.split(".")[0]) for c in commits]
-        if not have or version_as_of < have[0]:
-            raise ValueError(f"no commits at or before version {version_as_of}")
-        if version_as_of > have[-1]:
+        if have and version_as_of > have[-1]:
             # mirror Delta's VersionNotFoundException / VersionedTable.read:
             # probing past the last commit is an error, not "latest"
             raise ValueError(
                 f"version {version_as_of} does not exist; latest is {have[-1]}"
             )
-        commits = [c for c in commits if int(c.split(".")[0]) <= version_as_of]
+        target = version_as_of
+    else:
+        target = have[-1] if have else ckpt_version
+        if target is None:
+            raise ValueError(f"{log_dir} has no commits")
+
     live: dict[str, bool] = {}
-    for c in commits:
+    start = 0
+    if ckpt_version is not None and ckpt_version <= target:
+        for p in _read_checkpoint_state(log_dir, ckpt_version):
+            live[p] = True
+        start = ckpt_version + 1
+    tail = [c for c in commits if start <= int(c.split(".")[0]) <= target]
+    covered = set(range(start, target + 1))
+    present = {int(c.split(".")[0]) for c in tail}
+    if covered - present:
+        missing = sorted(covered - present)
+        raise ValueError(
+            f"cannot reconstruct version {target}: JSON commits {missing} "
+            "are missing"
+            + (
+                " and the checkpoint is newer than the target "
+                "(history before it was cleaned)"
+                if ckpt_version is not None and ckpt_version > target
+                else ""
+            )
+        )
+    for c in tail:
         with open(os.path.join(log_dir, c)) as fh:
             for line in fh:
                 if not line.strip():
@@ -201,16 +400,7 @@ def replay_log(
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
                 elif "protocol" in action:
-                    p = action["protocol"]
-                    if p.get("minReaderVersion", 1) > 1:
-                        # reader version 2 = column mapping (physical parquet
-                        # names need remapping), 3 = reader features (deletion
-                        # vectors, ...) — mis-reading is worse than raising
-                        raise NotImplementedError(
-                            f"minReaderVersion {p['minReaderVersion']} "
-                            "requires reader features this replay lacks "
-                            "(column mapping / deletion vectors)"
-                        )
+                    _check_protocol(action["protocol"])
     return sorted(live)
 
 

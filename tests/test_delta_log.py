@@ -77,12 +77,96 @@ def test_log_replay_round_trips_every_version(spark, tmp_path):
         assert got_v == want_v, f"version {v}"
 
 
-def test_replay_rejects_checkpointed_logs(spark, tmp_path):
-    t = _mk_table(spark, tmp_path / "tbl")
+def _mk_long_table(spark, path, n_commits=13) -> VersionedTable:
+    """A >10-commit table so export crosses Delta's checkpoint cadence."""
+    t = VersionedTable(spark, str(path))
+    t.write(
+        spark.createDataFrame([(0, "v0")], "id BIGINT, v STRING")
+    )
+    for i in range(1, n_commits):
+        t.merge(
+            spark.createDataFrame([(i, f"v{i}")], "id BIGINT, v STRING"),
+            keys=["id"],
+        )
+    return t
+
+
+def test_checkpoint_written_at_delta_cadence(spark, tmp_path):
+    t = _mk_long_table(spark, tmp_path / "tbl")
+    log_dir = export_delta_log(t)
+    ckpt = os.path.join(log_dir, f"{10:020d}.checkpoint.parquet")
+    assert os.path.isfile(ckpt)
+    lc = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    assert lc["version"] == 10 and lc["size"] > 0
+    # spec shape: struct columns, one non-null action per row
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(ckpt)
+    assert {"protocol", "metaData", "add", "remove"} <= set(tbl.column_names)
+    protos = [p for p in tbl.column("protocol").to_pylist() if p]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    adds = [a for a in tbl.column("add").to_pylist() if a]
+    assert adds and all(a["path"].startswith("v=10/") for a in adds)
+
+
+def test_checkpoint_round_trip_across_boundary(spark, tmp_path):
+    """Time travel works on both sides of the checkpoint boundary while
+    the full JSON history is present."""
+    t = _mk_long_table(spark, tmp_path / "tbl")
     export_delta_log(t)
-    open(os.path.join(t.path, "_delta_log", "_last_checkpoint"), "w").write("{}")
-    with pytest.raises(NotImplementedError, match="checkpoint"):
-        replay_log(t.path)
+    for v in (0, 5, 9, 10, 11, 12):
+        got = {
+            (r["id"], r["v"])
+            for r in read_delta_log(spark, t.path, version_as_of=v).collect()
+        }
+        want = {
+            (r["id"], r["v"]) for r in t.read(version_as_of=v).collect()
+        }
+        assert got == want, f"version {v}"
+    # latest (no version) should load from the checkpoint + JSON tail
+    got = {(r["id"], r["v"]) for r in read_delta_log(spark, t.path).collect()}
+    assert got == {(r["id"], r["v"]) for r in t.read().collect()}
+
+
+def test_checkpoint_survives_log_cleanup(spark, tmp_path):
+    """The real-world case the r4 reader could not handle: aged JSON
+    commits are cleaned up, only the checkpoint + tail remain."""
+    t = _mk_long_table(spark, tmp_path / "tbl")
+    log_dir = export_delta_log(t)
+    for i in range(10):  # Delta log cleanup removes commits <= checkpoint
+        os.remove(os.path.join(log_dir, f"{i:020d}.json"))
+    # latest and any version >= checkpoint still reconstruct
+    for v in (10, 11, 12):
+        got = {
+            (r["id"], r["v"])
+            for r in read_delta_log(spark, t.path, version_as_of=v).collect()
+        }
+        want = {
+            (r["id"], r["v"]) for r in t.read(version_as_of=v).collect()
+        }
+        assert got == want, f"version {v}"
+    assert len(replay_log(t.path)) > 0
+    # versions behind the cleaned history fail with an explanation
+    with pytest.raises(ValueError, match="missing"):
+        replay_log(t.path, version_as_of=5)
+
+
+def test_timestamp_travel_across_checkpoint(spark, tmp_path):
+    t = _mk_long_table(spark, tmp_path / "tbl")
+    export_delta_log(t)
+    entries = t._load_manifest()
+    for v in (9, 11):
+        ts_ms = int(entries[v]["ts"] * 1000)
+        got = {
+            (r["id"], r["v"])
+            for r in read_delta_log(
+                spark, t.path, timestamp_as_of_ms=ts_ms
+            ).collect()
+        }
+        want = {
+            (r["id"], r["v"]) for r in t.read(version_as_of=v).collect()
+        }
+        assert got == want, f"ts of version {v}"
 
 
 def test_read_delta_falls_back_to_log_replay(spark, tmp_path):
