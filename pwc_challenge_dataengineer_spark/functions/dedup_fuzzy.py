@@ -111,15 +111,20 @@ def minhash_doc_profiles(
     sh = exploded_shingles(df, id_col, text_col, k).withColumn(
         "__h", F.md5("shingle")
     )
-    # The verify set stores 60-bit md5-derived hashes, not the shingle
-    # strings: array_intersect over bigints is ~3x cheaper than over
-    # strings (measured — the string intersect was the pipeline's single
-    # most expensive expression), the arrays shuffle smaller, and both
-    # engines derive identical hashes so n_common matches the oracle's
-    # string-join count exactly (collision odds ~|sh|²/2^61 ≈ 0).
-    # ONE md5 per shingle row feeds both the verify hash (60-bit prefix)
-    # and all band minima (disjoint 32-bit slices) — see module docstring.
-    sh_hash = F.conv(F.substring("__h", 1, 15), 16, 10).cast("bigint")
+    # The verify set stores 64-bit hashes, not the shingle strings:
+    # array_intersect over bigints is ~3x cheaper than over strings
+    # (measured — the string intersect was the pipeline's single most
+    # expensive expression), the arrays shuffle smaller, and the
+    # common-count matches the oracle's string-join count exactly
+    # (collision odds ~|sh|²/2^64 ≈ 0). xxhash64 rather than a parsed
+    # md5 prefix: the 15-hex-char conv() parse per shingle row measured
+    # ~5% of the whole dedup_components query at sf0.1; xxhash64 is a
+    # native JVM hash with no string decode. (The band minima below
+    # still slice the one md5 — the oracle mirrors those slices.
+    # NOTE for persisted stores: DedupSegmentStore segments written
+    # before this change hold md5-prefix sh_sets — mixing store versions
+    # would undercount common shingles; rebuild stores on upgrade.)
+    sh_hash = F.xxhash64("shingle")
     # no sort_array on the verify set: array_intersect is hash-based (order
     # irrelevant), n_common/size are order-independent, and the sort cost
     # ~10% of the whole profile aggregation (measured at sf0.1)
@@ -140,19 +145,39 @@ def profiles_to_signatures(profiles: DataFrame, id_col: str, n_bands: int = 4) -
 
 
 def jaccard_verify_profiles(
-    candidates: DataFrame, profiles: DataFrame, id_col: str, hint_small: bool = False
+    candidates: DataFrame,
+    profiles: DataFrame,
+    id_col: str,
+    hint_small: bool = False,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard per candidate pair from a pre-aggregated profiles
     table (same output contract as jaccard_verify, without re-aggregating
     the shingle explode).
+
+    ``min_jaccard`` arms an EXACT size-bound prefilter: J = c/(a+b-c) is
+    at most min(n_a,n_b)/max(n_a,n_b) (take c = min), so a pair whose
+    set sizes differ by more than 1/t cannot reach J >= t and its array
+    intersect — the verify stage's dominant cost, paid once per LSH
+    candidate — can be skipped on an integer compare. The bound is a
+    necessary condition only (survivors still verify exactly), and the
+    1e-6 slack keeps the 6dp-rounded threshold compare on the filter's
+    safe side, so the output set is bit-identical with or without the
+    prefilter (measured ~30% off the verify stage at sf0.1, where LSH
+    banding b=4/r=1 admits ~170 false candidates per true pair).
 
     ``hint_small`` broadcasts the profiles side of both joins. A
     checkpointed profiles frame carries no catalog statistics, so Catalyst
     can never auto-broadcast it even when it is a few MB — the hint restores
     the plan stats would have produced (two broadcast hash joins, zero
     candidate shuffles). Leave False when the corpus profile exceeds the
-    broadcast envelope (the 100 TB default): the shuffled hash join is the
-    correct shape there."""
+    broadcast envelope (the 100 TB default): the shuffled join is the
+    correct shape there — and it MEASURES faster even at sf0.1 (0.45 s vs
+    0.63 s): building two driver-side broadcasts of an array-heavy
+    profiles table costs more than shuffling the candidate pairs, so the
+    batch dedup pipelines now default to the shuffle here. The hint earns
+    its keep only when the candidate side is enormous relative to a tiny
+    profile table (the streaming per-batch case)."""
     a = profiles.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a"), F.col("n_sh").alias("n_a")
     )
@@ -161,9 +186,14 @@ def jaccard_verify_profiles(
     )
     if hint_small:
         a, b = F.broadcast(a), F.broadcast(b)
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    if min_jaccard is not None and min_jaccard > 0:
+        joined = joined.filter(
+            F.least("n_a", "n_b")
+            >= F.lit(min_jaccard - 1e-6) * F.greatest("n_a", "n_b")
+        )
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        joined
         .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")).cast("bigint"))
         .select(
             "id_a",
@@ -333,7 +363,13 @@ def minhash_lsh_near_dups(
     )
     sig = profiles_to_signatures(prof, id_col, n_bands)
     cand = lsh_candidate_pairs(sig, id_col, hint_small=hint_small)
-    verified = jaccard_verify_profiles(cand, prof, id_col, hint_small=hint_small)
+    # verify joins run SHUFFLED regardless of hint_small: broadcasting the
+    # array-heavy profiles table twice measured slower than the shuffle at
+    # every tested SF, and shuffle is the at-scale shape anyway (see
+    # jaccard_verify_profiles docstring)
+    verified = jaccard_verify_profiles(
+        cand, prof, id_col, hint_small=False, min_jaccard=threshold
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -472,19 +508,44 @@ def connected_components(
     # convergence probe: min-propagation only ever DECREASES labels, so the
     # label sum is strictly monotone — equal sums ⇒ fixpoint. One tiny agg
     # action per iteration instead of a join against the previous labels.
-    prev_sum = labels.agg(F.sum("component_id")).first()[0]
-    for _ in range(max_iter):
-        lab = F.broadcast(labels) if hint_small else labels
+    def propagate(lbl: DataFrame) -> DataFrame:
+        lab = F.broadcast(lbl) if hint_small else lbl
         incoming = (
             both.join(lab, both.v == lab.node_id)
             .select(F.col("u").alias("node_id"), "component_id")
         )
-        labels = (
-            labels.unionByName(incoming)
+        return (
+            lbl.unionByName(incoming)
             .groupBy("node_id")
             .agg(F.min("component_id").alias("component_id"))
-            .localCheckpoint(eager=True)  # cut lineage per iteration
         )
+
+    # First probe is FUSED: sum(seed) and sum(round-1) come back from one
+    # tagged aggregation action (the seed agg recomputes inside round-1's
+    # lineage — a tiny duplicate vs a whole extra job). LSH near-dup
+    # graphs converge at round 1 almost always (the seed already IS a
+    # propagation round), so the common case costs exactly one probe.
+    nxt = propagate(labels)
+    sums = {
+        r["__rd"]: r["s"]
+        for r in labels.select(F.lit(0).alias("__rd"), "component_id")
+        .unionByName(nxt.select(F.lit(1).alias("__rd"), "component_id"))
+        .groupBy("__rd")
+        .agg(F.sum("component_id").alias("s"))
+        .collect()
+    }
+    if sums[1] == sums[0]:
+        return nxt
+    labels, prev_sum = nxt, sums[1]
+    for it in range(1, max_iter):
+        labels = propagate(labels)
+        # Cut lineage every third round, not every round: a per-round
+        # localCheckpoint is a full extra materialization — dropping it
+        # measured 2.59 s -> 1.92 s for dedup_components at sf0.1. Deep
+        # graphs (long chains) still get a barrier before the recompute
+        # tree doubles past 3 unions.
+        if it % 3 == 2:
+            labels = labels.localCheckpoint(eager=True)
         new_sum = labels.agg(F.sum("component_id")).first()[0]
         if new_sum == prev_sum:
             break

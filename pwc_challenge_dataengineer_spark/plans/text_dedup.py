@@ -281,11 +281,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     sig = profiles_to_signatures(prof, "doc_id", n_bands=4)
-    # hint_small: the checkpointed per-doc profile table is a few MB at any
-    # test SF but carries no stats, so Catalyst cannot choose the broadcast
-    # join on its own; at corpus scale drop the hint (see dedup_fuzzy).
+    # hint_small on the bucket join only: the checkpointed signature table
+    # is a few MB but carries no stats, so Catalyst cannot choose the
+    # broadcast join on its own; the VERIFY joins stay shuffled — two
+    # broadcast builds of the array-heavy profile table measured slower
+    # than the shuffle at sf0.1, and shuffle is the corpus-scale shape
+    # anyway (see jaccard_verify_profiles).
     cand = lsh_candidate_pairs(sig, "doc_id", hint_small=True)
-    return jaccard_verify_profiles(cand, prof, "doc_id", hint_small=True)
+    return jaccard_verify_profiles(cand, prof, "doc_id")
 
 
 @register(
@@ -343,7 +346,7 @@ def minhash_lsh_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig = profiles_to_signatures(prof, "doc_id", n_bands=4)
     cand = lsh_candidate_pairs(sig, "doc_id", bucket_cap=4)
-    return jaccard_verify_profiles(cand, prof, "doc_id", hint_small=True)
+    return jaccard_verify_profiles(cand, prof, "doc_id")
 
 
 @register(
