@@ -133,7 +133,11 @@ def gate_violations(stats: list[PlanStats]) -> list[str]:
             out.append(f"{s.name}: audit error: {s.error}")
         if s.cartesian:
             out.append(f"{s.name}: {s.cartesian} CartesianProduct node(s)")
-        if s.smj:
+        if s.smj and s.exchanges > 0:
+            # SMJ with ZERO exchanges anywhere = both sides are bucketed,
+            # pre-sorted scans (the co-located bucket join the storage
+            # layout exists to produce) — that SMJ is the point, not a
+            # missing broadcast.
             out.append(
                 f"{s.name}: {s.smj} sort-merge join(s) at audit SF "
                 "(a side under the broadcast envelope did not broadcast)"

@@ -57,3 +57,16 @@ def test_full_outer_smj_is_not_a_violation(spark, sf_dir):
     )
     assert st.smj_full_outer >= 1
     assert st.smj == 0
+
+
+def test_bucketed_gold_join_has_zero_exchanges(spark, sf_dir):
+    """The end-to-end bucketed layout: scan -> merge join -> aggregate
+    with no Exchange anywhere (and the gate accepts that SMJ)."""
+    st = audit_df(
+        "bucketed_gold_order_profile",
+        QUERIES["bucketed_gold_order_profile"](spark, sf_dir),
+    )
+    assert st.error is None
+    assert st.exchanges == 0, st
+    assert st.smj == 1, st
+    assert not gate_violations([st])
