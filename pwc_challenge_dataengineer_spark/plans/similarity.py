@@ -671,10 +671,12 @@ def _pq_sub_l2(a: str, b: str) -> str:
     )
 
 
-@register(
-    "pq_adc_topk",
-    oracle=f"""
-    WITH v AS (
+# PQ-ADC pipeline as reusable CTEs (shared by pq_adc_topk and the
+# retrieval-chain oracle in text_retrieval.py): encode -> distance table
+# -> ADC scores for query vector 0, ending in the `scored` relation
+# (neighbor_id, approx_d2, exact_d2).
+PQ_CTES = f"""
+    v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
     cb AS (
@@ -724,7 +726,13 @@ def _pq_sub_l2(a: str, b: str) -> str:
         FROM adc a
         JOIN v ON v.vec_id = a.vec_id
         CROSS JOIN qv
-    )
+    )"""
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {PQ_CTES}
     SELECT neighbor_id, approx_d2, exact_d2, rank FROM (
         SELECT neighbor_id, approx_d2, exact_d2,
                CAST(row_number() OVER (

@@ -1035,3 +1035,241 @@ def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pmi"),
     )
+
+
+# --- Full production retrieval chain: ANN -> RRF -> MMR (round 5) ----------
+
+_CHAIN_LAM = 0.7
+_CHAIN_CAND = 10
+_CHAIN_OUT = 5
+
+
+def _chain_oracle() -> str:
+    """ANN (PQ-ADC) semantic arm + BM25 lexical arm -> reciprocal-rank
+    fusion -> greedy MMR over the fused top-10, all as one SQL chain:
+    the PQ CTEs come verbatim from pq_adc_topk's oracle, the fusion from
+    hybrid_search_rrf's, and the MMR unroll from mmr_diverse_topk's, with
+    relevance = min-max-normalized RRF score (both retrieval arms emit
+    ranks, not calibrated scores, so the normalized fusion score is the
+    only scale MMR can mix with cosine redundancy)."""
+    from .catalog import ORACLES
+    from .similarity import PQ_CTES
+
+    sql = f"""
+    WITH {PQ_CTES},
+    sem AS (
+        SELECT neighbor_id AS doc_id, rank_sem FROM (
+            SELECT neighbor_id,
+                   CAST(row_number() OVER (ORDER BY approx_d2, neighbor_id)
+                        AS INT) AS rank_sem
+            FROM scored
+        ) WHERE rank_sem <= 20
+    ),
+    lex_all AS ({ORACLES["bm25_keyword_search"]}),
+    lex AS (
+        SELECT doc_id, rank_lex FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INT) AS rank_lex
+            FROM lex_all
+        ) WHERE rank_lex <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + s.rank_sem), 0.0) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ),
+    cand0 AS (
+        SELECT doc_id AS cid, rrf, rrf_rank FROM (
+            SELECT doc_id, rrf,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                        AS INT) AS rrf_rank
+            FROM fused
+        ) WHERE rrf_rank <= {_CHAIN_CAND}
+    ),
+    bounds AS (SELECT MAX(rrf) AS mx, MIN(rrf) AS mn FROM cand0),
+    cand AS MATERIALIZED (
+        SELECT cid, rrf, rrf_rank,
+               round(CASE WHEN b.mx = b.mn THEN 1.0
+                          ELSE (rrf - b.mn) / (b.mx - b.mn) END, 9) AS rel
+        FROM cand0, bounds b
+    ),
+    psim AS MATERIALIZED (
+        SELECT a.vec_id AS ca, b.vec_id AS cb,
+               round({_RRF_COS_SQL
+                      .replace("q.embedding", "a.embedding")
+                      .replace("c.embedding", "b.embedding")}, 6) AS sim
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id IN (SELECT cid FROM cand)
+          AND b.vec_id IN (SELECT cid FROM cand)
+          AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+        SELECT cid, rrf, rrf_rank, rel, 1 AS step, rel AS mmr
+        FROM cand ORDER BY rel DESC, cid LIMIT 1
+    )"""
+    for t in range(2, _CHAIN_OUT + 1):
+        p = t - 1
+        sql += f""",
+    sc{t} AS (
+        SELECT c.cid, c.rrf, c.rrf_rank, c.rel,
+               {_CHAIN_LAM} * c.rel - {round(1 - _CHAIN_LAM, 10)}
+                     * MAX(p.sim) AS score
+        FROM cand c
+        JOIN psim p ON p.ca = c.cid
+        JOIN s{p} s ON p.cb = s.cid
+        WHERE c.cid NOT IN (SELECT cid FROM s{p})
+        GROUP BY c.cid, c.rrf, c.rrf_rank, c.rel
+    ),
+    pick{t} AS (
+        SELECT cid, rrf, rrf_rank, rel, {t} AS step, score AS mmr
+        FROM sc{t} ORDER BY score DESC, cid LIMIT 1
+    ),
+    s{t} AS (SELECT * FROM s{p} UNION ALL SELECT * FROM pick{t})"""
+    sql += f"""
+    SELECT CAST(step AS INT) AS rank, cid AS doc_id,
+           CAST(rrf_rank AS INT) AS rrf_rank,
+           round(rrf, 9) AS rrf_score, rel AS relevance, mmr AS mmr_score
+    FROM s{_CHAIN_OUT}"""
+    return sql
+
+
+@register("retrieval_chain_pq_rrf_mmr", oracle=_chain_oracle())
+def retrieval_chain_pq_rrf_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production retrieval chain as ONE verified operator:
+    PQ-ADC approximate nearest neighbors (semantic arm, top-20 for query
+    vector 0 — the memory-bounded ANN a billion-vector corpus actually
+    deploys, replacing the brute-force arm the r4 rerank stages consumed)
+    + BM25 (lexical arm, top-20) -> reciprocal-rank fusion -> greedy MMR
+    diversification of the fused top-10 down to 5, with relevance =
+    min-max-normalized RRF score.
+
+    Scale shape: each arm ends in a distributed TakeOrdered (never a
+    global window over the corpus); fusion is a union + groupBy over
+    <= 40 rows (full outer would force the repo's only gratuitous SMJ —
+    same reasoning as hybrid_search_rrf); the MMR unroll runs over a
+    10-row broadcast candidate set so its cost is independent of corpus
+    size. Docs without embeddings (lexical-only hits at sf0.1, where the
+    embedding table covers 2000 of 5000 docs) can be retrieved but never
+    diversified against — the inner psim joins drop them from MMR rounds
+    identically in both engines."""
+    from pyspark.sql.window import Window
+
+    from ..functions.similarity import as_double_array, cosine
+    from ..functions.similarity import pq_adc_topk as _pq
+    from ..schemas import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    sem = _pq(emb, k=20).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank_sem"),
+    )
+    lex_top = (
+        bm25_keyword_search(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("rank_lex")
+    )
+    fused = (
+        lex.select("doc_id", "rank_lex", F.lit(0).alias("rank_sem"))
+        .unionByName(
+            sem.select("doc_id", F.lit(0).alias("rank_lex"), "rank_sem")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("rank_lex").alias("rank_lex"),
+            F.max("rank_sem").alias("rank_sem"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.when(
+                    F.col("rank_lex") > 0,
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("rank_sem") > 0,
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_sem")),
+                ).otherwise(F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w_rrf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    cand0 = (
+        fused.withColumn("rrf_rank", F.row_number().over(w_rrf).cast("int"))
+        .filter(F.col("rrf_rank") <= _CHAIN_CAND)
+    )
+    bounds = cand0.agg(F.max("rrf").alias("mx"), F.min("rrf").alias("mn"))
+    # checkpoint the 10-row candidate set: the MMR unroll references it in
+    # every round, and without the barrier each reference re-runs the
+    # whole PQ + BM25 retrieval lineage
+    cand = (
+        cand0.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("doc_id").alias("cid"),
+            "rrf",
+            "rrf_rank",
+            F.round(
+                F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+                    (F.col("rrf") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+                ),
+                9,
+            ).alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e = emb.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+    ce = cand.join(e, cand.cid == e.vec_id).select("cid", "e")
+    ps = (
+        ce.alias("a")
+        .join(F.broadcast(ce.alias("b")), F.col("a.cid") != F.col("b.cid"))
+        .select(
+            F.col("a.cid").alias("ca"),
+            F.col("b.cid").alias("cb"),
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = cand.orderBy(F.col("rel").desc(), "cid").limit(1).select(
+        "cid", "rrf", "rrf_rank", "rel",
+        F.lit(1).alias("step"), F.col("rel").alias("mmr"),
+    )
+    for t in range(2, _CHAIN_OUT + 1):
+        sel_ids = sel.select(F.col("cid").alias("scid"))
+        pen = (
+            ps.join(F.broadcast(sel_ids), ps.cb == F.col("scid"))
+            .groupBy("ca")
+            .agg(F.max("sim").alias("pen"))
+        )
+        scores = (
+            cand.join(F.broadcast(sel_ids), cand.cid == F.col("scid"), "left_anti")
+            .join(F.broadcast(pen), cand.cid == pen.ca)
+            .select(
+                "cid", "rrf", "rrf_rank", "rel",
+                # UNROUNDED: both engines compute this IEEE expression on
+                # identical (already-rounded) operands, so the doubles are
+                # bit-identical — a 6dp round here measurably LANDS on a
+                # half-tie at sf0.01 and the engines' tie rules differ
+                (
+                    F.lit(_CHAIN_LAM) * F.col("rel")
+                    - F.lit(round(1 - _CHAIN_LAM, 10)) * F.col("pen")
+                ).alias("score"),
+            )
+        )
+        pick = scores.orderBy(F.col("score").desc(), "cid").limit(1).select(
+            "cid", "rrf", "rrf_rank", "rel",
+            F.lit(t).alias("step"), F.col("score").alias("mmr"),
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(
+        F.col("step").cast("int").alias("rank"),
+        F.col("cid").alias("doc_id"),
+        F.col("rrf_rank").cast("int").alias("rrf_rank"),
+        F.round("rrf", 9).alias("rrf_score"),
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    )
