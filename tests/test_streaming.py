@@ -308,3 +308,89 @@ def test_stateful_running_totals_tws(spark, tmp_path):
             snap[r.user_id] = (r.n_events, r.total_value)
     assert snap[7] == (3, 14.0)
     assert snap[8] == (1, 5.0)
+
+
+def test_recommended_watermark_retains_99pct(spark, sf_dir, tmp_path):
+    """Close the watermark-sizing loop LIVE: replay events in the same
+    deterministic arrival order watermark_recommendation models, stream a
+    windowed count with the recommended delay, and assert >= 99% of
+    events survive the watermark — and that a 0 s watermark does not
+    (the test must bite)."""
+    from pwc_challenge_dataengineer_spark.plans.streaming_batch import (
+        _WM_DELAY_MOD,
+        _WM_HASH,
+        watermark_recommendation,
+    )
+
+    rec_rows = watermark_recommendation(spark, sf_dir).collect()
+    # one stream, one watermark: take the max recommended across sources
+    rec_s = max(r.recommended_watermark_s for r in rec_rows)
+    n_total = sum(r.n_events for r in rec_rows)
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    arr = events.withColumn(
+        "arr_key",
+        F.unix_timestamp("ts")
+        + (F.col("event_id") * F.lit(_WM_HASH)) % F.lit(_WM_DELAY_MOD),
+    )
+    src = str(tmp_path / "arrival_stream")
+    # 30 chunks in arrival order. FileStreamSource consumes files in
+    # MODIFICATION-TIME order, so the chunks must be written sequentially
+    # (a parallel range-partitioned write lands with scrambled mtimes and
+    # the watermark jumps straight to the stream's end).
+    from pyspark.sql.window import Window as _W
+
+    bucketed = arr.withColumn(
+        "__b", F.ntile(40).over(_W.orderBy("arr_key", "event_id"))
+    ).cache()
+    for b in range(1, 41):
+        bucketed.filter(F.col("__b") == b).drop("__b").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    bucketed.unpersist()
+
+    schema = spark.read.parquet(src).schema
+
+    def retained(delay_s: int, name: str) -> int:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        # Late rows drop only against the watermark of the PREVIOUS
+        # micro-batch (Spark 3.4+ late-event semantics — verified on this
+        # build: a row is accepted in batch N if it beats the watermark
+        # committed after batch N-2), so the effective tolerance is
+        # delay + one batch's event-time span + the window tail. The
+        # 0..3-day straggler model keeps p99 lateness far above that
+        # slack at 40 replay batches, which is what lets the 0 s
+        # control condition actually drop rows.
+        agg = (
+            stream.withWatermark("ts", f"{delay_s} seconds")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # update mode re-emits growing counts; the max per window is final
+        out = spark.sql(
+            f"SELECT SUM(mx) AS total FROM (SELECT window, MAX(n) AS mx "
+            f"FROM {name} GROUP BY window)"
+        ).collect()
+        return out[0].total or 0
+
+    kept = retained(int(rec_s), "t_wm_rec")
+    assert kept >= 0.99 * n_total, (kept, n_total, rec_s)
+    kept_zero = retained(0, "t_wm_zero")
+    # the control must BITE: the measured distribution is ~50% late at
+    # replay granularity, so a 0 s watermark loses far more than 1%
+    assert kept_zero < 0.99 * n_total, (kept_zero, n_total)
+    assert kept_zero < kept, (kept_zero, kept)
