@@ -177,3 +177,73 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(norms, "vec_id bigint, n_dims int, l2_norm double")
+
+
+@register(
+    "cogroup_pandas_asof",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, CAST(MAX(value) AS DOUBLE) AS err_value
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.err_value AS asof_err_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def cogroup_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUP half of the Python surface:
+    ``groupby(k).cogroup(df2.groupby(k)).applyInPandas`` — two relations
+    co-partitioned on the key, each group pair handed to pandas as a
+    batch, here running ``pd.merge_asof`` per user (each purchase picks
+    up the user's latest error value at or before it). Same semantics as
+    asof_purchase_click's pure-DataFrame union-sort plan, which is the
+    production path; this entry exists because cogroup is the one
+    Arrow-batched API a pandas-native algorithm (merge_asof,
+    np.interp-style alignment, per-pair statsmodels fits) actually
+    needs, and the plumbing — co-shuffle, per-key batch shapes, nullable
+    bigint round trip through Arrow — deserves its own oracle.
+
+    Scale: ONE co-shuffle on user_id for both sides, then per-group
+    pandas; group size is a user's event history (bounded), never the
+    corpus. Right side pre-deduped per (user, ts) so tie semantics are
+    unambiguous in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").cast("double").alias("err_value"))
+    )
+
+    def merge_group(purch: pd.DataFrame, err: pd.DataFrame) -> pd.DataFrame:
+        if purch.empty:
+            return purch.assign(asof_err_value=pd.Series(dtype="float64"))
+        purch = purch.sort_values("ts", kind="mergesort")
+        if err.empty:
+            out = purch.copy()
+            out["asof_err_value"] = pd.Series(
+                [None] * len(out), dtype="float64", index=out.index
+            )
+            return out
+        err = err.sort_values("ts", kind="mergesort")[["ts", "err_value"]]
+        out = pd.merge_asof(
+            purch, err, on="ts", direction="backward"
+        ).rename(columns={"err_value": "asof_err_value"})
+        return out
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(errors.groupBy("user_id"))
+        .applyInPandas(
+            merge_group,
+            "event_id bigint, user_id bigint, ts timestamp_ntz, "
+            "value double, asof_err_value double",
+        )
+    )
