@@ -275,3 +275,114 @@ def bucketed_gold_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("net_revenue"),
     )
+
+
+# --- Partitioning advisor (round 5) ----------------------------------------
+
+_ADV_COLS = ("o_orderdate", "o_orderpriority", "o_orderstatus", "o_custkey")
+_ADV_TARGET_ROWS = 1_000_000  # healthy rows-per-partition target
+
+
+@register(
+    "partitioning_advisor",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+    stats AS (
+        {" UNION ALL ".join(
+            f'''SELECT '{c}' AS column_name,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MAX(cnt) AS BIGINT) AS top_count
+            FROM (SELECT {c}, COUNT(*) AS cnt FROM orders GROUP BY 1)'''
+            for c in _ADV_COLS)}
+    ),
+    scored AS (
+        SELECT s.column_name, s.n_distinct,
+               ROUND(CAST(s.top_count AS DOUBLE) * s.n_distinct
+                     / n.n_rows, 6) AS skew_ratio,
+               CAST(n.n_rows AS DOUBLE) / s.n_distinct
+                   AS rows_per_partition,
+               ROUND(CAST(
+                   (CASE WHEN s.n_distinct BETWEEN 10 AND 10000 THEN 0.5
+                         WHEN s.n_distinct < 10 THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN CAST(s.top_count AS DOUBLE) * s.n_distinct
+                               / n.n_rows <= 2.0 THEN 0.3 ELSE 0.1 END)
+                   + (CASE WHEN CAST(n.n_rows AS DOUBLE) / s.n_distinct
+                               <= {_ADV_TARGET_ROWS} THEN 0.2
+                           ELSE 0.0 END) AS DOUBLE), 6) AS suitability
+        FROM stats s, n
+    )
+    SELECT column_name, n_distinct, skew_ratio,
+           ROUND(rows_per_partition, 2) AS rows_per_partition, suitability,
+           CAST(row_number() OVER (
+               ORDER BY suitability DESC, n_distinct DESC, column_name)
+               AS INT) AS advisor_rank
+    FROM scored
+    """,
+)
+def partitioning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioning advisor over candidate orders columns — the
+    engine-side analog of the reference's intelligent-partitioning
+    profiler (intelligent_partitioning.py:84-356: skew :160-188,
+    suitability scoring :189-235), re-derived as ONE deterministic SQL
+    scoring pass instead of its per-column pandas loops: per candidate,
+    distinct count, skew ratio (top partition's share x partition count —
+    1.0 = perfectly even), projected rows per partition, and a
+    suitability score (cardinality band + skew band + size band) with a
+    deterministic ranking. The score bands mirror the lakehouse sizing
+    folklore the reference encodes: 10..10k partitions, no partition
+    holding >2x its even share, rows/partition under the compaction
+    target.
+
+    Scale: one groupBy per candidate column (map-side combined) over one
+    scan each; no driver-side profiling loops. The verdict is advisory —
+    storage_layout's zone-map and bucketed-gold queries measure what the
+    chosen layout actually buys."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.agg(F.count("*").cast("bigint").alias("n_rows"))
+    stats = None
+    for c in _ADV_COLS:
+        st = (
+            orders.groupBy(c)
+            .agg(F.count("*").alias("cnt"))
+            .agg(
+                F.lit(c).alias("column_name"),
+                F.count("*").cast("bigint").alias("n_distinct"),
+                F.max("cnt").cast("bigint").alias("top_count"),
+            )
+        )
+        stats = st if stats is None else stats.unionByName(st)
+    stats = stats.crossJoin(F.broadcast(n))
+    skew = F.round(
+        F.col("top_count").cast("double") * F.col("n_distinct")
+        / F.col("n_rows"),
+        6,
+    )
+    rpp = F.col("n_rows").cast("double") / F.col("n_distinct")
+    suit = F.round(
+        F.when(F.col("n_distinct").between(10, 10000), F.lit(0.5))
+        .when(F.col("n_distinct") < 10, F.lit(0.2))
+        .otherwise(F.lit(0.0))
+        + F.when(
+            F.col("top_count").cast("double") * F.col("n_distinct")
+            / F.col("n_rows")
+            <= 2.0,
+            F.lit(0.3),
+        ).otherwise(F.lit(0.1))
+        + F.when(rpp <= _ADV_TARGET_ROWS, F.lit(0.2)).otherwise(F.lit(0.0)),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(
+        F.col("suitability").desc(), F.col("n_distinct").desc(), "column_name"
+    )
+    return (
+        stats.select(
+            "column_name",
+            "n_distinct",
+            skew.alias("skew_ratio"),
+            F.round(rpp, 2).alias("rows_per_partition"),
+            suit.alias("suitability"),
+        )
+        .withColumn("advisor_rank", F.row_number().over(w).cast("int"))
+    )
