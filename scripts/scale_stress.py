@@ -156,6 +156,13 @@ def inflate(spark, base: str, out: str, factor: int) -> dict[str, int]:
                 )
                 out_emb = F.when(F.col("__r") == i, masked).otherwise(out_emb)
             rep = rep.withColumn("embedding", out_emb)
+        # Cluster-realistic file layout: a 100x corpus is never one file.
+        # Without this the base tables land as a single parquet (the source
+        # is one file and the replicate is a narrow map), and every scaled
+        # query serializes through a 1-task scan+explode — measuring the
+        # synthetic layout, not the plan. One output file per replica
+        # (bounded by 64) matches how a grown corpus actually arrives.
+        rep = rep.repartition(min(factor, 64), "__r")
         rep.drop("__r").write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
     return strides
 
