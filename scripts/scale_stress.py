@@ -23,11 +23,14 @@ Inflation is deterministic and referentially consistent:
 - dims (region, nation) are NOT replicated — their FKs stay valid and the
   broadcast-ability the plans rely on is preserved, exactly as a real 10x
   data grow-out behaves;
-- document text is Caesar-rotated per replica (a bijective char map):
-  token/shingle structure and intra-replica similarity are IDENTICAL in
-  every replica (Jaccard is invariant under bijections), while cross-replica
-  similarity collapses to ~0 — so near-dup clusters scale linearly instead
-  of quadratically inflating (verbatim copies would pair across replicas);
+- document text gets a seeded letter PERMUTATION per replica (a bijective
+  char map): token/shingle structure and intra-replica similarity are
+  IDENTICAL in every replica (Jaccard is invariant under bijections), while
+  cross-replica similarity collapses to ~0 — so near-dup clusters scale
+  linearly instead of quadratically inflating. (Earlier rounds used a
+  Caesar ROTATION here, which cycles at 26: replicas 26 apart were verbatim
+  copies, quadratically inflating cross-replica dup clusters at factors
+  > 26 — caught by the x100 run and fixed to a full permutation);
 - embeddings get a per-replica ±1 sign mask (md5-parity per (replica, dim)):
   cosines WITHIN a replica are exactly preserved (the signs cancel) and
   cross-replica cosines center on 0. NOTE the honest caveat: at 64 dims a
@@ -124,16 +127,27 @@ def inflate(spark, base: str, out: str, factor: int) -> dict[str, int]:
                 col, F.col(col) + F.col("__r").cast("bigint") * strides[dom]
             )
         if tbl == "documents":
-            # Caesar rotation per replica: bijective char map keeps all
-            # intra-replica token/shingle structure, kills cross-replica dups
-            expr = F.col("text")
+            # Seeded letter PERMUTATION per replica: bijective char map
+            # keeps all intra-replica token/shingle structure (Jaccard is
+            # invariant under bijections) while cross-replica similarity
+            # collapses to ~0. A permutation, NOT a Caesar rotation — the
+            # rotation cycles at 26, so at factor > 26 replicas 26 apart
+            # were VERBATIM copies and cross-replica dup clusters blew up
+            # quadratically (measured: the x100 run's dedup_components
+            # emitted 8x the linear node count before this fix).
+            import random
+
             out_text = F.col("text")
             for i in range(1, factor):
-                rot = ALPHA[i:] + ALPHA[:i]
+                letters = list(ALPHA)
+                random.Random(1_000_003 * i).shuffle(letters)
+                perm = "".join(letters)
                 out_text = F.when(
                     F.col("__r") == i,
                     F.translate(
-                        F.col("text"), ALPHA + ALPHA.upper(), rot + rot.upper()
+                        F.col("text"),
+                        ALPHA + ALPHA.upper(),
+                        perm + perm.upper(),
                     ),
                 ).otherwise(out_text)
             rep = rep.withColumn("text", out_text)
