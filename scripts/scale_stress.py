@@ -289,6 +289,15 @@ def main() -> int:
         "clv_estimate",
         "customer_behavior",
         "basket_features",
+        # x100 additions, same class (un-hinted opportunistic broadcasts
+        # correctly reverting past the envelope): top3_per_nation's
+        # customer side outgrows the threshold at ~1.5M rows, and
+        # minhash_lsh_pairs' verify joins run UN-HINTED since round 5
+        # precisely so the profiles side shuffles at corpus scale (see
+        # jaccard_verify_profiles) — the static-plan SMJ at 100x IS the
+        # documented production shape.
+        "top3_per_nation",
+        "minhash_lsh_pairs",
     }
     rows, sublinear, flips, exch_diffs = [], 0, [], []
     # extras (LSH near-dup + the round-4 corpus operators) sit outside the
@@ -418,7 +427,7 @@ def main() -> int:
                 "unexpected_flips": len(unexpected_flips),
                 "extra_superlinear": extra_superlinear,
                 "exact_ratio": round(exact_ratio, 2) if exact_ratio is not None else None,
-                "lsh_ratio": round(lsh_ratio, 2),
+                "lsh_ratio": round(lsh_ratio, 2) if lsh_ratio is not None else None,
                 "pass": not failed,
             }
         )
