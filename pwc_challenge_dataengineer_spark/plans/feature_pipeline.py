@@ -194,3 +194,181 @@ def pca_reconstruction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors BIGINT, dims INT, k INT, pythagoras_ok BOOLEAN, "
         "components_orthonormal BOOLEAN, residual_fraction_in_range BOOLEAN",
     )
+
+
+# --- PSI feature-drift monitor (round 5) ------------------------------------
+
+_PSI_BINS = 10
+_PSI_EPS = 1e-6  # smoothing so an empty current bin cannot ln(0)
+
+
+@register(
+    "psi_feature_drift",
+    oracle=f"""
+    WITH yr AS (
+        SELECT CAST(year(MAX(o_orderdate)) - 1 AS BIGINT) AS cy FROM orders
+    ),
+    ref AS (
+        SELECT o_totalprice AS v, o_orderkey FROM orders, yr
+        WHERE CAST(year(o_orderdate) AS BIGINT) = yr.cy - 1
+    ),
+    cur AS (
+        SELECT o_totalprice AS v, o_orderkey FROM orders, yr
+        WHERE CAST(year(o_orderdate) AS BIGINT) = yr.cy
+    ),
+    ranked AS (
+        SELECT v,
+               CAST(row_number() OVER (ORDER BY v, o_orderkey) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM ref
+    ),
+    edges AS (
+        SELECT b, MIN(CASE WHEN rn = (b * n + {_PSI_BINS} - 1)
+                                     // {_PSI_BINS} THEN v END) AS hi
+        FROM ranked, (SELECT unnest(range(1, {_PSI_BINS})) AS b)
+        GROUP BY b HAVING MIN(CASE WHEN rn = (b * n + {_PSI_BINS} - 1)
+                                   // {_PSI_BINS} THEN v END) IS NOT NULL
+    ),
+    rbin AS (
+        SELECT CAST(COALESCE(MIN(e.b), {_PSI_BINS}) AS BIGINT) AS bin
+        FROM ref r LEFT JOIN edges e ON r.v <= e.hi
+        GROUP BY r.v, r.o_orderkey
+    ),
+    cbin AS (
+        SELECT CAST(COALESCE(MIN(e.b), {_PSI_BINS}) AS BIGINT) AS bin
+        FROM cur c LEFT JOIN edges e ON c.v <= e.hi
+        GROUP BY c.v, c.o_orderkey
+    ),
+    shares AS (
+        SELECT b.bin,
+               CAST(COALESCE(r.cnt, 0) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM ref) AS p_ref,
+               CAST(COALESCE(c.cnt, 0) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM cur) AS p_cur
+        FROM (SELECT unnest(range(1, {_PSI_BINS} + 1)) AS bin) b
+        LEFT JOIN (SELECT bin, COUNT(*) AS cnt FROM rbin GROUP BY 1) r
+            USING (bin)
+        LEFT JOIN (SELECT bin, COUNT(*) AS cnt FROM cbin GROUP BY 1) c
+            USING (bin)
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref)
+                 * ln((p_cur + {_PSI_EPS}) / (p_ref + {_PSI_EPS})), 6)
+               AS psi_term,
+           round(SUM((p_cur - p_ref)
+                     * ln((p_cur + {_PSI_EPS}) / (p_ref + {_PSI_EPS})))
+                 OVER (), 6) AS psi_total
+    FROM shares
+    """,
+)
+def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value, prior year (reference)
+    vs last complete year (current) — the standard ML-monitoring drift
+    metric (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 retrain). Bins
+    are the reference period's exact deciles (position-picked with
+    orderkey tiebreaks, the repo's exact-quantile pattern), shares are
+    exact, and the log ratio carries an explicit 1e-6 smoothing term so
+    an empty current bin contributes a large-but-finite term instead of
+    ln(0) — the same divergence class the Kaplan-Meier fix closed.
+    Output: per-bin shares + PSI terms, with the total on every row.
+
+    Scale: the decile edges come from a rank over ONE YEAR of the fact
+    (at production scale use quantile_bucket's approxQuantile edges —
+    documented exact-for-oracle trade, same as rfm_segmentation);
+    binning is a 9-row broadcast range lookup; shares are one groupBy
+    per period."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    yr = orders.agg(
+        (F.year(F.max("o_orderdate")) - 1).cast("bigint").alias("cy")
+    )
+    base = orders.crossJoin(F.broadcast(yr)).select(
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+        (F.year("o_orderdate").cast("bigint") == F.col("cy")).alias("is_cur"),
+        (F.year("o_orderdate").cast("bigint") == F.col("cy") - 1).alias(
+            "is_ref"
+        ),
+    )
+    ref = base.filter("is_ref")
+    cur = base.filter("is_cur")
+    w = Window.orderBy("v", "o_orderkey")
+    ranked = ref.select(
+        "v",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    bins_df = spark.range(1, _PSI_BINS).select(F.col("id").alias("b"))
+    edges = (
+        ranked.crossJoin(F.broadcast(bins_df))
+        .groupBy("b")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"(b * n + {_PSI_BINS} - 1) div {_PSI_BINS}"),
+                    F.col("v"),
+                )
+            ).alias("hi")
+        )
+        .filter(F.col("hi").isNotNull())
+    )
+
+    def binned(df):
+        return (
+            df.crossJoin(F.broadcast(edges.select("b", "hi")))
+            .groupBy("v", "o_orderkey")
+            .agg(
+                F.coalesce(
+                    F.min(F.when(F.col("v") <= F.col("hi"), F.col("b"))),
+                    F.lit(_PSI_BINS),
+                )
+                .cast("bigint")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    n_ref = ref.agg(F.count("*").alias("nr"))
+    n_cur = cur.agg(F.count("*").alias("nc"))
+    all_bins = spark.range(1, _PSI_BINS + 1).select(F.col("id").alias("bin"))
+    shares = (
+        all_bins.join(
+            F.broadcast(binned(ref).withColumnRenamed("cnt", "rc")), "bin", "left"
+        )
+        .join(
+            F.broadcast(binned(cur).withColumnRenamed("cnt", "cc")), "bin", "left"
+        )
+        .crossJoin(F.broadcast(n_ref))
+        .crossJoin(F.broadcast(n_cur))
+        .select(
+            "bin",
+            (
+                F.coalesce("rc", F.lit(0)).cast("double") / F.col("nr")
+            ).alias("p_ref"),
+            (
+                F.coalesce("cc", F.lit(0)).cast("double") / F.col("nc")
+            ).alias("p_cur"),
+        )
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        (F.col("p_cur") + _PSI_EPS) / (F.col("p_ref") + _PSI_EPS)
+    )
+    return shares.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(
+            F.sum(term).over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            6,
+        ).alias("psi_total"),
+    )

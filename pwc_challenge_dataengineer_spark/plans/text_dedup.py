@@ -1099,3 +1099,115 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("removed_toks"),
         F.coalesce("cleaned_md5", empty_md5).alias("cleaned_md5"),
     )
+
+
+# --- Exact sub-quadratic set-similarity join: prefix filtering (round 5) ----
+
+_PF_T = 0.5  # Jaccard threshold
+
+
+@register(
+    "setjoin_prefix_filter",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (na.n + nb.n - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN counts na ON na.doc_id = c.id_a
+    JOIN counts nb ON nb.doc_id = c.id_b
+    WHERE round(CAST(c.n_common AS DOUBLE)
+                / (na.n + nb.n - c.n_common), 6) >= {_PF_T}
+    """,
+)
+def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sub-quadratic set-similarity join by prefix filtering
+    (PPJoin's core idea): the lossless complement to MinHash LSH. Where
+    LSH trades recall for speed probabilistically, prefix filtering is an
+    ALGEBRAIC guarantee — sort each doc's shingle set by ascending
+    document frequency (rarest first, ties on the shingle), keep only the
+    first |d| - ceil(t * |d|) + 1 shingles as the doc's PREFIX, and join
+    docs on shared PREFIX shingles: any pair with Jaccard >= t must share
+    at least one prefix element (dropping the last ceil(t*|d|) elements
+    can only lose pairs whose overlap is below the threshold), so exact
+    verification of the candidates returns the complete answer. The
+    oracle computes the full shared-shingle join with NO filter — the
+    hash match IS the losslessness proof.
+
+    Scale: candidate volume is driven by the RAREST shingles (each doc
+    exposes its lowest-df tokens), so the join avoids the viral-shingle
+    hot buckets that force salting in the LSH path; df ordering costs one
+    extra |vocab|-sized broadcast join. Length filter |b| >= t*|a|
+    prunes cross-size pairs before the verify intersect (same bound as
+    jaccard_verify_profiles' min_jaccard)."""
+    from ..functions.dedup_fuzzy import exploded_shingles
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    n_tbl = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ordered = sh.join(F.broadcast(df_tbl), "shingle").join(
+        F.broadcast(n_tbl), "doc_id"
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        ordered.withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(_PF_T) * F.col("n")) + 1
+        )
+        .select("doc_id", "shingle", "n")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.lit(_PF_T - 1e-9) * F.greatest("n_a", "n_b")
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("shingle").alias("shingle_b"),
+            ),
+            ["id_b"],
+        )
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    return common.filter(jac >= _PF_T).select(
+        "id_a", "id_b", "n_common", jac.alias("jaccard")
+    )
