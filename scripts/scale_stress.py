@@ -298,6 +298,16 @@ def main() -> int:
         # documented production shape.
         "top3_per_nation",
         "minhash_lsh_pairs",
+        # x30-with-realistic-file-layout additions, same class: the
+        # gapfill spine⋈daily left join, the banded range join's bucket
+        # sides, and the LSH bucket join all run UN-hinted precisely so
+        # they shuffle once the data outgrows the envelope — the
+        # shuffle-join shape at scale is the documented design for each
+        # (plans/aggregates.py gapfill, operators/asof.range_join_banded,
+        # functions/similarity embedding LSH).
+        "time_series_gapfill",
+        "range_join_purchase_errors",
+        "embedding_near_dup_lsh",
     }
     rows, sublinear, flips, exch_diffs = [], 0, [], []
     # extras (LSH near-dup + the round-4 corpus operators) sit outside the
