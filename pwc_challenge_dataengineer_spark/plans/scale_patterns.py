@@ -297,3 +297,122 @@ def revenue_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next_day"
         ),
     )
+
+
+# --- Exact quantiles without a global sort (round 5) ------------------------
+
+_EQ_BINS = 4096
+_EQ_QUANTS = ((50, 2, 1), (90, 10, 9), (99, 100, 99))  # (label, den, num)
+
+
+@register(
+    "exact_quantile_binned",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM c
+    )
+    SELECT q, rank_target,
+           ROUND(CAST(v AS DOUBLE) / 100, 2) AS value
+    FROM (
+        {" UNION ALL ".join(
+            f'''SELECT CAST({lbl} AS INT) AS q,
+               MAX((({num} * n + {den} - 1) // {den})) AS rank_target,
+               MIN(CASE WHEN rn = ({num} * n + {den} - 1) // {den}
+                        THEN cents END) AS v
+            FROM ranked'''
+            for (lbl, den, num) in _EQ_QUANTS)}
+    )
+    """,
+)
+def exact_quantile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete p50/p90/p99 of order value with NO global sort —
+    the at-scale replacement for position-pick quantiles (whose
+    row_number ranking moves the whole relation through one task): one
+    stats pass (min/max/count), one binned-histogram pass ({_EQ_BINS}
+    fixed-width bins — a bounded dictionary, so the cumulative window
+    over it is scale-free), then one refinement pass that scans ONLY the
+    rows of each quantile's target bin (~n/{_EQ_BINS} of the data) and
+    position-picks within it. Ranks are ceil(q*n) (discrete lower
+    quantile), matching the oracle's full-sort position pick exactly —
+    the hash compare proves the binned path selects the identical
+    element. Money quantized to cents (ROUND(x*100) — deterministic IEEE
+    on both engines for 2dp inputs) so bin arithmetic is integer-exact.
+
+    Scale: passes are O(n) scans with map-side-combined aggregations;
+    the only windows run over the {_EQ_BINS}-row bin table and the
+    single target bin's distinct values. For heavy-tailed domains where
+    one bin still holds too much, the same refinement recurses (bin the
+    target bin again) — noted, not needed at any tested SF."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    c = orders.select(cents.alias("cents"), "o_orderkey")
+    stats = c.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    # fixed-width binning; W >= 1 integer
+    binned = c.crossJoin(F.broadcast(stats)).select(
+        "cents",
+        "o_orderkey",
+        "n",
+        F.expr(
+            f"(cents - mn) div (((mx - mn) div {_EQ_BINS}) + 1)"
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("bin", "n").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "bin",
+        "n",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(w_cum).alias("cum_incl"),
+    )
+    quants = None
+    for lbl, den, num in _EQ_QUANTS:
+        qd = cum.select(
+            F.lit(lbl).cast("int").alias("q"),
+            F.expr(f"({num} * n + {den} - 1) div {den}").alias(
+                "rank_target"
+            ),
+            "bin",
+            "cum_before",
+            "cum_incl",
+        ).filter(
+            (F.col("rank_target") > F.col("cum_before"))
+            & (F.col("rank_target") <= F.col("cum_incl"))
+        )
+        quants = qd if quants is None else quants.unionByName(qd)
+    # refinement: scan only the target bins (tiny broadcast semi-filter)
+    target = binned.join(
+        F.broadcast(quants.select("q", "bin", "rank_target", "cum_before")),
+        "bin",
+    )
+    w_in = Window.partitionBy("q").orderBy("cents", "o_orderkey")
+    picked = (
+        target.withColumn("rn_in", F.row_number().over(w_in))
+        .filter(
+            F.col("cum_before") + F.col("rn_in") == F.col("rank_target")
+        )
+        .select(
+            "q",
+            "rank_target",
+            F.round(F.col("cents").cast("double") / 100, 2).alias("value"),
+        )
+    )
+    return picked
