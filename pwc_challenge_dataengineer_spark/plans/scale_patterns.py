@@ -416,3 +416,83 @@ def exact_quantile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return picked
+
+
+_OLS_MOMS = """
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))
+                    AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))
+                    AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_extendedprice AS DECIMAL(18,2))
+                    AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+"""
+
+
+@register(
+    "grouped_ols_price_on_qty",
+    oracle=f"""
+    WITH m AS ({_OLS_MOMS})
+    SELECT p_brand, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS r2
+    FROM m
+    """,
+)
+def grouped_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ordinary least squares of extended price on quantity —
+    closed-form slope/intercept/R² from the five exact DECIMAL moment
+    sums (the per-group regression every elasticity/price-curve report
+    runs; same moment machinery as price_qty_corr, extended to the fit
+    itself). Decimal sums are integers underneath, so the moments are
+    engine- and partition-order-identical; the coefficient formulas are
+    fixed IEEE expressions on those identical doubles, rounded at 6dp.
+
+    Scale: ONE map-side-combined groupBy over the joined fact — the
+    whole regression is 6 aggregate columns; no per-group data movement,
+    no solver. This is the pattern that replaces collect()-per-group
+    sklearn loops: any GLM with sufficient statistics fits the same
+    shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum((x * y).cast("decimal(30,4)")).cast("double").alias("sxy"),
+            F.sum((x * x).cast("decimal(30,4)")).cast("double").alias("sxx"),
+            F.sum((y * y).cast("decimal(30,4)")).cast("double").alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den_x
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round((num * num) / (den_x * den_y), 6).alias("r2"),
+    )
