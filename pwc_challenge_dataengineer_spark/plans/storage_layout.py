@@ -386,3 +386,97 @@ def partitioning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("advisor_rank", F.row_number().over(w).cast("int"))
     )
+
+
+# --- Compaction planner (round 5) -------------------------------------------
+
+_COMPACT_TARGET = 2000  # rows per output file (stand-in for a byte target)
+
+
+@register(
+    "compaction_planner",
+    oracle=f"""
+    WITH files AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                   AS part_month,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS rows_in
+        FROM orders GROUP BY 1, 2
+    ),
+    placed AS (
+        SELECT part_month, d, rows_in,
+               CAST((SUM(rows_in) OVER (PARTITION BY part_month
+                         ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - rows_in) // {_COMPACT_TARGET} AS BIGINT) AS out_file
+        FROM files
+    ),
+    packed AS (
+        SELECT part_month, out_file,
+               CAST(COUNT(*) AS BIGINT) AS files_merged,
+               CAST(SUM(rows_in) AS BIGINT) AS rows_out
+        FROM placed GROUP BY 1, 2
+    )
+    SELECT part_month,
+           CAST(SUM(files_merged) AS BIGINT) AS n_input_files,
+           CAST(COUNT(*) AS BIGINT) AS n_output_files,
+           CAST(MAX(rows_out) AS BIGINT) AS max_rows_out,
+           ROUND(CAST(SUM(rows_out) AS DOUBLE) / COUNT(*), 2)
+               AS avg_rows_out
+    FROM packed GROUP BY 1
+    """,
+)
+def compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the planning half of OPTIMIZE
+    (reference delta_lake_manager.py:418-431 runs Delta's; ours plans it
+    explicitly so the assignment is testable): per storage partition
+    (order month), daily ingest "files" (one per order date, sized by
+    row count) pack into ~{_COMPACT_TARGET}-row output files by
+    NEXT-FIT over the date-ordered prefix sum — file f holds the inputs
+    whose cumulative start lands in [f*T, (f+1)*T). Prefix-sum packing
+    is the distributable bin-packer: one window per partition, no
+    sequential driver loop, deterministic under any parallelism, and its
+    overflow is bounded by one input file (vs FFD's better fill but
+    inherently sequential order). Output: per-partition input/output
+    file counts and fill stats.
+
+    Scale: the window runs per storage partition over its file list
+    (days per month — calendar-bounded); the file inventory at real
+    scale comes from the table manifest, not a data scan — the orders
+    scan here stands in for that manifest read."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    files = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate")
+            .cast("date")
+            .alias("part_month"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.count("*").cast("bigint").alias("rows_in"))
+    )
+    w = Window.partitionBy("part_month").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    placed = files.select(
+        "part_month",
+        "rows_in",
+        F.expr(
+            f"(sum(rows_in) OVER (PARTITION BY part_month ORDER BY d "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rows_in) "
+            f"div {_COMPACT_TARGET}"
+        ).alias("out_file"),
+    )
+    packed = placed.groupBy("part_month", "out_file").agg(
+        F.count("*").cast("bigint").alias("files_merged"),
+        F.sum("rows_in").cast("bigint").alias("rows_out"),
+    )
+    return packed.groupBy("part_month").agg(
+        F.sum("files_merged").cast("bigint").alias("n_input_files"),
+        F.count("*").cast("bigint").alias("n_output_files"),
+        F.max("rows_out").cast("bigint").alias("max_rows_out"),
+        F.round(
+            F.sum("rows_out").cast("double") / F.count("*"), 2
+        ).alias("avg_rows_out"),
+    )
