@@ -426,3 +426,95 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price").cast("double").alias("revenue"),
         F.sum("acctbal").cast("double").alias("acctbal_sum"),
     )
+
+
+@register(
+    "ivm_agg_view_retract",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey % 50 AS grp, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders
+    ),
+    kept AS (SELECT * FROM base WHERE o_orderkey % 10 <> 3),
+    ins AS (
+        SELECT grp, o_orderkey + 1000000000 AS o_orderkey,
+               CAST(price + 5 AS DECIMAL(18,2)) AS price
+        FROM base WHERE o_orderkey % 10 = 7
+    ),
+    final AS (
+        SELECT * FROM kept UNION ALL SELECT * FROM ins
+    )
+    SELECT grp AS group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM final GROUP BY 1
+    """,
+)
+def ivm_agg_view_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an AGGREGATE view under DELETES — the
+    retraction algebra ivm_join_view leaves out: the maintained view is
+    per-group (count, sum(price)); a delta batch DELETES every orderkey
+    ending in 3 and INSERTS a modified copy of every orderkey ending
+    in 7. The Spark side never recomputes: count and sum are ABELIAN
+    monoids with inverses, so
+
+        V_new = V_old  ⊕ agg(dIns)  ⊖ agg(dDel)
+
+    is three tiny per-group aggregates and one merge join — and groups
+    whose count reaches zero are DROPPED (the part naive delta code gets
+    wrong: a dangling zero-count group changes COUNT(DISTINCT group)
+    downstream). The DuckDB oracle computes the full aggregate over the
+    post-delta relation; the hash match proves ⊕/⊖ equals recompute.
+    Deletions accumulate in exact DECIMAL, so the subtraction is
+    integer-exact — no float cancellation risk.
+
+    Scale: the deltas aggregate map-side to |groups| rows before any
+    shuffle; the merge is a |groups|-keyed join. MIN/MAX (no inverse)
+    need the tombstone-recompute fallback — documented, not emulated
+    here."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        (F.col("o_custkey") % 50).alias("grp"),
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    d_del = base.filter(F.col("o_orderkey") % 10 == 3)
+    d_ins = base.filter(F.col("o_orderkey") % 10 == 7).select(
+        "grp",
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        (F.col("price") + 5).cast("decimal(18,2)").alias("price"),
+    )
+
+    def agg(df, n_name, s_name):
+        return df.groupBy("grp").agg(
+            F.count("*").cast("bigint").alias(n_name),
+            F.sum("price").alias(s_name),
+        )
+
+    v_old = agg(base, "n0", "s0")
+    a_ins = agg(d_ins, "ni", "si")
+    a_del = agg(d_del, "nd", "sd")
+    merged = (
+        v_old.join(a_ins, "grp", "full_outer")
+        .join(a_del, "grp", "full_outer")
+        .select(
+            "grp",
+            (
+                F.coalesce("n0", F.lit(0))
+                + F.coalesce("ni", F.lit(0))
+                - F.coalesce("nd", F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("s0"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("si"), F.lit(0).cast("decimal(18,2)"))
+                - F.coalesce(F.col("sd"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("s"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        F.col("grp").alias("group_id"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("s").cast("double").alias("revenue"),
+    )
