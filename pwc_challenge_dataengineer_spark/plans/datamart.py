@@ -922,3 +922,92 @@ def discount_band_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price"
         ),
     )
+
+
+@register(
+    "skyline_parts_price_size",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name, p_size,
+               CAST(p_retailprice AS DECIMAL(18,2)) AS price
+        FROM part
+    )
+    SELECT a.p_partkey, a.p_name, CAST(a.p_size AS INT) AS p_size,
+           CAST(a.price AS DOUBLE) AS retail_price
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.p_size >= a.p_size AND b.price <= a.price
+          AND (b.p_size > a.p_size OR b.price < a.price)
+    )
+    """,
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: maximize p_size, minimize
+    retail price — no other part is at least as large AND at most as
+    expensive with one strict. The oracle states dominance directly
+    (NOT EXISTS anti-join — quadratic, fine for an oracle); the Spark
+    plan is the DISTRIBUTED shape: (1) each hash bucket computes its
+    PARTIAL skyline with a sorted sweep (sort by size desc then price,
+    keep rows whose price strictly undercuts the running minimum of all
+    larger-or-equal sizes seen — one window per bucket), which is sound
+    because skyline(U_i skyline(B_i)) = skyline(U_i B_i) for any
+    partitioning; (2) the surviving candidates — expected O(log n) per
+    bucket for anti-correlated-at-worst data — union into one final
+    sweep over a set orders of magnitude smaller than the input.
+    Tie policy: equal (size, price) points dominate nothing mutually,
+    so ALL of an equivalence class survive (both engines agree by
+    construction)."""
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+    )
+
+    def sweep(df, bucket_col):
+        w = (
+            Window.partitionBy(bucket_col)
+            .orderBy(F.col("p_size").desc(), "price", "p_partkey")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # min price among rows with size >= mine, EXCLUDING my own
+        # (size, price) class: a row survives iff no prior row in the
+        # sweep order has price <= mine with a strict edge. Equal
+        # (size, price) classmates sort adjacently; the strict-dominance
+        # check below keeps them all.
+        prior_min = F.min("price").over(w)
+        # dominated iff a sweep-prior row (all have size >= mine) beats my
+        # price strictly, OR matches it while some same-price row is
+        # strictly larger (the equal-price strict-size edge); exact
+        # (size, price) ties dominate nothing mutually and all survive
+        return df.withColumn("__pm", prior_min).withColumn(
+            "__dominated",
+            F.col("__pm").isNotNull()
+            & (
+                (F.col("__pm") < F.col("price"))
+                | (
+                    (F.col("__pm") == F.col("price"))
+                    & (
+                        F.max(F.col("p_size")).over(
+                            Window.partitionBy(bucket_col, "price")
+                        )
+                        > F.col("p_size")
+                    )
+                )
+            ),
+        ).filter(~F.col("__dominated")).drop("__pm", "__dominated")
+
+    # stage 1: partial skyline per hash bucket; stage 2: final sweep
+    bucketed = p.withColumn("__b", F.pmod(F.xxhash64("p_partkey"), F.lit(32)))
+    partial = sweep(bucketed, "__b")
+    final = sweep(partial.withColumn("__g", F.lit(0)), "__g")
+    return final.select(
+        "p_partkey",
+        "p_name",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("price").cast("double").alias("retail_price"),
+    )
