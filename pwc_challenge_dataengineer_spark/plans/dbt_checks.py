@@ -523,3 +523,103 @@ def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("checksum"),
         )
     )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits GROUP BY 1
+    ),
+    scored AS (
+        SELECT g.d,
+               COALESCE(o.cnt, 0) AS cnt,
+               CAST(COALESCE(o.cnt, 0) AS DOUBLE) / n.total AS observed_p,
+               ln(1.0 + 1.0 / g.d) / ln(10.0) AS benford_p
+        FROM (SELECT unnest(range(1, 10)) AS d) g
+        LEFT JOIN obs o USING (d)
+        CROSS JOIN n
+    )
+    SELECT CAST(d AS INT) AS first_digit,
+           cnt,
+           round(observed_p, 6) AS observed_p,
+           round(benford_p, 6) AS benford_p,
+           round((SELECT total FROM n)
+                 * (observed_p - benford_p) * (observed_p - benford_p)
+                 / benford_p, 6) AS chi2_term,
+           round(SUM((SELECT total FROM n)
+                     * (observed_p - benford_p) * (observed_p - benford_p)
+                     / benford_p) OVER (), 6) AS chi2_total
+    FROM scored
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (dbt-style data audit; a synthetic or
+    manipulated money column deviates from P(d) = log10(1 + 1/d)): the
+    leading digit is taken from the DECIMAL(18,2) string rendering
+    (identical formatting on both engines; values < 1 excluded so the
+    first character is always a digit), observed shares compare against
+    the Benford distribution with per-digit chi-square terms and the
+    total statistic on every row. Note this DATASET's totals are
+    range-uniform, not scale-invariant, so the audit correctly reports a
+    huge chi2 — the operator's job is to measure, not to pass.
+
+    Scale: one scan, one 9-key groupBy; the chi-square runs over the
+    9-row digit dictionary."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = orders.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    n = digits.agg(F.count("*").cast("bigint").alias("total"))
+    obs = digits.groupBy("d").agg(F.count("*").cast("bigint").alias("cnt"))
+    grid = spark.range(1, 10).select(F.col("id").alias("d"))
+    benford_p = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    scored = (
+        grid.join(F.broadcast(obs), "d", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            (F.coalesce("cnt", F.lit(0)).cast("double") / F.col("total")).alias(
+                "observed_p"
+            ),
+            benford_p.alias("benford_p"),
+            "total",
+        )
+    )
+    chi_term = (
+        F.col("total")
+        * (F.col("observed_p") - F.col("benford_p"))
+        * (F.col("observed_p") - F.col("benford_p"))
+        / F.col("benford_p")
+    )
+    from pyspark.sql.window import Window
+
+    return scored.select(
+        F.col("d").cast("int").alias("first_digit"),
+        "cnt",
+        F.round("observed_p", 6).alias("observed_p"),
+        F.round("benford_p", 6).alias("benford_p"),
+        F.round(chi_term, 6).alias("chi2_term"),
+        F.round(
+            F.sum(chi_term).over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            6,
+        ).alias("chi2_total"),
+    )

@@ -1000,3 +1000,70 @@ def forecast_conformal_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("abs_resid") <= F.col("q90")).alias("in_band"),
         )
     )
+
+
+@register(
+    "time_weighted_value",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, ts, value,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM events WHERE event_type = 'view'
+    ),
+    w AS (
+        SELECT user_id,
+               CAST(date_diff('second', ts, nxt) AS BIGINT) AS dur_s,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM seg WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dur_s) AS BIGINT) AS total_s,
+           CAST(SUM(v * dur_s) AS DOUBLE) / SUM(dur_s) AS twap
+    FROM w GROUP BY 1
+    HAVING SUM(dur_s) > 0
+    """,
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    holds until the next one, so its weight is the seconds until the
+    user's next view event — the correct average for irregularly
+    sampled state (sensor readings, prices, engagement levels), where a
+    plain AVG over-weights bursts. Segments come from one lead() per
+    user; weights are exact integer seconds; the weighted sum
+    accumulates in exact DECIMAL (value is 2dp) so the single closing
+    division is the only float op — _parity's never-round-after-divide
+    rule applies and the double is engine-identical.
+
+    Scale: one user-keyed window + one groupBy on the same key — the
+    exchange is reused; no global ordering anywhere."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dur = (
+        F.unix_timestamp(F.col("nxt").cast("timestamp"))
+        - F.unix_timestamp(F.col("ts").cast("timestamp"))
+    ).cast("bigint")
+    return (
+        seg.select("user_id", dur.alias("dur_s"), "v")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum("dur_s").cast("bigint").alias("total_s"),
+            (
+                F.sum(F.col("v") * F.col("dur_s")).cast("double")
+                / F.sum("dur_s")
+            ).alias("twap"),
+        )
+        .filter(F.col("total_s") > 0)
+    )
