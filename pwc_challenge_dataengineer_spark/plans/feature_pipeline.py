@@ -372,3 +372,128 @@ def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_total"),
     )
+
+
+@register(
+    "ks_at_deciles_drift",
+    oracle=f"""
+    WITH yr AS (
+        SELECT CAST(year(MAX(o_orderdate)) - 1 AS BIGINT) AS cy FROM orders
+    ),
+    ref AS (
+        SELECT o_totalprice AS v, o_orderkey FROM orders, yr
+        WHERE CAST(year(o_orderdate) AS BIGINT) = yr.cy - 1
+    ),
+    cur AS (
+        SELECT o_totalprice AS v FROM orders, yr
+        WHERE CAST(year(o_orderdate) AS BIGINT) = yr.cy
+    ),
+    ranked AS (
+        SELECT v,
+               CAST(row_number() OVER (ORDER BY v, o_orderkey) AS BIGINT)
+                   AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM ref
+    ),
+    edges AS (
+        SELECT b, MIN(CASE WHEN rn = (b * n + {_PSI_BINS} - 1)
+                                     // {_PSI_BINS} THEN v END) AS edge
+        FROM ranked, (SELECT unnest(range(1, {_PSI_BINS})) AS b)
+        GROUP BY b
+    ),
+    cdfs AS (
+        SELECT e.b, e.edge,
+               CAST((SELECT COUNT(*) FROM ref r WHERE r.v <= e.edge)
+                    AS DOUBLE) / (SELECT COUNT(*) FROM ref) AS f_ref,
+               CAST((SELECT COUNT(*) FROM cur c WHERE c.v <= e.edge)
+                    AS DOUBLE) / (SELECT COUNT(*) FROM cur) AS f_cur
+        FROM edges e
+    )
+    SELECT CAST(b AS INT) AS decile, edge,
+           round(f_ref, 6) AS f_ref, round(f_cur, 6) AS f_cur,
+           round(abs(f_ref - f_cur), 6) AS gap,
+           round(MAX(abs(f_ref - f_cur)) OVER (), 6) AS ks_at_deciles
+    FROM cdfs
+    """,
+)
+def ks_at_deciles_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic evaluated AT the reference
+    deciles — the CDF-gap companion to psi_feature_drift (PSI weights
+    density ratios; KS reads the worst cumulative gap, catching location
+    shifts PSI's binning can dilute). Exact-position decile edges from
+    the reference year, both empirical CDFs evaluated at those 9 edges,
+    sup-gap on every row. Evaluating at fixed edges (not every sample
+    point) is the distributed trade: the true KS sup can exceed this by
+    at most the largest within-bin CDF swing (~1/bins for the reference
+    by construction) — stated, not hidden.
+
+    Scale: edges are a 9-row broadcast; each CDF evaluation is one
+    conditional aggregation per period."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    yr = orders.agg(
+        (F.year(F.max("o_orderdate")) - 1).cast("bigint").alias("cy")
+    )
+    base = orders.crossJoin(F.broadcast(yr)).select(
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+        (F.year("o_orderdate").cast("bigint") == F.col("cy")).alias("is_cur"),
+        (F.year("o_orderdate").cast("bigint") == F.col("cy") - 1).alias(
+            "is_ref"
+        ),
+    )
+    ref = base.filter("is_ref")
+    cur = base.filter("is_cur")
+    w = Window.orderBy("v", "o_orderkey")
+    ranked = ref.select(
+        "v",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    bins_df = spark.range(1, _PSI_BINS).select(F.col("id").alias("b"))
+    edges = (
+        ranked.crossJoin(F.broadcast(bins_df))
+        .groupBy("b")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"(b * n + {_PSI_BINS} - 1) div {_PSI_BINS}"),
+                    F.col("v"),
+                )
+            ).alias("edge")
+        )
+    )
+
+    def cdf(df, name):
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .groupBy("b", "edge")
+            .agg(
+                (
+                    F.sum(
+                        F.when(F.col("v") <= F.col("edge"), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count("*")
+                ).alias(name)
+            )
+        )
+
+    cdfs = cdf(ref, "f_ref").join(cdf(cur, "f_cur").drop("edge"), "b")
+    gap = F.abs(F.col("f_ref") - F.col("f_cur"))
+    return cdfs.select(
+        F.col("b").cast("int").alias("decile"),
+        "edge",
+        F.round("f_ref", 6).alias("f_ref"),
+        F.round("f_cur", 6).alias("f_cur"),
+        F.round(gap, 6).alias("gap"),
+        F.round(
+            F.max(gap).over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            6,
+        ).alias("ks_at_deciles"),
+    )

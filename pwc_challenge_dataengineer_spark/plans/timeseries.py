@@ -1067,3 +1067,99 @@ def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_s") > 0)
     )
+
+
+@register(
+    "clamped_running_balance",
+    oracle="""
+    WITH deltas AS (
+        SELECT user_id, ts, event_id,
+               CAST(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2))
+                         ELSE -CAST(value AS DECIMAL(18,2)) END
+                    AS DECIMAL(18,2)) AS d
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    folded AS (
+        -- the literal recurrence: S_t = max(0, S_{t-1} + d_t)
+        SELECT user_id,
+               list(d ORDER BY ts, event_id) AS ds,
+               list(event_id ORDER BY ts, event_id) AS ids
+        FROM deltas GROUP BY 1
+    ),
+    states AS (
+        SELECT user_id, ids,
+               list_transform(
+                   range(1, len(ds) + 1),
+                   i -> list_reduce(
+                            list_prepend(CAST(0 AS DECIMAL(18,2)), ds[1:i]),
+                            (acc, x) -> greatest(CAST(0 AS DECIMAL(18,2)),
+                                                 CAST(acc + x AS DECIMAL(18,2))))
+               ) AS bals
+        FROM folded
+    )
+    SELECT user_id,
+           CAST(u.ids[u.i] AS BIGINT) AS event_id,
+           CAST(u.bals[u.i] AS DOUBLE) AS balance
+    FROM (
+        SELECT user_id, ids, bals, unnest(range(1, len(ids) + 1)) AS i
+        FROM states
+    ) u
+    """,
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance clamped at zero — S_t = max(0, S_{t-1} + d_t) per
+    user (purchases add value, errors subtract; the inventory /
+    prepaid-credit recurrence that a plain cumulative SUM gets wrong the
+    moment a balance would go negative). The recurrence is NON-associative,
+    but it has a window-expressible closed form:
+
+        S_t = P_t - least(0, min_{k<=t} P_k)
+
+    (P = unclamped prefix sum): whenever the running prefix dips to a new
+    minimum the clamp resets the floor, and subtracting that floor
+    reproduces every reset exactly. The Spark plan computes the CLOSED
+    FORM (two stacked windows per user); the DuckDB oracle executes the
+    LITERAL RECURRENCE (list_reduce fold per prefix) — the hash match is
+    a machine-checked proof of the identity on real data, not a
+    same-formula-twice tautology. Exact DECIMAL end to end; cast to
+    double only at output.
+
+    Scale: two frames over one user-keyed sort — the standard
+    turn-a-fold-into-windows trick (same family as ewma's linear fold,
+    but via prefix-min rather than geometric reweighting)."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    d = F.when(
+        F.col("event_type") == "purchase",
+        F.col("value").cast("decimal(18,2)"),
+    ).otherwise(-F.col("value").cast("decimal(18,2)"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(d.cast("decimal(18,2)")).over(w).alias("p"),
+    )
+    # second frame over the SAME (ts, event_id) sort — Spark reuses the
+    # per-user sort across both windows
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return pref.select(
+        "user_id",
+        "event_id",
+        (F.col("p") - F.least(F.lit(0).cast("decimal(18,2)"),
+                              F.min("p").over(w2)))
+        .cast("double")
+        .alias("balance"),
+    )
