@@ -318,14 +318,19 @@ def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def binned(df):
+        # LEFT non-equi join (not crossJoin+filter) so that a degenerate
+        # EMPTY reference period — hence empty `edges` — still keeps every
+        # current row and assigns it the overflow bin, exactly mirroring
+        # the oracle's LEFT JOIN ... COALESCE(bin, 10) semantics.
         return (
-            df.crossJoin(F.broadcast(edges.select("b", "hi")))
+            df.join(
+                F.broadcast(edges.select("b", "hi")),
+                F.col("v") <= F.col("hi"),
+                "left",
+            )
             .groupBy("v", "o_orderkey")
             .agg(
-                F.coalesce(
-                    F.min(F.when(F.col("v") <= F.col("hi"), F.col("b"))),
-                    F.lit(_PSI_BINS),
-                )
+                F.coalesce(F.min("b"), F.lit(_PSI_BINS))
                 .cast("bigint")
                 .alias("bin")
             )

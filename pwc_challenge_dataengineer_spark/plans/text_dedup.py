@@ -1165,7 +1165,12 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered.withColumn("pos", F.row_number().over(w))
         .filter(
             F.col("pos")
-            <= F.col("n") - F.ceil(F.lit(_PF_T) * F.col("n")) + 1
+            # 1e-6 slack matches the 6dp rounding of the final jaccard
+            # compare: a true J in [t - 5e-7, t) rounds UP to t and must
+            # survive the prefix bound, so the effective threshold used
+            # for pruning is t - 1e-6 (same convention as
+            # jaccard_verify_profiles' min_jaccard).
+            <= F.col("n") - F.ceil(F.lit(_PF_T - 1e-6) * F.col("n")) + 1
         )
         .select("doc_id", "shingle", "n")
     )
@@ -1184,7 +1189,7 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             F.least("n_a", "n_b")
-            >= F.lit(_PF_T - 1e-9) * F.greatest("n_a", "n_b")
+            >= F.lit(_PF_T - 1e-6) * F.greatest("n_a", "n_b")
         )
         .distinct()
     )

@@ -271,6 +271,27 @@ def _commit_ts_ms(log_dir: str, commit: str) -> int:
     return int(os.path.getmtime(os.path.join(log_dir, commit)) * 1000)
 
 
+def _checkpoint_ts_ms(log_dir: str, version: int) -> int:
+    """Commit timestamp of the checkpointed version: from its JSON commit
+    if it survived log cleanup, else the checkpoint file's own mtime
+    (the same fallback Delta applies to commits without commitInfo)."""
+    commit = f"{version:020d}.json"
+    if os.path.exists(os.path.join(log_dir, commit)):
+        return _commit_ts_ms(log_dir, commit)
+    single = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    if os.path.exists(single):
+        return int(os.path.getmtime(single) * 1000)
+    prefix = f"{version:020d}.checkpoint."
+    parts = [
+        os.path.join(log_dir, f)
+        for f in os.listdir(log_dir)
+        if f.startswith(prefix) and f.endswith(".parquet")
+    ]
+    if parts:
+        return int(min(os.path.getmtime(p) for p in parts) * 1000)
+    raise ValueError(f"no checkpoint files for version {version}")
+
+
 def _check_protocol(p: dict) -> None:
     if p.get("minReaderVersion", 1) > 1:
         # reader version 2 = column mapping (physical parquet names need
@@ -345,7 +366,17 @@ def replay_log(
         qual = [
             c for c in commits if _commit_ts_ms(log_dir, c) <= timestamp_as_of_ms
         ]
-        if not qual:
+        if qual:
+            version_as_of = int(qual[-1].split(".")[0])
+        elif ckpt_version is not None and (
+            timestamp_as_of_ms >= _checkpoint_ts_ms(log_dir, ckpt_version)
+        ):
+            # Checkpoint-only log (cleanup removed every JSON commit at or
+            # before the target timestamp): real Delta still serves the
+            # checkpoint snapshot for timestamps at/after it, so fall back
+            # to the checkpoint version instead of raising.
+            version_as_of = ckpt_version
+        else:
             raise ValueError(
                 f"no commits at or before timestamp {timestamp_as_of_ms}"
                 + (
@@ -354,7 +385,6 @@ def replay_log(
                     else ""
                 )
             )
-        version_as_of = int(qual[-1].split(".")[0])
     if version_as_of is not None:
         if have and version_as_of > have[-1]:
             # mirror Delta's VersionNotFoundException / VersionedTable.read:

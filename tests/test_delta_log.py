@@ -169,6 +169,32 @@ def test_timestamp_travel_across_checkpoint(spark, tmp_path):
         assert got == want, f"ts of version {v}"
 
 
+def test_timestamp_travel_checkpoint_only_log(spark, tmp_path):
+    """Log cleanup can leave a checkpoint with NO JSON commits at all;
+    timestamps at/after the checkpoint must serve the checkpoint snapshot
+    (real Delta does), while earlier timestamps still raise."""
+    import time
+
+    t = _mk_long_table(spark, tmp_path / "tbl")
+    log_dir = export_delta_log(t)
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[0].isdigit():
+            os.remove(os.path.join(log_dir, f))
+    # with every commit gone the checkpoint's effective timestamp is its
+    # file mtime (the commitInfo fallback Delta itself uses) — probe after
+    now_ms = int(time.time() * 1000) + 1000
+    got = {
+        (r["id"], r["v"])
+        for r in read_delta_log(
+            spark, t.path, timestamp_as_of_ms=now_ms
+        ).collect()
+    }
+    want = {(r["id"], r["v"]) for r in t.read(version_as_of=10).collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="no commits"):
+        replay_log(t.path, timestamp_as_of_ms=now_ms - 86_400_000)
+
+
 def test_read_delta_falls_back_to_log_replay(spark, tmp_path):
     from pwc_challenge_dataengineer_spark.sources.readers import read_delta
 
