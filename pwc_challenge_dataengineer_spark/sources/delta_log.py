@@ -26,9 +26,14 @@ of JSON actions — ``protocol``, ``metaData``, ``add``, ``remove``,
   (one parquet row per action, struct columns add/remove/metaData/
   protocol, partitionValues as map<string,string>) every
   ``checkpoint_interval`` commits together with ``_last_checkpoint``.
-  Advanced reader features (deletion vectors, column mapping —
-  minReaderVersion >= 2) remain out of scope and raise, rather than
-  silently mis-reading a table that needs them.
+- Reader-v2/v3 features (r6): name-mode COLUMN MAPPING (physical
+  ``col-<uuid>`` parquet names remapped to logical names from the
+  metaData schema) and DELETION VECTORS (roaring-bitmap row-index
+  tombstones decoded by ``deletion_vectors.py`` and applied as an
+  anti-join on the parquet reader's ``_metadata.row_index``), both read
+  AND written (``write_delta_table`` / ``delete_rows_with_dv`` /
+  ``checkpoint_table``). Unknown reader features (e.g. v2Checkpoint) and
+  ``mode=id`` mapping still raise rather than silently mis-read.
 
 Reference parity: delta_lake_manager.py:85-416 (write/MERGE/time
 travel/CDF) — the semantics live in sources/versioned_store.py; this
@@ -79,6 +84,15 @@ def _write_checkpoint(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -86,6 +100,7 @@ def _write_checkpoint(
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("deletionVector", dv_t),
         ]
     )
     remove_t = pa.struct(
@@ -101,11 +116,17 @@ def _write_checkpoint(
             ("format", pa.struct([("provider", pa.string())])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
             ("createdTime", pa.int64()),
         ]
     )
     proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     rows_proto: list = [protocol]
     rows_meta: list = [
@@ -114,6 +135,7 @@ def _write_checkpoint(
             "format": {"provider": meta["format"]["provider"]},
             "schemaString": meta["schemaString"],
             "partitionColumns": meta["partitionColumns"],
+            "configuration": list((meta.get("configuration") or {}).items()),
             "createdTime": meta["createdTime"],
         }
     ]
@@ -124,6 +146,7 @@ def _write_checkpoint(
             "size": a["size"],
             "modificationTime": a["modificationTime"],
             "dataChange": a["dataChange"],
+            "deletionVector": a.get("deletionVector"),
         }
         for a in live_adds
     ]
@@ -292,20 +315,37 @@ def _checkpoint_ts_ms(log_dir: str, version: int) -> int:
     raise ValueError(f"no checkpoint files for version {version}")
 
 
+#: reader features this replay genuinely implements; anything else raises
+#: (mis-reading a table is worse than raising). timestampNtz is free —
+#: Spark's parquet reader returns TIMESTAMP_NTZ natively.
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping", "timestampNtz"}
+
+
 def _check_protocol(p: dict) -> None:
-    if p.get("minReaderVersion", 1) > 1:
-        # reader version 2 = column mapping (physical parquet names need
-        # remapping), 3 = reader features (deletion vectors, ...) —
-        # mis-reading is worse than raising
-        raise NotImplementedError(
-            f"minReaderVersion {p['minReaderVersion']} requires reader "
-            "features this replay lacks (column mapping / deletion vectors)"
-        )
+    v = p.get("minReaderVersion", 1)
+    if v <= 2:
+        return  # 1 = base, 2 = column mapping (implemented below)
+    if v == 3:
+        feats = set(p.get("readerFeatures") or [])
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise NotImplementedError(
+                f"readerFeatures {sorted(unsupported)} are not implemented "
+                "by this replay (supported: "
+                f"{sorted(_SUPPORTED_READER_FEATURES)})"
+            )
+        return
+    raise NotImplementedError(
+        f"minReaderVersion {v} is newer than this replay understands"
+    )
 
 
-def _read_checkpoint_state(log_dir: str, version: int) -> list[str]:
-    """Live add-file paths from the checkpoint at ``version`` (single- or
-    multi-part)."""
+def _read_checkpoint_state(
+    log_dir: str, version: int
+) -> tuple[dict[str, dict], dict | None, dict | None]:
+    """Checkpoint state at ``version`` (single- or multi-part): live adds
+    keyed by path (full action dicts, incl. any deletionVector), plus the
+    checkpointed metaData and protocol."""
     import pyarrow.parquet as pq
 
     single = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
@@ -323,7 +363,9 @@ def _read_checkpoint_state(log_dir: str, version: int) -> list[str]:
                 f"_last_checkpoint points at version {version} but no "
                 "checkpoint parquet exists"
             )
-    live: list[str] = []
+    live: dict[str, dict] = {}
+    meta: dict | None = None
+    proto: dict | None = None
     for part in parts:
         t = pq.read_table(part)
         cols = t.column_names
@@ -331,10 +373,21 @@ def _read_checkpoint_state(log_dir: str, version: int) -> list[str]:
             for p in t.column("protocol").to_pylist():
                 if p is not None:
                     _check_protocol(p)
+                    proto = p
+        if "metaData" in cols:
+            for m in t.column("metaData").to_pylist():
+                if m is not None:
+                    meta = dict(m)
+                    cfg = meta.get("configuration")
+                    if isinstance(cfg, list):  # arrow map -> dict
+                        meta["configuration"] = dict(cfg)
         for a in t.column("add").to_pylist():
             if a is not None:
-                live.append(a["path"])
-    return live
+                add = dict(a)
+                if add.get("deletionVector") is None:
+                    add.pop("deletionVector", None)
+                live[add["path"]] = add
+    return live, meta, proto
 
 
 def replay_log(
@@ -342,8 +395,19 @@ def replay_log(
     version_as_of: int | None = None,
     timestamp_as_of_ms: int | None = None,
 ) -> list[str]:
-    """Surviving add-file paths at the requested version (default:
-    latest).
+    """Surviving add-file paths at the requested version (see
+    :func:`replay_snapshot` for the full state incl. deletion vectors)."""
+    snap = replay_snapshot(path, version_as_of, timestamp_as_of_ms)
+    return sorted(snap["adds"])
+
+
+def replay_snapshot(
+    path: str,
+    version_as_of: int | None = None,
+    timestamp_as_of_ms: int | None = None,
+) -> dict:
+    """Full snapshot state at the requested version (default: latest):
+    ``{"adds": {path: add_action}, "metadata": ..., "protocol": ...}``.
 
     Resolution order mirrors Delta's snapshot construction: if
     ``_last_checkpoint`` names a checkpoint at or before the target
@@ -351,7 +415,9 @@ def replay_log(
     commits after it replay; otherwise the JSON commits replay from 0.
     Time travel BEHIND the newest checkpoint still works as long as the
     early JSON commits exist (export keeps them; real-world log cleanup
-    may not — then the error says so instead of guessing)."""
+    may not — then the error says so instead of guessing). Re-adding a
+    path REPLACES its action (Delta's per-path upsert — how a
+    deletion-vector DELETE updates a file's DV in place)."""
     log_dir = os.path.join(path, _LOG)
     ckpt_version: int | None = None
     lc = os.path.join(log_dir, "_last_checkpoint")
@@ -398,11 +464,12 @@ def replay_log(
         if target is None:
             raise ValueError(f"{log_dir} has no commits")
 
-    live: dict[str, bool] = {}
+    live: dict[str, dict] = {}
+    meta: dict | None = None
+    proto: dict | None = None
     start = 0
     if ckpt_version is not None and ckpt_version <= target:
-        for p in _read_checkpoint_state(log_dir, ckpt_version):
-            live[p] = True
+        live, meta, proto = _read_checkpoint_state(log_dir, ckpt_version)
         start = ckpt_version + 1
     tail = [c for c in commits if start <= int(c.split(".")[0]) <= target]
     covered = set(range(start, target + 1))
@@ -426,12 +493,68 @@ def replay_log(
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    live[action["add"]["path"]] = True
+                    live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    meta = action["metaData"]
                 elif "protocol" in action:
                     _check_protocol(action["protocol"])
-    return sorted(live)
+                    proto = action["protocol"]
+    return {"adds": live, "metadata": meta, "protocol": proto}
+
+
+def _column_mapping_select(meta: dict) -> list | None:
+    """Physical→logical rename exprs for ``delta.columnMapping.mode=name``
+    tables (PROTOCOL.md "Column Mapping"): each schema field's metadata
+    carries ``delta.columnMapping.physicalName`` — the name actually
+    stored in parquet — and the logical name is the field name. Returns
+    None when the table has no column mapping. ``mode=id`` (parquet
+    field-id matching) and NESTED mapped fields raise honestly instead of
+    mis-reading."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if meta is None:
+        return None
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", ""):
+        return None
+    if mode != "name":
+        raise NotImplementedError(
+            f"column mapping mode {mode!r} (parquet field-id matching) is "
+            "not implemented; mode=name is"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def _has_nested_mapping(dt) -> bool:
+        if isinstance(dt, T.StructType):
+            return any(
+                "delta.columnMapping.physicalName" in (f.metadata or {})
+                or _has_nested_mapping(f.dataType)
+                for f in dt.fields
+            )
+        if isinstance(dt, T.ArrayType):
+            return _has_nested_mapping(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return _has_nested_mapping(dt.keyType) or _has_nested_mapping(
+                dt.valueType
+            )
+        return False
+
+    exprs = []
+    for f in schema.fields:
+        md = f.metadata or {}
+        phys = md.get("delta.columnMapping.physicalName", f.name)
+        if _has_nested_mapping(f.dataType):
+            raise NotImplementedError(
+                f"nested column mapping under field {f.name!r} is not "
+                "implemented (top-level name mapping is)"
+            )
+        exprs.append(F.col(phys).alias(f.name))
+    return exprs
 
 
 def read_delta_log(
@@ -440,8 +563,310 @@ def read_delta_log(
     version_as_of: int | None = None,
     timestamp_as_of_ms: int | None = None,
 ) -> DataFrame:
-    """Delta read with time travel by log replay (see module docstring)."""
-    files = replay_log(path, version_as_of, timestamp_as_of_ms)
-    if not files:
+    """Delta read with time travel by log replay (see module docstring),
+    including reader-v2/v3 features: name-mode column mapping and
+    deletion vectors.
+
+    DV application is the same shape delta-spark uses jar-side: scan with
+    the parquet reader's positional ``_metadata.row_index``, anti-join the
+    decoded per-file deleted indexes. DV decode happens driver-side per
+    descriptor — bounded by rows-per-file × affected files; at real scale
+    the decode would move into the executors (one task per DV file), but
+    the join shape is already the scalable one (deleted set ≪ data,
+    broadcast anti-join)."""
+    from pyspark.sql import functions as F
+
+    from .deletion_vectors import read_dv_indexes
+
+    snap = replay_snapshot(path, version_as_of, timestamp_as_of_ms)
+    adds = snap["adds"]
+    if not adds:
         raise ValueError(f"version {version_as_of} of {path} has no data files")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    abs_paths = {p: os.path.abspath(os.path.join(path, p)) for p in adds}
+    df = spark.read.parquet(*sorted(abs_paths.values()))
+    dv_adds = [a for a in adds.values() if a.get("deletionVector")]
+    if dv_adds:
+        # Hadoop renders local paths as file:/abs (single slash) in
+        # _metadata.file_path
+        deleted = [
+            ("file:" + abs_paths[a["path"]], int(idx))
+            for a in dv_adds
+            for idx in read_dv_indexes(path, a["deletionVector"])
+        ]
+        del_df = spark.createDataFrame(
+            deleted, "__dv_file_path STRING, __dv_row_index BIGINT"
+        )
+        df = (
+            df.withColumn("__file_path", F.col("_metadata.file_path"))
+            .withColumn("__row_index", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(del_df),
+                (F.col("__file_path") == F.col("__dv_file_path"))
+                & (F.col("__row_index") == F.col("__dv_row_index")),
+                "left_anti",
+            )
+            .drop("__file_path", "__row_index")
+        )
+    mapping = _column_mapping_select(snap["metadata"])
+    if mapping is not None:
+        df = df.select(*mapping)
+    return df
+
+
+# --------------------------------------------------------------------------
+# Direct table writer + DV DELETE (reader-v2/v3 feature exercise)
+# --------------------------------------------------------------------------
+
+
+def write_delta_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    n_files: int = 2,
+    column_mapping: bool = False,
+) -> str:
+    """Write ``df`` as a fresh spec-conformant Delta table at ``path``
+    (data files at the table root + a version-0 commit). With
+    ``column_mapping=True`` the parquet files store generated physical
+    names (``col-<uuid>``) and the commit's metaData carries
+    ``delta.columnMapping.mode=name`` plus per-field
+    physicalName/id metadata — the reader-v2 layout real writers produce
+    (PROTOCOL.md "Column Mapping"). Returns the log dir."""
+    import time
+
+    from pyspark.sql import types as T
+
+    logical = df.schema
+    config: dict[str, str] = {}
+    if column_mapping:
+        fields = []
+        physical_names = []
+        for i, f in enumerate(logical.fields):
+            phys = f"col-{uuid.uuid4()}"
+            physical_names.append(phys)
+            md = dict(f.metadata or {})
+            md["delta.columnMapping.id"] = i + 1
+            md["delta.columnMapping.physicalName"] = phys
+            fields.append(
+                T.StructField(f.name, f.dataType, f.nullable, md)
+            )
+        schema_out = T.StructType(fields)
+        df = df.toDF(*physical_names)
+        config = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(fields)),
+        }
+        protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
+    else:
+        schema_out = logical
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    os.makedirs(path, exist_ok=True)
+    staging = os.path.join(path, ".staging")
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    files = []
+    for f in sorted(os.listdir(staging)):
+        if f.endswith(".parquet"):
+            os.replace(os.path.join(staging, f), os.path.join(path, f))
+            files.append(f)
+    import shutil
+
+    shutil.rmtree(staging)
+    ts_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts_ms,
+                "operation": "WRITE",
+                "operationParameters": {},
+                "engineInfo": "pwc-challenge-dataengineer-spark",
+            }
+        },
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_out.json(),
+                "partitionColumns": [],
+                "configuration": config,
+                "createdTime": ts_ms,
+            }
+        },
+    ]
+    for f in files:
+        st = os.stat(os.path.join(path, f))
+        actions.append(
+            {
+                "add": {
+                    "path": f,
+                    "partitionValues": {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    log_dir = os.path.join(path, _LOG)
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return log_dir
+
+
+def delete_rows_with_dv(
+    spark: SparkSession, path: str, predicate
+) -> int:
+    """DELETE via deletion vectors, the reader-v3 write path: rows
+    matching ``predicate`` (a Column over LOGICAL names) are marked
+    deleted in a roaring-bitmap ``.bin`` file — no parquet rewrite — and
+    a new commit re-adds each affected file with its DV descriptor
+    (merging any prior DV) after a protocol upgrade to
+    minReaderVersion 3 + deletionVectors. Returns rows deleted.
+
+    This is Delta's actual DELETE-with-DV transaction shape
+    (remove+re-add same path, PROTOCOL.md "Deletion Vectors"); a file
+    whose every row ends up deleted is simply removed."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from .deletion_vectors import read_dv_indexes, write_dv_file
+
+    snap = replay_snapshot(path)
+    adds = snap["adds"]
+    meta = snap["metadata"]
+    proto = snap["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    commits = sorted(
+        f
+        for f in os.listdir(os.path.join(path, _LOG))
+        if f.endswith(".json") and f[0].isdigit()
+    )
+    next_v = int(commits[-1].split(".")[0]) + 1 if commits else 0
+    abs_paths = {p: os.path.abspath(os.path.join(path, p)) for p in adds}
+    uri_to_rel = {"file:" + a: rel for rel, a in abs_paths.items()}
+    scan = spark.read.parquet(*sorted(abs_paths.values())).select(
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+        "*",
+    )
+    mapping = _column_mapping_select(meta)
+    if mapping is not None:
+        scan = scan.select("__fp", "__ri", *mapping)
+    hits = (
+        scan.filter(predicate)
+        .groupBy("__fp")
+        .agg(F.collect_list("__ri").alias("idx"))
+        .collect()
+    )
+    if not hits:
+        return 0
+    per_file: dict[str, list[int]] = {}
+    for r in hits:
+        rel = uri_to_rel[r["__fp"]]
+        prior = adds[rel].get("deletionVector")
+        merged = set(int(i) for i in r["idx"])
+        if prior:
+            merged |= set(read_dv_indexes(path, prior))
+        per_file[rel] = sorted(merged)
+    # file row counts decide full-file removal vs DV re-add
+    import pyarrow.parquet as pq
+
+    ts_ms = int(time.time() * 1000)
+    full_remove = [
+        rel
+        for rel, idx in per_file.items()
+        if len(idx) >= pq.read_metadata(abs_paths[rel]).num_rows
+    ]
+    dv_files = [rel for rel in per_file if rel not in full_remove]
+    descriptors = (
+        write_dv_file(path, [per_file[rel] for rel in dv_files])
+        if dv_files
+        else []
+    )
+    reader_feats = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) == 2:
+        reader_feats.add("columnMapping")
+    reader_feats.add("deletionVectors")
+    writer_feats = set(proto.get("writerFeatures") or []) | {
+        "deletionVectors"
+    }
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts_ms,
+                "operation": "DELETE",
+                "operationParameters": {},
+                "engineInfo": "pwc-challenge-dataengineer-spark",
+            }
+        },
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(reader_feats),
+                "writerFeatures": sorted(writer_feats),
+            }
+        },
+    ]
+    deleted_count = 0
+    for rel in full_remove:
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        prior_card = (adds[rel].get("deletionVector") or {}).get(
+            "cardinality", 0
+        )
+        deleted_count += len(per_file[rel]) - prior_card
+    for rel, desc in zip(dv_files, descriptors):
+        old = adds[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = {k: v for k, v in old.items() if k != "deletionVector"}
+        new_add["dataChange"] = True
+        new_add["deletionVector"] = desc
+        actions.append({"add": new_add})
+        prior_card = (old.get("deletionVector") or {}).get("cardinality", 0)
+        deleted_count += desc["cardinality"] - prior_card
+    log_dir = os.path.join(path, _LOG)
+    with open(os.path.join(log_dir, f"{next_v:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return deleted_count
+
+
+def checkpoint_table(path: str) -> int:
+    """Write a parquet checkpoint of ``path``'s CURRENT snapshot (incl.
+    deletion vectors, configuration and feature protocol) plus
+    ``_last_checkpoint`` — what Delta does every 10 commits; makes the
+    table readable after JSON log cleanup. Returns the checkpointed
+    version."""
+    snap = replay_snapshot(path)
+    log_dir = os.path.join(path, _LOG)
+    commits = sorted(
+        f
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[0].isdigit()
+    )
+    if not commits:
+        raise ValueError(f"{log_dir} has no commits to checkpoint")
+    version = int(commits[-1].split(".")[0])
+    proto = snap["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = snap["metadata"]
+    if meta is None:
+        raise ValueError(f"{log_dir} has no metaData action")
+    _write_checkpoint(
+        log_dir, version, proto, meta, list(snap["adds"].values()), []
+    )
+    return version

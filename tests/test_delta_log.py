@@ -104,7 +104,11 @@ def test_checkpoint_written_at_delta_cadence(spark, tmp_path):
     tbl = pq.read_table(ckpt)
     assert {"protocol", "metaData", "add", "remove"} <= set(tbl.column_names)
     protos = [p for p in tbl.column("protocol").to_pylist() if p]
-    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    assert len(protos) == 1
+    assert protos[0]["minReaderVersion"] == 1
+    assert protos[0]["minWriterVersion"] == 2
+    # feature lists are nullable spec fields, absent below reader v3
+    assert protos[0].get("readerFeatures") is None
     adds = [a for a in tbl.column("add").to_pylist() if a]
     assert adds and all(a["path"].startswith("v=10/") for a in adds)
 
