@@ -32,6 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: hash function family backing minhash_doc_profiles' verify sets.
+#: Persisted artifacts (DedupSegmentStore manifests) record this and fail
+#: fast on mismatch: sh_set is ARRAY<BIGINT> under every scheme, so a
+#: silent cross-scheme read would "work" while undercounting n_common.
+VERIFY_HASH_SCHEME = "xxhash64"
+
 
 def word_shingles(tokens_col: Column, k: int = 3) -> Column:
     """Distinct word k-grams from a pre-split token array (0-based Spark
@@ -120,10 +126,10 @@ def minhash_doc_profiles(
     # md5 prefix: the 15-hex-char conv() parse per shingle row measured
     # ~5% of the whole dedup_components query at sf0.1; xxhash64 is a
     # native JVM hash with no string decode. (The band minima below
-    # still slice the one md5 — the oracle mirrors those slices.
-    # NOTE for persisted stores: DedupSegmentStore segments written
-    # before this change hold md5-prefix sh_sets — mixing store versions
-    # would undercount common shingles; rebuild stores on upgrade.)
+    # still slice the one md5 — the oracle mirrors those slices.)
+    # Persisted DedupSegmentStore manifests record VERIFY_HASH_SCHEME and
+    # fail fast on mismatch, so a store written under another scheme can
+    # never silently undercount common shingles.
     sh_hash = F.xxhash64("shingle")
     # no sort_array on the verify set: array_intersect is hash-based (order
     # irrelevant), n_common/size are order-independent, and the sort cost
