@@ -1173,6 +1173,11 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n") - F.ceil(F.lit(_PF_T - 1e-6) * F.col("n")) + 1
         )
         .select("doc_id", "shingle", "n")
+        # both legs of the self-join below reference this frame; without a
+        # checkpoint Spark computes the df-join + window ONCE PER LEG
+        # (subplans aren't shared across join legs) — at 30x that doubles
+        # the query's dominant stage. Lazy: materializes on first use.
+        .localCheckpoint(eager=False)
     )
     cand = (
         prefix.alias("a")

@@ -238,6 +238,14 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/stress_sf1")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--skip-inflate", action="store_true")
+    ap.add_argument(
+        "--out-tag",
+        default=None,
+        help="evidence suffix for subset runs: SCALE.md block tag becomes "
+        "STRESS-x{factor}-{tag} and the JSON lands in "
+        "SCALE_STRESS_x{factor}_{tag}.json, so a --names subset never "
+        "overwrites the full-suite evidence for the same factor",
+    )
     args = ap.parse_args()
 
     from bench import HEADLINE
@@ -308,6 +316,16 @@ def main() -> int:
         "time_series_gapfill",
         "range_join_purchase_errors",
         "embedding_near_dup_lsh",
+        # x30 dedup-path additions, same class: the prefix self-join on
+        # shingle (setjoin_prefix_filter) and the salted LSH bucket/verify
+        # joins (minhash_lsh_pairs_salted) run UN-hinted — broadcasting a
+        # linearly-growing prefix/profile table is exactly what cannot
+        # survive corpus scale, so the shuffle-join reversion past the
+        # autoBroadcast envelope is the documented production shape
+        # (plans/text_dedup.py setjoin_prefix_filter docstring,
+        # operators/scalable.py salted join).
+        "setjoin_prefix_filter",
+        "minhash_lsh_pairs_salted",
     }
     rows, sublinear, flips, exch_diffs = [], 0, [], []
     # extras (LSH near-dup + the round-4 corpus operators) sit outside the
@@ -348,6 +366,8 @@ def main() -> int:
     # factor 10 keeps the historical marker; other factors get their own
     # block so multiple scaling points can coexist in SCALE.md
     tag = "STRESS" if args.factor == 10 else f"STRESS-x{args.factor}"
+    if args.out_tag:
+        tag = f"STRESS-x{args.factor}-{args.out_tag}"
     md = [
         f"<!-- {tag}:BEGIN (generated by scripts/scale_stress.py) -->",
         f"### {args.factor}x scale-stress results (sf0.1 → x{args.factor}, "
@@ -410,6 +430,8 @@ def main() -> int:
         if args.factor == 10
         else f"/root/repo/SCALE_STRESS_x{args.factor}.json"
     )
+    if args.out_tag:
+        json_path = f"/root/repo/SCALE_STRESS_x{args.factor}_{args.out_tag}.json"
     with open(json_path, "w") as f:
         json.dump(
             {
