@@ -518,3 +518,98 @@ def ivm_agg_view_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_orders"),
         F.col("s").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "cdc_scd2_state",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, event_id, value,
+               CASE event_type WHEN 'signup' THEN 'c'
+                               WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+               ntile(5) OVER (ORDER BY ts, event_id) AS batch
+        FROM events
+    ),
+    lww AS (
+        SELECT user_id, value, op, ts, batch
+        FROM changes
+        QUALIFY row_number() OVER (PARTITION BY user_id, batch
+                                   ORDER BY ts DESC, event_id DESC) = 1
+    ),
+    seq AS (
+        SELECT *, lag(op) OVER w AS p_op, lag(value) OVER w AS p_val
+        FROM lww
+        WINDOW w AS (PARTITION BY user_id ORDER BY batch)
+    ),
+    surv AS (
+        -- a row changes state iff: a delete while a version is open
+        -- (previous surviving state cannot be 'd'), or an upsert that is
+        -- new (no predecessor), follows a delete, or changes the tracked
+        -- value. Comparing against the IMMEDIATE predecessor is exact:
+        -- a dropped predecessor was itself equal to the state it failed
+        -- to change, transitively.
+        SELECT * FROM seq
+        WHERE (op = 'd' AND p_op IS NOT NULL AND p_op <> 'd')
+           OR (op <> 'd' AND (p_op IS NULL OR p_op = 'd'
+                              OR value IS DISTINCT FROM p_val))
+    ),
+    vers AS (
+        SELECT user_id, value, op, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY batch)
+                   AS next_ts
+        FROM surv
+    )
+    SELECT user_id, value, ts AS valid_from, next_ts AS valid_to,
+           next_ts IS NULL AS is_current
+    FROM vers WHERE op <> 'd'
+    """,
+)
+def cdc_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC -> SCD2 semantics, verified in batch: the events-
+    derived change log is replayed in 5 chronological micro-batches
+    through streaming/cdc_scd2.py:cdc_scd2_apply (the exact function
+    foreachBatch runs), and the oracle computes the final dimension
+    DIRECTLY from the full log with window functions — their equality is
+    the correctness theorem for the incremental path (reference
+    cdc_processor.py:43-300 feeding delta_lake_manager.py:373-416).
+
+    The ntile(5) batch split is harness scaffolding for deterministic
+    batch boundaries (a global sort at audit SF); production batching
+    comes from the stream's trigger, not a sort."""
+    from pyspark.sql.window import Window
+
+    from ..streaming.cdc_scd2 import cdc_scd2_apply, scd2_empty
+
+    events = load_table(spark, sf_dir, "events")
+    changes = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("event_type") == "signup", "c")
+            .when(F.col("event_type") == "error", "d")
+            .otherwise("u")
+            .alias("op"),
+        )
+        .withColumn(
+            "batch", F.ntile(5).over(Window.orderBy("ts", "event_id"))
+        )
+        .localCheckpoint(eager=False)  # five batch filters reuse this
+    )
+    target = scd2_empty(spark, {"user_id": "BIGINT"}, {"value": "DOUBLE"})
+    for b in range(1, 6):
+        target = cdc_scd2_apply(
+            target,
+            changes.filter(F.col("batch") == b),
+            key_cols=["user_id"],
+            tracked_cols=["value"],
+            ts_col="ts",
+            tiebreak_col="event_id",
+            # coalesce before materializing: the apply unions four legs,
+            # so without it partition counts (and per-round task counts)
+            # compound across iterations
+        ).coalesce(8).localCheckpoint(eager=True)
+    return target.select(
+        "user_id", "value", "valid_from", "valid_to", "is_current"
+    )

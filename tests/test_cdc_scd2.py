@@ -1,0 +1,133 @@
+"""Streaming CDC -> SCD2 end-to-end: a Debezium-envelope file stream
+maintains a versioned SCD2 dimension through foreachBatch, with per-key
+event-time validity boundaries, change-only versioning, delete closes,
+and crash-replay / kill-and-restart convergence.
+
+Composes the proven pieces (streaming/cdc.py parse -> streaming/
+cdc_scd2.py apply -> sources/versioned_store.py commit); the batch-mode
+value oracle for the same semantics is plans/incremental.py
+``cdc_scd2_state``. Reference intent: src/streaming/cdc_processor.py
+43-300 + src/etl/spark/delta_lake_manager.py:373-416."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import types as T
+
+from pwc_challenge_dataengineer_spark.sources.versioned_store import VersionedTable
+from pwc_challenge_dataengineer_spark.streaming.cdc_scd2 import (
+    make_cdc_scd2_batch_fn,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("balance", T.DoubleType(), True),
+    ]
+)
+
+
+def _env(op, user_id, balance, ts_s):
+    row = {"user_id": user_id, "balance": balance}
+    return json.dumps(
+        {
+            "op": op,
+            "before": row if op == "d" else None,
+            "after": None if op == "d" else row,
+            "ts_ms": ts_s * 1000,
+            "source": {"table": "accounts", "lsn": ts_s},
+        }
+    )
+
+
+# four micro-batches exercising every semantic leg:
+#   b0: creates            b1: LWW within batch + a no-op upsert
+#   b2: delete + create    b3: re-create after delete
+CHUNKS = [
+    [_env("c", 1, 10.0, 1), _env("c", 2, 20.0, 1)],
+    [_env("u", 1, 12.0, 2), _env("u", 1, 15.0, 3), _env("u", 2, 20.0, 3)],
+    [_env("d", 2, 20.0, 4), _env("c", 3, 30.0, 4)],
+    [_env("c", 2, 25.0, 5)],
+]
+
+# (user_id, balance, valid_from_s, valid_to_s, is_current)
+EXPECTED = {
+    (1, 10.0, 1, 3, False),  # closed by the LWW-winning ts=3 update
+    (1, 15.0, 3, None, True),  # ts=2 value lost within-batch, never a row
+    (2, 20.0, 1, 4, False),  # closed by the delete at its OWN ts
+    (2, 25.0, 5, None, True),  # re-insert after delete = fresh version
+    (3, 30.0, 4, None, True),
+}
+
+
+def _write_chunks(spark, src, chunks):
+    for rows in chunks:  # sequential single-file writes -> mtime order
+        spark.createDataFrame(
+            [(v,) for v in rows], "value STRING"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+
+def _run(spark, src, table, checkpoint):
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_cdc_scd2_batch_fn(table, PAYLOAD, ["user_id"], ["balance"])
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+
+def _state(table):
+    return {
+        (
+            r.user_id,
+            r.balance,
+            r.valid_from.second + 60 * r.valid_from.minute,
+            None
+            if r.valid_to is None
+            else r.valid_to.second + 60 * r.valid_to.minute,
+            r.is_current,
+        )
+        for r in table.read().collect()
+    }
+
+
+def test_cdc_scd2_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "cdc_src")
+    _write_chunks(spark, src, CHUNKS)
+    table = VersionedTable(spark, str(tmp_path / "dim"))
+    _run(spark, src, table, str(tmp_path / "ckpt"))
+    assert _state(table) == EXPECTED
+
+
+def test_cdc_scd2_kill_and_restart_converges(spark, tmp_path):
+    """Stop after the first two batches, restart from the same checkpoint
+    for the rest, then crash-replay the final batch directly — the
+    dimension must converge to the exact single-run state each time."""
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "ckpt")
+    table = VersionedTable(spark, str(tmp_path / "dim"))
+
+    _write_chunks(spark, src, CHUNKS[:2])
+    _run(spark, src, table, ckpt)  # run 1: consumes b0, b1, then stops
+    mid = _state(table)
+    assert (1, 15.0, 3, None, True) in mid and len(mid) == 3
+
+    _write_chunks(spark, src, CHUNKS[2:])
+    _run(spark, src, table, ckpt)  # restart: same checkpoint, consumes rest
+    assert _state(table) == EXPECTED
+
+    # crash-replay: re-apply the last micro-batch through the batch fn
+    # (as a restarted query would after a commit-before-checkpoint crash)
+    fn = make_cdc_scd2_batch_fn(table, PAYLOAD, ["user_id"], ["balance"])
+    replay = spark.createDataFrame([(v,) for v in CHUNKS[3]], "value STRING")
+    fn(replay, 99)
+    assert _state(table) == EXPECTED  # content fixed point

@@ -394,3 +394,81 @@ def test_recommended_watermark_retains_99pct(spark, sf_dir, tmp_path):
     # replay granularity, so a 0 s watermark loses far more than 1%
     assert kept_zero < 0.99 * n_total, (kept_zero, n_total)
     assert kept_zero < kept, (kept_zero, kept)
+
+
+def test_session_append_mode_finalizes_on_watermark(spark, tmp_path):
+    """Append-mode session windows LIVE under a controlled late-data
+    schedule (SURVEY §7.3.9; reference realtime_gold_processor.py:550-580
+    emits finalized 30-min customer sessions to files, i.e. append mode).
+
+    Four single-file chunks replayed with maxFilesPerTrigger=1 (file
+    source consumes in mtime order), session gap 10 min, watermark 5 min:
+
+      chunk 0: u1@10:00, u1@10:05, u2@10:02        -> wm after b0 = 10:00
+      chunk 1: u1@10:07 (LATE but accepted -> merges into u1's open
+               session, extending its end to 10:17), u3@11:00
+                                                    -> wm after b1 = 10:55
+      chunk 2: u3@12:00                             -> wm after b2 = 11:55
+      chunk 3: u4@10:06 (TOO LATE: late-row filtering in batch N uses the
+               watermark committed after batch N-2 — Spark's one-batch
+               lag, measured in test_recommended_watermark_retains_99pct —
+               so 10:06 < 10:55 -> dropped, no session may appear for u4),
+               u5@13:00 (flush)
+
+    Asserts exact finalized rows INCLUDING the late-merge extension, the
+    too-late drop, and that append held back the one session the final
+    watermark never passed (u5's) — the property complete mode cannot show.
+    """
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def _at(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    chunks = [
+        [(1, _at(0), 1.0), (1, _at(5), 1.0), (2, _at(2), 1.0)],
+        [(1, _at(7), 1.0), (3, _at(60), 1.0)],
+        [(3, _at(120), 1.0)],
+        [(4, _at(6), 1.0), (5, _at(180), 1.0)],
+    ]
+    src = str(tmp_path / "session_late_stream")
+    for rows in chunks:  # sequential single-file writes -> mtime order
+        spark.createDataFrame(
+            rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    spec = WindowAggSpec(
+        name="sessions_append",
+        kind="session",
+        ts_col="ts",
+        duration="10 minutes",
+        group_cols=("user_id",),
+        aggs={"n_events": "count(*)"},
+        watermark="5 minutes",
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = {
+        (r.user_id, r.window_start, r.window_end, r.n_events)
+        for r in _run_stream(
+            spark, build_window_agg(stream, spec), "t_sessions_append"
+        ).collect()
+    }
+
+    finalized = {
+        (1, _at(0), _at(17), 3),  # late 10:07 merged: end 10:07+gap
+        (2, _at(2), _at(12), 1),
+        (3, _at(60), _at(70), 1),
+        (3, _at(120), _at(130), 1),
+    }
+    # u3's 12:00 session finalizes only if the engine ran a no-data batch
+    # after chunk 3 (wm eviction lags one batch); accept either, but it
+    # must carry exactly these values if present.
+    assert finalized - got in (set(), {(3, _at(120), _at(130), 1)}), got
+    # too-late u4 event dropped; unfinalized u5 session held back by append
+    assert not any(r[0] == 4 for r in got), got
+    assert not any(r[0] == 5 for r in got), got
+    assert got <= finalized, got
