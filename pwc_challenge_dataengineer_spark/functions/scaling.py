@@ -92,22 +92,52 @@ def pca_project(
     k: int,
     id_cols: list[str],
     out_col: str = "pc",
+    canonical_signs: bool = False,
 ) -> DataFrame:
     """Project an ``array<float>`` column onto its top-k principal
     components (pyspark.ml PCA — distributed Gram-matrix eigendecomposition,
     realtime_analytics_ml.py:564-575's PCA stage).
 
-    Returns id_cols + ``out_col`` array<double> of length k. Component signs
-    are basis-dependent (not portable across engines), so consumers treat
-    this as rows-only / property-tested (reconstruction-error bound in
-    tests/test_feature_pipeline.py).
+    Returns id_cols + ``out_col`` array<double> of length k.
+
+    ``canonical_signs`` fixes the per-component sign ambiguity (an
+    eigenvector and its negation are equally valid): each component is
+    flipped so its FIRST coordinate of magnitude > 1e-6 is positive.
+    Comparing coordinates against a threshold (not argmax) makes the
+    convention immune to solver noise — argmax|w_d| flips randomly when
+    two coordinates tie in magnitude, a threshold only misfires if a
+    coordinate sits within solver precision of 1e-6, measure-zero for
+    real data. With distinct eigenvalues this makes the projection fully
+    deterministic and cross-engine portable; the value oracle on the
+    analytic fixture (plans/feature_pipeline.py pca_fixture_projection)
+    pins it. ORDER needs no convention: Spark already returns components
+    sorted by descending eigenvalue, unique when eigenvalues are
+    distinct (repeated eigenvalues leave a rotation ambiguity inside the
+    eigenspace that NO convention can fix — the irreducible case, which
+    is why pca_embeddings on arbitrary data stays rows-only).
     """
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     vecs = df.withColumn("__vec", array_to_vector(F.col(array_col).cast("array<double>")))
     model = PCA(k=k, inputCol="__vec", outputCol="__pc").fit(vecs)
-    return (
-        model.transform(vecs)
-        .select(*id_cols, vector_to_array("__pc").alias(out_col))
-    ), model
+    out = model.transform(vecs).select(
+        *id_cols, vector_to_array("__pc").alias(out_col)
+    )
+    if canonical_signs:
+        # model.pc is dims x k and driver-side tiny (the basis, not data)
+        W = model.pc.toArray()
+        signs = []
+        for j in range(k):
+            lead = next((v for v in W[:, j] if abs(v) > 1e-6), 1.0)
+            signs.append(1.0 if lead > 0 else -1.0)
+        out = out.withColumn(
+            out_col,
+            F.array(
+                *[
+                    (F.col(out_col)[j] * F.lit(signs[j])).alias(f"_{j}")
+                    for j in range(k)
+                ]
+            ),
+        )
+    return out, model

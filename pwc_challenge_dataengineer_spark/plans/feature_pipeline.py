@@ -87,11 +87,16 @@ def minmax_scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minmax_scale(feat, ["frequency", "monetary"], suffix="_scaled")
 
 
-@register("pca_embeddings", oracle=None)  # eigen-basis signs differ per engine
+@register("pca_embeddings", oracle=None)  # irreducible: see docstring
 def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 principal components of the 64-d embeddings
-    (realtime_analytics_ml.py PCA stage). Rows-only: component signs are
-    basis-dependent; variance capture is pinned by
+    (realtime_analytics_ml.py PCA stage). Rows-only — and irreducibly so
+    for arbitrary data: near-equal eigenvalues leave a rotation ambiguity
+    inside the eigenspace that no sign/order convention can pin across
+    engines. The PCA pipeline itself IS value-verified: the same fit +
+    transform + canonical-sign path runs under pca_fixture_projection
+    against a closed-form oracle, and the invariants here are pinned by
+    pca_reconstruction_check and
     tests/test_feature_pipeline.py::test_pca_reconstruction_bound."""
     emb = load_table(spark, sf_dir, "embeddings")
     projected, _model = pca_project(emb, "embedding", k=8, id_cols=["vec_id", "label"])
@@ -501,4 +506,97 @@ def ks_at_deciles_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("ks_at_deciles"),
+    )
+
+
+# ---- PCA with a FULL VALUE ORACLE on an analytic fixture -----------------
+# The fixture is rank-8 data whose PCA is known in closed form: row i gets
+#   x_i = sum_j a_j * cos(2*pi*j*i/n) * v_j,   a_j = 12 - j,  j = 1..8
+# where v_j is the j-th DCT-II basis vector over 64 dims
+# (v_j[d] = sqrt(2/64) * cos(pi*j*(2d+1)/128)) — exactly orthonormal, and
+# the cosine score columns are exactly orthogonal with exactly zero mean
+# over a full period i = 0..n-1. Hence the sample covariance is EXACTLY
+# sum_j a_j^2 * (n/2)/(n-1) * v_j v_j^T: eigenvectors are the v_j with
+# strictly decreasing eigenvalues, and the projection is in closed form
+#   pc_j(i) = a_j * cos(2*pi*j*i/n)
+# once the sign convention (first |coordinate| > 1e-6 positive; v_j[0] =
+# sqrt(2/64)*cos(pi*j/128) > 0) pins the basis. DuckDB needs no
+# eigensolver — the oracle IS the closed form, so the whole Spark PCA
+# pipeline (fit, transform, sign canonicalization) is value-verified.
+_PCA_AMPS = {j: 12 - j for j in range(1, 9)}
+
+_PCA_FIXTURE_ORACLE = (
+    """
+    WITH idx AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY vec_id) - 1 AS i,
+               COUNT(*) OVER () AS n
+        FROM embeddings
+    )
+    SELECT vec_id,
+    """
+    + ",\n    ".join(
+        f"round({a} * cos(2 * pi() * {j} * i / n), 6) AS pc{j}"
+        for j, a in _PCA_AMPS.items()
+    )
+    + "\n    FROM idx"
+)
+
+
+@register("pca_fixture_projection", oracle=_PCA_FIXTURE_ORACLE)
+def pca_fixture_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's distributed PCA (pyspark.ml fit + transform + the
+    canonical-sign convention in functions/scaling.py:pca_project)
+    value-matched against the closed-form solution on the analytic
+    fixture above — the deterministic companion that promotes the PCA
+    path from rows-only to value-oracled (pca_embeddings itself stays
+    rows-only: for ARBITRARY data, repeated eigenvalues leave a rotation
+    ambiguity no convention can fix). The row_number index is audit-SF
+    scaffolding to give every embeddings row a dense 0..n-1 position;
+    the PCA itself is the production-shape distributed path."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    K, D = 8, 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    cnt = float(emb.count())
+    idx = emb.select("vec_id").withColumn(
+        "i", F.row_number().over(Window.orderBy("vec_id")) - 1
+    )
+    scores = idx.select(
+        "vec_id",
+        *[
+            (
+                F.lit(float(a))
+                * F.cos(F.lit(2.0 * math.pi * j) * F.col("i") / F.lit(cnt))
+            ).alias(f"__c{j}")
+            for j, a in _PCA_AMPS.items()
+        ],
+    )
+    V = [
+        [
+            math.sqrt(2.0 / D) * math.cos(math.pi * j * (2 * d + 1) / (2 * D))
+            for d in range(D)
+        ]
+        for j in range(1, K + 1)
+    ]
+    fixture = scores.select(
+        "vec_id",
+        F.array(
+            *[
+                sum(
+                    (F.col(f"__c{j + 1}") * F.lit(V[j][d]) for j in range(K)),
+                    start=F.lit(0.0),
+                ).alias(f"_d{d}")
+                for d in range(D)
+            ]
+        ).alias("embedding"),
+    )
+    proj, _model = pca_project(
+        fixture, "embedding", k=K, id_cols=["vec_id"], canonical_signs=True
+    )
+    return proj.select(
+        "vec_id",
+        *[F.round(F.col("pc")[j], 6).alias(f"pc{j + 1}") for j in range(K)],
     )
