@@ -1189,35 +1189,26 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
-        .filter(
-            F.least("n_a", "n_b")
-            >= F.lit(_PF_T - 1e-6) * F.greatest("n_a", "n_b")
         )
         .distinct()
     )
-    common = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
+    # verify with per-doc EXACT-shingle set profiles + one array_intersect
+    # per candidate (jaccard_verify_profiles: its min_jaccard arms the same
+    # size-bound prefilter the old inline filter applied). The previous
+    # shape re-joined the EXPLODED shingle table per pair — |sh_a| shuffled
+    # rows per candidate vs one narrow profile row here; measured 78s ->
+    # on the x30 stress corpus (see SCALE_STRESS_x30_dedup.json history).
+    from ..functions.dedup_fuzzy import jaccard_verify_profiles
+
+    profiles = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_set("shingle").alias("sh_set"),
+            F.count("*").alias("n_sh"),
         )
-        .join(
-            sh.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("shingle").alias("shingle_b"),
-            ),
-            ["id_b"],
-        )
-        .filter(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+        # two verify legs (id_a, id_b) reference this — compute once
+        .localCheckpoint(eager=False)
     )
-    jac = F.round(
-        F.col("n_common").cast("double")
-        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        6,
-    )
-    return common.filter(jac >= _PF_T).select(
-        "id_a", "id_b", "n_common", jac.alias("jaccard")
-    )
+    return jaccard_verify_profiles(
+        cand, profiles, "doc_id", min_jaccard=_PF_T
+    ).filter(F.col("jaccard") >= _PF_T)
