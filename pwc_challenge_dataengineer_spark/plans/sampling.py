@@ -486,3 +486,113 @@ def source_mix_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("kl_bits", 6).alias("kl_to_corpus"),
         )
     )
+
+
+_COV_PICKS = 4
+
+
+def _coverage_oracle() -> str:
+    shingles = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+        WHERE len(t) >= 3
+    ),
+    rem0 AS (SELECT doc_id, shingle FROM sh)"""
+    rounds = []
+    for r in range(1, _COV_PICKS + 1):
+        rounds.append(f"""
+    g{r} AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM rem{r - 1} GROUP BY 1
+    ),
+    p{r} AS MATERIALIZED (
+        SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    rem{r} AS MATERIALIZED (
+        SELECT s.doc_id, s.shingle FROM rem{r - 1} s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM p{r})
+          AND s.shingle NOT IN (
+              SELECT r.shingle FROM rem{r - 1} r
+              JOIN p{r} ON r.doc_id = p{r}.doc_id
+          )
+    )""")
+    picks = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS pick_rank, doc_id, gain FROM p{r}"
+        for r in range(1, _COV_PICKS + 1)
+    )
+    return (
+        shingles
+        + ","
+        + ",".join(rounds)
+        + f""",
+    picks AS (
+{picks}
+    )
+    SELECT CAST(pick_rank AS INT) AS pick_rank, doc_id, gain,
+           CAST(SUM(gain) OVER (ORDER BY pick_rank) AS BIGINT)
+               AS covered_total
+    FROM picks
+    """
+    )
+
+
+@register("coverage_greedy_docs", oracle=_coverage_oracle())
+def coverage_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection: pick 4 documents, each
+    round taking the one whose 3-gram shingles add the most NOT-yet-covered
+    shingles (ties to the lowest doc_id) — the submodular data-selection
+    primitive behind "choose the K most informative documents" corpus
+    curation (facility-location / coreset selection), complementing the
+    REMOVAL side of curation in the dedup family.
+
+    Each round is: one hash aggregate over the remaining (doc, shingle)
+    pairs, a top-1 (TakeOrderedAndProject — no global sort), and two
+    anti-joins that shrink the remaining set (picked doc's rows + its
+    newly covered shingles, both against a 1-row broadcast). Rounds are
+    lazily checkpointed so round r's three consumers reuse one
+    materialization instead of recomputing the chain. At 100 TB the same
+    loop runs with per-round stochastic-greedy candidate sampling
+    (GreeDi-style partition-then-merge) — the per-round shape is already
+    the distributed one: nothing driver-side, gains never materialize the
+    covered set per candidate. The pick's gain IS its newly covered count,
+    so cumulative coverage is a 4-row running sum at the end;
+    integer-exact throughout."""
+    from ..functions.dedup_fuzzy import exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    remaining = (
+        exploded_shingles(docs, "doc_id", "text", k=3)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    picks = None
+    for r in range(1, _COV_PICKS + 1):
+        g = remaining.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("gain")
+        )
+        p = g.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1)
+        p = p.localCheckpoint(eager=False)  # 3 consumers: picks + 2 anti-joins
+        pick_r = p.select(
+            F.lit(r).cast("int").alias("pick_rank"), "doc_id", "gain"
+        )
+        picks = pick_r if picks is None else picks.unionByName(pick_r)
+        cov_r = remaining.join(
+            F.broadcast(p.select("doc_id")), "doc_id"
+        ).select("shingle")
+        remaining = (
+            remaining.join(F.broadcast(p.select("doc_id")), "doc_id", "left_anti")
+            .join(F.broadcast(cov_r), "shingle", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    w = Window.orderBy("pick_rank").rowsBetween(Window.unboundedPreceding, 0)
+    return picks.select(
+        "pick_rank",
+        "doc_id",
+        "gain",
+        F.sum("gain").over(w).cast("bigint").alias("covered_total"),
+    )
