@@ -1031,3 +1031,86 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("dau").cast("double") / F.count("*")) / F.any_value("mau")
         ).alias("stickiness"),
     )
+
+
+@register(
+    "association_rules",
+    oracle="""
+    WITH ut AS MATERIALIZED (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+    marg AS MATERIALIZED (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM ut GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS ante, b.event_type AS cons,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons, p.n_both,
+           round(CAST(p.n_both AS DOUBLE) / ma.n_item, 6) AS confidence,
+           round(CAST(p.n_both AS DOUBLE) * n.n_users
+                 / (ma.n_item * mc.n_item), 6) AS lift
+    FROM pairs p
+    JOIN marg ma ON p.ante = ma.event_type
+    JOIN marg mc ON p.cons = mc.event_type
+    CROSS JOIN n
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules ante -> cons over per-user event-type
+    baskets: confidence = P(cons | ante) and lift =
+    P(both) / (P(ante) P(cons)) — the rule-scoring pass that turns
+    itemset_pairs_support's level-2 itemsets into actionable rules
+    (market-basket / next-action recommendation). Both directions are
+    emitted because confidence is asymmetric.
+
+    Same bounded self-join as the support pass (per-user pair explosion is
+    |itemsets-per-user|^2 over a small vocabulary), then two broadcast
+    joins against the item marginals and one against the scalar user
+    count. Counts are exact BIGINTs; confidence and lift are single
+    divisions of identical integer operands in both engines, so the 6-dp
+    round is parity-safe. At 100 TB the (user, item) distinct projection
+    map-side combines before its one shuffle, and the vocabulary-sized
+    marginals always broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    ut = ut.localCheckpoint(eager=False)  # 3 consumers: pairs x2 + marginals
+    n = ut.agg(F.count_distinct("user_id").alias("n_users"))
+    marg = ut.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_item"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ante"),
+            F.col("b.event_type").alias("cons"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    ma = marg.select(F.col("event_type").alias("ante"), F.col("n_item").alias("n_a"))
+    mc = marg.select(F.col("event_type").alias("cons"), F.col("n_item").alias("n_c"))
+    return (
+        pairs.join(F.broadcast(ma), "ante")
+        .join(F.broadcast(mc), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("n_a") * F.col("n_c")),
+                6,
+            ).alias("lift"),
+        )
+    )

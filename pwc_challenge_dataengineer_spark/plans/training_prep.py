@@ -463,3 +463,121 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return merges
+
+
+def _raw_kgrams(tokens_col, k: int):
+    """ALL word k-grams of a pre-split token array, duplicates kept — the
+    counting twin of functions.dedup_fuzzy.word_shingles (which dedups for
+    set semantics; repetition signals need multiplicities)."""
+    n = F.size(tokens_col)
+    idx = F.sequence(F.lit(0), n - k)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(tokens_col, (i + j + 1).cast("int")) for j in range(k)],
+        ),
+    )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "gopher_repetition_signals",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, length(text) AS nc,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+        WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    m2 AS (
+        SELECT doc_id, CAST(MAX(c * length(gram)) AS BIGINT) AS cover2
+        FROM c2 GROUP BY 1
+    ),
+    g5 AS (
+        SELECT doc_id,
+               concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks)
+        WHERE len(t) >= 5
+    ),
+    c5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+    m5 AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram) END) AS BIGINT)
+                   AS dup5
+        FROM c5 GROUP BY 1
+    )
+    SELECT t.doc_id,
+           round(COALESCE(m2.cover2, 0) / CAST(t.nc AS DOUBLE), 6)
+               AS top2gram_char_frac,
+           round(COALESCE(m5.dup5, 0) / CAST(t.nc AS DOUBLE), 6)
+               AS dup5gram_char_frac,
+           CASE WHEN COALESCE(m2.cover2, 0) / CAST(t.nc AS DOUBLE) > 0.20
+                    THEN 'top2gram_repetition'
+                WHEN COALESCE(m5.dup5, 0) / CAST(t.nc AS DOUBLE) > 0.15
+                    THEN 'dup5gram_repetition'
+                ELSE 'keep' END AS verdict
+    FROM toks t
+    LEFT JOIN m2 ON t.doc_id = m2.doc_id
+    LEFT JOIN m5 ON t.doc_id = m5.doc_id
+    """,
+)
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters, the two signals the
+    C4 cascade's global distinct_ratio misses: (a) the character fraction
+    covered by the single heaviest word 2-gram (count x gram length /
+    doc chars — catches boilerplate like a repeated nav-bar phrase), and
+    (b) the character fraction inside DUPLICATED 5-grams (count >= 2 —
+    catches long-span template repetition that individually-common words
+    hide). Thresholds 0.20 / 0.15 follow the published rules; the verdict
+    names the first failing rule like c4_quality_filter.
+
+    Scale posture: two explode -> (doc, gram) hash-aggregate passes with
+    map-side combine, then per-doc max/sum — the same shuffle shape as any
+    token-count; no UDF, no per-doc state beyond the aggregate. Fractions
+    divide exact BIGINT char covers by the doc's char count — identical
+    IEEE operands in both engines, so the threshold compares and the 6-dp
+    rounds are parity-safe. Docs too short for a k-gram fall out of the
+    explode and re-enter via left joins as 0.0."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    )
+    m = {}
+    for k, name in ((2, "cover2"), (5, "dup5")):
+        c = (
+            base.select("doc_id", F.explode(_raw_kgrams(F.col("t"), k)).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count("*").alias("c"))
+        )
+        cov = F.col("c") * F.length("gram")
+        m[name] = c.groupBy("doc_id").agg(
+            (
+                F.max(cov) if k == 2 else F.sum(F.when(F.col("c") >= 2, cov))
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+    frac2 = F.coalesce("cover2", F.lit(0)) / F.col("nc").cast("double")
+    frac5 = F.coalesce("dup5", F.lit(0)) / F.col("nc").cast("double")
+    return (
+        base.select("doc_id", "nc")
+        .join(m["cover2"], "doc_id", "left")
+        .join(m["dup5"], "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(frac2, 6).alias("top2gram_char_frac"),
+            F.round(frac5, 6).alias("dup5gram_char_frac"),
+            F.when(frac2 > 0.20, "top2gram_repetition")
+            .when(frac5 > 0.15, "dup5gram_repetition")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
