@@ -338,15 +338,16 @@ _BPE_K = 4  # learned merge rounds
 _BPE_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
-def _bpe_oracle(k: int) -> str:
-    """Unrolled-CTE oracle for k BPE merge rounds: each round recounts the
-    weighted adjacent-symbol pairs, picks the argmax (count desc, symbols
+def _bpe_sql_chain(k: int) -> str:
+    """Shared unrolled-CTE chain for k BPE merge rounds: each round recounts
+    the weighted adjacent-symbol pairs, picks the argmax (count desc, symbols
     asc) and rewrites every word's symbol sequence via two passes of
-    left-to-right non-overlapping replacement (see bpe_learn_merges)."""
+    left-to-right non-overlapping replacement (see bpe_learn_merges). Ends at
+    seq{k} (tok, wcount, seq) with b1..bk holding the learned merges."""
     sql = f"""WITH toks AS (SELECT unnest({_BPE_TOKS_SQL}) AS tok FROM documents),
     w0 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wcount FROM toks
            WHERE tok <> '' GROUP BY 1),
-    seq0 AS (SELECT wcount,
+    seq0 AS (SELECT tok, wcount,
         array_to_string(list_transform(range(1, length(tok)+1), i -> tok[i:i]),
                         ' ') || ' </w>' AS seq
         FROM w0)"""
@@ -360,13 +361,18 @@ def _bpe_oracle(k: int) -> str:
                      CAST(SUM(wcount) AS BIGINT) AS cnt
               FROM px{it} GROUP BY 1, 2
               ORDER BY cnt DESC, a, b LIMIT 1),
-    seq{it} AS (SELECT s.wcount,
+    seq{it} AS (SELECT s.tok, s.wcount,
         trim(replace(replace(' ' || s.seq || ' ',
                              ' ' || b.a || ' ' || b.b || ' ',
                              ' ' || b.a || b.b || ' '),
                      ' ' || b.a || ' ' || b.b || ' ',
                      ' ' || b.a || b.b || ' ')) AS seq
         FROM seq{p} s CROSS JOIN b{it} b)"""
+    return sql
+
+
+def _bpe_oracle(k: int) -> str:
+    sql = _bpe_sql_chain(k)
     union = " UNION ALL ".join(
         f"SELECT CAST({it} AS INT) AS iteration, a AS sym_a, b AS sym_b,"
         f" a || b AS merged, cnt AS pair_count FROM b{it}"
@@ -395,7 +401,14 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic approximation; natural-language words rarely contain
     them). The per-round argmax is a 1-row broadcast, so the plan is k
     chained vocab-local stages with no driver-side loop state."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _bpe_learn(load_table(spark, sf_dir, "documents"), _BPE_K)[1]
+
+
+def _bpe_learn(docs: DataFrame, k: int):
+    """Shared BPE training loop: returns (vocab, merges) where vocab is the
+    word dictionary (tok, wcount, seq) AFTER the k learned merges and merges
+    the per-round argmax pairs — bpe_learn_merges emits the latter,
+    bpe_encode_docs tokenizes against the former."""
     words = (
         docs.select(
             F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
@@ -410,11 +423,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
     )
     cur = words.select(
+        "tok",
         "wcount",
         F.concat(F.concat_ws(" ", chars), F.lit(" </w>")).alias("seq"),
     )
     merges = None
-    for it in range(1, _BPE_K + 1):
+    for it in range(1, k + 1):
         # guard: a fully-merged word's seq can reach 1 symbol, and Spark's
         # sequence(1, 0) is a DESCENDING [1, 0], not empty (oracle twin:
         # WHERE len(s) >= 2)
@@ -456,13 +470,78 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .select(
+                "tok",
                 "wcount",
                 F.trim(F.replace(F.replace(padded, pat, rep), pat, rep)).alias(
                     "seq"
                 ),
             )
         )
-    return merges
+    return cur, merges
+
+
+_BPE_ENCODE_ORACLE = _bpe_sql_chain(_BPE_K) + f""",
+    dict AS (SELECT tok, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_syms
+             FROM seq{_BPE_K}),
+    dtoks AS (
+        SELECT doc_id, length(text) AS nc, unnest({_BPE_TOKS_SQL}) AS tok
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(dict.n_syms) AS BIGINT) AS bpe_tokens,
+           round(ANY_VALUE(d.nc) / CAST(SUM(dict.n_syms) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM dtoks d JOIN dict ON d.tok = dict.tok
+    WHERE d.tok <> ''
+    GROUP BY 1
+"""
+
+
+@register("bpe_encode_docs", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the consuming half of the
+    bpe_learn_merges loop: tokenize every document against the
+    post-4-merge word dictionary and emit the per-doc subword token count
+    plus chars-per-token compression (the number a training-data pipeline
+    actually bills by). Symbol counts include the </w> boundary marker
+    unless a merge absorbed it — the standard end-of-word-suffix BPE
+    convention, identical in both engines by construction.
+
+    Scale posture: encoding is a dictionary JOIN, not a per-doc rewrite —
+    the learned vocab (tok -> merged symbol count) is corpus-vocabulary
+    sized and broadcasts, so the document pass is one explode + broadcast
+    hash join + per-doc aggregate with map-side combine; the iterative
+    merge learning only ever touches the |vocab|-row dictionary (see
+    bpe_learn_merges). Counts are exact BIGINTs; the single division
+    happens on identical operands in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, _merges = _bpe_learn(docs, _BPE_K)
+    vdict = vocab.select(
+        "tok", F.size(F.split("seq", " ")).cast("bigint").alias("n_syms")
+    )
+    dtoks = docs.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    agg = (
+        dtoks.join(F.broadcast(vdict), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("bpe_tokens"),
+            F.max("nc").alias("__nc"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "bpe_tokens",
+        F.round(
+            F.col("__nc") / F.col("bpe_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
 
 
 def _raw_kgrams(tokens_col, k: int):
