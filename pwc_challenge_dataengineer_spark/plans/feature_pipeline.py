@@ -600,3 +600,171 @@ def pca_fixture_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.round(F.col("pc")[j], 6).alias(f"pc{j + 1}") for j in range(K)],
     )
+
+
+_WOE_BINS = 10
+_WOE_SMOOTH = 0.5  # Laplace half-count on each class, keeps every WOE finite
+
+
+@register(
+    "woe_iv_binning",
+    oracle=f"""
+    WITH yr AS (
+        SELECT CAST(year(MAX(l_shipdate)) - 1 AS BIGINT) AS cy FROM lineitem
+    ),
+    pop AS (
+        SELECT l_extendedprice AS v, l_orderkey AS k1, l_linenumber AS k2,
+               (l_returnflag = 'R') AS is_bad
+        FROM lineitem, yr
+        WHERE CAST(year(l_shipdate) AS BIGINT) = yr.cy
+    ),
+    ranked AS (
+        SELECT v,
+               CAST(row_number() OVER (ORDER BY v, k1, k2) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM pop
+    ),
+    edges AS (
+        SELECT b, MIN(CASE WHEN rn = (b * n + {_WOE_BINS} - 1)
+                                     // {_WOE_BINS} THEN v END) AS hi
+        FROM ranked, (SELECT unnest(range(1, {_WOE_BINS})) AS b)
+        GROUP BY b HAVING MIN(CASE WHEN rn = (b * n + {_WOE_BINS} - 1)
+                                   // {_WOE_BINS} THEN v END) IS NOT NULL
+    ),
+    rbin AS (
+        SELECT p.is_bad, CAST(COALESCE(MIN(e.b), {_WOE_BINS}) AS BIGINT) AS bin
+        FROM pop p LEFT JOIN edges e ON p.v <= e.hi
+        GROUP BY p.v, p.k1, p.k2, p.is_bad
+    ),
+    counts AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN is_bad THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        FROM rbin GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+               CAST(SUM(n_bad) AS BIGINT) AS b FROM counts
+    ),
+    terms AS (
+        SELECT bins.bin,
+               COALESCE(c.n_good, 0) AS n_good,
+               COALESCE(c.n_bad, 0) AS n_bad,
+               ln(((COALESCE(c.n_good, 0) + {_WOE_SMOOTH}) / tot.g)
+                  / ((COALESCE(c.n_bad, 0) + {_WOE_SMOOTH}) / tot.b)) AS woe,
+               ((COALESCE(c.n_good, 0) + {_WOE_SMOOTH}) / tot.g
+                - (COALESCE(c.n_bad, 0) + {_WOE_SMOOTH}) / tot.b)
+               * ln(((COALESCE(c.n_good, 0) + {_WOE_SMOOTH}) / tot.g)
+                    / ((COALESCE(c.n_bad, 0) + {_WOE_SMOOTH}) / tot.b)) AS iv
+        FROM (SELECT unnest(range(1, {_WOE_BINS} + 1)) AS bin) bins
+        LEFT JOIN counts c USING (bin)
+        CROSS JOIN tot
+    )
+    SELECT CAST(bin AS INT) AS bin, n_good, n_bad,
+           round(woe, 6) AS woe,
+           round(iv, 6) AS iv_term,
+           round(SUM(iv) OVER (), 6) AS iv_total
+    FROM terms
+    """,
+)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value binning — the scorecard
+    feature-engineering primitive: decile-bin line-item price over the
+    last complete ship-year, score each bin's good/bad (returned) odds as
+    WOE = ln((good_share)/(bad_share)) with half-count Laplace smoothing
+    (every WOE finite even for a one-class bin — the ln(0) class of bug
+    the Kaplan-Meier fix closed), and sum the per-bin IV terms into the
+    feature's predictive-power Information Value (IV < 0.02 useless,
+    > 0.3 strong).
+
+    Bin edges are the repo's exact-position decile pattern over the
+    bounded year slice (orderkey/linenumber tiebreaks; at production
+    scale swap in approxQuantile edges — the same documented
+    exact-for-oracle trade as psi_feature_drift / rfm_segmentation).
+    Binning is a 9-row broadcast range lookup; counts are one hash
+    aggregate; WOE/IV divide smoothed exact BIGINTs so both engines
+    compute one identical IEEE expression, and the 10-row total window
+    is frame-bounded."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = li.agg((F.year(F.max("l_shipdate")) - 1).cast("bigint").alias("cy"))
+    pop = (
+        li.crossJoin(F.broadcast(yr))
+        .filter(F.year("l_shipdate").cast("bigint") == F.col("cy"))
+        .select(
+            F.col("l_extendedprice").alias("v"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").alias("k2"),
+            (F.col("l_returnflag") == "R").alias("is_bad"),
+        )
+    )
+    w = Window.orderBy("v", "k1", "k2")
+    ranked = pop.select(
+        "v",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    bins_df = spark.range(1, _WOE_BINS).select(F.col("id").alias("b"))
+    edges = (
+        ranked.crossJoin(F.broadcast(bins_df))
+        .groupBy("b")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"(b * n + {_WOE_BINS} - 1) div {_WOE_BINS}"),
+                    F.col("v"),
+                )
+            ).alias("hi")
+        )
+        .filter(F.col("hi").isNotNull())
+    )
+    rbin = (
+        pop.join(
+            F.broadcast(edges.select("b", "hi")), F.col("v") <= F.col("hi"), "left"
+        )
+        .groupBy("v", "k1", "k2", "is_bad")
+        .agg(
+            F.coalesce(F.min("b"), F.lit(_WOE_BINS)).cast("bigint").alias("bin")
+        )
+    )
+    counts = rbin.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_bad"), 0).otherwise(1)).cast("bigint").alias(
+            "n_good"
+        ),
+        F.sum(F.when(F.col("is_bad"), 1).otherwise(0)).cast("bigint").alias(
+            "n_bad"
+        ),
+    )
+    tot = counts.agg(
+        F.sum("n_good").cast("bigint").alias("g"),
+        F.sum("n_bad").cast("bigint").alias("b_tot"),
+    )
+    all_bins = spark.range(1, _WOE_BINS + 1).select(F.col("id").alias("bin"))
+    gs = (F.coalesce("n_good", F.lit(0)) + F.lit(_WOE_SMOOTH)) / F.col("g")
+    bs = (F.coalesce("n_bad", F.lit(0)) + F.lit(_WOE_SMOOTH)) / F.col("b_tot")
+    woe = F.log(gs / bs)
+    iv = (gs - bs) * woe
+    terms = (
+        all_bins.join(F.broadcast(counts), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.coalesce("n_good", F.lit(0)).cast("bigint").alias("n_good"),
+            F.coalesce("n_bad", F.lit(0)).cast("bigint").alias("n_bad"),
+            woe.alias("woe"),
+            iv.alias("iv"),
+        )
+    )
+    wfull = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return terms.select(
+        "bin",
+        "n_good",
+        "n_bad",
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv_term"),
+        F.round(F.sum("iv").over(wfull), 6).alias("iv_total"),
+    )
