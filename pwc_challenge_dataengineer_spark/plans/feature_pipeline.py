@@ -768,3 +768,96 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("iv", 6).alias("iv_term"),
         F.round(F.sum("iv").over(wfull), 6).alias("iv_total"),
     )
+
+
+@register(
+    "point_in_time_features",
+    oracle="""
+    WITH hashed AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               md5(concat_ws(chr(31),
+                   coalesce(event_type, chr(0)),
+                   coalesce(CAST(value AS VARCHAR), chr(0)))) AS h
+        FROM events
+    ),
+    changed AS (
+        SELECT * FROM (
+            SELECT *, lag(h) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS ph
+            FROM hashed
+        ) WHERE ph IS NULL OR h <> ph
+    ),
+    dim AS (
+        SELECT user_id, event_type, value,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               CAST(row_number() OVER w AS INT) AS version
+        FROM changed
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           d.event_type AS state_event_type,
+           d.value AS state_value,
+           d.version AS state_version
+    FROM events p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup — the feature-store primitive
+    that prevents training-serving skew: for every purchase event, the
+    user's SCD2 state (tracked attrs event_type/value, as rebuilt by
+    scd2_rebuild) AS OF the purchase timestamp, i.e. the version whose
+    [valid_from, valid_to) interval contains the event time. Joining the
+    CURRENT dimension instead (the classic leakage bug) would backfill
+    future attribute values into past training rows; the validity-interval
+    predicate makes leakage structurally impossible.
+
+    The join is an equi-join on the business key with the interval
+    predicate as a post-join filter — one shuffle, no range explosion
+    (each fact row matches exactly one version by construction, since the
+    intervals partition each user's timeline from their first event).
+    At 100 TB this is the standard shape: user-keyed hash join, AQE
+    handles per-user version-count skew; the alternative as-of sort-merge
+    inside the user partition is operators/asof.py. Output values are
+    passed through untouched (no float arithmetic), so parity is exact."""
+    from ..operators.scd2 import scd2_rebuild
+
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_rebuild(
+        events,
+        key_cols=["user_id"],
+        attr_cols=["event_type", "value"],
+        ts_col="ts",
+        tiebreakers=["event_id"],
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_event_type"),
+        F.col("value").alias("state_value"),
+        "valid_from",
+        "valid_to",
+        F.col("version").alias("state_version"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        purchases.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "state_event_type",
+            "state_value",
+            "state_version",
+        )
+    )
