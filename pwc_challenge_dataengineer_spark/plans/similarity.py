@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.multimodal import extract_image_features, synthesize_media
+from ..functions.multimodal import (
+    extract_image_features,
+    extract_real_media_features,
+    synthesize_media,
+    synthesize_real_media,
+)
 from ..functions.similarity import ann_lsh_topk, as_double_array, cosine_topk_brute, l2_norm
 from ..schemas import load_table
 from .catalog import register
@@ -1000,3 +1005,70 @@ def ndcg_eval_dot_vs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(idcg_term), 6).alias("idcg_at10"),
         F.round(F.sum(dcg_term) / F.sum(idcg_term), 6).alias("ndcg_at10"),
     )
+
+
+@register(
+    "multimodal_real_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
+    ),
+    img AS (
+        SELECT b.doc_id,
+               CAST(SUM((b.seed + 3*g.p) % 256 + (b.seed + 3*g.p + 1) % 256
+                        + (b.seed + 3*g.p + 2) % 256) AS BIGINT) AS s_all,
+               CAST(SUM(CASE WHEN g.p < 6 THEN
+                        (b.seed + 3*g.p) % 256 + (b.seed + 3*g.p + 1) % 256
+                        + (b.seed + 3*g.p + 2) % 256 END) AS BIGINT) AS s_top
+        FROM base b, (SELECT unnest(range(0, 24)) AS p) g
+        GROUP BY 1
+    ),
+    wav AS (
+        SELECT doc_id,
+               CAST(SUM(s * s) AS BIGINT) AS ss,
+               CAST(SUM(CASE WHEN i > 0 AND s * sp < 0 THEN 1 ELSE 0 END)
+                    AS INT) AS zc
+        FROM (
+            SELECT b.doc_id, g.i,
+                   ((b.seed * 7 + 13 * g.i) % 2003) - 1001 AS s,
+                   ((b.seed * 7 + 13 * (g.i - 1)) % 2003) - 1001 AS sp
+            FROM base b, (SELECT unnest(range(0, 64)) AS i) g
+        )
+        GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(6 AS INT) AS img_width, CAST(4 AS INT) AS img_height,
+           CAST((b.seed + 2) % 256 AS INT) AS px0_r,
+           CAST((b.seed + 1) % 256 AS INT) AS px0_g,
+           CAST(b.seed % 256 AS INT) AS px0_b,
+           round(img.s_all / (3.0 * 6 * 4) / 255.0, 6) AS img_mean_intensity,
+           round(img.s_top / (3.0 * 6) / 255.0, 6) AS img_top_row_mean,
+           CAST(64 AS INT) AS wav_n_samples,
+           CAST(((b.seed * 7) % 2003) - 1001 AS INT) AS wav_first_sample,
+           wav.zc AS wav_zero_crossings,
+           round(sqrt(wav.ss / 64.0), 6) AS wav_rms
+    FROM base b
+    JOIN img ON b.doc_id = img.doc_id
+    JOIN wav ON b.doc_id = wav.doc_id
+    """,
+)
+def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-pixel / true-sample media decode, oracle-verified end to end:
+    synthesize REAL uncompressed containers per document (spec-conformant
+    24-bit BMP with bottom-up padded rows; RIFF PCM WAV written by the
+    stdlib wave module), then decode them with independent hand-rolled
+    parsers (functions/multimodal.py parse_bmp / parse_wav) and emit
+    features computed from the PARSED bytes. The DuckDB oracle recomputes
+    every feature analytically from the generation closed form, so a
+    mismatch anywhere in the write->parse round trip — channel order
+    (px0 RGB), row order (top-row mean vs the bottom-up layout), padding
+    handling, chunk walk, sample endianness — fails the hash. This
+    retires the blanket decode gate: only compressed codecs (PNG/JPEG/
+    MP3/H.264) remain honestly NotImplementedError-gated.
+
+    Scale posture: both stages are Arrow-batched mapInPandas over
+    partition-sized batches — the exact shape a PIL/ffmpeg deployment
+    uses; nothing driver-side, output is one row per media item."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_real_media(docs, "doc_id")
+    return extract_real_media_features(media)
