@@ -361,3 +361,58 @@ def watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retained_fraction")
         )
     )
+
+
+_TICKS_N = 50000
+_TICKS_SEED = 7
+
+
+@register(
+    "custom_datasource_ticks",
+    oracle=f"""
+    WITH ticks AS (
+        SELECT i AS tick_id,
+               ({_TICKS_SEED} * 31 + i * 17) % 100000 AS price_cents,
+               i % 7 + 1 AS qty
+        FROM (SELECT unnest(range(0, {_TICKS_N})) AS i)
+    )
+    SELECT CAST(tick_id % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(price_cents * qty) AS BIGINT) AS notional_cents,
+           CAST(MIN(price_cents) AS BIGINT) AS min_price_cents,
+           CAST(MAX(price_cents) AS BIGINT) AS max_price_cents
+    FROM ticks
+    GROUP BY 1
+    """,
+)
+def custom_datasource_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads the custom Python DataSource (sources/python_datasource.py —
+    the Spark-4 connector-extensibility API) with real partition planning:
+    8 RangePartitions generate their row slices executor-side, no driver
+    data movement, and the deterministic closed form makes the whole
+    source path oracle-verifiable — the DuckDB oracle regenerates the
+    ticks analytically, so schema mapping, partition boundaries (a
+    dropped/duplicated slice changes the counts) and value fidelity are
+    all hash-checked. Aggregation is one map-side-combined groupBy on a
+    derived bucket; notional stays in exact integer cents."""
+    from ..sources.python_datasource import register_ticks_source
+
+    register_ticks_source(spark)
+    df = (
+        spark.read.format("synthetic_ticks")
+        .option("n_rows", str(_TICKS_N))
+        .option("n_partitions", "8")
+        .option("seed", str(_TICKS_SEED))
+        .load()
+    )
+    return (
+        df.groupBy((F.col("tick_id") % 10).alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_ticks"),
+            F.sum(F.col("price_cents") * F.col("qty"))
+            .cast("bigint")
+            .alias("notional_cents"),
+            F.min("price_cents").cast("bigint").alias("min_price_cents"),
+            F.max("price_cents").cast("bigint").alias("max_price_cents"),
+        )
+    )

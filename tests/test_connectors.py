@@ -291,3 +291,36 @@ def test_xlsx_roundtrip_property(tmp_path_factory, rows):
                 assert got is not None and float(got) == float(want)
             else:
                 assert got == want
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    from pwc_challenge_dataengineer_spark.sources.python_datasource import (
+        register_ticks_source,
+    )
+
+    register_ticks_source(spark)
+
+    def load(n, parts, seed):
+        return (
+            spark.read.format("synthetic_ticks")
+            .option("n_rows", str(n))
+            .option("n_partitions", str(parts))
+            .option("seed", str(seed))
+            .load()
+        )
+
+    df = load(1000, 8, 3)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    # uneven split: ceil(10/3)=4 -> partitions cover 4+4+2
+    assert load(10, 3, 0).count() == 10
+    # per-partition generation covers the whole range exactly once
+    ids = [r.tick_id for r in df.select("tick_id").collect()]
+    assert sorted(ids) == list(range(1000))
+    # deterministic re-read (task-retry / exactly-once contract)
+    a = df.groupBy().sum("price_cents").collect()[0][0]
+    b = load(1000, 8, 3).groupBy().sum("price_cents").collect()[0][0]
+    assert a == b
+    # seed changes the data
+    c = load(1000, 8, 4).groupBy().sum("price_cents").collect()[0][0]
+    assert a != c
