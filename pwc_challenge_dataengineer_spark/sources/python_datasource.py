@@ -87,3 +87,58 @@ class TicksDataSource(DataSource):
 def register_ticks_source(spark) -> None:
     """Idempotent registration (re-register overwrites)."""
     spark.dataSource.register(TicksDataSource)
+
+
+# --- Streaming variant -----------------------------------------------------
+#
+# SimpleDataSourceStreamReader is the micro-batch half of the same API:
+# the engine asks for [start, next) slices, offsets are plain dicts that
+# land in the checkpoint WAL, and readBetweenOffsets() must be able to
+# REPLAY any committed slice after a crash — which the deterministic
+# closed form gives for free (same property the batch reader's task-retry
+# contract relies on). Each trigger emits `batch_size` ticks.
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class TicksStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.batch_size = int(options.get("batch_size", 100))
+        self.seed = int(options.get("seed", 0))
+        self.max_rows = int(options.get("max_rows", 10**9))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.batch_size, self.max_rows)
+        # materialized list, not a generator: the prefetched slice is
+        # PICKLED into the micro-batch plan for the executors
+        return list(self.readBetweenOffsets(start, {"i": hi})), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for i in range(start["i"], end["i"]):
+            tick_id, ts, price_cents, qty = _tick_row(self.seed, i)
+            yield (tick_id, 0, ts, price_cents, qty)
+
+
+class TicksStreamDataSource(DataSource):
+    """spark.readStream.format("synthetic_ticks_stream")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ticks_stream"
+
+    def schema(self) -> str:
+        return (
+            "tick_id bigint, part_id int, ts timestamp, "
+            "price_cents bigint, qty int"
+        )
+
+    def simpleStreamReader(self, schema):
+        return TicksStreamReader(self.options)
+
+
+def register_ticks_stream_source(spark) -> None:
+    spark.dataSource.register(TicksStreamDataSource)
