@@ -180,3 +180,153 @@ def k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k < 5).alias("k_violation"),
         (l < 3).alias("l_violation"),
     )
+
+
+_K_ANON = 5
+_L_DIV = 3
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH joined AS (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               c_mktsegment AS segment,
+               o_orderpriority AS sensitive
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT nation, order_year, segment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_distinct,
+           COUNT(*) >= {_K_ANON} AS is_k_anonymous,
+           COUNT(DISTINCT sensitive) >= {_L_DIV} AS is_l_diverse
+    FROM joined
+    GROUP BY 1, 2, 3
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy-compliance companion
+    to pii_redact: group the fact by its quasi-identifiers (nation, order
+    year, market segment), and flag equivalence classes smaller than k=5
+    (re-identifiable) or with fewer than l=3 distinct values of the
+    sensitive attribute (attribute-disclosable even when k holds — the
+    homogeneity attack l-diversity exists to catch). Releasing only
+    groups passing both flags is the standard anonymization gate.
+
+    One hash aggregate over the joined quasi-identifier projection with
+    broadcast dims; counts exact. At 100 TB the QI-group count is bounded
+    by the QI domain product, so the aggregate output is tiny no matter
+    the fact size."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("sensitive"),
+        )
+    )
+    return joined.groupBy("nation", "order_year", "segment").agg(
+        F.count("*").cast("bigint").alias("group_size"),
+        F.countDistinct("sensitive").cast("bigint").alias("l_distinct"),
+        (F.count("*") >= _K_ANON).alias("is_k_anonymous"),
+        (F.countDistinct("sensitive") >= _L_DIV).alias("is_l_diverse"),
+    )
+
+
+@register(
+    "k_anon_generalize",
+    oracle=f"""
+    WITH joined AS (
+        SELECT o_orderkey,
+               n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               c_mktsegment AS segment
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ),
+    sized AS (
+        SELECT o_orderkey, nation, order_year, segment,
+               COUNT(*) OVER (PARTITION BY nation, order_year, segment)
+                   AS sz0,
+               COUNT(*) OVER (PARTITION BY nation, order_year) AS sz1,
+               COUNT(*) OVER (PARTITION BY nation) AS sz2
+        FROM joined
+    )
+    SELECT o_orderkey,
+           CASE WHEN sz0 >= {_K_ANON} THEN 0
+                WHEN sz1 >= {_K_ANON} THEN 1
+                ELSE 2 END AS gen_level,
+           CASE WHEN sz0 >= {_K_ANON}
+                    THEN nation || '|' || CAST(order_year AS VARCHAR)
+                         || '|' || segment
+                WHEN sz1 >= {_K_ANON}
+                    THEN nation || '|' || CAST(order_year AS VARCHAR) || '|*'
+                ELSE nation || '|*|*' END AS released_qi,
+           CAST(CASE WHEN sz0 >= {_K_ANON} THEN sz0
+                     WHEN sz1 >= {_K_ANON} THEN sz1
+                     ELSE sz2 END AS BIGINT) AS group_size
+    FROM sized
+    """,
+)
+def k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT by generalization ladder: each row releases
+    its quasi-identifiers at the finest level whose equivalence class
+    reaches k=5 — (nation, year, segment) -> (nation, year, *) ->
+    (nation, *, *) — the minimal-information-loss ladder an anonymizing
+    release pipeline applies after k_anonymity_audit finds violations.
+
+    Three window counts over progressively coarser partitions of the SAME
+    user-keyed shuffle family (Catalyst chains them without re-sorting the
+    widest partitioning), then a pure CASE projection; no per-row state.
+    Note the residual: a (nation) class below k would need suppression —
+    on this schema every nation clears k at any SF, so the ladder
+    terminates; integer-exact output."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "o_orderkey",
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    sz0 = F.count("*").over(
+        Window.partitionBy("nation", "order_year", "segment")
+    )
+    sz1 = F.count("*").over(Window.partitionBy("nation", "order_year"))
+    sz2 = F.count("*").over(Window.partitionBy("nation"))
+    sized = joined.select(
+        "o_orderkey", "nation", "order_year", "segment",
+        sz0.alias("sz0"), sz1.alias("sz1"), sz2.alias("sz2"),
+    )
+    fine = F.col("sz0") >= _K_ANON
+    mid = F.col("sz1") >= _K_ANON
+    yr = F.col("order_year").cast("string")
+    return sized.select(
+        "o_orderkey",
+        F.when(fine, 0).when(mid, 1).otherwise(2).alias("gen_level"),
+        F.when(fine, F.concat_ws("|", "nation", yr, "segment"))
+        .when(mid, F.concat(F.concat_ws("|", "nation", yr), F.lit("|*")))
+        .otherwise(F.concat(F.col("nation"), F.lit("|*|*")))
+        .alias("released_qi"),
+        F.when(fine, F.col("sz0"))
+        .when(mid, F.col("sz1"))
+        .otherwise(F.col("sz2"))
+        .cast("bigint")
+        .alias("group_size"),
+    )
