@@ -1163,3 +1163,113 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("balance"),
     )
+
+
+# Exactly-representable smoothing constants: 0.5/0.25/0.75 are binary
+# fractions, so both engines' literals are the identical double and the
+# recurrence stays bit-reproducible cross-engine.
+_HOLT_A = 0.5
+_HOLT_B = 0.25
+
+
+@register(
+    "holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE magg AS (
+        SELECT n_name AS nation,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT nation, month, y,
+               CAST(row_number() OVER (
+                   PARTITION BY nation ORDER BY month) AS BIGINT) AS rn
+        FROM magg
+    ),
+    rec AS (
+        SELECT nation, month, y, rn, y AS s, CAST(0.0 AS DOUBLE) AS b
+        FROM m WHERE rn = 1
+        UNION ALL
+        SELECT m.nation, m.month, m.y, m.rn,
+               0.5 * m.y + 0.5 * (rec.s + rec.b),
+               0.25 * ((0.5 * m.y + 0.5 * (rec.s + rec.b)) - rec.s)
+                   + 0.75 * rec.b
+        FROM rec JOIN m ON m.nation = rec.nation AND m.rn = rec.rn + 1
+    )
+    SELECT nation, month,
+           y AS revenue,
+           s AS level,
+           b AS trend,
+           s + b AS forecast_next
+    FROM rec
+    """,
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend, alpha=0.5
+    beta=0.25) over each nation's monthly revenue, with the one-step-ahead
+    forecast — the workhorse trending-series forecaster one rung above the
+    EWMA already in this family. The recurrence is NON-associative (like
+    clamped_running_balance) and, unlike that one, has no prefix closed
+    form, so the distributed shape is per-series sequential: applyInPandas
+    per nation, each bounded series folded in one task — at 100 TB
+    parallelism comes from the series count, never the series length,
+    which the monthly grain bounds by construction.
+
+    Cross-engine parity without tolerance: the monthly revenue enters as
+    one exact DECIMAL sum cast to double, the smoothing constants are
+    binary fractions (identical literals), and the pandas fold mirrors the
+    oracle's recursive-CTE expression tree operation-for-operation, so
+    every level/trend double is bit-identical before the 6-dp round."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.sum("o_totalprice").cast("double").alias("y"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month", kind="mergesort").reset_index(drop=True)
+        levels, trends = [], []
+        s = b = None
+        for y in pdf["y"].astype("float64"):
+            y = float(y)
+            if s is None:
+                s, b = y, 0.0
+            else:
+                s_new = 0.5 * y + 0.5 * (s + b)
+                b = 0.25 * (s_new - s) + 0.75 * b
+                s = s_new
+            levels.append(s)
+            trends.append(b)
+        out = pdf[["nation", "month", "y"]].copy()
+        out["level"] = levels
+        out["trend"] = trends
+        return out
+
+    folded = monthly.groupBy("nation").applyInPandas(
+        fold, "nation string, month date, y double, level double, trend double"
+    )
+    # UNROUNDED doubles on purpose: both engines fold the identical IEEE
+    # expression tree on identical operands, so the bits match exactly —
+    # a 6-dp SQL round would reintroduce the cross-engine half-tie class
+    # (round-half-even vs half-away) the parity rules exist to avoid.
+    return folded.select(
+        "nation",
+        "month",
+        F.col("y").alias("revenue"),
+        "level",
+        "trend",
+        (F.col("level") + F.col("trend")).alias("forecast_next"),
+    )
