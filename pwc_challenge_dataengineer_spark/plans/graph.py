@@ -521,3 +521,90 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_edges"), F.round(corr, 6).alias("assortativity")
     )
+
+
+_BF_ROUNDS = 4
+
+
+def _bf_oracle() -> str:
+    rounds = []
+    for r in range(1, _BF_ROUNDS + 1):
+        rounds.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{r - 1}
+            UNION ALL
+            SELECT ed.dst AS node, d.dist + ed.w AS dist
+            FROM ed JOIN d{r - 1} d ON ed.src = d.node
+        ) GROUP BY node
+    )""")
+    return f"""
+    WITH e AS (
+        SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'p' || CAST(l_partkey AS VARCHAR) AS dst,
+               MIN(l_extendedprice) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ed AS MATERIALIZED (
+        SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e
+    ),
+    d0 AS MATERIALIZED (
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+               CAST(0 AS DECIMAL(12,2)) AS dist
+        FROM supplier
+        WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
+    ),{",".join(rounds)}
+    SELECT node, CAST(dist AS DECIMAL(18,2)) AS dist FROM d{_BF_ROUNDS}
+    """
+
+
+@register("weighted_shortest_path", oracle=_bf_oracle())
+def weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford: cheapest-path cost within 4 relaxation rounds
+    from the same data-derived seed set as bfs_hops_bipartite, over the
+    supplier-part graph weighted by the cheapest observed line price per
+    edge — the weighted companion that upgrades hop-reachability into
+    cost-reachability (procurement blast-radius with actual prices).
+
+    Each round is one full relaxation: edge join against the current
+    distance table, then a min-combine groupBy — the textbook distributed
+    Bellman-Ford (Pregel's shape without the framework). Like the other
+    bounded iterations (kcore, BFS) this stays lineage-only at 4 rounds;
+    the production refinement is delta-stepping: only re-propagate nodes
+    whose distance improved last round, shrinking the join's left side to
+    the changed frontier. Distances accumulate in exact DECIMAL (weights
+    are money), so parity is exact — no float path sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    e = (
+        li.groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+        .agg(F.min("l_extendedprice").alias("w"))
+    )
+    ed = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=False)  # reused every round
+
+    min_nat = sup.agg(F.min("s_nationkey").alias("__mn"))
+    dist = (
+        sup.crossJoin(F.broadcast(min_nat))
+        .filter(F.col("s_nationkey") == F.col("__mn"))
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+            F.lit(0).cast("decimal(12,2)").alias("dist"),
+        )
+        .distinct()
+    )
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            ed.join(dist, ed.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed, allowMissingColumns=False)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").cast("decimal(18,2)").alias("dist"))
