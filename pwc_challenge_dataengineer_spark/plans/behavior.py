@@ -1114,3 +1114,99 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_PI_ITERS = 3
+
+
+def _stationary_oracle() -> str:
+    head = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    p AS MATERIALIZED (
+        SELECT from_type, to_type,
+               CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        FROM counts
+    ),
+    ns AS (SELECT CAST(COUNT(DISTINCT from_type) AS BIGINT) AS k FROM p),
+    pi0 AS (
+        SELECT DISTINCT from_type AS state, 1.0 / ns.k AS prob
+        FROM p CROSS JOIN ns
+    )"""
+    steps = []
+    for i in range(1, _PI_ITERS + 1):
+        steps.append(f"""
+    pi{i} AS (
+        SELECT p.to_type AS state, SUM(pi.prob * p.p) AS prob
+        FROM p JOIN pi{i - 1} pi ON p.from_type = pi.state
+        GROUP BY 1
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT state, round(prob, 6) AS stationary_prob FROM pi{_PI_ITERS}
+    """
+    )
+
+
+@register("markov_stationary_events", oracle=_stationary_oracle())
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run state occupancy of the behavioral Markov chain: power
+    iteration pi_{{k+1}} = pi_k P (3 rounds from uniform) over the same
+    row-stochastic transition matrix event_transition_matrix builds — the
+    'where do user journeys settle' summary behind engagement-mix
+    forecasting, and the stochastic-matrix sibling of pagerank_bipartite
+    (same iterate-join-aggregate shape, no damping because the empirical
+    chain is already stochastic on its observed support).
+
+    The matrix is |event-types|^2 cells (vocabulary-sized, broadcast);
+    each iteration is one broadcast join + one |states|-row aggregate, so
+    at 100 TB the only data-sized work is the one lead() window that
+    builds the counts. The per-state float sum reorders across engines at
+    ~1e-16; the 6-dp round pins it (pagerank precedent)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wp = Window.partitionBy("from_type")
+    p = counts.select(
+        "from_type",
+        "to_type",
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias(
+            "p"
+        ),
+    )
+    p = p.localCheckpoint(eager=False)  # reused every iteration
+    ns = p.agg(F.countDistinct("from_type").alias("k"))
+    pi = (
+        p.select(F.col("from_type").alias("state"))
+        .distinct()
+        .crossJoin(F.broadcast(ns))
+        .select("state", (F.lit(1.0) / F.col("k")).alias("prob"))
+    )
+    for _ in range(_PI_ITERS):
+        pi = (
+            p.join(F.broadcast(pi), p.from_type == pi.state)
+            .groupBy(F.col("to_type").alias("state_next"))
+            .agg(F.sum(F.col("prob") * F.col("p")).alias("prob"))
+            .select(F.col("state_next").alias("state"), "prob")
+        )
+    return pi.select("state", F.round("prob", 6).alias("stationary_prob"))
