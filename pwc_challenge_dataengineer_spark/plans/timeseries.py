@@ -1172,9 +1172,10 @@ _HOLT_A = 0.5
 _HOLT_B = 0.25
 
 
-@register(
-    "holt_linear_forecast",
-    oracle="""
+# Shared recursive-CTE chain: nation-monthly revenue -> Holt fold (ends at
+# `rec` with nation, month, y, rn, s, b). Used by holt_linear_forecast and
+# backtest_forecast_accuracy.
+_HOLT_SQL_CHAIN = """
     WITH RECURSIVE magg AS (
         SELECT n_name AS nation,
                CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
@@ -1199,7 +1200,13 @@ _HOLT_B = 0.25
                0.25 * ((0.5 * m.y + 0.5 * (rec.s + rec.b)) - rec.s)
                    + 0.75 * rec.b
         FROM rec JOIN m ON m.nation = rec.nation AND m.rn = rec.rn + 1
-    )
+    )"""
+
+
+@register(
+    "holt_linear_forecast",
+    oracle=_HOLT_SQL_CHAIN
+    + """
     SELECT nation, month,
            y AS revenue,
            s AS level,
@@ -1224,6 +1231,23 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary fractions (identical literals), and the pandas fold mirrors the
     oracle's recursive-CTE expression tree operation-for-operation, so
     every level/trend double is bit-identical before the 6-dp round."""
+    # UNROUNDED doubles on purpose: both engines fold the identical IEEE
+    # expression tree on identical operands, so the bits match exactly —
+    # a 6-dp SQL round would reintroduce the cross-engine half-tie class
+    # (round-half-even vs half-away) the parity rules exist to avoid.
+    return _holt_folded(spark, sf_dir).select(
+        "nation",
+        "month",
+        F.col("y").alias("revenue"),
+        "level",
+        "trend",
+        (F.col("level") + F.col("trend")).alias("forecast_next"),
+    )
+
+
+def _holt_folded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark twin of _HOLT_SQL_CHAIN: (nation, month, y, level,
+    trend) after the per-series pandas fold."""
     import pandas as pd
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1258,18 +1282,111 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["trend"] = trends
         return out
 
-    folded = monthly.groupBy("nation").applyInPandas(
+    return monthly.groupBy("nation").applyInPandas(
         fold, "nation string, month date, y double, level double, trend double"
     )
-    # UNROUNDED doubles on purpose: both engines fold the identical IEEE
-    # expression tree on identical operands, so the bits match exactly —
-    # a 6-dp SQL round would reintroduce the cross-engine half-tie class
-    # (round-half-even vs half-away) the parity rules exist to avoid.
-    return folded.select(
+
+
+@register(
+    "backtest_forecast_accuracy",
+    oracle=_HOLT_SQL_CHAIN
+    + """,
+    lagd AS (
+        SELECT nation, rn, month, y,
+               lag(y, 1) OVER w AS y1,
+               lag(y, 12) OVER w AS y12,
+               lag(s + b, 1) OVER w AS holt_prev,
+               MAX(rn) OVER (PARTITION BY nation) AS max_rn
+        FROM rec WINDOW w AS (PARTITION BY nation ORDER BY rn)
+    ),
+    train_scale AS (
+        SELECT nation, AVG(ABS(y - y1)) AS scale
+        FROM lagd WHERE rn <= max_rn - 12 AND y1 IS NOT NULL
+        GROUP BY 1
+    ),
+    errs AS (
+        SELECT nation, 'naive' AS method, y - y1 AS e
+        FROM lagd WHERE rn > max_rn - 12 AND y1 IS NOT NULL
+        UNION ALL
+        SELECT nation, 'snaive', y - y12
+        FROM lagd WHERE rn > max_rn - 12 AND y12 IS NOT NULL
+        UNION ALL
+        SELECT nation, 'holt', y - holt_prev
+        FROM lagd WHERE rn > max_rn - 12 AND holt_prev IS NOT NULL
+    )
+    SELECT e.nation, e.method,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           round(AVG(ABS(e.e)), 6) AS mae,
+           round(sqrt(AVG(e.e * e.e)), 6) AS rmse,
+           round(AVG(ABS(e.e)) / ts.scale, 6) AS mase
+    FROM errs e JOIN train_scale ts ON e.nation = ts.nation
+    GROUP BY e.nation, e.method, ts.scale
+    """,
+)
+def backtest_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting — the model-selection harness the forecasting
+    family needs: one-step-ahead errors of three forecasters (naive lag-1,
+    seasonal-naive lag-12, Holt level+trend from holt_linear_forecast's
+    shared fold) over each nation's last 12 observed months, scored as
+    MAE, RMSE and MASE (MAE scaled by the naive forecaster's TRAINING-
+    period error — the scale-free metric that makes accuracy comparable
+    across nations of different revenue magnitude; MASE < 1 beats naive).
+    Lags are in observed-month index space, so sparse series stay
+    well-defined at any SF.
+
+    Built entirely on the shared Holt fold + three lag windows over the
+    SAME nation-keyed sort (one shuffle); the eval/train split is a pure
+    rn predicate against the per-nation max. Error terms are differences
+    of bit-identical doubles; the per-method averages sum 12 such terms,
+    and the final divisions mirror operand-for-operand."""
+    from pyspark.sql.window import Window
+
+    folded = _holt_folded(spark, sf_dir)
+    w = Window.partitionBy("nation").orderBy("month")
+    rn = F.row_number().over(w).cast("bigint")
+    lagd = folded.select(
         "nation",
         "month",
-        F.col("y").alias("revenue"),
-        "level",
-        "trend",
-        (F.col("level") + F.col("trend")).alias("forecast_next"),
+        "y",
+        rn.alias("rn"),
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 12).over(w).alias("y12"),
+        F.lag(F.col("level") + F.col("trend"), 1).over(w).alias("holt_prev"),
+    ).withColumn(
+        "max_rn", F.max("rn").over(Window.partitionBy("nation"))
+    )
+    is_eval = F.col("rn") > F.col("max_rn") - 12
+    train = lagd.filter(
+        (F.col("rn") <= F.col("max_rn") - 12) & F.col("y1").isNotNull()
+    )
+    scale = train.groupBy("nation").agg(
+        F.avg(F.abs(F.col("y") - F.col("y1"))).alias("scale")
+    )
+    errs = None
+    for method, fc in (("naive", "y1"), ("snaive", "y12"), ("holt", "holt_prev")):
+        part = (
+            lagd.filter(is_eval & F.col(fc).isNotNull())
+            .select(
+                "nation",
+                F.lit(method).alias("method"),
+                (F.col("y") - F.col(fc)).alias("e"),
+            )
+        )
+        errs = part if errs is None else errs.unionByName(part)
+    return (
+        errs.join(F.broadcast(scale), "nation")
+        .groupBy("nation", "method", "scale")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.avg(F.abs("e")).alias("mae_raw"),
+            F.avg(F.col("e") * F.col("e")).alias("mse_raw"),
+        )
+        .select(
+            "nation",
+            "method",
+            "n_eval",
+            F.round("mae_raw", 6).alias("mae"),
+            F.round(F.sqrt("mse_raw"), 6).alias("rmse"),
+            F.round(F.col("mae_raw") / F.col("scale"), 6).alias("mase"),
+        )
     )
