@@ -1011,3 +1011,124 @@ def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("int").alias("p_size"),
         F.col("price").cast("double").alias("retail_price"),
     )
+
+
+@register(
+    "price_volume_mix",
+    oracle=f"""
+    WITH yr AS (
+        SELECT CAST(year(MAX(l_shipdate)) - 1 AS BIGINT) AS cy FROM lineitem
+    ),
+    by_brand AS (
+        SELECT p_brand AS brand,
+               CAST(year(l_shipdate) AS BIGINT) AS y,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q,
+               {REV_SUM_SQL} AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        CROSS JOIN yr
+        WHERE CAST(year(l_shipdate) AS BIGINT) IN (yr.cy - 1, yr.cy)
+        GROUP BY 1, 2
+    ),
+    ref AS (SELECT brand, q AS q0, rev AS rev0 FROM by_brand, yr
+            WHERE y = yr.cy - 1),
+    cur AS (SELECT brand, q AS q1, rev AS rev1 FROM by_brand, yr
+            WHERE y = yr.cy),
+    joined AS (
+        SELECT COALESCE(r.brand, c.brand) AS brand,
+               COALESCE(r.q0, 0.0) AS q0, COALESCE(r.rev0, 0.0) AS rev0,
+               COALESCE(c.q1, 0.0) AS q1, COALESCE(c.rev1, 0.0) AS rev1
+        FROM ref r FULL OUTER JOIN cur c ON r.brand = c.brand
+    )
+    SELECT brand,
+           CASE WHEN q0 = 0 THEN 'new'
+                WHEN q1 = 0 THEN 'discontinued'
+                ELSE 'continuing' END AS status,
+           q0, q1, rev0, rev1,
+           rev1 - rev0 AS delta,
+           CASE WHEN q0 = 0 THEN rev1
+                WHEN q1 = 0 THEN 0.0 - rev0
+                ELSE (q1 - q0) * (rev0 / q0) END AS volume_effect,
+           CASE WHEN q0 = 0 OR q1 = 0 THEN 0.0
+                ELSE (rev1 / q1 - rev0 / q0) * q0 END AS price_effect,
+           CASE WHEN q0 = 0 OR q1 = 0 THEN 0.0
+                ELSE (q1 - q0) * (rev1 / q1 - rev0 / q0) END AS cross_effect
+    FROM joined
+    """,
+)
+def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix decomposition — the classic 'why did revenue
+    move' BI operator: per brand, the year-over-year revenue delta split
+    into volume effect ((q1-q0) * p0), price effect ((p1-p0) * q0) and
+    the cross term, which reconcile to the delta by construction; new and
+    discontinued brands get their whole delta attributed as volume with
+    an explicit status. One aggregate over the two-year slice (predicate
+    pushed to the scan) + a brand-keyed full outer join — dimension-sized
+    after aggregation, so trivially small at any fact scale.
+
+    Parity: quantities and revenues are exact DECIMAL sums cast to double
+    once; every effect is one CASE of identical IEEE expressions, and
+    outputs stay UNROUNDED (the half-tie rule). The decomposition's float
+    residual vs the exact delta is identical cross-engine because the
+    operand order is mirrored."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    yr = li.agg((F.year(F.max("l_shipdate")) - 1).cast("bigint").alias("cy"))
+    by_brand = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .crossJoin(F.broadcast(yr))
+        .filter(
+            (F.year("l_shipdate").cast("bigint") == F.col("cy") - 1)
+            | (F.year("l_shipdate").cast("bigint") == F.col("cy"))
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("bigint").alias("y"),
+        )
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("q"),
+            rev_sum().alias("rev"),
+        )
+        .crossJoin(F.broadcast(yr))
+    )
+    ref = by_brand.filter(F.col("y") == F.col("cy") - 1).select(
+        "brand", F.col("q").alias("q0"), F.col("rev").alias("rev0")
+    )
+    cur = by_brand.filter(F.col("y") == F.col("cy")).select(
+        F.col("brand").alias("brand_c"),
+        F.col("q").alias("q1"),
+        F.col("rev").alias("rev1"),
+    )
+    joined = (
+        ref.join(cur, ref.brand == cur.brand_c, "full_outer")
+        .select(
+            F.coalesce("brand", "brand_c").alias("brand"),
+            F.coalesce("q0", F.lit(0.0)).alias("q0"),
+            F.coalesce("rev0", F.lit(0.0)).alias("rev0"),
+            F.coalesce("q1", F.lit(0.0)).alias("q1"),
+            F.coalesce("rev1", F.lit(0.0)).alias("rev1"),
+        )
+    )
+    q0, q1 = F.col("q0"), F.col("q1")
+    rev0, rev1 = F.col("rev0"), F.col("rev1")
+    return joined.select(
+        "brand",
+        F.when(q0 == 0, "new")
+        .when(q1 == 0, "discontinued")
+        .otherwise("continuing")
+        .alias("status"),
+        "q0",
+        "q1",
+        "rev0",
+        "rev1",
+        (rev1 - rev0).alias("delta"),
+        F.when(q0 == 0, rev1)
+        .when(q1 == 0, F.lit(0.0) - rev0)
+        .otherwise((q1 - q0) * (rev0 / q0))
+        .alias("volume_effect"),
+        F.when((q0 == 0) | (q1 == 0), F.lit(0.0))
+        .otherwise((rev1 / q1 - rev0 / q0) * q0)
+        .alias("price_effect"),
+        F.when((q0 == 0) | (q1 == 0), F.lit(0.0))
+        .otherwise((q1 - q0) * (rev1 / q1 - rev0 / q0))
+        .alias("cross_effect"),
+    )
