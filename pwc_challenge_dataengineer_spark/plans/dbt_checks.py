@@ -623,3 +623,106 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2_total"),
     )
+
+
+@register(
+    "chisq_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT segment, priority, obs,
+               CAST(SUM(obs) OVER (PARTITION BY segment) AS BIGINT) AS row_tot,
+               CAST(SUM(obs) OVER (PARTITION BY priority) AS BIGINT) AS col_tot,
+               CAST(SUM(obs) OVER () AS BIGINT) AS n
+        FROM cells
+    ),
+    contrib AS (
+        SELECT segment, priority, obs, row_tot, col_tot, n,
+               CAST(row_tot AS DOUBLE) * col_tot / n AS expected
+        FROM margins
+    ),
+    scored AS (
+        SELECT segment, priority, obs, expected,
+               (obs - expected) * (obs - expected) / expected AS cell_chi2,
+               n, row_tot, col_tot
+        FROM contrib
+    )
+    SELECT segment, priority, obs,
+           round(expected, 6) AS expected,
+           round(cell_chi2, 6) AS cell_chi2,
+           round(SUM(cell_chi2) OVER (), 6) AS chi2_total,
+           round(sqrt(SUM(cell_chi2) OVER ()
+                      / (ANY_VALUE(n) OVER ()
+                         * least(CAST(COUNT(DISTINCT segment) OVER () AS BIGINT) - 1,
+                                 CAST(COUNT(DISTINCT priority) OVER () AS BIGINT) - 1))),
+                 6) AS cramers_v
+    FROM scored
+    """,
+)
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the segment x priority
+    contingency table, with per-cell contributions and Cramér's V — the
+    classic 'are these two categoricals related' diagnostic that
+    complements the distribution-shape monitors (PSI/KS/Benford) with a
+    bivariate one; per-cell chi2 also ranks WHICH combinations drive the
+    dependence. Expected counts are products of exact integer margins
+    divided once; the 25-cell table makes every window frame-bounded.
+    One fact-sized aggregate, then vocabulary-sized windows."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").cast("bigint").alias("obs"))
+    )
+    wr = Window.partitionBy("segment")
+    wc = Window.partitionBy("priority")
+    wa = Window.partitionBy()
+    m = cells.select(
+        "segment",
+        "priority",
+        "obs",
+        F.sum("obs").over(wr).cast("bigint").alias("row_tot"),
+        F.sum("obs").over(wc).cast("bigint").alias("col_tot"),
+        F.sum("obs").over(wa).cast("bigint").alias("n"),
+    )
+    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    scored = m.select(
+        "segment",
+        "priority",
+        "obs",
+        expected.alias("expected"),
+        (
+            (F.col("obs") - expected) * (F.col("obs") - expected) / expected
+        ).alias("cell_chi2"),
+        "n",
+    )
+    # COUNT(DISTINCT) over a window is unsupported in Spark — the table
+    # dimensions come in as a broadcast scalar instead.
+    dims = cells.agg(
+        F.count_distinct("segment").cast("bigint").alias("n_seg"),
+        F.count_distinct("priority").cast("bigint").alias("n_pri"),
+    )
+    chi2_tot = F.sum("cell_chi2").over(wa)
+    k = F.least(F.col("n_seg") - 1, F.col("n_pri") - 1)
+    return scored.crossJoin(F.broadcast(dims)).select(
+        "segment",
+        "priority",
+        "obs",
+        F.round("expected", 6).alias("expected"),
+        F.round("cell_chi2", 6).alias("cell_chi2"),
+        F.round(chi2_tot, 6).alias("chi2_total"),
+        F.round(F.sqrt(chi2_tot / (F.first("n").over(wa) * k)), 6).alias(
+            "cramers_v"
+        ),
+    )
