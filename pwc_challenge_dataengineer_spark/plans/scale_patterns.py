@@ -496,3 +496,136 @@ def grouped_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round((num * num) / (den_x * den_y), 6).alias("r2"),
     )
+
+
+_BOOT_B = 20
+# Cumulative Poisson(1) probabilities for the inverse-CDF ladder; plain
+# decimal literals parse to the identical double in both engines.
+_POIS_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"CASE{branches} ELSE {len(_POIS_CUM)} END"
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    weighted AS (
+        SELECT r.b,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                   || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 AS h,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders CROSS JOIN reps r
+    ),
+    wts AS (
+        SELECT b, x, {_pois_case_sql("(h / 1000000.0)")} AS w FROM weighted
+    ),
+    means AS (
+        SELECT b,
+               CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS BIGINT)
+                   AS replica_mean,
+               CAST(SUM(w) AS BIGINT) AS n_eff
+        FROM wts GROUP BY b
+    ),
+    ranked AS (
+        SELECT b, replica_mean, n_eff,
+               CAST(row_number() OVER (ORDER BY replica_mean, b) AS INT) AS rk
+        FROM means
+    )
+    SELECT b, replica_mean, n_eff,
+           MAX(CASE WHEN rk = 2 THEN replica_mean END) OVER () AS ci_lo,
+           MAX(CASE WHEN rk = {_BOOT_B - 1} THEN replica_mean END) OVER ()
+               AS ci_hi
+    FROM ranked
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bootstrap via Poissonization (Efron's Poisson
+    bootstrap — the form that actually distributes): instead of resampling
+    n rows with replacement (which needs global coordination), every row
+    enters each of 20 replicas with an independent Poisson(1) weight, here
+    drawn DETERMINISTICALLY by inverse-CDF over an md5-derived uniform, so
+    both engines build bit-identical replicas and the whole CI is
+    hash-verified. Emits each replica's weighted mean of order value plus
+    the 10th/90th-percentile band (2nd / 19th order statistic of 20).
+
+    One explode(x20) + hash aggregate with map-side combine — no shuffle
+    of the fact beyond the 20-group aggregate; weighted sums stay in
+    exact DECIMAL x integer, divided once (unrounded doubles, half-tie
+    rule). At 100 TB the replica count is the only fan-out factor and the
+    per-replica partial aggregates fuse into one pass over the scan."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    reps = spark.range(0, _BOOT_B).select(F.col("id").cast("int").alias("b"))
+    weighted = orders.crossJoin(F.broadcast(reps)).select(
+        "b",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("o_orderkey").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).alias("h"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    u = F.col("h") / F.lit(1000000.0)
+    w = F.lit(len(_POIS_CUM))
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < _POIS_CUM[k], F.lit(k)).otherwise(w)
+    means = (
+        weighted.select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("x")).cast("double")
+                / F.sum("w").cast("bigint")
+            ).alias("replica_mean"),
+            F.sum("w").cast("bigint").alias("n_eff"),
+        )
+    )
+    ranked = means.select(
+        "b",
+        "replica_mean",
+        "n_eff",
+        F.row_number()
+        .over(Window.orderBy("replica_mean", "b"))
+        .cast("int")
+        .alias("rk"),
+    )
+    wa = Window.partitionBy()
+    return ranked.select(
+        "b",
+        "replica_mean",
+        "n_eff",
+        F.max(F.when(F.col("rk") == 2, F.col("replica_mean"))).over(wa).alias(
+            "ci_lo"
+        ),
+        F.max(
+            F.when(F.col("rk") == _BOOT_B - 1, F.col("replica_mean"))
+        ).over(wa).alias("ci_hi"),
+    )
