@@ -726,3 +726,205 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cramers_v"
         ),
     )
+
+
+@register(
+    "welch_ttest_segments",
+    oracle="""
+    WITH pop AS (
+        SELECT c_mktsegment AS seg,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    m AS (
+        SELECT seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+        FROM pop GROUP BY 1
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN seg = 'AUTOMOBILE' THEN n END) AS n1,
+            MAX(CASE WHEN seg = 'AUTOMOBILE' THEN sx END) AS sx1,
+            MAX(CASE WHEN seg = 'AUTOMOBILE' THEN sxx END) AS sxx1,
+            MAX(CASE WHEN seg = 'BUILDING' THEN n END) AS n2,
+            MAX(CASE WHEN seg = 'BUILDING' THEN sx END) AS sx2,
+            MAX(CASE WHEN seg = 'BUILDING' THEN sxx END) AS sxx2
+        FROM m
+    ),
+    stats AS (
+        SELECT n1, n2,
+               sx1 / n1 AS m1, sx2 / n2 AS m2,
+               (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+               (sxx2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+        FROM wide
+    )
+    SELECT n1, n2, m1, m2,
+           m1 - m2 AS mean_diff,
+           (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+           (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+           / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+              + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_df
+    FROM stats
+    """,
+)
+def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean order value between
+    two market segments — the A/B-comparison workhorse, computed entirely
+    from per-group moment sums (n, sum, sum-of-squares in exact DECIMAL)
+    so the fact table is touched once with map-side combine and the test
+    statistic plus Welch-Satterthwaite df are closed forms on identical
+    doubles (unrounded, half-tie rule). Complements chisq_independence
+    (categorical x categorical) with the numeric-vs-binary test."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    pop = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        )
+    )
+    m = pop.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+
+    def pick(col, seg):
+        return F.max(F.when(F.col("seg") == seg, F.col(col)))
+
+    wide = m.agg(
+        pick("n", "AUTOMOBILE").alias("n1"),
+        pick("sx", "AUTOMOBILE").alias("sx1"),
+        pick("sxx", "AUTOMOBILE").alias("sxx1"),
+        pick("n", "BUILDING").alias("n2"),
+        pick("sx", "BUILDING").alias("sx2"),
+        pick("sxx", "BUILDING").alias("sxx2"),
+    )
+    m1 = F.col("sx1") / F.col("n1")
+    m2 = F.col("sx2") / F.col("n2")
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("sxx2") - F.col("sx2") * F.col("sx2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    se2_1 = v1 / F.col("n1")
+    se2_2 = v2 / F.col("n2")
+    return wide.select(
+        "n1",
+        "n2",
+        m1.alias("m1"),
+        m2.alias("m2"),
+        (m1 - m2).alias("mean_diff"),
+        ((m1 - m2) / F.sqrt(se2_1 + se2_2)).alias("t_stat"),
+        (
+            (se2_1 + se2_2)
+            * (se2_1 + se2_2)
+            / (
+                se2_1 * se2_1 / (F.col("n1") - 1)
+                + se2_2 * se2_2 / (F.col("n2") - 1)
+            )
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "diff_in_diff",
+    oracle="""
+    WITH yr AS (
+        SELECT CAST(year(MAX(o_orderdate)) - 1 AS BIGINT) AS cy FROM orders
+    ),
+    pop AS (
+        SELECT (c_mktsegment = 'AUTOMOBILE') AS treated,
+               (CAST(year(o_orderdate) AS BIGINT) = yr.cy) AS post,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        CROSS JOIN yr
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+          AND CAST(year(o_orderdate) AS BIGINT) IN (yr.cy - 1, yr.cy)
+    ),
+    cells AS (
+        SELECT treated, post,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_x
+        FROM pop GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN treated AND post THEN mean_x END) AS t1,
+            MAX(CASE WHEN treated AND NOT post THEN mean_x END) AS t0,
+            MAX(CASE WHEN NOT treated AND post THEN mean_x END) AS c1,
+            MAX(CASE WHEN NOT treated AND NOT post THEN mean_x END) AS c0,
+            CAST(SUM(n) AS BIGINT) AS n_total
+        FROM cells
+    )
+    SELECT n_total, t0, t1, c0, c1,
+           t1 - t0 AS treated_delta,
+           c1 - c0 AS control_delta,
+           (t1 - t0) - (c1 - c0) AS did_estimate
+    FROM wide
+    """,
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the canonical quasi-
+    experimental effect measure: the treated segment's before/after change
+    in mean order value minus the control segment's change over the same
+    two years, which nets out the common time trend. The whole 2x2 design
+    reduces to four cell means from one pushed-down aggregate (exact
+    DECIMAL sums divided once, unrounded doubles) — at any fact scale the
+    estimator is a single map-side-combined pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    yr = orders.agg(
+        (F.year(F.max("o_orderdate")) - 1).cast("bigint").alias("cy")
+    )
+    y = F.year("o_orderdate").cast("bigint")
+    pop = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .crossJoin(F.broadcast(yr))
+        .filter(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+            & ((y == F.col("cy") - 1) | (y == F.col("cy")))
+        )
+        .select(
+            (F.col("c_mktsegment") == "AUTOMOBILE").alias("treated"),
+            (y == F.col("cy")).alias("post"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        )
+    )
+    cells = pop.groupBy("treated", "post").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("x").cast("double") / F.count("*")).alias("mean_x"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean_x"))
+        )
+
+    wide = cells.agg(
+        cell(True, True).alias("t1"),
+        cell(True, False).alias("t0"),
+        cell(False, True).alias("c1"),
+        cell(False, False).alias("c0"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        "t0",
+        "t1",
+        "c0",
+        "c1",
+        (F.col("t1") - F.col("t0")).alias("treated_delta"),
+        (F.col("c1") - F.col("c0")).alias("control_delta"),
+        (
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
+        ).alias("did_estimate"),
+    )
