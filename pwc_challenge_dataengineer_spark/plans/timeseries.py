@@ -1390,3 +1390,100 @@ def backtest_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mae_raw") / F.col("scale"), 6).alias("mase"),
         )
     )
+
+
+@register(
+    "seasonal_indices",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS DECIMAL(18,0))) AS BIGINT) AS yc
+        FROM orders GROUP BY 1
+    ),
+    framed AS (
+        SELECT month, yc,
+               CAST(month(month) AS INT) AS moy,
+               CAST(SUM(yc) OVER (ORDER BY month
+                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT)
+                   AS s11,
+               CAST(lag(yc, 6) OVER (ORDER BY month) AS BIGINT) AS l6,
+               CAST(lead(yc, 6) OVER (ORDER BY month) AS BIGINT) AS f6
+        FROM monthly
+    ),
+    ratios AS (
+        SELECT moy,
+               CAST(yc AS DOUBLE) * 24.0
+                   / (2 * s11 + l6 + f6) AS ratio
+        FROM framed
+        WHERE l6 IS NOT NULL AND f6 IS NOT NULL
+    ),
+    idx AS (
+        SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               AVG(ratio) AS raw_index
+        FROM ratios GROUP BY 1
+    ),
+    tot AS (SELECT SUM(raw_index) AS s, COUNT(*) AS k FROM idx)
+    SELECT idx.moy AS month_of_year, idx.n_obs,
+           round(idx.raw_index, 6) AS raw_index,
+           round(idx.raw_index * tot.k / tot.s, 6) AS normalized_index
+    FROM idx CROSS JOIN tot
+    """,
+)
+def seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition, the ratio-to-moving-average
+    step: each month's revenue divided by its centered 2x12 moving
+    average (the standard even-period centering: twice the 11-month sum
+    plus the two half-weighted endpoints, over 24), averaged per calendar
+    month and normalized to mean 1 — the multiplicative seasonal index
+    a demand-planning pipeline feeds back into deseasonalized forecasts
+    (composing with holt_linear_forecast / backtest_forecast_accuracy).
+
+    Parity: monthly revenue is held as exact integer CENTS, so every
+    window sum is exact in any accumulation order — the ratio is the
+    only division (identical operands cross-engine). The calendar-bounded
+    global series (~80 rows at any SF) makes the unpartitioned window the
+    documented safe case (acf_daily_revenue precedent)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(cents).cast("bigint").alias("yc"))
+    w = Window.orderBy("month")
+    framed = monthly.select(
+        "month",
+        "yc",
+        F.month("month").cast("int").alias("moy"),
+        F.sum("yc").over(w.rowsBetween(-5, 5)).cast("bigint").alias("s11"),
+        F.lag("yc", 6).over(w).cast("bigint").alias("l6"),
+        F.lead("yc", 6).over(w).cast("bigint").alias("f6"),
+    )
+    ratios = framed.filter(
+        F.col("l6").isNotNull() & F.col("f6").isNotNull()
+    ).select(
+        "moy",
+        (
+            F.col("yc").cast("double")
+            * 24.0
+            / (2 * F.col("s11") + F.col("l6") + F.col("f6"))
+        ).alias("ratio"),
+    )
+    idx = ratios.groupBy("moy").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.avg("ratio").alias("raw_index"),
+    )
+    tot = idx.agg(
+        F.sum("raw_index").alias("s"), F.count("*").alias("k")
+    )
+    return idx.crossJoin(F.broadcast(tot)).select(
+        F.col("moy").alias("month_of_year"),
+        "n_obs",
+        F.round("raw_index", 6).alias("raw_index"),
+        F.round(F.col("raw_index") * F.col("k") / F.col("s"), 6).alias(
+            "normalized_index"
+        ),
+    )
