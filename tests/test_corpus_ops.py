@@ -358,3 +358,50 @@ def test_mmr_diversifies(spark, sf_dir):
     for r in rows[1:]:
         # pen = max cosine to the already-selected set, a value in [-1, 1]
         assert 0.7 * r["relevance"] - 0.3 - 1e-9 <= r["mmr_score"] <= 0.7 * r["relevance"] + 0.3 + 1e-9
+
+
+def test_coverage_greedy_picks_planted_superset(spark, tmp_path):
+    """A planted corpus where one doc's shingles strictly contain every
+    other doc's: greedy must pick it first, and the second pick must be
+    the doc adding the most NOT-yet-covered shingles (not the globally
+    largest remaining doc)."""
+    import pwc_challenge_dataengineer_spark.plans.sampling as S
+
+    big = "a b c d e f g h i j k l"          # superset doc: 10 shingles
+    sub = "a b c d e f"                       # subset of big: adds 0
+    fresh = "x y z w v"                       # disjoint: adds 3
+    docs = spark.createDataFrame(
+        [(1, big), (2, sub), (3, fresh)], "doc_id long, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    for t in "region nation customer supplier part orders lineitem events embeddings".split():
+        spark.createDataFrame([(1,)], "x long").write.mode("overwrite").parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+    out = S.coverage_greedy_docs(spark, str(tmp_path)).collect()
+    by_rank = {r.pick_rank: r for r in out}
+    assert by_rank[1].doc_id == 1 and by_rank[1].gain == 10
+    assert by_rank[2].doc_id == 3 and by_rank[2].gain == 3
+    # doc 2 adds nothing new -> its residual gain is 0, so it is picked
+    # (if at all) only after every positive-gain doc, with gain 0 absent
+    # from the remaining set entirely (anti-joined away)
+    assert all(r.doc_id != 2 for r in out)
+    assert by_rank[2].covered_total == 13
+
+
+def test_bfs_hops_on_planted_graph(spark, tmp_path):
+    """Planted two-hop chain: supplier s1 (nation 0) supplies part p1;
+    supplier s2 (nation 1) also supplies p1 and additionally p2. BFS from
+    nation-0 suppliers must reach p1 at hop 1, s2 at hop 2, p2 at hop 3."""
+    from pwc_challenge_dataengineer_spark.plans.graph import bfs_hops_bipartite
+
+    lineitem = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 2)], "l_suppkey long, l_partkey long"
+    )
+    supplier = spark.createDataFrame(
+        [(1, 0), (2, 1)], "s_suppkey long, s_nationkey long"
+    )
+    lineitem.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    supplier.write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    out = {r.node: r.hops for r in bfs_hops_bipartite(spark, str(tmp_path)).collect()}
+    assert out == {"s1": 0, "p1": 1, "s2": 2, "p2": 3}
