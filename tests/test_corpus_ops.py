@@ -405,3 +405,34 @@ def test_bfs_hops_on_planted_graph(spark, tmp_path):
     supplier.write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
     out = {r.node: r.hops for r in bfs_hops_bipartite(spark, str(tmp_path)).collect()}
     assert out == {"s1": 0, "p1": 1, "s2": 2, "p2": 3}
+
+
+def test_weighted_shortest_path_prefers_cheap_detour(spark, tmp_path):
+    """Planted weights where the 3-hop detour is cheaper than the direct
+    edge: s1-p1 costs 100 direct, but s1-p2 (1) + p2-s2 (1) + s2-p1 (1)
+    totals 3 — bounded Bellman-Ford (4 rounds) must return 3.00 for p1."""
+    from decimal import Decimal
+
+    from pwc_challenge_dataengineer_spark.plans.graph import (
+        weighted_shortest_path,
+    )
+
+    rows = [
+        (1, 1, Decimal("100.00")),  # s1-p1 expensive direct edge
+        (1, 2, Decimal("1.00")),    # s1-p2 cheap
+        (2, 2, Decimal("1.00")),    # s2-p2 cheap
+        (2, 1, Decimal("1.00")),    # s2-p1 cheap
+    ]
+    lineitem = spark.createDataFrame(
+        rows, "l_suppkey long, l_partkey long, l_extendedprice decimal(12,2)"
+    )
+    supplier = spark.createDataFrame(
+        [(1, 0), (2, 1)], "s_suppkey long, s_nationkey long"
+    )
+    lineitem.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    supplier.write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    out = {
+        r.node: float(r.dist)
+        for r in weighted_shortest_path(spark, str(tmp_path)).collect()
+    }
+    assert out == {"s1": 0.0, "p2": 1.0, "s2": 2.0, "p1": 3.0}
