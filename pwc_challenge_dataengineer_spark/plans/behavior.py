@@ -1210,3 +1210,131 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("state_next").alias("state"), "prob")
         )
     return pi.select("state", F.round("prob", 6).alias("stationary_prob"))
+
+
+# Support threshold = ceil(5% of distinct users), exact integer arithmetic
+# ((n + 19) // 20) so it bites identically at every SF.
+
+
+@register(
+    "itemset_triples_support",
+    oracle=f"""
+    WITH ut AS MATERIALIZED (SELECT DISTINCT user_id, event_type FROM events),
+    th AS (SELECT (CAST(COUNT(DISTINCT user_id) AS BIGINT) + 19) // 20 AS s
+           FROM ut),
+    pairs AS MATERIALIZED (
+        SELECT a.event_type AS i1, b.event_type AS i2,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= (SELECT s FROM th)
+    ),
+    cand AS (
+        -- Apriori candidate generation: join frequent pairs sharing the
+        -- first item, then prune candidates whose third side (i2, i3)
+        -- is not itself a frequent pair.
+        SELECT p1.i1, p1.i2 AS i2, p2.i2 AS i3
+        FROM pairs p1 JOIN pairs p2
+          ON p1.i1 = p2.i1 AND p1.i2 < p2.i2
+        WHERE EXISTS (SELECT 1 FROM pairs p3
+                      WHERE p3.i1 = p1.i2 AND p3.i2 = p2.i2)
+    ),
+    counts AS (
+        SELECT c.i1, c.i2, c.i3, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM cand c
+        JOIN ut a ON a.event_type = c.i1
+        JOIN ut b ON b.user_id = a.user_id AND b.event_type = c.i2
+        JOIN ut d ON d.user_id = a.user_id AND d.event_type = c.i3
+        GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut)
+    SELECT c.i1, c.i2, c.i3, c.n_users AS n_cooccur,
+           round(CAST(c.n_users AS DOUBLE) / n.n_users, 6) AS support
+    FROM counts c CROSS JOIN n
+    WHERE c.n_users >= (SELECT s FROM th)
+    """,
+)
+def itemset_triples_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level 3: frequent event-type TRIPLES with the real
+    candidate-generation prune — triples are built only by joining
+    frequent pairs that share their first item, then pruned unless every
+    2-subset is frequent (the downward-closure property that makes
+    Apriori tractable at scale: candidate count is bounded by the
+    frequent-pair count squared over the vocabulary, never |users| x
+    |items|^3). Counting joins the candidate list (broadcast — it is
+    vocabulary-sized) against the distinct (user, item) projection three
+    times, all on the user key — one shuffle family. Completes the
+    itemset ladder: itemset_pairs_support (k=2) -> association_rules
+    (rule scoring) -> this (k=3)."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    ut = ut.localCheckpoint(eager=False)  # 4 consumers
+    a, b = ut.alias("a"), ut.alias("b")
+    th = ut.agg(
+        ((F.count_distinct("user_id").cast("bigint") + 19) / 20)
+        .cast("bigint")
+        .alias("s")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("i1"), F.col("b.event_type").alias("i2")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("n") >= F.col("s"))
+        .select("i1", "i2", "n")
+    )
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    cand = (
+        p1.join(
+            p2,
+            (F.col("p1.i1") == F.col("p2.i1"))
+            & (F.col("p1.i2") < F.col("p2.i2")),
+        )
+        .join(
+            p3,
+            (F.col("p3.i1") == F.col("p1.i2"))
+            & (F.col("p3.i2") == F.col("p2.i2")),
+            "left_semi",
+        )
+        .select(
+            F.col("p1.i1").alias("i1"),
+            F.col("p1.i2").alias("i2"),
+            F.col("p2.i2").alias("i3"),
+        )
+    )
+    ua, ub, ud = ut.alias("ua"), ut.alias("ub"), ut.alias("ud")
+    counts = (
+        ua.join(F.broadcast(cand), F.col("ua.event_type") == F.col("i1"))
+        .join(
+            ub,
+            (F.col("ub.user_id") == F.col("ua.user_id"))
+            & (F.col("ub.event_type") == F.col("i2")),
+        )
+        .join(
+            ud,
+            (F.col("ud.user_id") == F.col("ua.user_id"))
+            & (F.col("ud.event_type") == F.col("i3")),
+        )
+        .groupBy("i1", "i2", "i3")
+        .agg(F.count("*").cast("bigint").alias("n_cooccur"))
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("n_cooccur") >= F.col("s"))
+        .select("i1", "i2", "i3", "n_cooccur")
+    )
+    n = ut.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    return counts.crossJoin(F.broadcast(n)).select(
+        "i1",
+        "i2",
+        "i3",
+        "n_cooccur",
+        F.round(
+            F.col("n_cooccur").cast("double") / F.col("n_users"), 6
+        ).alias("support"),
+    )
