@@ -861,3 +861,134 @@ def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "state_version",
         )
     )
+
+
+_IG_FEATURES = ("l_linestatus", "o_orderstatus", "o_orderpriority")
+
+
+def _ig_oracle() -> str:
+    per_feature = "\n    UNION ALL\n".join(
+        f"""    SELECT '{f}' AS feature, CAST({f} AS VARCHAR) AS v, y
+    FROM joined"""
+        for f in _IG_FEATURES
+    )
+    return f"""
+    WITH joined AS MATERIALIZED (
+        SELECT l_linestatus, o_orderstatus, o_orderpriority,
+               (l_returnflag = 'R') AS y
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pop AS (
+{per_feature}
+    ),
+    base AS (
+        SELECT feature,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM pop GROUP BY 1
+    ),
+    cells AS (
+        SELECT feature, v,
+               CAST(COUNT(*) AS BIGINT) AS nv,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS nv_pos
+        FROM pop GROUP BY 1, 2
+    ),
+    hy AS (
+        SELECT feature,
+               0.0 - (CAST(n_pos AS DOUBLE) / n)
+                   * ln(CAST(n_pos AS DOUBLE) / n)
+                 - (CAST(n - n_pos AS DOUBLE) / n)
+                   * ln(CAST(n - n_pos AS DOUBLE) / n) AS h_y,
+               n
+        FROM base
+    ),
+    hcond AS (
+        SELECT c.feature,
+               SUM((CAST(c.nv AS DOUBLE) / b.n)
+                   * (CASE WHEN c.nv_pos = 0 OR c.nv_pos = c.nv THEN 0.0
+                      ELSE 0.0 - (CAST(c.nv_pos AS DOUBLE) / c.nv)
+                               * ln(CAST(c.nv_pos AS DOUBLE) / c.nv)
+                             - (CAST(c.nv - c.nv_pos AS DOUBLE) / c.nv)
+                               * ln(CAST(c.nv - c.nv_pos AS DOUBLE) / c.nv)
+                      END)) AS h_y_given_x,
+               CAST(COUNT(*) AS BIGINT) AS n_values
+        FROM cells c JOIN base b ON c.feature = b.feature
+        GROUP BY 1
+    )
+    SELECT hy.feature, hcond.n_values,
+           round(hy.h_y, 6) AS h_y,
+           round(hcond.h_y_given_x, 6) AS h_y_given_x,
+           round(hy.h_y - hcond.h_y_given_x, 6) AS information_gain
+    FROM hy JOIN hcond ON hy.feature = hcond.feature
+    """
+
+
+@register("information_gain_features", oracle=_ig_oracle())
+def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of three categorical line-item features against
+    the returned flag (line status plus two order-level categoricals via
+    the fact join) — the decision-tree / feature-selection ranking
+    (IG = H(y) - H(y|x)): which attribute actually separates returns?
+    Complements woe_iv_binning (numeric features) and chisq_independence
+    (dependence test) with the entropy view. Pure-class cells contribute
+    zero conditional entropy by the 0 ln 0 = 0 convention, guarded
+    identically in both engines (the ln(0) bug class again). One stacked
+    aggregate per feature over exact integer counts; entropies are
+    closed-form doubles on identical operands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_linestatus",
+        "o_orderstatus",
+        "o_orderpriority",
+        (F.col("l_returnflag") == "R").alias("y"),
+    )
+    pop = None
+    for f in _IG_FEATURES:
+        part = joined.select(
+            F.lit(f).alias("feature"),
+            F.col(f).cast("string").alias("v"),
+            "y",
+        )
+        pop = part if pop is None else pop.unionByName(part)
+    base = pop.groupBy("feature").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    cells = pop.groupBy("feature", "v").agg(
+        F.count("*").cast("bigint").alias("nv"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nv_pos"),
+    )
+    p = F.col("n_pos").cast("double") / F.col("n")
+    q = (F.col("n") - F.col("n_pos")).cast("double") / F.col("n")
+    hy = base.select(
+        "feature",
+        (F.lit(0.0) - p * F.log(p) - q * F.log(q)).alias("h_y"),
+        "n",
+    )
+    pv = F.col("nv_pos").cast("double") / F.col("nv")
+    qv = (F.col("nv") - F.col("nv_pos")).cast("double") / F.col("nv")
+    cell_h = F.when(
+        (F.col("nv_pos") == 0) | (F.col("nv_pos") == F.col("nv")), F.lit(0.0)
+    ).otherwise(F.lit(0.0) - pv * F.log(pv) - qv * F.log(qv))
+    hcond = (
+        cells.join(F.broadcast(base.select("feature", "n")), "feature")
+        .groupBy("feature")
+        .agg(
+            F.sum((F.col("nv").cast("double") / F.col("n")) * cell_h).alias(
+                "h_y_given_x"
+            ),
+            F.count("*").cast("bigint").alias("n_values"),
+        )
+    )
+    return hy.join(hcond, "feature").select(
+        "feature",
+        "n_values",
+        F.round("h_y", 6).alias("h_y"),
+        F.round("h_y_given_x", 6).alias("h_y_given_x"),
+        F.round(F.col("h_y") - F.col("h_y_given_x"), 6).alias(
+            "information_gain"
+        ),
+    )
