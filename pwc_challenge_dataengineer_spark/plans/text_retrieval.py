@@ -164,7 +164,18 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain SUM over an exploded term join would not be. Corpus stats
     (n_docs, avgdl) and per-term document frequencies are 1-row / 4-row
     broadcasts; dl comes from the same (doc,tok) aggregate as tf."""
-    docs = load_table(spark, sf_dir, "documents")
+    parts = _bm25_parts(load_table(spark, sf_dir, "documents"))
+    return (
+        parts["scored"]
+        .filter(F.col("score") > 0)
+        .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
+    )
+
+
+def _bm25_parts(docs: DataFrame) -> dict:
+    """Shared BM25 machinery: returns tf / dl / corpus / scored (scored
+    carries the UNROUNDED fixed-order score over _BM25_TERMS plus dl).
+    Used by bm25_keyword_search and prf_query_expansion."""
     # tf feeds four downstream aggregations (dl, corpus stats, per-term
     # df, per-doc qtf) — materialize it once instead of re-running the
     # tokenize+count shuffle per consumer (15 exchanges -> 6 measured).
@@ -220,11 +231,12 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         term_score = contrib if term_score is None else term_score + contrib
-    return (
-        scored.select("doc_id", "dl", term_score.alias("score"))
-        .filter(F.col("score") > 0)
-        .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
-    )
+    return {
+        "tf": tf,
+        "dl": dl,
+        "corpus": corpus,
+        "scored": scored.select("doc_id", "dl", term_score.alias("score")),
+    }
 
 
 _SHINGLE_K = 5
@@ -1273,3 +1285,261 @@ def retrieval_chain_pq_rrf_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("relevance"),
         F.col("mmr").alias("mmr_score"),
     )
+
+
+_PRF_FB_DOCS = 5   # pseudo-relevant feedback set size
+_PRF_TERMS = 3     # expansion terms
+_PRF_WEIGHT = 0.5  # Rocchio-style expansion weight (binary fraction)
+
+
+def _prf_oracle() -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # pass-1 CTEs identical to bm25_keyword_search's oracle
+    head = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tf AS MATERIALIZED (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    dl AS MATERIALIZED (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ),
+    corpus AS MATERIALIZED (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    qdf AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        WHERE tok IN ({terms_sql}) GROUP BY 1
+    ),
+    qtf AS (
+        SELECT doc_id,
+               {" , ".join(
+                   f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN tf END), 0)"
+                   f" AS tf_{t}" for t in _BM25_TERMS)}
+        FROM tf WHERE tok IN ({terms_sql}) GROUP BY 1
+    ),
+    scored AS MATERIALIZED (
+        SELECT q.doc_id, d.dl,
+               {" + ".join(
+                   f"(ln(1.0 + (c.n_docs - idf_{t}.df + 0.5) / (idf_{t}.df + 0.5))"
+                   f" * (q.tf_{t} * ({_K1} + 1.0))"
+                   f" / (q.tf_{t} + {_K1} * (1.0 - {_B} + {_B} * d.dl / c.avgdl)))"
+                   for t in _BM25_TERMS)} AS score
+        FROM qtf q
+        JOIN dl d USING (doc_id)
+        CROSS JOIN corpus c
+        {" ".join(
+            f"LEFT JOIN qdf idf_{t} ON idf_{t}.tok = '{t}'"
+            for t in _BM25_TERMS)}
+    ),
+    top5 AS MATERIALIZED (
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT {_PRF_FB_DOCS}
+    ),
+    alldf AS MATERIALIZED (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    exp_cand AS (
+        SELECT t.tok,
+               SUM(t.tf * ln(CAST(c.n_docs AS DOUBLE) / a.df)) AS w
+        FROM tf t
+        JOIN top5 f ON t.doc_id = f.doc_id
+        JOIN alldf a ON t.tok = a.tok
+        CROSS JOIN corpus c
+        WHERE t.tok NOT IN ({terms_sql})
+        GROUP BY 1
+    ),
+    exp3 AS MATERIALIZED (
+        SELECT e.tok, a.df,
+               CAST(row_number() OVER (ORDER BY e.w DESC, e.tok) AS INT) AS r
+        FROM exp_cand e JOIN alldf a ON e.tok = a.tok
+        ORDER BY e.w DESC, e.tok LIMIT {_PRF_TERMS}
+    ),
+    expdf AS (
+        SELECT {" , ".join(
+            f"MAX(CASE WHEN r = {r} THEN df END) AS df_e{r}"
+            for r in range(1, _PRF_TERMS + 1))}
+        FROM exp3
+    ),
+    etf AS (
+        SELECT t.doc_id,
+               {" , ".join(
+                   f"COALESCE(MAX(CASE WHEN e.r = {r} THEN t.tf END), 0)"
+                   f" AS tf_e{r}" for r in range(1, _PRF_TERMS + 1))}
+        FROM tf t JOIN exp3 e ON t.tok = e.tok
+        GROUP BY 1
+    ),
+    universe AS (
+        SELECT doc_id FROM scored UNION SELECT doc_id FROM etf
+    ),
+    final AS (
+        SELECT u.doc_id,
+               COALESCE(s.score, 0.0) AS base_bm25,
+               {" + ".join(
+                   f"(CASE WHEN x.df_e{r} IS NULL THEN 0.0 ELSE"
+                   f" ln(1.0 + (c.n_docs - x.df_e{r} + 0.5) / (x.df_e{r} + 0.5))"
+                   f" * (COALESCE(e.tf_e{r}, 0) * ({_K1} + 1.0))"
+                   f" / (COALESCE(e.tf_e{r}, 0) + {_K1}"
+                   f"    * (1.0 - {_B} + {_B} * d.dl / c.avgdl)) END)"
+                   for r in range(1, _PRF_TERMS + 1))} AS exp_score
+        FROM universe u
+        LEFT JOIN scored s ON u.doc_id = s.doc_id
+        LEFT JOIN etf e ON u.doc_id = e.doc_id
+        JOIN dl d ON u.doc_id = d.doc_id
+        CROSS JOIN corpus c
+        CROSS JOIN expdf x
+    )
+    SELECT CAST(row_number() OVER (
+               ORDER BY base_bm25 + {_PRF_WEIGHT} * exp_score DESC, doc_id)
+           AS INT) AS rank,
+           doc_id,
+           round(base_bm25, 6) AS base_bm25,
+           round({_PRF_WEIGHT} * exp_score, 6) AS expansion_bonus,
+           round(base_bm25 + {_PRF_WEIGHT} * exp_score, 6) AS prf_score
+    FROM final
+    ORDER BY base_bm25 + {_PRF_WEIGHT} * exp_score DESC, doc_id
+    LIMIT 10
+    """
+    return head
+
+
+@register("prf_query_expansion", oracle=_prf_oracle())
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style query expansion) — the
+    classical two-pass retrieval refinement the chain was missing: BM25
+    pass 1 over the fixed query, take the top-5 feedback docs, extract
+    the 3 highest tf-idf-weighted terms from them (original terms
+    excluded, ties to lexicographic), and rescore the union of both
+    match sets as base + 0.5 x expansion-BM25. Expansion contributions
+    pivot by expansion RANK into fixed columns (tf_e1..3) so the float
+    sum stays order-deterministic even though the terms are data-derived
+    — the same discipline as bm25_keyword_search's per-term columns.
+
+    Scale posture: the (doc, tok) tf aggregate is computed once and
+    lazily checkpointed for its five consumers; feedback set and
+    expansion vocabulary are LIMIT-k broadcasts; both scoring passes are
+    broadcast joins against corpus-stat scalars — the only data-sized
+    shuffles are the tokenize-count and the per-doc conditional
+    aggregates."""
+    from pyspark.sql.window import Window
+
+    parts = _bm25_parts(load_table(spark, sf_dir, "documents"))
+    tf, dl, corpus, scored = (
+        parts["tf"],
+        parts["dl"],
+        parts["corpus"],
+        parts["scored"].localCheckpoint(eager=False),  # 3 consumers
+    )
+    top5 = scored.orderBy(F.desc("score"), "doc_id").limit(_PRF_FB_DOCS)
+    alldf = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    alldf = alldf.localCheckpoint(eager=False)  # 2 consumers
+    exp_cand = (
+        tf.join(F.broadcast(top5.select("doc_id")), "doc_id")
+        .join(alldf, "tok")
+        .crossJoin(F.broadcast(corpus))
+        .filter(~F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("tok")
+        .agg(
+            F.sum(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w")
+        )
+    )
+    exp3 = (
+        exp_cand.join(alldf, "tok")
+        .orderBy(F.desc("w"), "tok")
+        .limit(_PRF_TERMS)
+        .select(
+            "tok",
+            "df",
+            F.row_number()
+            .over(Window.orderBy(F.desc("w"), "tok"))
+            .cast("int")
+            .alias("r"),
+        )
+        .localCheckpoint(eager=False)  # 2 consumers
+    )
+    expdf = exp3.agg(
+        *[
+            F.max(F.when(F.col("r") == r, F.col("df"))).alias(f"df_e{r}")
+            for r in range(1, _PRF_TERMS + 1)
+        ]
+    )
+    etf = (
+        tf.join(F.broadcast(exp3.select("tok", "r")), "tok")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("r") == r, F.col("tf"))), F.lit(0)
+                ).alias(f"tf_e{r}")
+                for r in range(1, _PRF_TERMS + 1)
+            ]
+        )
+    )
+    universe = (
+        scored.select("doc_id").union(etf.select("doc_id")).distinct()
+    )
+    joined = (
+        universe.join(scored.select("doc_id", "score"), "doc_id", "left")
+        .join(etf, "doc_id", "left")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(expdf))
+    )
+    exp_score = None
+    for r in range(1, _PRF_TERMS + 1):
+        dfr = F.col(f"df_e{r}")
+        tfr = F.coalesce(F.col(f"tf_e{r}"), F.lit(0))
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - dfr + F.lit(0.5)) / (dfr + F.lit(0.5))
+        )
+        contrib = F.when(dfr.isNull(), F.lit(0.0)).otherwise(
+            idf
+            * (tfr * F.lit(_K1 + 1.0))
+            / (
+                tfr
+                + F.lit(_K1)
+                * (F.lit(1.0 - _B) + F.lit(_B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        exp_score = contrib if exp_score is None else exp_score + contrib
+    base = F.coalesce(F.col("score"), F.lit(0.0))
+    prf = base + F.lit(_PRF_WEIGHT) * exp_score
+    ranked = joined.select(
+        "doc_id", base.alias("base_bm25"), exp_score.alias("exp_score")
+    )
+    final = (
+        ranked.orderBy(
+            F.desc(F.col("base_bm25") + F.lit(_PRF_WEIGHT) * F.col("exp_score")),
+            "doc_id",
+        )
+        .limit(10)
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc(
+                        F.col("base_bm25")
+                        + F.lit(_PRF_WEIGHT) * F.col("exp_score")
+                    ),
+                    "doc_id",
+                )
+            )
+            .cast("int")
+            .alias("rank"),
+            "doc_id",
+            F.round("base_bm25", 6).alias("base_bm25"),
+            F.round(F.lit(_PRF_WEIGHT) * F.col("exp_score"), 6).alias(
+                "expansion_bonus"
+            ),
+            F.round(
+                F.col("base_bm25") + F.lit(_PRF_WEIGHT) * F.col("exp_score"), 6
+            ).alias("prf_score"),
+        )
+    )
+    return final
