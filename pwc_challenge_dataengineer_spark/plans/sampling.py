@@ -596,3 +596,124 @@ def coverage_greedy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gain",
         F.sum("gain").over(w).cast("bigint").alias("covered_total"),
     )
+
+
+_NEG_K = 2          # negatives kept per anchor
+_NEG_DRAWS = 4      # deterministic candidates drawn before rejection
+
+
+@register(
+    "contrastive_negatives",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    idx_map AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+        FROM documents
+    ),
+    draws AS (
+        SELECT a.doc_id AS anchor, a.source AS anchor_source, d.j,
+               ('0x' || substr(md5(CAST(a.doc_id AS VARCHAR) || '#'
+                                   || CAST(d.j AS VARCHAR)), 1, 8))::BIGINT
+                   % n.n_docs AS neg_idx
+        FROM idx_map a
+        CROSS JOIN (SELECT unnest(range(0, {_NEG_DRAWS})) AS j) d
+        CROSS JOIN n
+    ),
+    cand AS (
+        SELECT dr.anchor, dr.j, m.doc_id AS neg_doc_id, m.source AS neg_source
+        FROM draws dr JOIN idx_map m ON dr.neg_idx = m.idx
+        WHERE m.doc_id <> dr.anchor AND m.source <> dr.anchor_source
+    ),
+    ranked AS (
+        SELECT anchor, neg_doc_id, neg_source,
+               CAST(row_number() OVER (PARTITION BY anchor ORDER BY j)
+                    AS INT) AS neg_rank
+        FROM cand
+    )
+    SELECT anchor AS doc_id, neg_rank, neg_doc_id, neg_source
+    FROM ranked WHERE neg_rank <= {_NEG_K}
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor document draws 4 hash-derived candidate indices into the
+    corpus (md5 of anchor#draw — reproducible across reruns and engines,
+    the same RNG-free idiom as the split/sampling family) and keeps the
+    first 2 that survive rejection (not the anchor itself, not the
+    anchor's own source — the cheap same-domain proxy for 'too easy /
+    possibly duplicate'). Bounded deterministic rejection replaces the
+    usual draw-until-accept loop, which doesn't distribute.
+
+    One broadcast of the (idx -> doc) map… at corpus scale that map IS
+    the corpus, so the real join is shuffle hash on neg_idx = idx — a
+    single equi-join; candidate fan-out is a constant x4. Rejection
+    under-fill (an anchor with < 2 surviving candidates) is possible by
+    construction and identical in both engines — the training loader
+    treats it as a short pair list, not an error."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    idx_map = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.row_number().over(Window.orderBy("doc_id")).cast("bigint") - 1
+        ).alias("idx"),
+    ).localCheckpoint(eager=False)  # 2 consumers (anchors + negatives)
+    draws_j = spark.range(0, _NEG_DRAWS).select(F.col("id").cast("int").alias("j"))
+    draws = (
+        idx_map.select(
+            F.col("doc_id").alias("anchor"),
+            F.col("source").alias("anchor_source"),
+        )
+        .crossJoin(F.broadcast(draws_j))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor",
+            "anchor_source",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col("anchor").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n_docs")
+            ).alias("neg_idx"),
+        )
+    )
+    cand = draws.join(
+        idx_map.select(
+            F.col("idx").alias("neg_idx"),
+            F.col("doc_id").alias("neg_doc_id"),
+            F.col("source").alias("neg_source"),
+        ),
+        "neg_idx",
+    ).filter(
+        (F.col("neg_doc_id") != F.col("anchor"))
+        & (F.col("neg_source") != F.col("anchor_source"))
+    )
+    ranked = cand.select(
+        "anchor",
+        "neg_doc_id",
+        "neg_source",
+        F.row_number()
+        .over(Window.partitionBy("anchor").orderBy("j"))
+        .cast("int")
+        .alias("neg_rank"),
+    )
+    return ranked.filter(F.col("neg_rank") <= _NEG_K).select(
+        F.col("anchor").alias("doc_id"), "neg_rank", "neg_doc_id", "neg_source"
+    )
