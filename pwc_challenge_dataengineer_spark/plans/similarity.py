@@ -1072,3 +1072,112 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = synthesize_real_media(docs, "doc_id")
     return extract_real_media_features(media)
+
+
+_MRL_DIMS = (8, 16, 32)
+_MRL_STRIDE = 7  # deterministic pairing: vec i vs vec (i + 7) mod n
+
+
+def _mrl_cos_sql(a: str, b: str, d: int | None) -> str:
+    sl = f"[1:{d}]" if d else ""
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]){sl},"
+        f" CAST({b} AS DOUBLE[]){sl})"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]){sl},"
+        f" CAST({a} AS DOUBLE[]){sl}))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]){sl},"
+        f" CAST({b} AS DOUBLE[]){sl})))"
+    )
+
+
+@register(
+    "matryoshka_truncation_check",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a
+        CROSS JOIN n
+        JOIN embeddings b ON b.vec_id = (a.vec_id + {_MRL_STRIDE}) % n.n_vec
+    ),
+    cos AS (
+        SELECT vec_id,
+               {_mrl_cos_sql("ea", "eb", None)} AS cos_full,
+               {" , ".join(
+                   f'{_mrl_cos_sql("ea", "eb", d)} AS cos_{d}'
+                   for d in _MRL_DIMS)}
+        FROM pairs
+    )
+    SELECT d.dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(AVG(CASE d.dim
+                     {" ".join(f"WHEN {d} THEN abs(c.cos_{d} - c.cos_full)"
+                               for d in _MRL_DIMS)}
+                     END), 6) AS mean_abs_err,
+           round(MAX(CASE d.dim
+                     {" ".join(f"WHEN {d} THEN abs(c.cos_{d} - c.cos_full)"
+                               for d in _MRL_DIMS)}
+                     END), 6) AS max_abs_err
+    FROM cos c CROSS JOIN (SELECT unnest({list(_MRL_DIMS)!r}) AS dim) d
+    GROUP BY 1
+    """,
+)
+def matryoshka_truncation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality audit: how much cosine similarity
+    degrades when embeddings are truncated to their 8/16/32-dim prefixes
+    (the MRL deployment question — can the ANN index run on a cheap
+    prefix and rerank on the full vector?). Pairs are deterministic
+    (vec i vs vec (i+7) mod n — an equi-join, not sampling), and per
+    truncation dim the mean/max absolute cosine error is reported; a
+    small mean with a controlled max is the green light for prefix-ANN +
+    full-dim rerank (the retrieval_chain pattern).
+
+    Parity: dot products fold sequentially over double-cast slices in
+    both engines (the module's established list_dot_product ~ aggregate
+    equivalence); the stacked per-dim errors aggregate exact-identical
+    doubles. One self-equi-join on the derived key + a 3-dim stacked
+    aggregate — nothing quadratic, no RNG."""
+    from ..functions.similarity import as_double_array, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count("*").cast("bigint").alias("n_vec"))
+    a = emb.select(
+        "vec_id", as_double_array(F.col("embedding")).alias("ea")
+    ).crossJoin(F.broadcast(n))
+    b = emb.select(
+        F.col("vec_id").alias("bid"), as_double_array(F.col("embedding")).alias("eb")
+    )
+    pairs = a.join(
+        b, ((F.col("vec_id") + _MRL_STRIDE) % F.col("n_vec")) == F.col("bid")
+    )
+
+    def cos_at(d: int | None):
+        ea = F.slice(F.col("ea"), 1, d) if d else F.col("ea")
+        eb = F.slice(F.col("eb"), 1, d) if d else F.col("eb")
+        return dot(ea, eb) / (F.sqrt(dot(ea, ea)) * F.sqrt(dot(eb, eb)))
+
+    cos = pairs.select(
+        "vec_id",
+        cos_at(None).alias("cos_full"),
+        *[cos_at(d).alias(f"cos_{d}") for d in _MRL_DIMS],
+    )
+    stacked = cos.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dim"),
+                        F.abs(F.col(f"cos_{d}") - F.col("cos_full")).alias(
+                            "err"
+                        ),
+                    )
+                    for d in _MRL_DIMS
+                ]
+            )
+        ).alias("s")
+    ).select(F.col("s.dim").alias("dim"), F.col("s.err").alias("err"))
+    return stacked.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("err"), 6).alias("mean_abs_err"),
+        F.round(F.max("err"), 6).alias("max_abs_err"),
+    )
