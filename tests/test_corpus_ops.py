@@ -436,3 +436,40 @@ def test_weighted_shortest_path_prefers_cheap_detour(spark, tmp_path):
         for r in weighted_shortest_path(spark, str(tmp_path)).collect()
     }
     assert out == {"s1": 0.0, "p2": 1.0, "s2": 2.0, "p1": 3.0}
+
+
+def test_gopher_flags_planted_repetition(spark, tmp_path):
+    """A doc that is one 2-gram repeated must flag top2gram_repetition;
+    a doc of all-distinct words must keep."""
+    import pwc_challenge_dataengineer_spark.plans.training_prep as TP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30),          # one dominant 2-gram
+            (2, "a b c d e f g h i j k l"), # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in TP.gopher_repetition_signals(spark, str(tmp_path)).collect()
+    }
+    assert out[1].verdict in ("top2gram_repetition", "dup5gram_repetition")
+    assert out[1].top2gram_char_frac > 0.5
+    assert out[2].verdict == "keep"
+
+
+def test_price_volume_mix_reconciles(spark, sf_dir):
+    """For continuing brands the three effects must reconcile to the
+    revenue delta up to float residual."""
+    from pwc_challenge_dataengineer_spark.plans.datamart import price_volume_mix
+
+    rows = price_volume_mix(spark, sf_dir).collect()
+    assert rows, "PVM returned no brands"
+    for r in rows:
+        if r.status == "continuing":
+            resid = abs(
+                r.delta - (r.volume_effect + r.price_effect + r.cross_effect)
+            )
+            assert resid < 1e-6 * max(1.0, abs(r.delta)), (r.brand, resid)
