@@ -480,3 +480,103 @@ def compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rows_out").cast("double") / F.count("*"), 2
         ).alias("avg_rows_out"),
     )
+
+
+_CARD_HH = 20  # heavy hitters retained per side
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=f"""
+    WITH counts AS MATERIALIZED (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM counts
+    ),
+    hh AS MATERIALIZED (
+        SELECT k, c FROM counts ORDER BY c DESC, k LIMIT {_CARD_HH}
+    ),
+    hh_agg AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS hh_pairs,
+               CAST(SUM(c) AS BIGINT) AS hh_rows,
+               CAST(COUNT(*) AS BIGINT) AS hh_keys
+        FROM hh
+    ),
+    actual AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS true_pairs FROM counts
+    )
+    SELECT s.n_rows, s.n_distinct, h.hh_keys,
+           a.true_pairs,
+           CAST(h.hh_pairs
+                + CASE WHEN s.n_distinct > h.hh_keys THEN
+                    CAST((s.n_rows - h.hh_rows) AS DOUBLE)
+                    * (s.n_rows - h.hh_rows)
+                    / (s.n_distinct - h.hh_keys)
+                  ELSE 0.0 END AS DOUBLE) AS est_pairs,
+           round((CAST(h.hh_pairs AS DOUBLE)
+                  + CASE WHEN s.n_distinct > h.hh_keys THEN
+                      CAST((s.n_rows - h.hh_rows) AS DOUBLE)
+                      * (s.n_rows - h.hh_rows)
+                      / (s.n_distinct - h.hh_keys)
+                    ELSE 0.0 END) / a.true_pairs, 6) AS est_over_actual
+    FROM stats s CROSS JOIN hh_agg h CROSS JOIN actual a
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer-style join cardinality estimation, validated
+    against truth: the self-equi-join size on l_partkey (sum of per-key
+    count squares — the skew-sensitive quantity a planner must get right
+    to choose broadcast vs shuffle vs salting) estimated from exactly the
+    statistics a catalog keeps — row count, distinct count, and a top-20
+    heavy-hitter list — with the uniformity assumption applied ONLY to
+    the tail (est = sum HH c^2 + tail_rows^2 / tail_distinct). Emitting
+    est_over_actual makes the estimator's skew bias measurable; the
+    companion advisors (partitioning_advisor, profile_skew) consume
+    exactly this failure mode.
+
+    One hash aggregate for per-key counts, a LIMIT-k heavy-hitter pick,
+    and scalar arithmetic — the estimation itself never touches the fact
+    again, which is the point: at 100 TB you estimate from the stats, not
+    the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # 3 consumers
+    )
+    stats = counts.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    hh = counts.orderBy(F.desc("c"), "k").limit(_CARD_HH)
+    hh_agg = hh.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("hh_pairs"),
+        F.sum("c").cast("bigint").alias("hh_rows"),
+        F.count("*").cast("bigint").alias("hh_keys"),
+    )
+    actual = counts.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("true_pairs")
+    )
+    tail_rows = (F.col("n_rows") - F.col("hh_rows")).cast("double")
+    tail_est = F.when(
+        F.col("n_distinct") > F.col("hh_keys"),
+        tail_rows * (F.col("n_rows") - F.col("hh_rows"))
+        / (F.col("n_distinct") - F.col("hh_keys")),
+    ).otherwise(F.lit(0.0))
+    est = F.col("hh_pairs").cast("double") + tail_est
+    return (
+        stats.crossJoin(F.broadcast(hh_agg))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_rows",
+            "n_distinct",
+            "hh_keys",
+            "true_pairs",
+            est.alias("est_pairs"),
+            F.round(est / F.col("true_pairs"), 6).alias("est_over_actual"),
+        )
+    )
