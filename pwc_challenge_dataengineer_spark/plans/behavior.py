@@ -1338,3 +1338,114 @@ def itemset_triples_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cooccur").cast("double") / F.col("n_users"), 6
         ).alias("support"),
     )
+
+
+@register(
+    "next_event_prediction_eval",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT ts, event_type AS from_type, next_type AS to_type
+        FROM seq WHERE next_type IS NOT NULL
+    ),
+    span AS (
+        SELECT MIN(ts) AS t0,
+               MIN(ts) + to_microseconds(
+                   CAST(CAST(date_diff('microsecond', MIN(ts), MAX(ts))
+                             AS BIGINT) * 4 // 5 AS BIGINT)) AS cutoff
+        FROM trans
+    ),
+    train AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM trans CROSS JOIN span WHERE trans.ts < span.cutoff
+        GROUP BY 1, 2
+    ),
+    model AS (
+        SELECT from_type, to_type AS predicted_to FROM (
+            SELECT from_type, to_type,
+                   row_number() OVER (PARTITION BY from_type
+                                      ORDER BY n DESC, to_type) AS rk
+            FROM train
+        ) WHERE rk = 1
+    ),
+    test AS (
+        SELECT from_type, to_type
+        FROM trans CROSS JOIN span WHERE trans.ts >= span.cutoff
+    )
+    SELECT t.from_type, m.predicted_to,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN t.to_type = m.predicted_to THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(CAST(SUM(CASE WHEN t.to_type = m.predicted_to
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+               AS accuracy
+    FROM test t JOIN model m ON t.from_type = m.from_type
+    GROUP BY 1, 2
+    """,
+)
+def next_event_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtested evaluation of the first-order Markov next-event
+    predictor: train the per-state argmax on the first 80% of the
+    transition timeline (exact-microsecond cutoff), score hit@1 on the
+    held-out tail — the eval harness that turns event_transition_matrix
+    from a descriptive statistic into a measured model (compare accuracy
+    against the majority-class floor to see if sequence context helps).
+    Temporal (not random) splitting is the leakage-correct choice for
+    sequence models, mirroring leakage_safe_split's cluster discipline.
+
+    One lead() window builds transitions; train/test are pure predicates
+    on a broadcast scalar cutoff; the model is a vocabulary-sized argmax
+    (rank-1 pick with lexicographic ties). Integer-exact counts; one
+    division per row."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "ts",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    trans = trans.localCheckpoint(eager=False)  # 3 consumers
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = trans.agg(
+        F.min(t_us).alias("t0_us"), F.max(t_us).alias("t1_us")
+    ).select(
+        (
+            F.col("t0_us")
+            + F.expr("(CAST((t1_us - t0_us) AS BIGINT) * 4) div 5")
+        ).alias("cutoff_us")
+    )
+    with_cut = trans.crossJoin(F.broadcast(span)).select(
+        "from_type", "to_type", (t_us < F.col("cutoff_us")).alias("is_train")
+    )
+    train = (
+        with_cut.filter("is_train")
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rk = Window.partitionBy("from_type").orderBy(F.desc("n"), "to_type")
+    model = (
+        train.select("from_type", "to_type", F.row_number().over(rk).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted_to"))
+    )
+    test = with_cut.filter(~F.col("is_train")).select("from_type", "to_type")
+    hit = F.when(F.col("to_type") == F.col("predicted_to"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(model), "from_type")
+        .groupBy("from_type", "predicted_to")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(hit).cast("double") / F.count("*"), 6
+            ).alias("accuracy"),
+        )
+    )
