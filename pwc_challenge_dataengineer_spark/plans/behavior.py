@@ -1449,3 +1449,143 @@ def next_event_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+_REC_K = 3
+_REC_MIN_CO = 2  # support prune on co-purchase pairs (triangle_count precedent)
+
+
+@register(
+    "item_item_cf_recs",
+    oracle=f"""
+    WITH ut AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS user_id, l_partkey AS item
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    item_n AS MATERIALIZED (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ),
+    co AS (
+        SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS n_ij
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.item <> b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_REC_MIN_CO}
+    ),
+    sim AS MATERIALIZED (
+        SELECT co.i, co.j,
+               CAST(co.n_ij AS DOUBLE)
+               / (sqrt(CAST(ni.n AS DOUBLE)) * sqrt(CAST(nj.n AS DOUBLE)))
+                   AS s
+        FROM co
+        JOIN item_n ni ON co.i = ni.item
+        JOIN item_n nj ON co.j = nj.item
+    ),
+    scores AS (
+        SELECT u.user_id, sim.j AS item,
+               SUM(sim.s) AS score, CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM ut u JOIN sim ON u.item = sim.i
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ut h
+            WHERE h.user_id = u.user_id AND h.item = sim.j
+        )
+        GROUP BY 1, 2
+    )
+    SELECT user_id, item, n_sources,
+           round(score, 6) AS score,
+           CAST(rk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY round(score, 6) DESC, item) AS rk
+        FROM scores
+    ) WHERE rk <= {_REC_K}
+    """,
+)
+def item_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering, the workhorse recommender, on
+    the customer <- co-purchase -> part graph: item similarity =
+    co-occurrence cosine over binary customer vectors (n_ij /
+    sqrt(n_i n_j), support-pruned at 2 co-buyers — the same
+    hairball-prune as triangle_count), each customer's score for an
+    UNSEEN part = sum of similarities from the parts they bought; top-3
+    per customer with deterministic ties (6-dp-rounded score then item).
+    The anti-join on purchase history is the 'don't recommend what they
+    already buy' filter.
+
+    Scale posture: the pruned similarity matrix is the shuffled side of
+    one item-keyed join from the (customer, item) projection (at 100 TB
+    it is NOT broadcastable and this is the standard item-CF shuffle),
+    followed by a per-customer aggregate and a top-k window — the
+    candidate fan-out per owned item is bounded by that item's pruned
+    co-purchase degree. Ranking compares the same 6-dp-rounded doubles
+    in both engines (the cosine_topk idiom)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ut = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    ut = ut.localCheckpoint(eager=False)  # 4 consumers
+    item_n = ut.groupBy("item").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("i"), F.col("b.item").alias("j"))
+        .agg(F.count("*").cast("bigint").alias("n_ij"))
+        .filter(F.col("n_ij") >= _REC_MIN_CO)
+    )
+    ni = item_n.select(F.col("item").alias("i"), F.col("n").alias("n_i"))
+    nj = item_n.select(F.col("item").alias("j"), F.col("n").alias("n_j"))
+    sim = (
+        co.join(ni, "i")
+        .join(nj, "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n_ij").cast("double")
+                / (
+                    F.sqrt(F.col("n_i").cast("double"))
+                    * F.sqrt(F.col("n_j").cast("double"))
+                )
+            ).alias("s"),
+        )
+    )
+    seen = ut.select(
+        F.col("user_id").alias("u2"), F.col("item").alias("j2")
+    )
+    scores = (
+        ut.join(sim, ut.item == sim.i)
+        .join(
+            seen,
+            (F.col("user_id") == F.col("u2")) & (F.col("j") == F.col("j2")),
+            "left_anti",
+        )
+        .groupBy("user_id", F.col("j").alias("rec_item"))
+        .agg(
+            F.sum("s").alias("score"),
+            F.count("*").cast("bigint").alias("n_sources"),
+        )
+    )
+    rk = Window.partitionBy("user_id").orderBy(
+        F.desc(F.round("score", 6)), "rec_item"
+    )
+    return (
+        scores.select(
+            "user_id",
+            F.col("rec_item").alias("item"),
+            "n_sources",
+            F.round("score", 6).alias("score"),
+            F.row_number().over(rk).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= _REC_K)
+    )
