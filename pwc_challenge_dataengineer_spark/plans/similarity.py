@@ -1181,3 +1181,92 @@ def matryoshka_truncation_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("err"), 6).alias("mean_abs_err"),
         F.round(F.max("err"), 6).alias("max_abs_err"),
     )
+
+
+@register(
+    "embedding_drift_monitor",
+    oracle="""
+    WITH halves AS (
+        SELECT label, CAST(vec_id % 2 AS INT) AS half, embedding
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, half, i - 1 AS dim,
+               SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT label, half, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM halves)
+        GROUP BY 1, 2, 3
+    ),
+    paired AS (
+        SELECT a.label, a.dim, a.v AS v0, b.v AS v1,
+               ANY_VALUE(a.n) OVER (PARTITION BY a.label) AS n0,
+               ANY_VALUE(b.n) OVER (PARTITION BY b.label) AS n1
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.dim = b.dim
+        WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           ANY_VALUE(n0) AS n_ref, ANY_VALUE(n1) AS n_cur,
+           round(SUM(v0 * v1)
+                 / (sqrt(SUM(v0 * v0)) * sqrt(SUM(v1 * v1))), 6)
+               AS centroid_cosine,
+           round(sqrt(SUM((v1 - v0) * (v1 - v0))), 6) AS centroid_l2_shift
+    FROM paired
+    GROUP BY 1
+    """,
+)
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine and L2 shift
+    between the centroid of the reference half (even vec_ids standing in
+    for 'last deployment') and the current half (odd) — the cheap
+    first-line check that an embedding-model upgrade or data shift has
+    not rotated/translated a class's region, run before ANN indexes are
+    trusted across versions (a centroid_cosine well below 1 means the
+    prefix-ANN + rerank chain needs re-indexing; pairs with
+    matryoshka_truncation_check and psi/ks drift on scalars).
+
+    One explode -> (label, half, dim) aggregate with map-side combine
+    (dims x labels x 2 rows out), then a dim-aligned self-join and a
+    per-label fold over 64 dims — per-dim sums divide identically, and
+    the 64-term products aggregate within the 6-dp pin (centroid_dims
+    precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(as_double_array(F.col("embedding"))).alias("dim", "val"),
+    )
+    cent = halves.groupBy("label", "half", "dim").agg(
+        (F.sum("val") / F.count("*")).alias("v"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("v").alias("v0"), F.col("n").alias("n0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"),
+        F.col("dim").alias("dimb"),
+        F.col("v").alias("v1"),
+        F.col("n").alias("n1"),
+    )
+    paired = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("dim") == F.col("dimb"))
+    )
+    return paired.groupBy("label").agg(
+        F.max("n0").alias("n_ref"),
+        F.max("n1").alias("n_cur"),
+        F.round(
+            F.sum(F.col("v0") * F.col("v1"))
+            / (
+                F.sqrt(F.sum(F.col("v0") * F.col("v0")))
+                * F.sqrt(F.sum(F.col("v1") * F.col("v1")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(F.sum((F.col("v1") - F.col("v0")) * (F.col("v1") - F.col("v0")))),
+            6,
+        ).alias("centroid_l2_shift"),
+    )
