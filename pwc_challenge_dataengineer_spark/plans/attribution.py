@@ -321,3 +321,140 @@ def attribution_position_models(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Fixed channel→bit map for the Shapley coalition lattice. The events
+# stream has exactly these four non-purchase touch types; the map is
+# hardcoded (not data-derived) so the lattice is stable across SFs.
+_SHAP_BITS = {"click": 1, "error": 2, "signup": 4, "view": 8}
+_SHAP_N = 4  # |channels|; Shapley weights are s!(n-1-s)!/n! = k/24
+
+
+@register(
+    "attribution_shapley",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, MIN(ts) AS first_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touched AS (
+        SELECT DISTINCT e.user_id, e.event_type AS channel
+        FROM events e JOIN conv c ON e.user_id = c.user_id
+        WHERE e.ts < c.first_purchase AND e.event_type <> 'purchase'
+    ),
+    user_mask AS (
+        SELECT user_id,
+               CAST(SUM(CASE channel WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                        WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END)
+                    AS BIGINT) AS m
+        FROM touched GROUP BY 1
+    ),
+    mask_counts AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt FROM user_mask GROUP BY 1
+    ),
+    coalitions AS (SELECT CAST(s AS BIGINT) AS s FROM generate_series(0, 15) t(s)),
+    v AS (
+        SELECT c.s, CAST(COALESCE(SUM(mc.cnt), 0) AS BIGINT) AS v_s
+        FROM coalitions c
+        LEFT JOIN mask_counts mc ON (mc.m & c.s) = mc.m
+        GROUP BY c.s
+    ),
+    channels AS (
+        SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                              ('error', CAST(2 AS BIGINT)),
+                              ('signup', CAST(4 AS BIGINT)),
+                              ('view', CAST(8 AS BIGINT))) t(channel, bit)
+    ),
+    contrib AS (
+        SELECT ch.channel,
+               CAST(SUM((CASE bit_count(vs.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                         WHEN 2 THEN 2 ELSE 6 END)
+                        * (vsb.v_s - vs.v_s)) AS BIGINT) AS phi_x24
+        FROM channels ch
+        JOIN v vs ON (vs.s & ch.bit) = 0
+        JOIN v vsb ON vsb.s = (vs.s | ch.bit)
+        GROUP BY 1
+    ),
+    total AS (SELECT v_s AS v_full FROM v WHERE s = 15)
+    SELECT c.channel,
+           CAST(c.phi_x24 AS DOUBLE) / 24.0 AS shapley_conversions,
+           CAST(c.phi_x24 AS DOUBLE) / (24.0 * t.v_full) AS shapley_share
+    FROM contrib c CROSS JOIN total t
+    """,
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over the 4-channel coalition
+    lattice: phi_i = sum over coalitions S not containing i of
+    s!(n-1-s)!/n! * (v(S+i) - v(S)), with the characteristic function
+    v(S) = number of converting users whose pre-first-purchase channel
+    set is contained in S. Completes the attribution suite past the
+    heuristic models (first/last/U/time-decay) and the removal-effect
+    approximation with the game-theoretically fair split.
+
+    Exactness: with n=4 the weights are {6,2,2,6}/24, so phi*24 is
+    computed entirely in BIGINT (no float accumulation order to
+    diverge); the single final division is bit-identical cross-engine.
+    Scale posture: two user_id shuffles reduce the event stream to a
+    <=15-row mask histogram; the lattice itself (16 coalitions x 4
+    channels) is constant-size broadcast work regardless of input SF.
+    Reference intent: marketing attribution atop the same event stream
+    as src/etl/gold/spark_gold.py's behavioral layer."""
+    events = load_table(spark, sf_dir, "events")
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    bit_expr = F.create_map(
+        *[x for k, v in _SHAP_BITS.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("channel")]
+    user_mask = (
+        events.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("first_purchase"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sum(bit_expr).cast("bigint").alias("m"))
+    )
+    mask_counts = user_mask.groupBy("m").agg(F.count("*").cast("bigint").alias("cnt"))
+    coalitions = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    v = (
+        coalitions.join(
+            mask_counts, F.expr("(m & s) = m"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v_s"))
+    )
+    channels = spark.createDataFrame(
+        [(k, b) for k, b in _SHAP_BITS.items()], "channel string, bit bigint"
+    )
+    weight = (
+        F.when(F.bit_count(F.col("vs.s")) == 0, 6)
+        .when(F.bit_count(F.col("vs.s")) == 1, 2)
+        .when(F.bit_count(F.col("vs.s")) == 2, 2)
+        .otherwise(6)
+    )
+    contrib = (
+        channels.join(v.alias("vs"), F.expr("(vs.s & bit) = 0"))
+        .join(v.alias("vsb"), F.expr("vsb.s = (vs.s | bit)"))
+        .groupBy("channel")
+        .agg(
+            F.sum(weight * (F.col("vsb.v_s") - F.col("vs.v_s")))
+            .cast("bigint")
+            .alias("phi_x24")
+        )
+    )
+    total = v.filter(F.col("s") == 15).select(F.col("v_s").alias("v_full"))
+    return contrib.crossJoin(total).select(
+        "channel",
+        (F.col("phi_x24").cast("double") / F.lit(24.0)).alias(
+            "shapley_conversions"
+        ),
+        (
+            F.col("phi_x24").cast("double")
+            / (F.lit(24.0) * F.col("v_full"))
+        ).alias("shapley_share"),
+    )
