@@ -69,6 +69,7 @@ _QUERY_MODULES = (
     "tpch",
     "training_prep",
     "linkage_spatial",
+    "recursive_sql",
 )
 
 
