@@ -585,3 +585,87 @@ def sliding_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_empty",
         F.round("hll_raw", 6).alias("hll_estimate"),
     )
+
+
+_KMV_K = 256
+_TWO60 = float(1 << 60)  # hash domain: 60-bit md5 prefix
+
+
+def _kmv_sql(hash_expr: str, events: str) -> str:
+    """Shared KMV/theta SQL body; ``hash_expr`` is the dialect's
+    md5->60-bit-BIGINT spelling with {x} as the key placeholder."""
+    h = hash_expr.format(x="user_id")
+    k, dom = _KMV_K, repr(_TWO60)
+    return f"""
+    WITH ua AS (SELECT DISTINCT {h} AS h FROM {events}
+                WHERE event_type = 'purchase'),
+    ub AS (SELECT DISTINCT {h} AS h FROM {events}
+           WHERE event_type = 'error'),
+    sa AS (SELECT h FROM ua ORDER BY h LIMIT {k}),
+    sb AS (SELECT h FROM ub ORDER BY h LIMIT {k}),
+    su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) m
+           ORDER BY h LIMIT {k}),
+    ka AS (SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS sz FROM sa),
+    kb AS (SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS sz FROM sb),
+    ku AS (SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS sz FROM su),
+    th AS (SELECT CASE WHEN ka.kth < kb.kth THEN ka.kth ELSE kb.kth END AS t
+           FROM ka CROSS JOIN kb),
+    inter AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+              FROM sa JOIN sb ON sa.h = sb.h CROSS JOIN th
+              WHERE sa.h < th.t),
+    ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ua),
+    eb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ub),
+    eu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT h FROM ua UNION SELECT h FROM ub) m),
+    ei AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+           FROM ua JOIN ub ON ua.h = ub.h)
+    SELECT ea.n AS n_exact_a, eb.n AS n_exact_b,
+           eu.n AS n_exact_union, ei.n AS n_exact_intersection,
+           CASE WHEN ea.n >= {k}
+                THEN ({k - 1}.0 * {dom}) / CAST(ka.kth AS DOUBLE)
+                ELSE CAST(ea.n AS DOUBLE) END AS est_a,
+           CASE WHEN eb.n >= {k}
+                THEN ({k - 1}.0 * {dom}) / CAST(kb.kth AS DOUBLE)
+                ELSE CAST(eb.n AS DOUBLE) END AS est_b,
+           CASE WHEN eu.n >= {k}
+                THEN ({k - 1}.0 * {dom}) / CAST(ku.kth AS DOUBLE)
+                ELSE CAST(eu.n AS DOUBLE) END AS est_union,
+           (CAST(inter.c AS DOUBLE) * {dom}) / CAST(th.t AS DOUBLE)
+               AS est_intersection
+    FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN ei
+    CROSS JOIN ka CROSS JOIN kb CROSS JOIN ku
+    CROSS JOIN th CROSS JOIN inter
+    """
+
+
+@register(
+    "kmv_theta_algebra",
+    oracle=_kmv_sql(
+        "('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15))::BIGINT",
+        "events",
+    ),
+)
+def kmv_theta_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-style) distinct sketches with full set
+    algebra — union AND intersection estimation, the operation HLL
+    fundamentally cannot do (hll_set_algebra only gets intersections via
+    inclusion-exclusion, which compounds error). Sets: purchasing users vs
+    erroring users. Sketch = the k=256 smallest 60-bit md5 hashes per set;
+    estimator (k-1)/theta_k; theta intersection = |SA cap SB restricted
+    below min(theta_A, theta_B)| / theta. Estimates sit next to exact
+    counts so the driver pins both the sketch math and its accuracy.
+
+    Scale posture: ``ORDER BY h LIMIT k`` plans as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge, never a global sort; the
+    sketches themselves are the mergeable 256-row artifacts you'd keep
+    per shard at 100 TB. Every arithmetic step is a single float op on
+    exact integers, identical text in both engines — bit-identical, no
+    rounding. Hash = the module's replayable md5 family."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("kmv_events")
+    return spark.sql(
+        _kmv_sql(
+            "CAST(conv(substring(md5(CAST({x} AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)",
+            "kmv_events",
+        )
+    )
