@@ -1220,3 +1220,100 @@ def infogain_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "info_gain",
         (F.row_number().over(wbest) == 1).alias("is_best"),
     )
+
+
+def _roc_auc_sql(orders: str, customer: str) -> str:
+    """Shared ROC-AUC/Gini/KS SQL body (identical text on both engines).
+
+    Score = 1996 spend (DECIMAL-exact, so the doubles agree bit-for-bit);
+    label = >=3 orders in 1997. Average ranks are exact multiples of 0.5
+    (rank + (ties-1)/2), so the Mann-Whitney sum is float-exact and the
+    final AUC is a single division of exact values — no rounding needed.
+    """
+    return f"""
+    WITH spend96 AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM {orders}
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    ),
+    y97 AS (
+        SELECT o_custkey, COUNT(*) AS n FROM {orders}
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    lab AS (
+        SELECT c_custkey, COALESCE(sp.s, 0.0) AS score,
+               COALESCE(y97.n, 0) >= 3 AS actual
+        FROM {customer}
+        LEFT JOIN spend96 sp ON c_custkey = sp.o_custkey
+        LEFT JOIN y97 ON c_custkey = y97.o_custkey
+    ),
+    ranked AS (
+        SELECT actual,
+               CAST(rank() OVER (ORDER BY score) AS DOUBLE)
+                 + (CAST(COUNT(*) OVER (PARTITION BY score) AS DOUBLE) - 1.0)
+                   / 2.0 AS r
+        FROM lab
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS np,
+               CAST(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nn,
+               SUM(CASE WHEN actual THEN r ELSE 0.0 END) AS srp
+        FROM ranked
+    ),
+    by_score AS (
+        SELECT score,
+               CAST(COUNT(CASE WHEN actual THEN 1 END) AS BIGINT) AS p,
+               CAST(COUNT(CASE WHEN NOT actual THEN 1 END) AS BIGINT) AS q
+        FROM lab GROUP BY 1
+    ),
+    ecdf AS (
+        SELECT SUM(p) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cp,
+               SUM(q) OVER (ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cq
+        FROM by_score
+    ),
+    ks AS (
+        SELECT MAX(ABS(CAST(e.cp AS DOUBLE) / CAST(a.np AS DOUBLE)
+                       - CAST(e.cq AS DOUBLE) / CAST(a.nn AS DOUBLE)))
+                   AS ks_stat
+        FROM ecdf e CROSS JOIN agg a
+    ),
+    auc AS (
+        SELECT np, nn,
+               (srp - (CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0)
+                       / 2.0))
+                 / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+        FROM agg
+    )
+    SELECT a.np AS n_pos, a.nn AS n_neg, a.auc,
+           2.0 * a.auc - 1.0 AS gini, k.ks_stat
+    FROM auc a CROSS JOIN ks k
+    """
+
+
+@register("roc_auc_eval", oracle=_roc_auc_sql("orders", "customer"))
+def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann-Whitney with average-rank tie handling), Gini
+    coefficient and KS statistic for a continuous scorer — the
+    threshold-free counterpart to classifier_eval's confusion matrix.
+    Score = customer's 1996 spend; label = >=3 orders in 1997 (the same
+    persistence setup, now ranking-based). AUC from the rank-sum identity
+    needs ONE global rank over |customer| scored rows — at 100 TB the
+    rank runs on the post-aggregation customer grain (not the fact
+    table), and could shard by score range with offset stitching; KS
+    folds the same ECDFs. Exact float parity: average ranks are halves,
+    DECIMAL-exact scores, single final divisions — no rounding."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("roc_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "roc_customer"
+    )
+    return spark.sql(_roc_auc_sql("roc_orders", "roc_customer"))
