@@ -497,3 +497,82 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("bigint").alias("n_points"),
         )
     )
+
+
+# Polygon set for the containment join: one triangle, one convex quad,
+# one non-convex pentagon (tests the odd-even rule beyond convexity),
+# in the module's integer deci-unit plane [0,10000)^2.
+_PIP_EDGES = [
+    # (polygon_id, x1, y1, x2, y2) — closed rings, edge per row
+    (1, 1000, 1000, 4000, 1200), (1, 4000, 1200, 2200, 4500),
+    (1, 2200, 4500, 1000, 1000),
+    (2, 5000, 5000, 9000, 5200), (2, 9000, 5200, 8800, 9000),
+    (2, 8800, 9000, 5200, 8800), (2, 5200, 8800, 5000, 5000),
+    (3, 1000, 6000, 4000, 6000), (3, 4000, 6000, 2500, 7500),
+    (3, 2500, 7500, 4000, 9000), (3, 4000, 9000, 1000, 9000),
+    (3, 1000, 9000, 1000, 6000),
+]
+
+
+def _pip_sql(customer: str) -> str:
+    """Shared ray-casting point-in-polygon SQL (identical both engines).
+
+    Integer-exact: the ray-edge crossing test is cross-multiplied so no
+    division ever happens — ((y1>py) != (y2>py)) selects edges straddling
+    the horizontal ray, then the intersection-x comparison is sign-adjusted
+    BIGINT arithmetic. Odd crossing count = inside (handles non-convex)."""
+    edges = ", ".join(f"({p}, {a}, {b}, {c}, {d})"
+                      for p, a, b, c, d in _PIP_EDGES)
+    return f"""
+    WITH cust AS (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               (c_custkey * 48271 + 11) % 10000 AS px,
+               (c_custkey * 69621 + 7) % 10000 AS py
+        FROM {customer}
+    ),
+    edges AS (
+        SELECT * FROM (VALUES {edges}) AS t(poly_id, x1, y1, x2, y2)
+    ),
+    crossings AS (
+        SELECT c.c_custkey, c.bal, e.poly_id,
+               SUM(CASE WHEN ((e.y1 > c.py) <> (e.y2 > c.py))
+                         AND (CASE WHEN e.y2 > e.y1
+                              THEN (c.px - e.x1) * (e.y2 - e.y1)
+                                   < (c.py - e.y1) * (e.x2 - e.x1)
+                              ELSE (c.px - e.x1) * (e.y2 - e.y1)
+                                   > (c.py - e.y1) * (e.x2 - e.x1)
+                              END)
+                    THEN 1 ELSE 0 END) AS n_cross
+        FROM cust c CROSS JOIN edges e
+        GROUP BY 1, 2, 3
+    )
+    SELECT poly_id,
+           CAST(COUNT(CASE WHEN n_cross % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_inside,
+           CAST(SUM(CASE WHEN n_cross % 2 = 1 THEN bal END) AS DOUBLE)
+               AS inside_acctbal
+    FROM crossings
+    GROUP BY 1
+    """
+
+
+@register("point_in_polygon_join", oracle=_pip_sql("customer"))
+def point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial containment join: which customers (at the module's
+    deterministic deci-unit pseudo-coordinates) fall inside each of three
+    fixed polygons (triangle / convex quad / non-convex pentagon), by
+    ray-casting — odd count of edge crossings on the +x horizontal ray.
+    The geofencing primitive (zone assignment, territory rollups) the
+    grid-kNN query doesn't cover.
+
+    Scale posture: the polygon ring table is literal-sized and broadcast,
+    so the 'join' is a map-side |points| x |edges| predicate evaluation —
+    no shuffle until the final per-polygon rollup; at real scale you'd
+    pre-filter with polygon bounding boxes on the grid cells. Integer
+    parity: the crossing test is cross-multiplied BIGINT (no division,
+    no floats) so both engines agree exactly; the only double is the
+    final DECIMAL-exact balance sum."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "pip_customer"
+    )
+    return spark.sql(_pip_sql("pip_customer"))
