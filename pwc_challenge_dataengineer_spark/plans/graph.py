@@ -608,3 +608,61 @@ def weighted_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
         )
     return dist.select("node", F.col("dist").cast("decimal(18,2)").alias("dist"))
+
+
+def _adamic_adar_sql(orders: str, lineitem: str) -> str:
+    """Shared link-prediction SQL body (identical text on both engines)."""
+    return f"""
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM {orders} JOIN {lineitem} ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+    ),
+    deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM cp GROUP BY 1),
+    cpd AS (
+        SELECT cp.c, cp.p, deg.d FROM cp JOIN deg ON cp.c = deg.c
+        WHERE deg.d BETWEEN 2 AND 20
+    ),
+    pairs AS (
+        SELECT a.p AS part_a, b.p AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               round(SUM(CAST(1.0 AS DOUBLE) / ln(a.d)), 6) AS adamic_adar,
+               round(SUM(CAST(1.0 AS DOUBLE) / a.d), 6) AS resource_alloc
+        FROM cpd a JOIN cpd b ON a.c = b.c AND a.p < b.p
+        GROUP BY 1, 2
+    ),
+    pdeg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS pd FROM cpd GROUP BY 1)
+    SELECT pr.part_a, pr.part_b, pr.n_common, pr.adamic_adar,
+           pr.resource_alloc,
+           CAST(pr.n_common AS DOUBLE) / (da.pd + db.pd - pr.n_common)
+               AS jaccard
+    FROM pairs pr
+    JOIN pdeg da ON pr.part_a = da.p
+    JOIN pdeg db ON pr.part_b = db.p
+    WHERE pr.n_common >= 2
+    ORDER BY pr.adamic_adar DESC, pr.part_a, pr.part_b
+    LIMIT 50
+    """
+
+
+@register("link_prediction_adamic_adar", oracle=_adamic_adar_sql("orders", "lineitem"))
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the customer-part co-purchase graph: top part
+    pairs by Adamic-Adar (sum over common customers of 1/ln(degree) —
+    rare shared neighbors count more), with resource-allocation (1/deg)
+    and exact Jaccard alongside. The degree-discounting family
+    complements item_item_cf_recs' cosine CF: AA/RA are the standard
+    graph link-prediction scores, not similarity-weighted ratings.
+
+    Scale posture: baskets are windowed (1997H1) and degree-capped
+    (2..20) before the pair self-join — the super-node cap is the
+    standard link-prediction guard that bounds per-customer fan-out at
+    C(20,2); everything shuffles on customer then on the pair key, no
+    cross product. Tie-stable: ordered by the 6-dp-pinned score then the
+    pair key, so the LIMIT cut is deterministic cross-engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("aa_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "aa_lineitem"
+    )
+    return spark.sql(_adamic_adar_sql("aa_orders", "aa_lineitem"))
