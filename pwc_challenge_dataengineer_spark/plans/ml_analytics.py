@@ -1317,3 +1317,83 @@ def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "roc_customer"
     )
     return spark.sql(_roc_auc_sql("roc_orders", "roc_customer"))
+
+
+def _ips_sql(events: str) -> str:
+    """Shared off-policy evaluation SQL body (identical on both engines).
+
+    Train half (Jan 1-15) ranks actions per context by DECIMAL-exact mean
+    reward; the stochastic target policy assigns rational weights
+    (6-rank)/15 so pi is exact. Eval half (Jan 16+) estimates the policy
+    value by inverse-propensity scoring against the empirical logging
+    propensities. Weights and propensities are exact rationals; only the
+    final importance-weighted sums need the 6-dp pin."""
+    return f"""
+    WITH ev AS (
+        SELECT user_id % 4 AS ctx, event_type AS action,
+               CAST(COALESCE(value, 0.0) AS DECIMAL(18,2)) AS r,
+               ts < TIMESTAMP '2024-01-16' AS is_train
+        FROM {events}
+    ),
+    train_rank AS (
+        SELECT ctx, action,
+               rank() OVER (PARTITION BY ctx
+                            ORDER BY CAST(SUM(r) AS DOUBLE) / COUNT(*) DESC,
+                                     action) AS rk
+        FROM ev WHERE is_train GROUP BY ctx, action
+    ),
+    pi AS (
+        SELECT ctx, action,
+               CAST(6 - rk AS DOUBLE) / 15.0 AS pi_w
+        FROM train_rank
+    ),
+    eval_n AS (
+        SELECT ctx, CAST(COUNT(*) AS BIGINT) AS n_ctx FROM ev
+        WHERE NOT is_train GROUP BY 1
+    ),
+    prop AS (
+        SELECT ctx, action, CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM ev WHERE NOT is_train GROUP BY 1, 2
+    ),
+    weighted AS (
+        SELECT e.ctx,
+               COALESCE(pi.pi_w, 0.0)
+                 * (CAST(en.n_ctx AS DOUBLE) / CAST(pr.n_a AS DOUBLE)) AS w,
+               CAST(e.r AS DOUBLE) AS r
+        FROM ev e
+        JOIN eval_n en ON e.ctx = en.ctx
+        JOIN prop pr ON e.ctx = pr.ctx AND e.action = pr.action
+        LEFT JOIN pi ON e.ctx = pi.ctx AND e.action = pi.action
+        WHERE NOT e.is_train
+    )
+    SELECT w.ctx AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           round(SUM(w.w * w.r) / COUNT(*), 6) AS ips_value,
+           round(SUM(w.w * w.r) / SUM(w.w), 6) AS snips_value,
+           round(SUM(w.r) / COUNT(*), 6) AS logged_value
+    FROM weighted w
+    GROUP BY 1
+    """
+
+
+@register("offline_policy_eval_ips", oracle=_ips_sql("events"))
+def offline_policy_eval_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual (off-policy) evaluation: estimate what a new
+    recommendation policy would earn from logged interaction data alone —
+    the standard IPS estimator plus its self-normalized variant (SNIPS),
+    next to the logging policy's realized value. Target policy: per
+    context (user_id % 4), a rank-based stochastic policy fit on the
+    first half of January (rational weights (6-rank)/15 over actions
+    ranked by DECIMAL-exact mean reward); evaluation on the second half
+    reweights each logged (context, action, reward) by
+    pi(a|ctx)/p_log(a|ctx) with empirical logging propensities.
+
+    The temporal split prevents the policy from seeing its own eval
+    window (same discipline as next_event_prediction_eval). Scale
+    posture: two grouped aggregates and one broadcast-sized policy join
+    (|contexts| x |actions| rows) over a single pass of the fact —
+    no shuffle beyond the context/action groupings. Exactness: pi and
+    propensities are exact rationals; only the final weighted sums carry
+    the 6-dp pin."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ips_events")
+    return spark.sql(_ips_sql("ips_events"))
