@@ -1397,3 +1397,73 @@ def offline_policy_eval_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-dp pin."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("ips_events")
     return spark.sql(_ips_sql("ips_events"))
+
+
+def _att_sql(orders: str, customer: str) -> str:
+    """Shared stratified-ATT SQL body (identical text on both engines)."""
+    return f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+        FROM {orders}
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    ),
+    pop AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(floor(CAST(c_acctbal AS DOUBLE) / 2500.0) AS BIGINT)
+                   AS bal_band,
+               c_mktsegment = 'BUILDING' AS treated,
+               COALESCE(s.y, 0.0) AS y
+        FROM {customer} LEFT JOIN spend s ON c_custkey = s.o_custkey
+    ),
+    strata AS (
+        SELECT c_nationkey, bal_band,
+               CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+               CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+               SUM(CASE WHEN treated THEN y ELSE 0.0 END) AS sy_t,
+               SUM(CASE WHEN NOT treated THEN y ELSE 0.0 END) AS sy_c
+        FROM pop GROUP BY 1, 2
+    ),
+    matched AS (SELECT * FROM strata WHERE n_t > 0 AND n_c > 0)
+    SELECT c_nationkey AS nationkey,
+           CAST(SUM(n_t) AS BIGINT) AS n_treated,
+           CAST(SUM(n_c) AS BIGINT) AS n_control,
+           CAST(COUNT(*) AS BIGINT) AS n_strata,
+           round(SUM(CAST(n_t AS DOUBLE)
+                     * (sy_t / n_t - sy_c / n_c))
+                 / SUM(CAST(n_t AS DOUBLE)), 6) AS att_adjusted,
+           round(SUM(sy_t) / SUM(CAST(n_t AS DOUBLE))
+                 - SUM(sy_c) / SUM(CAST(n_c AS DOUBLE)), 6) AS diff_naive
+    FROM matched
+    GROUP BY 1
+    """
+
+
+@register("covariate_adjusted_att", oracle=_att_sql("orders", "customer"))
+def covariate_adjusted_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified covariate adjustment (direct standardization): the
+    average effect of a self-selected 'treatment' (BUILDING market
+    segment) on 1997 spend, adjusted by exact stratification on
+    nation x account-balance band — the treated-weighted average of
+    within-stratum mean differences, next to the naive unadjusted
+    difference so the confounding correction is visible. This is the
+    observational-causal counterpart to the randomized-experiment suite
+    (ab_test_zscore / cuped_adjusted_lift / diff_in_diff): no
+    randomization assumed, common-support enforced (strata lacking
+    either group are dropped, and the output reports how many survive).
+
+    Scale posture: one fact pre-aggregation to customer grain, one
+    stratum aggregate, one nation rollup — all map-side-combinable
+    grouped sums; no joins beyond the customer-grain broadcast-sized
+    spend table. Exactness: within-stratum means are DECIMAL-exact sums
+    divided once; only the cross-band weighted averages carry the 6-dp
+    pin."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("att_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "att_customer"
+    )
+    return spark.sql(_att_sql("att_orders", "att_customer"))
