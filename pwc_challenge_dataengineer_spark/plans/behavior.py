@@ -1589,3 +1589,88 @@ def item_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _REC_K)
     )
+
+
+def _qini_sql(events: str, hash_expr: str) -> str:
+    """Shared uplift/Qini SQL body; ``hash_expr`` is the dialect's
+    md5->BIGINT spelling with {x} as the key placeholder."""
+    h = hash_expr.format(x="user_id")
+    return f"""
+    WITH users AS (
+        SELECT user_id, ({h}) % 2 = 0 AS treated FROM {events} GROUP BY 1
+    ),
+    score AS (
+        SELECT user_id, CAST(COUNT(CASE WHEN event_type = 'click'
+                                        THEN 1 END) AS BIGINT) AS s
+        FROM {events} WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1
+    ),
+    outcome AS (
+        SELECT user_id,
+               CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS y
+        FROM {events}
+        WHERE ts >= TIMESTAMP '2024-01-16' AND event_type = 'purchase'
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT u.user_id, u.treated,
+               COALESCE(o.y, 0.0) AS y,
+               ntile(10) OVER (ORDER BY COALESCE(s.s, 0) DESC, u.user_id)
+                   AS decile
+        FROM users u
+        LEFT JOIN score s ON u.user_id = s.user_id
+        LEFT JOIN outcome o ON u.user_id = o.user_id
+    ),
+    per_decile AS (
+        SELECT decile,
+               CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+               CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+               SUM(CASE WHEN treated THEN y ELSE 0.0 END) AS r_t,
+               SUM(CASE WHEN NOT treated THEN y ELSE 0.0 END) AS r_c
+        FROM ranked GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c,
+           round(r_t / n_t - r_c / n_c, 6) AS uplift_per_user,
+           round(SUM(r_t) OVER w
+                 - SUM(r_c) OVER w
+                   * (CAST(SUM(n_t) OVER w AS DOUBLE)
+                      / CAST(SUM(n_c) OVER w AS DOUBLE)), 6) AS qini_cum
+    FROM per_decile
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """
+
+
+@register(
+    "uplift_qini_eval",
+    oracle=_qini_sql(
+        "events", "('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15))::BIGINT"
+    ),
+)
+def uplift_qini_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-model evaluation via the Qini curve: users are hash-split
+    into treatment/control (the randomized premise uplift modeling
+    assumes), scored by pre-period engagement (first-half-of-Jan
+    clicks), decile-ranked, and each decile reports incremental value
+    per user (treated minus control means) plus the cumulative Qini
+    statistic Q(k) = cumR_t - cumR_c * cumN_t/cumN_c — the standard
+    targeting-quality read (a good uplift score front-loads positive
+    increments). Completes the experimentation suite
+    (ab_test_zscore / cuped / diff_in_diff / covariate_adjusted_att)
+    with the *targeting* evaluation none of them provide.
+
+    Scale posture: user-grain aggregates + one decile ntile (a range
+    sort over |users| scored rows — range-partitioned at scale, same
+    shape as rfm_segmentation's scaled path) + a 10-row windowed
+    cumulative. Outcome sums are DECIMAL-exact; uplift/Qini carry the
+    6-dp pin over identical expressions."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("qini_events")
+    return spark.sql(
+        _qini_sql(
+            "qini_events",
+            "CAST(conv(substring(md5(CAST({x} AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)",
+        )
+    )
