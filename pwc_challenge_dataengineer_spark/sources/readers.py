@@ -174,3 +174,43 @@ def read_delta(
                 "Delta reads require delta-spark on the classpath "
                 "(no _delta_log JSON commits found to replay)"
             ) from exc
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """XML scan — native in Spark 4 (the spark-xml package was merged
+    upstream in 4.0, no jar needed). Schema inference walks the files
+    once; pass an explicit schema to skip that pass at scale. rowTag
+    selects the repeating element; attributes surface as ``_attr``
+    columns."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Avro scan. The spark-avro module is external (not bundled with
+    pyspark); without the jar Spark raises AnalysisException at plan
+    time — re-raised here with the honest capability gate, same policy
+    as the Kafka connector (streaming/sources.py)."""
+    try:
+        reader = spark.read.format("avro")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load(path)
+    except Exception as exc:  # AnalysisException: failed to find source
+        if "avro" in str(exc).lower():
+            raise NotImplementedError(
+                "Avro requires the external spark-avro jar "
+                "(org.apache.spark:spark-avro); not available in this "
+                "environment — same gate as Kafka."
+            ) from exc
+        raise

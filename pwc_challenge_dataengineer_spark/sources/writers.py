@@ -37,3 +37,34 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (native in Spark 4). One file per task like any
+    FileFormat sink — the writer parallelizes; do not coalesce(1)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (built-in; same partitioned-layout semantics as parquet)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -367,3 +367,69 @@ def test_python_streaming_datasource_microbatches(spark, tmp_path):
         _, _, price_cents, qty = _tick_row(3, r.tick_id)
         assert (r.price_cents, r.qty) == (price_cents, qty)
     assert [r.tick_id for r in rows] == list(range(n))  # gapless, in order
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Native Spark-4 XML: write with rowTag/rootTag, read back intact."""
+    from pwc_challenge_dataengineer_spark.sources.readers import read_xml
+    from pwc_challenge_dataengineer_spark.sources.writers import write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 9.5), (2, "beta", -1.25), (3, None, 0.0)],
+        "id int, name string, score double",
+    )
+    path = str(tmp_path / "xml_out")
+    write_xml(df, path, row_tag="item", root_tag="items")
+    back = read_xml(spark, path, row_tag="item")
+    got = {(r["id"], r["name"], r["score"]) for r in back.collect()}
+    assert got == {(1, "alpha", 9.5), (2, "beta", -1.25), (3, None, 0.0)}
+
+
+def test_xml_explicit_schema_and_attributes(spark, tmp_path):
+    """rowTag extraction with an explicit schema (no inference pass) and
+    attribute columns (_attr) from hand-written XML."""
+    from pyspark.sql import types as T
+
+    from pwc_challenge_dataengineer_spark.sources.readers import read_xml
+
+    xml = (
+        "<orders>\n"
+        '  <order id="7"><total>10.5</total></order>\n'
+        '  <order id="8"><total>20.0</total></order>\n'
+        "</orders>\n"
+    )
+    p = tmp_path / "orders.xml"
+    p.write_text(xml)
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    back = read_xml(spark, str(p), row_tag="order", schema=schema)
+    got = sorted((r["_id"], r["total"]) for r in back.collect())
+    assert got == [(7, 10.5), (8, 20.0)]
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from pwc_challenge_dataengineer_spark.sources.readers import read_orc
+    from pwc_challenge_dataengineer_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 2024), (2, "b", 2024), (3, "c", 2025)],
+        "id int, name string, yr int",
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(df, path, partition_by=["yr"])
+    back = read_orc(spark, path)
+    assert back.count() == 3
+    assert {r["yr"] for r in back.select("yr").distinct().collect()} == {2024, 2025}
+
+
+def test_avro_gate_raises_honestly(spark, tmp_path):
+    import pytest
+
+    from pwc_challenge_dataengineer_spark.sources.readers import read_avro
+
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nope.avro"))
