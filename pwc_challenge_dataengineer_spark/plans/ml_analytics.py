@@ -1467,3 +1467,90 @@ def covariate_adjusted_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         "att_customer"
     )
     return spark.sql(_att_sql("att_orders", "att_customer"))
+
+
+def _kfold_sql(lineitem: str, hash_expr: str) -> str:
+    """Shared k-fold CV OLS SQL body. All statistics derive from
+    DECIMAL-exact per-fold sufficient sums; train-side sums are
+    total-minus-fold (one scan, no per-fold passes), and the test MSE is
+    expanded into sufficient statistics (mean(y^2) - 2a*mean(y) - ... )
+    so no row-order float accumulation exists anywhere — every value is
+    a chain of identical IEEE ops on identical operands, bit-exact
+    cross-engine with no rounding."""
+    h = hash_expr.format(x="CAST(l_orderkey AS STRING) || ':' || CAST(l_linenumber AS STRING)")
+    return f"""
+    WITH pts AS (
+        SELECT ({h}) % 5 AS fold,
+               CAST(l_quantity AS DECIMAL(18,2)) AS x,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        FROM {lineitem}
+    ),
+    per_fold AS (
+        SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM pts GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS DOUBLE) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+               SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+        FROM per_fold
+    ),
+    fit AS (
+        SELECT f.fold, f.n AS n_test,
+               CAST(t.n - f.n AS BIGINT) AS n_train,
+               ((t.n - f.n) * (t.sxy - f.sxy)
+                - (t.sx - f.sx) * (t.sy - f.sy))
+               / ((t.n - f.n) * (t.sxx - f.sxx)
+                  - (t.sx - f.sx) * (t.sx - f.sx)) AS b,
+               f.sx AS sx, f.sy AS sy, f.sxx AS sxx, f.sxy AS sxy,
+               f.syy AS syy, CAST(f.n AS DOUBLE) AS nf,
+               (t.sy - f.sy) / (t.n - f.n) AS my_tr,
+               (t.sx - f.sx) / (t.n - f.n) AS mx_tr
+        FROM per_fold f CROSS JOIN tot t
+    ),
+    eval_ AS (
+        SELECT fold, n_train, n_test, b AS slope,
+               my_tr - b * mx_tr AS a,
+               (syy - 2.0 * (my_tr - b * mx_tr) * sy - 2.0 * b * sxy
+                + nf * (my_tr - b * mx_tr) * (my_tr - b * mx_tr)
+                + 2.0 * (my_tr - b * mx_tr) * b * sx + b * b * sxx)
+               / nf AS mse,
+               (syy - sy * sy / nf) / nf AS var_y
+        FROM fit
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_train, n_test, slope,
+           a AS intercept, mse AS test_mse,
+           1.0 - mse / var_y AS test_r2
+    FROM eval_
+    """
+
+
+@register(
+    "kfold_cv_ols",
+    oracle=_kfold_sql(
+        "lineitem",
+        "('0x' || substr(md5({x}), 1, 15))::BIGINT",
+    ),
+)
+def kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated simple OLS (extendedprice on quantity):
+    per fold, fit on the other four folds and report held-out MSE and
+    R^2 — the model-selection loop every feature pipeline runs, done the
+    distributed way. ONE scan computes per-fold DECIMAL-exact sufficient
+    sums; each fold's training sums are total-minus-fold, and held-out
+    error expands into sufficient statistics, so adding folds costs
+    nothing and no row ever flows twice. Deterministic without rounding:
+    every emitted number is a fixed chain of IEEE ops on DECIMAL-exact
+    operands (no order-dependent float accumulation)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "cv_lineitem"
+    )
+    return spark.sql(
+        _kfold_sql(
+            "cv_lineitem",
+            "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)",
+        )
+    )
