@@ -992,3 +992,53 @@ def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "information_gain"
         ),
     )
+
+
+def _te_loo_sql(lineitem: str, part: str) -> str:
+    """Shared leave-one-out target-encoding SQL body (identical text on
+    both engines)."""
+    return f"""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, p_brand,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+    ),
+    prior AS (
+        SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p FROM base
+    ),
+    brand AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(y) AS BIGINT) AS s_b
+        FROM base GROUP BY 1
+    )
+    SELECT b.l_orderkey, b.l_linenumber, b.p_brand, CAST(b.y AS BIGINT) AS y,
+           (CAST(br.s_b - b.y AS DOUBLE) + 50.0 * pr.p)
+             / (CAST(br.n_b - 1 AS DOUBLE) + 50.0) AS te_loo,
+           CAST(br.s_b AS DOUBLE) / br.n_b AS te_naive
+    FROM base b
+    JOIN brand br ON b.p_brand = br.p_brand
+    CROSS JOIN prior pr
+    WHERE b.l_orderkey % 500 = 0
+    """
+
+
+@register("target_encode_loo", oracle=_te_loo_sql("lineitem", "part"))
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing (m=50 toward
+    the global prior) of part brand against the return flag — the
+    leakage-safe categorical encoder gradient-boosting pipelines use
+    (each row's own label is excluded from its encoding; the naive
+    per-category mean is emitted alongside to show the leakage the LOO
+    form removes). Encoding statistics are computed over ALL rows; the
+    emitted sample (orderkey % 500) keeps the comparison surface small.
+
+    Scale posture: one brand-grain aggregate (25 groups, map-side
+    combined) broadcast back onto the fact — no per-row shuffle beyond
+    the part join that supplies the category. Exactness: integer counts,
+    one prior division, one multiply-add, one final division — identical
+    op chains both engines, no rounding."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "te_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("te_part")
+    return spark.sql(_te_loo_sql("te_lineitem", "te_part"))
