@@ -1487,3 +1487,76 @@ def seasonal_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "normalized_index"
         ),
     )
+
+
+def _life_table_sql(orders: str, datediff: str) -> str:
+    """Shared life-table SQL body; ``datediff`` is the dialect's day-diff
+    spelling with {a}/{b} placeholders (DuckDB date_diff vs Spark datediff).
+    """
+    dd = datediff.format(a="MIN(CAST(o_orderdate AS DATE))",
+                         b="MAX(CAST(o_orderdate AS DATE))")
+    return f"""
+    WITH span AS (
+        SELECT o_custkey, {dd} AS dur,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d
+        FROM {orders} GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM {orders}),
+    obs AS (
+        SELECT CAST(FLOOR(s.dur / 30.0) AS BIGINT) AS tb,
+               s.last_d < h.mx - INTERVAL 180 DAY AS churned
+        FROM span s CROSS JOIN horizon h
+    ),
+    bucketed AS (
+        SELECT tb,
+               CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_events,
+               CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_censored
+        FROM obs GROUP BY 1
+    ),
+    risk AS (
+        SELECT tb, d_events, c_censored,
+               CAST(SUM(d_events + c_censored) OVER (ORDER BY tb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - (d_events + c_censored) AS BIGINT) AS left_before,
+               CAST(SUM(d_events + c_censored) OVER () AS BIGINT) AS total
+        FROM bucketed
+    )
+    SELECT tb * 30 AS t_days,
+           total - left_before AS n_risk, d_events, c_censored,
+           CAST(d_events AS DOUBLE) / (total - left_before) AS hazard,
+           round(SUM(CAST(d_events AS DOUBLE) / (total - left_before))
+                     OVER (ORDER BY tb ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW), 6) AS cum_hazard,
+           round(exp(0.0 - SUM(CAST(d_events AS DOUBLE)
+                               / (total - left_before))
+                         OVER (ORDER BY tb ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW)), 6)
+               AS surv_nelson_aalen
+    FROM risk
+    """
+
+
+@register(
+    "life_table_nelson_aalen",
+    oracle=_life_table_sql(
+        "orders", "date_diff('day', {a}, {b})"
+    ),
+)
+def life_table_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actuarial life table with the Nelson-Aalen cumulative-hazard
+    estimator: per 30-day tenure bucket, the at-risk count, churn events,
+    censored exits, discrete hazard d/n, cumulative hazard H = sum d/n
+    and the derived survival exp(-H). Complements kaplan_meier_churn —
+    NA is the additive-hazard dual of KM's product form (preferred for
+    hazard-rate reads and small-risk-set stability) under the same
+    180-day-inactivity churn definition and right-censoring.
+
+    Scale posture: customer-grain span aggregate, ~35-bucket table,
+    windowed cumulative sums over the ordered buckets — the wide work is
+    one orders scan. The per-bucket hazard is an exact two-integer
+    division (emitted unrounded); the ordered cumulative sums carry the
+    6-dp pin."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lt_orders")
+    return spark.sql(_life_table_sql("lt_orders", "datediff({b}, {a})"))
