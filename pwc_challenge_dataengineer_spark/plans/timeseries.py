@@ -1560,3 +1560,116 @@ def life_table_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp pin."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("lt_orders")
     return spark.sql(_life_table_sql("lt_orders", "datediff({b}, {a})"))
+
+
+# Holt-Winters additive: alpha/beta/gamma are binary fractions so the
+# literals are identical doubles in both engines (same policy as Holt).
+_HW_SQL = """
+    WITH RECURSIVE magg AS (
+        SELECT n_name AS nation,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(o_totalprice) AS DOUBLE) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT nation, month, y,
+               CAST(row_number() OVER (
+                   PARTITION BY nation ORDER BY month) AS BIGINT) AS rn
+        FROM magg
+    ),
+    rec AS (
+        SELECT nation, month, y, rn, y AS s, CAST(0.0 AS DOUBLE) AS b,
+               CAST(0.0 AS DOUBLE) AS c1, CAST(0.0 AS DOUBLE) AS c2,
+               CAST(0.0 AS DOUBLE) AS c3, CAST(0.0 AS DOUBLE) AS c4
+        FROM m WHERE rn = 1
+        UNION ALL
+        SELECT m.nation, m.month, m.y, m.rn,
+               0.5 * (m.y - rec.c1) + 0.5 * (rec.s + rec.b),
+               0.25 * ((0.5 * (m.y - rec.c1) + 0.5 * (rec.s + rec.b))
+                       - rec.s) + 0.75 * rec.b,
+               rec.c2, rec.c3, rec.c4,
+               0.25 * (m.y - rec.s - rec.b) + 0.75 * rec.c1
+        FROM rec JOIN m ON m.nation = rec.nation AND m.rn = rec.rn + 1
+    )
+    SELECT nation, month, y AS revenue, s AS level, b AS trend,
+           c4 AS seasonal_upd, s + b + c1 AS forecast_next
+    FROM rec
+    """
+
+
+@register("holt_winters_additive", oracle=_HW_SQL)
+def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple exponential smoothing (level + trend +
+    period-4 seasonal; alpha=0.5, beta=gamma=0.25) over each nation's
+    monthly revenue — the seasonal rung above holt_linear_forecast.
+    Seasonal state rotates through four columns in the oracle's recursive
+    CTE (use c1, emit the update as the new c4), so the cross-engine
+    check machine-verifies the full three-state recurrence, not just the
+    level/trend pair; seasonals initialize at 0 and are learned online.
+
+    Distributed shape: same as Holt — per-series sequential fold via
+    applyInPandas, parallel across nations; series length is bounded by
+    the monthly grain so 100 TB parallelism comes from series count.
+    Parity: exact DECIMAL monthly sums cast once, binary-fraction
+    constants, the pandas fold mirrors the oracle's expression tree
+    op-for-op — unrounded doubles, bit-identical."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.sum("o_totalprice").cast("double").alias("y"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month", kind="mergesort").reset_index(drop=True)
+        rows = []
+        s = b = None
+        c = [0.0, 0.0, 0.0, 0.0]  # rotating: c[0] is the current slot
+        for y in pdf["y"].astype("float64"):
+            y = float(y)
+            if s is None:
+                s, b = y, 0.0
+                rows.append((s, b, 0.0, s + b + c[0]))
+                continue
+            # mirror the oracle's expression tree exactly (snew repeated)
+            s_new = 0.5 * (y - c[0]) + 0.5 * (s + b)
+            b_new = 0.25 * ((0.5 * (y - c[0]) + 0.5 * (s + b)) - s) + 0.75 * b
+            c_new = 0.25 * (y - s - b) + 0.75 * c[0]
+            c = [c[1], c[2], c[3], c_new]
+            s, b = s_new, b_new
+            rows.append((s, b, c_new, s + b + c[0]))
+        out = pdf[["nation", "month", "y"]].copy()
+        out["level"] = [r[0] for r in rows]
+        out["trend"] = [r[1] for r in rows]
+        out["seasonal_upd"] = [r[2] for r in rows]
+        out["forecast_next"] = [r[3] for r in rows]
+        return out
+
+    return (
+        monthly.groupBy("nation")
+        .applyInPandas(
+            fold,
+            "nation string, month date, y double, level double, "
+            "trend double, seasonal_upd double, forecast_next double",
+        )
+        .select(
+            "nation",
+            "month",
+            F.col("y").alias("revenue"),
+            "level",
+            "trend",
+            "seasonal_upd",
+            "forecast_next",
+        )
+    )
