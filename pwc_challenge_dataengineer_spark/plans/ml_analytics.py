@@ -1554,3 +1554,80 @@ def kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)",
         )
     )
+
+
+def _brier_sql(lineitem: str, part: str) -> str:
+    """Shared calibration / Brier-decomposition SQL body (identical text
+    on both engines)."""
+    return f"""
+    WITH base AS (
+        SELECT p_brand,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+               l_shipdate < TIMESTAMP '1995-06-17' AS is_train
+        FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+    ),
+    pred AS (
+        SELECT p_brand,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p_hat
+        FROM base WHERE is_train GROUP BY 1
+    ),
+    ev AS (
+        SELECT b.p_brand, pr.p_hat,
+               CAST(COUNT(*) AS BIGINT) AS n_k,
+               CAST(SUM(b.y) AS BIGINT) AS s_k,
+               CAST(SUM(b.y) AS DOUBLE) / COUNT(*) AS o_k
+        FROM base b JOIN pred pr ON b.p_brand = pr.p_brand
+        WHERE NOT b.is_train
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_k) AS DOUBLE) AS n,
+               CAST(SUM(s_k) AS DOUBLE) / CAST(SUM(n_k) AS DOUBLE) AS ybar
+        FROM ev
+    ),
+    comp AS (
+        SELECT
+            round(SUM(n_k * (p_hat - o_k) * (p_hat - o_k)) / t.n, 6)
+                AS reliability,
+            round(SUM(n_k * (o_k - t.ybar) * (o_k - t.ybar)) / t.n, 6)
+                AS resolution,
+            round(t.ybar * (1.0 - t.ybar), 6) AS uncertainty,
+            round(SUM(n_k * (p_hat * p_hat)
+                      - 2.0 * p_hat * s_k
+                      + s_k) / t.n, 6) AS brier_direct,
+            CAST(t.n AS BIGINT) AS n_eval
+        FROM ev CROSS JOIN tot t
+        GROUP BY t.n, t.ybar
+    )
+    SELECT n_eval, brier_direct, reliability, resolution, uncertainty,
+           round(reliability - resolution + uncertainty, 6)
+               AS brier_decomposed
+    FROM comp
+    """
+
+
+@register(
+    "calibration_brier_decomposition",
+    oracle=_brier_sql("lineitem", "part"),
+)
+def calibration_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-forecast calibration audit via the Murphy decomposition
+    of the Brier score: a per-brand return-rate forecaster is fit on the
+    pre-split half of shipments and scored on the rest, emitting the
+    directly-computed Brier score next to reliability - resolution +
+    uncertainty. Both sides are computed INDEPENDENTLY (the direct score
+    from per-row expansion sum(p^2 - 2py + y), the decomposition from
+    bin moments), so the hash match machine-checks Murphy's identity on
+    real data — same proof-by-identity flavor as
+    price_volume_decomposition. Completes the scorer-evaluation family:
+    roc_auc_eval ranks, this calibrates.
+
+    Scale posture: everything folds to the 25-brand grain in one pass of
+    the fact (map-side combinable); forecasts join back as a broadcast.
+    Rates are exact integer divisions; the 25-term component sums carry
+    the 6-dp pin."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "cal_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("cal_part")
+    return spark.sql(_brier_sql("cal_lineitem", "cal_part"))
