@@ -1487,15 +1487,27 @@ def _kfold_sql(lineitem: str, hash_expr: str) -> str:
     ),
     per_fold AS (
         SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-               CAST(SUM(x * x) AS DOUBLE) AS sxx,
-               CAST(SUM(x * y) AS DOUBLE) AS sxy,
-               CAST(SUM(y * y) AS DOUBLE) AS syy
+               SUM(x) AS sxd, SUM(y) AS syd,
+               SUM(x * x) AS sxxd, SUM(x * y) AS sxyd,
+               SUM(y * y) AS syyd
         FROM pts GROUP BY 1
     ),
+    -- totals sum the per-fold DECIMALs (exact, order-free) and cast ONCE;
+    -- summing fold-level doubles here would reintroduce order-dependent
+    -- float accumulation across the 5 rows.
     tot AS (
-        SELECT CAST(SUM(n) AS DOUBLE) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
-               SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+        SELECT CAST(SUM(n) AS DOUBLE) AS n,
+               CAST(SUM(sxd) AS DOUBLE) AS sx,
+               CAST(SUM(syd) AS DOUBLE) AS sy,
+               CAST(SUM(sxxd) AS DOUBLE) AS sxx,
+               CAST(SUM(sxyd) AS DOUBLE) AS sxy,
+               CAST(SUM(syyd) AS DOUBLE) AS syy
+        FROM per_fold
+    ),
+    pf AS (
+        SELECT fold, n, CAST(sxd AS DOUBLE) AS sx,
+               CAST(syd AS DOUBLE) AS sy, CAST(sxxd AS DOUBLE) AS sxx,
+               CAST(sxyd AS DOUBLE) AS sxy, CAST(syyd AS DOUBLE) AS syy
         FROM per_fold
     ),
     fit AS (
@@ -1509,7 +1521,7 @@ def _kfold_sql(lineitem: str, hash_expr: str) -> str:
                f.syy AS syy, CAST(f.n AS DOUBLE) AS nf,
                (t.sy - f.sy) / (t.n - f.n) AS my_tr,
                (t.sx - f.sx) / (t.n - f.n) AS mx_tr
-        FROM per_fold f CROSS JOIN tot t
+        FROM pf f CROSS JOIN tot t
     ),
     eval_ AS (
         SELECT fold, n_train, n_test, b AS slope,
