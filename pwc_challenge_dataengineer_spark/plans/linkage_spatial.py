@@ -576,3 +576,83 @@ def point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pip_customer"
     )
     return spark.sql(_pip_sql("pip_customer"))
+
+
+def _mutual_nn_sql(customer: str, supplier: str) -> str:
+    """Shared mutual-NN SQL body (identical text on both engines).
+    Reuses the module's integer geometry: 9-cell probes in each
+    direction, exact BIGINT distances, key tiebreaks."""
+    return f"""
+    WITH cust AS (
+        SELECT c_custkey AS ck,
+               (c_custkey * 48271 + 11) % 10000 AS px,
+               (c_custkey * 69621 + 7) % 10000 AS py
+        FROM {customer}
+    ),
+    supp AS (
+        SELECT s_suppkey AS sk,
+               (s_suppkey * 40503 + 3) % 10000 AS sx,
+               (s_suppkey * 16807 + 5) % 10000 AS sy
+        FROM {supplier}
+    ),
+    hits AS (
+        SELECT c.ck, s.sk,
+               (c.px - s.sx) * (c.px - s.sx)
+               + (c.py - s.sy) * (c.py - s.sy) AS d2
+        FROM cust c
+        CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+        CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+        JOIN supp s
+          ON CAST(FLOOR(c.px / {_CELL}.0) AS BIGINT) + dx.v
+             = CAST(FLOOR(s.sx / {_CELL}.0) AS BIGINT)
+         AND CAST(FLOOR(c.py / {_CELL}.0) AS BIGINT) + dy.v
+             = CAST(FLOOR(s.sy / {_CELL}.0) AS BIGINT)
+        WHERE (c.px - s.sx) * (c.px - s.sx)
+              + (c.py - s.sy) * (c.py - s.sy) <= {_R2}
+    ),
+    c_best AS (
+        SELECT ck, sk, d2 FROM (
+            SELECT ck, sk, d2,
+                   row_number() OVER (PARTITION BY ck
+                                      ORDER BY d2, sk) AS rn
+            FROM hits
+        ) t WHERE rn = 1
+    ),
+    s_best AS (
+        SELECT ck, sk FROM (
+            SELECT ck, sk,
+                   row_number() OVER (PARTITION BY sk
+                                      ORDER BY d2, ck) AS rn
+            FROM hits
+        ) t WHERE rn = 1
+    )
+    SELECT c.ck AS c_custkey, c.sk AS s_suppkey,
+           CAST(c.d2 AS BIGINT) AS dist2_deci,
+           ROUND(sqrt(CAST(c.d2 AS DOUBLE)) / 10.0, 6) AS dist_units
+    FROM c_best c JOIN s_best s ON c.ck = s.ck AND c.sk = s.sk
+    """
+
+
+@register("mutual_nn_matching", oracle=_mutual_nn_sql("customer", "supplier"))
+def mutual_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor (mutual-NN) 1:1 matching between
+    customers and suppliers on the module's deterministic integer
+    geometry: a pair matches only when each side is the other's nearest
+    neighbor within the 9-cell search envelope — the greedy-safe,
+    order-free assignment rule entity-resolution and cross-device
+    matching pipelines use (a mutual-NN pair can never be contested, so
+    no sequential greedy pass is needed; the match set is computable in
+    parallel).
+
+    Scale shape: ONE bucketed candidate join (cell-id equi-join, 9-cell
+    probe) feeds BOTH direction's rank-1 picks — two windows over the
+    same hits table, then a pair equi-join; no cross product, no
+    sequential assignment loop. Exact BIGINT distances with key
+    tiebreaks; the only double is the final sqrt on an exact integer."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "mnn_customer"
+    )
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "mnn_supplier"
+    )
+    return spark.sql(_mutual_nn_sql("mnn_customer", "mnn_supplier"))
