@@ -1132,3 +1132,64 @@ def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((q1 - q0) * (rev1 / q1 - rev0 / q0))
         .alias("cross_effect"),
     )
+
+
+def _share_shift_sql(lineitem: str, orders: str, part: str) -> str:
+    """Shared share-shift mover SQL body (identical on both engines)."""
+    return f"""
+    WITH rev AS (
+        SELECT p_brand,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                              AND o_orderdate < TIMESTAMP '1997-01-01'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS r96,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                              AND o_orderdate < TIMESTAMP '1998-01-01'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS r97
+        FROM {lineitem}
+        JOIN {orders} ON l_orderkey = o_orderkey
+        JOIN {part} ON l_partkey = p_partkey
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(r96 AS DECIMAL(18,2))) AS DOUBLE) AS t96,
+               CAST(SUM(CAST(r97 AS DECIMAL(18,2))) AS DOUBLE) AS t97
+        FROM rev
+    )
+    SELECT r.p_brand, r.r96 AS revenue_96, r.r97 AS revenue_97,
+           100.0 * (r.r97 / t.t97 - r.r96 / t.t96) AS delta_share_pts,
+           100.0 * (r.r97 - r.r96) / t.t96 AS growth_contribution_pts
+    FROM rev r CROSS JOIN tot t
+    ORDER BY ABS(r.r97 / t.t97 - r.r96 / t.t96) DESC, r.p_brand
+    LIMIT 20
+    """
+
+
+@register(
+    "share_shift_movers",
+    oracle=_share_shift_sql("lineitem", "orders", "part"),
+)
+def share_shift_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue-share movers between 1996 and 1997 by brand: the
+    'what drove the change' decomposition every ops review asks for —
+    share-point delta (mix shift) plus each brand's contribution to
+    total growth, ranked by absolute share movement. Complements
+    psi_feature_drift (a distribution TEST, not a ranking) and
+    price_volume_decomposition (P x Q bridge within a brand): this one
+    attributes the aggregate move across brands.
+
+    Scale: one fact pass into a 25-row brand grain (map-side combined),
+    a 1-row total, and a broadcast cross join — the ranking sorts 25
+    rows. Parity: DECIMAL-exact revenue sums; every emitted ratio is a
+    fixed chain of IEEE ops on those exact values (brand revenues sum
+    decimal-side before the single cast), so no rounding is needed; the
+    ORDER BY key is the same exact expression with a brand tiebreak."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ss_lineitem"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ss_orders")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("ss_part")
+    return spark.sql(_share_shift_sql("ss_lineitem", "ss_orders", "ss_part"))
