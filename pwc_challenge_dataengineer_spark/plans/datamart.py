@@ -1193,3 +1193,51 @@ def share_shift_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("ss_orders")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("ss_part")
     return spark.sql(_share_shift_sql("ss_lineitem", "ss_orders", "ss_part"))
+
+
+def _adoption_sql(lineitem: str, orders: str, part: str) -> str:
+    """Shared brand adoption-curve SQL body (identical on both engines)."""
+    return f"""
+    WITH firsts AS (
+        SELECT p_brand, o_custkey,
+               MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+                   AS first_month
+        FROM {lineitem}
+        JOIN {orders} ON l_orderkey = o_orderkey
+        JOIN {part} ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    ),
+    monthly AS (
+        SELECT p_brand, first_month AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY 1, 2
+    )
+    SELECT p_brand, month, n_new,
+           CAST(SUM(n_new) OVER (PARTITION BY p_brand ORDER BY month
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT)
+               AS cum_adopters
+    FROM monthly
+    """
+
+
+@register(
+    "adoption_curve_by_brand",
+    oracle=_adoption_sql("lineitem", "orders", "part"),
+)
+def adoption_curve_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-adopter curve per brand: monthly count of customers making
+    their FIRST-ever purchase of the brand, plus the cumulative adopter
+    base — the product-adoption S-curve marketing reads against Bass
+    diffusion. Charging each (brand, customer) to its first-occurrence
+    month is the same distributed trick as vocab_growth_curve: the
+    expensive distinct-so-far becomes one grouped MIN plus a window over
+    the tiny brand x month grid (~25 x 84 rows), never a rescan per
+    month. Integer-exact throughout (counts and a windowed cumulative
+    sum); no floats at all."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ad_lineitem"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ad_orders")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("ad_part")
+    return spark.sql(_adoption_sql("ad_lineitem", "ad_orders", "ad_part"))
