@@ -666,3 +666,115 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aa_lineitem"
     )
     return spark.sql(_adamic_adar_sql("aa_orders", "aa_lineitem"))
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank oracle (seed = nation-0 suppliers)."""
+    head = """
+    WITH e AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ed AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM ed GROUP BY 1),
+    seeds AS (
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM supplier WHERE s_nationkey = 0
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+    r0 AS (SELECT seeds.node, 1.0 / ns.n AS rank FROM seeds CROSS JOIN ns)
+    """
+    steps = []
+    for i in range(1, _ITERS + 1):
+        steps.append(f"""
+    c{i} AS (
+        SELECT ed.dst AS node, SUM(p.rank / deg.outdeg) AS s
+        FROM ed JOIN r{i - 1} p ON ed.src = p.node
+        JOIN deg ON ed.src = deg.src
+        GROUP BY ed.dst
+    ),
+    r{i} AS (
+        SELECT COALESCE(c.node, s.node) AS node,
+               {1.0 - _D} * (CASE WHEN s.node IS NOT NULL
+                             THEN 1.0 / ANY_VALUE(ns.n) ELSE 0.0 END)
+               + {_D} * COALESCE(ANY_VALUE(c.s), 0.0) AS rank
+        FROM c{i} c FULL OUTER JOIN seeds s ON c.node = s.node
+        CROSS JOIN ns
+        GROUP BY COALESCE(c.node, s.node), s.node
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, round(rank, 6) AS ppr
+    FROM r{_ITERS}
+    ORDER BY round(rank, 6) DESC, node
+    LIMIT 100
+    """
+    )
+
+
+@register("personalized_pagerank", oracle=_ppr_oracle())
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (3 iterations, d=0.85) with restart mass on
+    one nation's suppliers — the graph-proximity primitive behind
+    'similar items' / 'people also bought' recommenders, where global
+    PageRank measures importance but PPR measures relevance TO the seed
+    set. Per iteration: contribution join + dst-keyed sum, then a
+    broadcast-sized FULL OUTER merge with the seed table so seeds retain
+    their (1-d) restart term even before mass cycles back. Nodes never
+    touched stay absent (PPR's natural sparsity — the frontier grows
+    with iterations instead of materializing the whole graph, exactly
+    what makes PPR usable at 100 TB). Top-100 by the 6-dp-pinned score
+    with node tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = load_table(spark, sf_dir, "supplier")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ed = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ed = ed.localCheckpoint()
+    deg = ed.groupBy("src").agg(F.count("*").alias("outdeg"))
+    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("snode")
+    )
+    ns = seeds.agg(F.count("*").alias("n"))
+    ranks = seeds.crossJoin(F.broadcast(ns)).select(
+        F.col("snode").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+        )
+        ranks = (
+            contrib.join(
+                F.broadcast(seeds), contrib.dst == seeds.snode, "full_outer"
+            )
+            .crossJoin(F.broadcast(ns))
+            .select(
+                F.coalesce(F.col("dst"), F.col("snode")).alias("node"),
+                (
+                    F.lit(1.0 - _D)
+                    * F.when(
+                        F.col("snode").isNotNull(), F.lit(1.0) / F.col("n")
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.select("node", F.round("rank", 6).alias("ppr"))
+        .orderBy(F.col("ppr").desc(), "node")
+        .limit(100)
+    )
