@@ -35,6 +35,16 @@ from ..schemas import load_table
 from .catalog import register
 
 
+def _allow_big_recursion(spark: SparkSession) -> None:
+    """Raise Spark's recursive-CTE row guardrail (default 1,000,000
+    cumulative rows across iterations — found the hard way at the x30
+    scale stress: a 600k-node forest walks >1M closure rows, which is
+    normal for real BOM/hierarchy data, not runaway recursion). The
+    level limit (100) stays at its default: depth is log-bounded here
+    and a depth blowup WOULD indicate a cycle bug."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+
+
 def _bom_sql(intdiv: str, part: str) -> str:
     """Top-down BOM explosion; ``intdiv`` = 'div' (Spark) or '//' (DuckDB)."""
     return f"""
@@ -70,6 +80,7 @@ def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     units and DECIMAL-exact extended cost per root. Each node is reached
     exactly once so recursive work is O(|part|). Full value oracle:
     identical SQL on DuckDB."""
+    _allow_big_recursion(spark)
     load_table(spark, sf_dir, "part").createOrReplaceTempView("rcte_part")
     return spark.sql(_bom_sql("div", "rcte_part"))
 
@@ -108,6 +119,7 @@ def recursive_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     price per ancestor that exists in ``part`` and has >= 5 descendants.
     The closure is |part| * depth rows — linear in data at fixed tree
     arity. Full value oracle: identical SQL on DuckDB."""
+    _allow_big_recursion(spark)
     load_table(spark, sf_dir, "part").createOrReplaceTempView("rcte_part")
     return spark.sql(_closure_sql("div", "rcte_part"))
 
@@ -138,5 +150,6 @@ def recursive_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     need), via native WITH RECURSIVE string accumulation. Each node has
     one parent chain so output is exactly the subtree size — no path
     explosion. Full value oracle: identical SQL on DuckDB."""
+    _allow_big_recursion(spark)
     load_table(spark, sf_dir, "part").createOrReplaceTempView("rcte_part")
     return spark.sql(_paths_sql("div", "rcte_part"))
