@@ -581,19 +581,33 @@ def point_in_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mutual_nn_sql(customer: str, supplier: str) -> str:
     """Shared mutual-NN SQL body (identical text on both engines).
     Reuses the module's integer geometry: 9-cell probes in each
-    direction, exact BIGINT distances, key tiebreaks."""
+    direction, exact BIGINT distances, key tiebreaks.
+
+    Unlike grid_spatial_knn's fixed 10000-deci-unit plane, the plane side
+    here scales with sqrt(population) (clamped at 10000 so test SFs keep
+    the legacy plane): the x30 scale stress showed that inflating point
+    count on a FIXED plane densifies it quadratically (86x wall at 30x
+    data) — real geography grows with population, so the scale-correct
+    geofence keeps density constant and candidate pairs linear."""
     return f"""
-    WITH cust AS (
+    WITH pop AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {customer}),
+    pl AS (
+        SELECT GREATEST(CAST(10000 AS BIGINT),
+                        CAST(FLOOR(SQRT(n / 15000.0) * 10000.0) AS BIGINT))
+            AS side
+        FROM pop
+    ),
+    cust AS (
         SELECT c_custkey AS ck,
-               (c_custkey * 48271 + 11) % 10000 AS px,
-               (c_custkey * 69621 + 7) % 10000 AS py
-        FROM {customer}
+               (c_custkey * 48271 + 11) % pl.side AS px,
+               (c_custkey * 69621 + 7) % pl.side AS py
+        FROM {customer} CROSS JOIN pl
     ),
     supp AS (
         SELECT s_suppkey AS sk,
-               (s_suppkey * 40503 + 3) % 10000 AS sx,
-               (s_suppkey * 16807 + 5) % 10000 AS sy
-        FROM {supplier}
+               (s_suppkey * 40503 + 3) % pl.side AS sx,
+               (s_suppkey * 16807 + 5) % pl.side AS sy
+        FROM {supplier} CROSS JOIN pl
     ),
     hits AS (
         SELECT c.ck, s.sk,
