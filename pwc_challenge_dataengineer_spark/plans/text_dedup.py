@@ -1212,3 +1212,82 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify_profiles(
         cand, profiles, "doc_id", min_jaccard=_PF_T
     ).filter(F.col("jaccard") >= _PF_T)
+
+
+def _cdc_chunk_sql(hash_expr: str, pos_select: str) -> str:
+    """Shared content-defined-chunking SQL body. ``hash_expr`` is the
+    dialect's md5->BIGINT spelling with {x} as the payload placeholder;
+    ``pos_select`` yields (doc_id, text, i) for i in 8..len(text)."""
+    gate = hash_expr.format(x="substring(text, CAST(i - 7 AS INT), 8)")
+    chunk_hash = hash_expr.format(
+        x="substring(d.text, CAST(sp.s AS INT), CAST(sp.e - sp.s + 1 AS INT))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 5 = 0
+    ),
+    pos AS ({pos_select}),
+    bnd AS (
+        SELECT doc_id, i FROM pos WHERE ({gate}) % 32 = 0
+        UNION
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS i FROM d
+    ),
+    spans AS (
+        SELECT doc_id,
+               COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+                   AS s,
+               i AS e
+        FROM bnd
+    ),
+    chunks AS (
+        SELECT sp.doc_id, d.source,
+               {chunk_hash} AS ch,
+               sp.e - sp.s + 1 AS clen
+        FROM spans sp JOIN d ON sp.doc_id = d.doc_id
+        WHERE sp.e >= sp.s
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_chunks,
+           CAST(COUNT(DISTINCT ch) AS BIGINT) AS distinct_chunks,
+           1.0 - CAST(COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*)
+               AS dup_chunk_ratio,
+           CAST(SUM(clen) AS DOUBLE) / COUNT(*) AS avg_chunk_len
+    FROM chunks
+    GROUP BY 1
+    """
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=_cdc_chunk_sql(
+        "('0x' || substr(md5({x}), 1, 15))::BIGINT",
+        "SELECT doc_id, text, unnest(range(8, CAST(length(text) AS BIGINT)"
+        " + 1)) AS i FROM d WHERE length(text) >= 8",
+    ),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rsync/borg/casync-style): chunk
+    boundaries fall where the hash of the trailing 8-gram passes a
+    1-in-32 gate, so identical substrings chunk identically REGARDLESS
+    of their byte offset — the insertion-robust dedup primitive that
+    fixed-size blocks can't provide. Per source: chunk count, distinct
+    chunk hashes and the duplicate-chunk ratio (the storage savings a
+    content-addressed store would realize), on a deterministic 20% doc
+    sample. Complements dup_ngram_spans (which reports overlap spans)
+    with the storage-layer view.
+
+    Scale posture: the position explode is one narrow pass (len(text)
+    rows per doc, gate applied immediately — ~1/32 survive), spans come
+    from one doc-keyed window, and chunks re-slice the doc row by
+    offsets; everything shuffles on doc_id once. Exact: integer
+    positions, md5 gates, exact divisions — no rounding."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        _cdc_chunk_sql(
+            "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)",
+            "SELECT doc_id, text, explode(sequence(8, length(text))) AS i"
+            " FROM d WHERE length(text) >= 8",
+        )
+    )
