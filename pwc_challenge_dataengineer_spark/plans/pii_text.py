@@ -330,3 +330,77 @@ def k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("group_size"),
     )
+
+
+def _t_close_sql(orders: str, customer: str, nation: str) -> str:
+    """Shared t-closeness SQL body (identical text on both engines)."""
+    return f"""
+    WITH joined AS (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               c_mktsegment AS segment,
+               o_orderpriority AS sensitive
+        FROM {orders}
+        JOIN {customer} ON o_custkey = c_custkey
+        JOIN {nation} ON c_nationkey = n_nationkey
+    ),
+    gdist AS (
+        SELECT sensitive, CAST(COUNT(*) AS BIGINT) AS n_a FROM joined
+        GROUP BY 1
+    ),
+    gtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM joined),
+    grp AS (
+        SELECT nation, order_year, segment,
+               CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM joined GROUP BY 1, 2, 3
+    ),
+    cell AS (
+        SELECT nation, order_year, segment, sensitive,
+               CAST(COUNT(*) AS BIGINT) AS n_ga
+        FROM joined GROUP BY 1, 2, 3, 4
+    ),
+    grid AS (
+        SELECT g.nation, g.order_year, g.segment, g.n_g,
+               a.sensitive, a.n_a, COALESCE(c.n_ga, 0) AS n_ga
+        FROM grp g
+        CROSS JOIN gdist a
+        LEFT JOIN cell c
+          ON c.nation = g.nation AND c.order_year = g.order_year
+         AND c.segment = g.segment AND c.sensitive = a.sensitive
+    )
+    SELECT gr.nation, gr.order_year, gr.segment,
+           CAST(MAX(gr.n_g) AS BIGINT) AS group_size,
+           round(0.5 * SUM(ABS(CAST(gr.n_ga AS DOUBLE) / gr.n_g
+                               - CAST(gr.n_a AS DOUBLE) / t.n)), 6)
+               AS tv_distance,
+           0.5 * SUM(ABS(CAST(gr.n_ga AS DOUBLE) / gr.n_g
+                         - CAST(gr.n_a AS DOUBLE) / t.n)) <= 0.2
+               AS is_t_close
+    FROM grid gr CROSS JOIN gtot t
+    GROUP BY gr.nation, gr.order_year, gr.segment, t.n
+    """
+
+
+@register(
+    "t_closeness_check",
+    oracle=_t_close_sql("orders", "customer", "nation"),
+)
+def t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third rung of the anonymization ladder after
+    k-anonymity and l-diversity (both in k_anonymity_audit): per
+    quasi-identifier group, the total-variation distance between the
+    group's sensitive-attribute distribution and the global one, flagged
+    at t=0.2. l-diversity counts values; t-closeness bounds how much the
+    group's distribution LEAKS relative to the corpus (skewness attack).
+
+    Shape: two grouped aggregates + a |groups| x |sensitive-domain| grid
+    join (sensitive domain is 5 priorities — broadcast); group count is
+    bounded by the QI domain product at any fact size. Fractions are
+    exact divisions; the 5-term TV sum carries the 6-dp pin (and the
+    boolean gate is computed from the same expression both engines)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("tc_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "tc_customer"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("tc_nation")
+    return spark.sql(_t_close_sql("tc_orders", "tc_customer", "tc_nation"))
