@@ -1643,3 +1643,71 @@ def calibration_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFra
     )
     load_table(spark, sf_dir, "part").createOrReplaceTempView("cal_part")
     return spark.sql(_brier_sql("cal_lineitem", "cal_part"))
+
+
+def _spearman_sql(orders: str) -> str:
+    """Shared Spearman/Pearson SQL body (identical text on both engines).
+
+    Average ranks are exact multiples of 0.5, their products multiples of
+    0.25, and all moment sums stay far inside double's exact-integer
+    range, so every statistic is a fixed IEEE chain on identical operands
+    — bit-exact with no rounding. Raw-value moments go through DECIMAL."""
+    return f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spend,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM {orders} GROUP BY 1
+    ),
+    ranked AS (
+        SELECT spend, n_orders,
+               CAST(rank() OVER (ORDER BY spend) AS DOUBLE)
+                 + (CAST(COUNT(*) OVER (PARTITION BY spend) AS DOUBLE)
+                    - 1.0) / 2.0 AS rx,
+               CAST(rank() OVER (ORDER BY n_orders) AS DOUBLE)
+                 + (CAST(COUNT(*) OVER (PARTITION BY n_orders) AS DOUBLE)
+                    - 1.0) / 2.0 AS ry
+        FROM cust
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+               SUM(rx * ry) AS sxy,
+               CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS vx,
+               CAST(SUM(n_orders) AS DOUBLE) AS vy,
+               CAST(SUM(CAST(spend AS DECIMAL(18,2))
+                        * CAST(n_orders AS DECIMAL(18,2))) AS DOUBLE)
+                   AS vxy,
+               CAST(SUM(CAST(spend AS DECIMAL(18,2))
+                        * CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS vxx,
+               CAST(SUM(n_orders * n_orders) AS DOUBLE) AS vyy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS spearman_rho,
+           (n * vxy - vx * vy)
+             / (sqrt(n * vxx - vx * vx) * sqrt(n * vyy - vy * vy))
+               AS pearson_r
+    FROM m
+    """
+
+
+@register("spearman_rank_corr", oracle=_spearman_sql("orders"))
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-aware, via Pearson on average
+    ranks) between customer spend and order count, with the raw Pearson
+    alongside — the robust/linear contrast every metric review wants
+    (Spearman survives the heavy spend tail that drags Pearson). The
+    rank trick from roc_auc_eval generalizes: average ranks are exact
+    halves, so ALL rank moments are float-exact regardless of
+    aggregation order and the statistic needs no rounding; raw moments
+    accumulate in DECIMAL and cast once.
+
+    Scale: one customer-grain aggregate, two global rank windows (range-
+    partitionable at scale, rfm precedent), one moment fold."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sp_orders")
+    return spark.sql(_spearman_sql("sp_orders"))
