@@ -1270,3 +1270,120 @@ def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_l2_shift"),
     )
+
+
+@register(
+    "rank_agreement_kendall",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_COS_SQL}, 6) AS cos_sim,
+               round({_DOT_SQL}, 6) AS dot_sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, neighbor_id) AS INT)
+                   AS rc,
+               CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot_sim DESC, neighbor_id) AS INT)
+                   AS rd
+        FROM scored
+    ),
+    head AS (
+        SELECT * FROM ranked WHERE rc <= 10 OR rd <= 10
+    ),
+    pairs AS (
+        SELECT a.query_id,
+               CAST(SUM(CASE WHEN (a.rc - b.rc) * (a.rd - b.rd) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(SUM(CASE WHEN (a.rc - b.rc) * (a.rd - b.rd) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM head a JOIN head b
+          ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id
+        GROUP BY 1
+    )
+    SELECT query_id, concordant, discordant, n_pairs,
+           CAST(concordant - discordant AS DOUBLE) / n_pairs AS kendall_tau
+    FROM pairs
+    """,
+)
+def rank_agreement_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau rank agreement between the dot-product and cosine
+    rankings over each query's combined top-10 candidate set — the
+    rank-correlation companion to ndcg_eval_dot_vs_cosine (NDCG weights
+    the head; tau counts every pairwise inversion equally, so it's the
+    metric that flags reorderings NDCG forgives). Ranks are the family's
+    deterministic (rounded-score DESC, id) row_numbers, so concordant /
+    discordant counts are exact integers and tau is a single division —
+    no float accumulation at all.
+
+    Scale: the pair join runs inside each query's <=20-item candidate
+    set (<=190 pairs per query), after the same panel-broadcast scoring
+    pass the NDCG harness uses."""
+    from ..functions.similarity import cosine, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("dot_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_sim"), F.asc("neighbor_id")
+    )
+    head = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wc).cast("int").alias("rc"),
+        F.row_number().over(wd).cast("int").alias("rd"),
+    ).filter((F.col("rc") <= 10) | (F.col("rd") <= 10))
+    a, b = head.alias("a"), head.alias("b")
+    sign = (F.col("a.rc") - F.col("b.rc")) * (F.col("a.rd") - F.col("b.rd"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") < F.col("b.neighbor_id")),
+        )
+        .groupBy(F.col("a.query_id").alias("query_id"))
+        .agg(
+            F.sum(F.when(sign > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("concordant"),
+            F.sum(F.when(sign < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("discordant"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return pairs.select(
+        "query_id",
+        "concordant",
+        "discordant",
+        "n_pairs",
+        (
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.col("n_pairs")
+        ).alias("kendall_tau"),
+    )
