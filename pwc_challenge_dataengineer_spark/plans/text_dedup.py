@@ -1291,3 +1291,60 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " FROM d WHERE length(text) >= 8",
         )
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(lower(text),
+                    '([a-z]+|[0-9]+|[^a-z0-9\\s])', 1)) AS BIGINT)
+                   AS n_tok,
+               CAST(len(regexp_extract_all(trim(text), '\\S+', 0))
+                    AS BIGINT) AS n_words,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / SUM(n_words) AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok) AS chars_per_token
+    FROM per_doc
+    GROUP BY 1
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: tokens-per-word and
+    chars-per-token under the family's BPE-ish tokenizer — the
+    multilingual-mix diagnostic that decides whether a tokenizer taxes
+    some languages more than others (high fertility = more tokens per
+    word = higher training/inference cost per byte of that language).
+    Complements corpus_mix_rates (which weighs sources by tokens) with
+    the per-language efficiency read that should inform those weights.
+
+    One narrow pass (two regexp token counts per doc) into a
+    |languages|-row aggregate; integer sums, exact final divisions —
+    no rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.size(
+            F.regexp_extract_all(F.trim(F.col("text")), F.lit("\\S+"), 0)
+        )
+        .cast("bigint")
+        .alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tok").cast("double") / F.sum("n_words")).alias("fertility"),
+        (F.sum("n_chars").cast("double") / F.sum("n_tok")).alias(
+            "chars_per_token"
+        ),
+    )
