@@ -928,3 +928,97 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0"))
         ).alias("did_estimate"),
     )
+
+
+def _fdr_bh_sql(orders: str, customer: str, nation: str) -> str:
+    """Shared BH-FDR SQL body (identical text on both engines).
+
+    Normal CDF via the Abramowitz-Stegun 7.1.26 polynomial — elementary
+    ops only, written once, so both engines produce identical doubles;
+    the BH step compares ordered p-values against i/m * alpha."""
+    phi = (
+        "(1.0 - (exp(0.0 - z2 * z2 / 2.0) / 2.5066282746310002)"
+        " * t * (0.319381530 + t * ((0.0 - 0.356563782)"
+        " + t * (1.781477937 + t * ((0.0 - 1.821255978)"
+        " + t * 1.330274429)))))"
+    )
+    return f"""
+    WITH pop AS (
+        SELECT n_nationkey AS nk, n_name AS nation,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM {orders}
+        JOIN {customer} ON o_custkey = c_custkey
+        JOIN {nation} ON c_nationkey = n_nationkey
+    ),
+    per AS (
+        SELECT nk, nation, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+        FROM pop GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(CAST(sx AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(sxx AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+        FROM per
+    ),
+    z AS (
+        SELECT p.nation,
+               (p.sx / p.n - (t.sx - p.sx) / (t.n - p.n))
+               / sqrt(((p.sxx - p.sx * p.sx / p.n) / (p.n - 1)) / p.n
+                      + (((t.sxx - p.sxx)
+                          - (t.sx - p.sx) * (t.sx - p.sx) / (t.n - p.n))
+                         / (t.n - p.n - 1)) / (t.n - p.n)) AS zval
+        FROM per p CROSS JOIN tot t
+    ),
+    pv AS (
+        SELECT nation, zval,
+               2.0 * (1.0 - {phi.replace("z2", "ABS(zval)")
+                                .replace("t ", "(1.0 / (1.0 + 0.2316419 * ABS(zval))) ")}) AS p_raw
+        FROM z
+    ),
+    ranked AS (
+        SELECT nation, zval, p_raw,
+               CAST(row_number() OVER (ORDER BY p_raw, nation) AS BIGINT)
+                   AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ),
+    cutoff AS (
+        SELECT COALESCE(MAX(CASE WHEN p_raw <= CAST(0.05 AS DOUBLE) * i / m
+                                 THEN i END), 0) AS k
+        FROM ranked
+    )
+    SELECT r.nation, r.zval AS z_stat, r.p_raw AS p_value,
+           CAST(r.i AS BIGINT) AS p_rank,
+           CAST(0.05 AS DOUBLE) * r.i / r.m AS bh_threshold,
+           r.i <= c.k AS significant_fdr05
+    FROM ranked r CROSS JOIN cutoff c
+    """
+
+
+@register(
+    "fdr_bh_correction",
+    oracle=_fdr_bh_sql("orders", "customer", "nation"),
+)
+def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a family of 25 hypothesis
+    tests (each nation's order-value mean vs the rest, Welch z from
+    DECIMAL-exact moment sums): raw two-sided p-values from the
+    Abramowitz-Stegun normal-CDF polynomial, ranked, and compared to the
+    step-up boundary i/m * 0.05; everything at or below the largest
+    passing rank is significant. This is the multiple-comparisons
+    discipline the single-test estimators (welch_ttest_segments,
+    ab_test_zscore, chisq_*) hand off to when you test 25 segments at
+    once and 1-in-20 false positives stop being acceptable.
+
+    Shape: one fact pass to per-nation moments, complement moments by
+    total-minus-group (no second pass), a 25-row window for the BH step.
+    The CDF polynomial is written once and shared, so p-values are
+    bit-identical; no rounding anywhere."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bh_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "bh_customer"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("bh_nation")
+    return spark.sql(_fdr_bh_sql("bh_orders", "bh_customer", "bh_nation"))
