@@ -717,3 +717,88 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("neg_rank") <= _NEG_K).select(
         F.col("anchor").alias("doc_id"), "neg_rank", "neg_doc_id", "neg_source"
     )
+
+
+def _raking_sql(orders: str, customer: str, nation: str) -> str:
+    """Shared 2-round IPF raking SQL body (identical on both engines)."""
+    return f"""
+    WITH pop AS (
+        SELECT n_name AS nat, c_mktsegment AS seg, c_custkey
+        FROM {customer} JOIN {nation} ON c_nationkey = n_nationkey
+    ),
+    popc AS (
+        SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n FROM pop GROUP BY 1, 2
+    ),
+    popn AS (SELECT nat, CAST(SUM(n) AS BIGINT) AS n FROM popc GROUP BY 1),
+    pops AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS n FROM popc GROUP BY 1),
+    popt AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM popc),
+    active AS (
+        SELECT DISTINCT o_custkey FROM {orders}
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    sampc AS (
+        SELECT p.nat, p.seg, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pop p JOIN active a ON p.c_custkey = a.o_custkey
+        GROUP BY 1, 2
+    ),
+    sampn AS (SELECT nat, CAST(SUM(n) AS BIGINT) AS n FROM sampc GROUP BY 1),
+    sampt AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM sampc),
+    r1 AS (
+        SELECT sc.nat, sc.seg, sc.n,
+               (CAST(pn.n AS DOUBLE) / pt.n)
+                 / (CAST(sn.n AS DOUBLE) / st.n) AS w1
+        FROM sampc sc
+        JOIN popn pn ON sc.nat = pn.nat
+        JOIN sampn sn ON sc.nat = sn.nat
+        CROSS JOIN popt pt CROSS JOIN sampt st
+    ),
+    segw AS (
+        SELECT seg, SUM(w1 * n) AS wn FROM r1 GROUP BY 1
+    ),
+    segtot AS (SELECT SUM(wn) AS wt FROM segw),
+    r2 AS (
+        SELECT r1.nat, r1.seg, r1.n,
+               r1.w1 * ((CAST(ps.n AS DOUBLE) / pt.n)
+                        / (sw.wn / stot.wt)) AS w2
+        FROM r1
+        JOIN pops ps ON r1.seg = ps.seg
+        JOIN segw sw ON r1.seg = sw.seg
+        CROSS JOIN popt pt CROSS JOIN segtot stot
+    )
+    SELECT r2.nat AS nation, r2.seg AS segment,
+           r2.n AS n_sample,
+           round(r2.w2, 6) AS rake_weight,
+           round(r2.w2 * r2.n / st.n
+                 - CAST(pc.n AS DOUBLE) / pt.n, 6) AS cell_share_gap
+    FROM r2
+    JOIN popc pc ON r2.nat = pc.nat AND r2.seg = pc.seg
+    CROSS JOIN popt pt CROSS JOIN sampt st
+    """
+
+
+@register(
+    "raking_ipf_weights",
+    oracle=_raking_sql("orders", "customer", "nation"),
+)
+def raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey-style raking (iterative proportional fitting, two unrolled
+    rounds): calibrate weights for a behaviorally biased subsample
+    (customers active in 1997H2) so its weighted nation margin, then its
+    segment margin, match the full-population margins — the
+    post-stratification correction analytics teams apply before reading
+    a biased panel as if it were the population. Emits the per-cell
+    weight after both adjustments plus the residual cell-share gap
+    (raking matches MARGINS; the per-cell gap shows what the margins
+    alone cannot fix).
+
+    Shape: three grouped counts + margin joins over the 125-cell
+    nation x segment grid — all broadcast-sized after one fact pass and
+    one dim pass. Margin ratios are exact divisions; the weighted-margin
+    sums cross 25 cells, so outputs carry the 6-dp pin."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rk_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "rk_customer"
+    )
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("rk_nation")
+    return spark.sql(_raking_sql("rk_orders", "rk_customer", "rk_nation"))
