@@ -1042,3 +1042,67 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     load_table(spark, sf_dir, "part").createOrReplaceTempView("te_part")
     return spark.sql(_te_loo_sql("te_lineitem", "te_part"))
+
+
+def _eb_shrink_sql(lineitem: str, part: str) -> str:
+    """Shared empirical-Bayes shrinkage SQL body (identical both engines)."""
+    return f"""
+    WITH base AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM {lineitem} JOIN {part} ON l_partkey = p_partkey
+        GROUP BY 1
+    ),
+    rates AS (
+        SELECT p_brand, n, x, CAST(x AS DOUBLE) / n AS p FROM base
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(p) AS sp, SUM(p * p) AS spp
+        FROM rates
+    ),
+    ab AS (
+        SELECT (sp / k) AS m,
+               (spp - sp * sp / k) / (k - 1.0) AS v
+        FROM mom
+    ),
+    prior AS (
+        SELECT m, v,
+               m * (m * (1.0 - m) / v - 1.0) AS alpha,
+               (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+        FROM ab
+    )
+    SELECT r.p_brand, r.n, r.x,
+           r.p AS raw_rate,
+           round(pr.alpha, 6) AS prior_alpha,
+           round(pr.beta, 6) AS prior_beta,
+           round((r.x + pr.alpha) / (r.n + pr.alpha + pr.beta), 6)
+               AS shrunk_rate
+    FROM rates r CROSS JOIN prior pr
+    """
+
+
+@register(
+    "eb_shrunk_rates",
+    oracle=_eb_shrink_sql("lineitem", "part"),
+)
+def eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-brand return rates: fit a Beta
+    prior by method of moments across the brand-rate distribution, then
+    shrink each brand toward the grand mean with data-determined
+    strength (x + alpha)/(n + alpha + beta) — the principled version of
+    target_encode_loo's fixed m=50 smoothing (here the data itself says
+    how much to trust small samples). Small-n brands move most; the
+    emitted alpha/beta make the prior auditable.
+
+    Shape: one fact pass to the 25-brand grain, a 1-row moment fold, a
+    broadcast cross join back. Raw rates are exact divisions; the
+    cross-brand moment sums put the prior (and thus shrunk rates) under
+    the 6-dp pin."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "eb_lineitem"
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("eb_part")
+    return spark.sql(_eb_shrink_sql("eb_lineitem", "eb_part"))
