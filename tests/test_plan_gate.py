@@ -38,6 +38,10 @@ GATE_SUBSET = {
     "minhash_lsh_pairs": "LSH bucket self-join",
     "left_anti_idempotent": "anti-join idempotency shape",
     "keyset_orders_page": "keyset pagination: filter must push down",
+    "recursive_bom_explosion": "native WITH RECURSIVE (UnionLoop + per-iter BHJ)",
+    "kmv_theta_algebra": "ORDER BY h LIMIT k must stay TakeOrderedAndProject",
+    "point_in_polygon_join": "literal ring table: BNLJ allowed, no cartesian",
+    "mutual_nn_matching": "bucketed 9-cell candidate join, two rank-1 windows",
 }
 
 
@@ -70,3 +74,22 @@ def test_bucketed_gold_join_has_zero_exchanges(spark, sf_dir):
     assert st.exchanges == 0, st
     assert st.smj == 1, st
     assert not gate_violations([st])
+
+
+def test_recursive_plan_is_unionloop_with_hash_joins(spark, sf_dir):
+    """The recursion family must plan as UnionLoop with per-iteration
+    hash joins — a CartesianProduct or nested-loop fallback inside the
+    loop body would blow up at hierarchy scale."""
+    df = QUERIES["recursive_bom_explosion"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_topk_avoids_global_sort(spark, sf_dir):
+    """KMV sketches take ORDER BY h LIMIT k — Spark must plan
+    TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    global Sort + Limit."""
+    df = QUERIES["kmv_theta_algebra"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
