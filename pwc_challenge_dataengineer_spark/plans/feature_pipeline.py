@@ -1058,10 +1058,23 @@ def _eb_shrink_sql(lineitem: str, part: str) -> str:
     rates AS (
         SELECT p_brand, n, x, CAST(x AS DOUBLE) / n AS p FROM base
     ),
-    mom AS (
-        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
-               SUM(p) AS sp, SUM(p * p) AS spp
+    -- moment sums run as ORDERED cumulatives (sequential adds in brand
+    -- order, identical in both engines) — a plain SUM over the 25 double
+    -- rates is order-dependent and alpha's magnitude puts that jitter at
+    -- the 6-dp boundary (caught by the full-catalog capture at sf0.1)
+    csum AS (
+        SELECT CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS kk,
+               SUM(p) OVER (ORDER BY p_brand
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sp,
+               SUM(p * p) OVER (ORDER BY p_brand
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS spp
         FROM rates
+    ),
+    mom AS (
+        SELECT CAST(kk AS DOUBLE) AS k, sp, spp FROM csum WHERE rn = kk
     ),
     ab AS (
         SELECT (sp / k) AS m,
