@@ -1673,3 +1673,82 @@ def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next",
         )
     )
+
+
+def _littles_law_sql(orders: str, lineitem: str, daydiff: str) -> str:
+    """Shared Little's-law SQL body; ``daydiff`` is the dialect's day
+    difference with {a}(earlier)/{b}(later) placeholders."""
+    dwell = daydiff.format(a="arr", b="done")
+    ov = daydiff.format(
+        a="GREATEST(arr, q.qs)", b="LEAST(done, q.qe)"
+    )
+    qlen = daydiff.format(a="q.qs", b="q.qe")
+    quarters = ", ".join(
+        f"(DATE '{y}-{m:02d}-01', DATE '{y2}-{m2:02d}-01')"
+        for (y, m, y2, m2) in [
+            (1996, 1, 1996, 4), (1996, 4, 1996, 7), (1996, 7, 1996, 10),
+            (1996, 10, 1997, 1), (1997, 1, 1997, 4), (1997, 4, 1997, 7),
+            (1997, 7, 1997, 10), (1997, 10, 1998, 1),
+        ]
+    )
+    return f"""
+    WITH spans AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS arr,
+               MAX(CAST(l.l_shipdate AS DATE)) AS done
+        FROM {orders} o JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    q AS (SELECT * FROM (VALUES {quarters}) t(qs, qe)),
+    arrivals AS (
+        SELECT q.qs, CAST(COUNT(*) AS BIGINT) AS n_arr,
+               CAST(SUM({dwell}) AS BIGINT) AS sum_dwell
+        FROM spans CROSS JOIN q
+        WHERE arr >= q.qs AND arr < q.qe
+        GROUP BY 1
+    ),
+    wip AS (
+        SELECT q.qs, CAST(SUM({ov}) AS BIGINT) AS sum_overlap,
+               CAST(MAX({qlen}) AS BIGINT) AS q_days
+        FROM spans CROSS JOIN q
+        WHERE arr < q.qe AND done > q.qs
+        GROUP BY 1
+    )
+    SELECT a.qs AS quarter_start, a.n_arr AS arrivals,
+           CAST(a.sum_dwell AS DOUBLE) / a.n_arr AS mean_dwell_days,
+           CAST(a.n_arr AS DOUBLE) / w.q_days AS arrival_rate_per_day,
+           CAST(w.sum_overlap AS DOUBLE) / w.q_days AS avg_wip,
+           (CAST(w.sum_overlap AS DOUBLE) / w.q_days)
+             / ((CAST(a.n_arr AS DOUBLE) / w.q_days)
+                * (CAST(a.sum_dwell AS DOUBLE) / a.n_arr))
+               AS littles_ratio
+    FROM arrivals a JOIN wip w ON a.qs = w.qs
+    """
+
+
+@register(
+    "littles_law_wip",
+    oracle=_littles_law_sql(
+        "orders", "lineitem", "date_diff('day', {a}, {b})"
+    ),
+)
+def littles_law_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law operational diagnostic per quarter: average
+    work-in-progress L (time-integral of open orders over the quarter,
+    from exact interval-overlap days), arrival rate lambda, mean dwell W
+    (order date to last lineitem ship date), and the ratio L/(lambda*W) —
+    exactly 1 in steady state, drifting when flow is filling or
+    draining across the window edges. The flow-balance read every ops
+    review wants from an order book, computed exactly instead of from a
+    WIP snapshot.
+
+    Shape: one order-grain span aggregate, then overlap joins against an
+    8-row literal quarter table (broadcast; the overlap filter bounds
+    each order to the quarters it touches). All integer day arithmetic
+    with single exact divisions — emitted unrounded."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ll_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ll_lineitem"
+    )
+    return spark.sql(
+        _littles_law_sql("ll_orders", "ll_lineitem", "datediff({b}, {a})")
+    )
