@@ -1348,3 +1348,75 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+def _zipf_sql(tok_select: str) -> str:
+    """Shared Zipf-fit SQL body; ``tok_select`` yields (tok) one row per
+    token occurrence (dialect explode spelling)."""
+    return f"""
+    WITH toks AS ({tok_select}),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM toks
+        WHERE tok <> '' GROUP BY 1
+    ),
+    top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+        FROM freq
+    ),
+    pts AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y, r
+        FROM top WHERE r <= 1000
+    ),
+    folded AS (
+        SELECT CAST(row_number() OVER (ORDER BY r) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS k,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * x) OVER w AS sxx, SUM(x * y) OVER w AS sxy,
+               SUM(y * y) OVER w AS syy
+        FROM pts
+        WINDOW w AS (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    m AS (
+        SELECT CAST(k AS DOUBLE) AS n, sx, sy, sxx, sxy, syy
+        FROM folded WHERE rn = k
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS log_intercept,
+           (n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r_squared
+    FROM m
+    """
+
+
+@register(
+    "zipf_law_fit",
+    oracle=_zipf_sql(
+        "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok"
+        " FROM documents"
+    ),
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS of
+    log-frequency on log-rank across the top-1000 token ranks, with the
+    slope (Zipf exponent, ~-1 for natural language), intercept and R^2.
+    The corpus-law diagnostic that flags machine-generated or templated
+    text (too-flat or too-steep slope, low R^2) before it pollutes
+    training mixes — complements gopher_repetition_signals (per-doc)
+    with the corpus-level read.
+
+    Shape: one token explode + frequency aggregate (the vocab-sized
+    shuffle every text query here uses), a top-1000 rank, and an ordered
+    cumulative moment fold (sequential adds in rank order, identical
+    cross-engine) — emitted unrounded."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "zipf_documents"
+    )
+    return spark.sql(
+        _zipf_sql(
+            "SELECT explode(split(lower(trim(text)), '\\\\s+')) AS tok"
+            " FROM zipf_documents"
+        )
+    )
