@@ -35,14 +35,22 @@ from ..schemas import load_table
 from .catalog import register
 
 
-def _allow_big_recursion(spark: SparkSession) -> None:
+def _allow_big_recursion(spark: SparkSession, n_rows: int) -> None:
     """Raise Spark's recursive-CTE row guardrail (default 1,000,000
     cumulative rows across iterations — found the hard way at the x30
     scale stress: a 600k-node forest walks >1M closure rows, which is
     normal for real BOM/hierarchy data, not runaway recursion). The
-    level limit (100) stays at its default: depth is log-bounded here
-    and a depth blowup WOULD indicate a cycle bug."""
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+    limit is a bounded multiple of the driving table's size — each of
+    the registered recursions emits at most |table| * depth rows, so
+    50x |table| still catches runaway recursion instead of disabling
+    the guardrail session-wide (the old 2e9 constant did). Never
+    LOWERS a limit someone already raised. The level limit (100) stays
+    at its default: depth is log-bounded here and a depth blowup WOULD
+    indicate a cycle bug."""
+    want = max(1_000_000, 50 * n_rows)
+    cur = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if want > cur:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(want))
 
 
 def _bom_sql(intdiv: str, part: str) -> str:
@@ -80,8 +88,9 @@ def recursive_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     units and DECIMAL-exact extended cost per root. Each node is reached
     exactly once so recursive work is O(|part|). Full value oracle:
     identical SQL on DuckDB."""
-    _allow_big_recursion(spark)
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("rcte_part")
+    part = load_table(spark, sf_dir, "part")
+    _allow_big_recursion(spark, part.count())
+    part.createOrReplaceTempView("rcte_part")
     return spark.sql(_bom_sql("div", "rcte_part"))
 
 
@@ -119,8 +128,9 @@ def recursive_closure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     price per ancestor that exists in ``part`` and has >= 5 descendants.
     The closure is |part| * depth rows — linear in data at fixed tree
     arity. Full value oracle: identical SQL on DuckDB."""
-    _allow_big_recursion(spark)
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("rcte_part")
+    part = load_table(spark, sf_dir, "part")
+    _allow_big_recursion(spark, part.count())
+    part.createOrReplaceTempView("rcte_part")
     return spark.sql(_closure_sql("div", "rcte_part"))
 
 
@@ -150,6 +160,7 @@ def recursive_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     need), via native WITH RECURSIVE string accumulation. Each node has
     one parent chain so output is exactly the subtree size — no path
     explosion. Full value oracle: identical SQL on DuckDB."""
-    _allow_big_recursion(spark)
-    load_table(spark, sf_dir, "part").createOrReplaceTempView("rcte_part")
+    part = load_table(spark, sf_dir, "part")
+    _allow_big_recursion(spark, part.count())
+    part.createOrReplaceTempView("rcte_part")
     return spark.sql(_paths_sql("div", "rcte_part"))

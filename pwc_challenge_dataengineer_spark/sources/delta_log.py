@@ -386,6 +386,9 @@ def _read_checkpoint_state(
                 add = dict(a)
                 if add.get("deletionVector") is None:
                     add.pop("deletionVector", None)
+                pv = add.get("partitionValues")
+                if isinstance(pv, list):  # arrow map -> dict
+                    add["partitionValues"] = dict(pv)
                 live[add["path"]] = add
     return live, meta, proto
 
@@ -586,26 +589,39 @@ def read_delta_log(
     df = spark.read.parquet(*sorted(abs_paths.values()))
     dv_adds = [a for a in adds.values() if a.get("deletionVector")]
     if dv_adds:
-        # Hadoop renders local paths as file:/abs (single slash) in
-        # _metadata.file_path
+        # Join on the file BASENAME, not the full rendered URI: Hadoop's
+        # _metadata.file_path rendering varies (file:/abs vs URL-encoded
+        # vs remote scheme), and a string-equality miss here would make
+        # deleted rows silently reappear. Basenames are unique per table
+        # (Spark part files embed a UUID); verified below so a collision
+        # raises instead of mis-applying a DV.
+        basenames = [os.path.basename(p) for p in adds]
+        if len(set(basenames)) != len(basenames):
+            raise ValueError(
+                f"duplicate data-file basenames in {path}; cannot apply "
+                "deletion vectors by basename join"
+            )
         deleted = [
-            ("file:" + abs_paths[a["path"]], int(idx))
+            (os.path.basename(a["path"]), int(idx))
             for a in dv_adds
             for idx in read_dv_indexes(path, a["deletionVector"])
         ]
         del_df = spark.createDataFrame(
-            deleted, "__dv_file_path STRING, __dv_row_index BIGINT"
+            deleted, "__dv_file_name STRING, __dv_row_index BIGINT"
         )
         df = (
-            df.withColumn("__file_path", F.col("_metadata.file_path"))
+            df.withColumn(
+                "__file_name",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            )
             .withColumn("__row_index", F.col("_metadata.row_index"))
             .join(
                 F.broadcast(del_df),
-                (F.col("__file_path") == F.col("__dv_file_path"))
+                (F.col("__file_name") == F.col("__dv_file_name"))
                 & (F.col("__row_index") == F.col("__dv_row_index")),
                 "left_anti",
             )
-            .drop("__file_path", "__row_index")
+            .drop("__file_name", "__row_index")
         )
     mapping = _column_mapping_select(snap["metadata"])
     if mapping is not None:

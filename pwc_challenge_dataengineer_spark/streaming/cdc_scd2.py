@@ -95,6 +95,22 @@ def cdc_scd2_apply(
     cur = target.filter(F.col("is_current"))
     history = target.filter(~F.col("is_current"))
 
+    # Cross-batch late-data guard: LWW above resolves conflicts only
+    # WITHIN the batch. A late event whose ts predates the open
+    # version's valid_from lost the conflict in a PRIOR batch — applying
+    # it would close the current version with valid_to < valid_from and
+    # install the stale row as current. Resolve by event time across
+    # state, as the reference cdc_processor does: drop changes older
+    # than the matching current row's start.
+    cur_vf = cur.select(*key_cols, F.col("valid_from").alias("__cur_vf"))
+    lww = (
+        lww.join(cur_vf, key_cols, "left")
+        .filter(
+            F.col("__cur_vf").isNull() | (F.col("__eff") >= F.col("__cur_vf"))
+        )
+        .drop("__cur_vf")
+    )
+
     ups = lww.filter(F.col("op") != "d")
     # changed-or-new: no current row null-safe equal on key+tracked
     cmp_cols = key_cols + tracked_cols

@@ -425,23 +425,46 @@ def make_dedup_batch_fn(
     batch workloads, and the session-wide shuffle width (32 here, thousands
     on a cluster) turns each tiny shuffle into mostly-empty tasks whose
     scheduling IS the latency floor. The conf is swapped in around the
-    batch body and restored after — safe under foreachBatch's serial
-    driver execution; size it to the micro-batch volume (or None to leave
-    the session width) on a real cluster."""
+    batch body and restored after — size it to the micro-batch volume (or
+    None to leave the session width) on a real cluster.
+
+    REQUIREMENT: the SparkSession must run ONLY this query while the
+    stream is active when ``batch_shuffle_partitions`` is set.
+    ``spark.sql.shuffle.partitions`` is session-scoped, not plan-scoped,
+    so any OTHER query planned concurrently on the same session (a second
+    stream's foreachBatch, a batch workload) would silently plan at the
+    micro-batch width. The restore below detects third-party writes to
+    the conf during the batch and refuses to clobber them, so interleaved
+    set/restore between two streams cannot leave a wrong width installed
+    permanently — but the isolation requirement stands; pass
+    ``batch_shuffle_partitions=None`` on a shared session."""
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         conf = batch_df.sparkSession.conf
         old_width = None
+        ours = None
         if batch_shuffle_partitions is not None:
             old_width = conf.get("spark.sql.shuffle.partitions")
-            conf.set("spark.sql.shuffle.partitions", str(batch_shuffle_partitions))
+            ours = str(batch_shuffle_partitions)
+            conf.set("spark.sql.shuffle.partitions", ours)
         try:
             _run_batch(batch_df, batch_id)
         finally:
             if old_width is not None:
-                conf.set("spark.sql.shuffle.partitions", old_width)
+                if conf.get("spark.sql.shuffle.partitions") == ours:
+                    conf.set("spark.sql.shuffle.partitions", old_width)
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        "spark.sql.shuffle.partitions changed concurrently "
+                        "during a dedup micro-batch; leaving the foreign "
+                        "value in place (single-query-per-session "
+                        "requirement violated)",
+                        stacklevel=2,
+                    )
 
     def _run_batch(batch_df: DataFrame, batch_id: int) -> None:
         prof = minhash_doc_profiles(

@@ -131,3 +131,43 @@ def test_cdc_scd2_kill_and_restart_converges(spark, tmp_path):
     replay = spark.createDataFrame([(v,) for v in CHUNKS[3]], "value STRING")
     fn(replay, 99)
     assert _state(table) == EXPECTED  # content fixed point
+
+
+def test_cdc_scd2_cross_batch_late_event_dropped(spark, tmp_path):
+    """A late event arriving in a LATER batch with a ts OLDER than the
+    open version's valid_from lost the conflict by event time — it must
+    be dropped, not close the current version with valid_to < valid_from
+    and install the stale row as current (the reference cdc_processor
+    resolves by event timestamp across state, not just within a batch)."""
+    table = VersionedTable(spark, str(tmp_path / "dim"))
+    fn = make_cdc_scd2_batch_fn(table, PAYLOAD, ["user_id"], ["balance"])
+    b0 = spark.createDataFrame([(_env("c", 1, 10.0, 1),)], "value STRING")
+    fn(b0, 0)
+    b1 = spark.createDataFrame([(_env("u", 1, 15.0, 5),)], "value STRING")
+    fn(b1, 1)
+    assert _state(table) == {
+        (1, 10.0, 1, 5, False),
+        (1, 15.0, 5, None, True),
+    }
+    # batch 2: a straggler with ts=3 — older than the open version (ts=5)
+    late = spark.createDataFrame([(_env("u", 1, 12.0, 3),)], "value STRING")
+    fn(late, 2)
+    assert _state(table) == {
+        (1, 10.0, 1, 5, False),
+        (1, 15.0, 5, None, True),
+    }
+    # a late DELETE older than the open version is likewise a no-op
+    late_del = spark.createDataFrame([(_env("d", 1, 15.0, 2),)], "value STRING")
+    fn(late_del, 3)
+    assert _state(table) == {
+        (1, 10.0, 1, 5, False),
+        (1, 15.0, 5, None, True),
+    }
+    # and a genuinely-new event still applies
+    fresh = spark.createDataFrame([(_env("u", 1, 20.0, 7),)], "value STRING")
+    fn(fresh, 4)
+    assert _state(table) == {
+        (1, 10.0, 1, 5, False),
+        (1, 15.0, 5, 7, False),
+        (1, 20.0, 7, None, True),
+    }

@@ -232,6 +232,41 @@ def test_checkpoint_carries_dv_and_mapping(spark, tmp_path):
     assert {r["id"] for r in df.collect()} == want
 
 
+def test_checkpoint_twice_and_dv_delete_after_checkpoint(spark, tmp_path):
+    """Checkpoint-sourced adds must round-trip through a SECOND
+    checkpoint and through delete_rows_with_dv: the arrow map type
+    deserializes partitionValues as a list of tuples, which has to be
+    normalized back to a dict before re-serialization (it crashed with
+    AttributeError and wrote spec-invalid array-typed partitionValues
+    into commit JSON otherwise)."""
+    path = str(tmp_path / "tbl")
+    write_delta_table(spark, path, _mk_df(spark), n_files=3)
+    delete_rows_with_dv(spark, path, F.col("bucket") == 2)
+    v1 = checkpoint_table(path)
+    # DV delete AFTER a checkpoint: copies checkpoint-sourced adds into
+    # the new commit JSON — partitionValues must serialize as an object
+    delete_rows_with_dv(spark, path, F.col("bucket") == 5)
+    log_dir = os.path.join(path, "_delta_log")
+    newest = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[0].isdigit()
+    )[-1]
+    with open(os.path.join(log_dir, newest)) as fh:
+        for line in fh:
+            act = json.loads(line)
+            if "add" in act:
+                assert isinstance(act["add"]["partitionValues"], dict)
+    # checkpoint again on a snapshot whose adds came from the prior
+    # checkpoint (crashed before the normalization fix)
+    v2 = checkpoint_table(path)
+    assert v2 > v1
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[0].isdigit():
+            os.remove(os.path.join(log_dir, f))
+    got = {r["id"] for r in read_delta_log(spark, path, version_as_of=v2).collect()}
+    assert got == {i for i in range(100) if i % 7 not in (2, 5)}
+
+
 def test_unknown_reader_feature_still_raises(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_delta_table(spark, path, _mk_df(spark))
