@@ -416,3 +416,88 @@ def custom_datasource_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price_cents").cast("bigint").alias("max_price_cents"),
         )
     )
+
+
+_KL_N = 2000  # records produced into the kafkalike broker
+_KL_PARTS = 4
+# per-partition starting offsets for the ranged read (exercises the
+# earliest-special -2 and explicit offsets in the oracled path)
+_KL_STARTS = {0: 100, 1: 0, 2: 0, 3: 250}
+
+
+@register(
+    "kafkalike_topic_ingest",
+    oracle=f"""
+    WITH rec AS (
+        SELECT i,
+               i % {_KL_PARTS} AS partition,
+               i // {_KL_PARTS} AS "offset",
+               (i * 7919 + 13) % 100000 AS amount_cents
+        FROM (SELECT unnest(range(0, {_KL_N})) AS i)
+    )
+    SELECT CAST(partition AS INT) AS partition,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+           CAST(MIN("offset") AS BIGINT) AS first_offset,
+           CAST(MAX("offset") AS BIGINT) AS last_offset
+    FROM rec
+    WHERE "offset" >= CASE partition
+        WHEN 0 THEN {_KL_STARTS[0]} WHEN 1 THEN {_KL_STARTS[1]}
+        WHEN 2 THEN {_KL_STARTS[2]} ELSE {_KL_STARTS[3]} END
+    GROUP BY partition
+    """,
+)
+def kafkalike_topic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-semantics connector end-to-end through the oracle gate: a
+    deterministic closed-form event stream is produced into a file-backed
+    kafkalike broker (sources/kafkalike.py — the jar-free stand-in for
+    the reference's Kafka source, src/streaming/
+    spark_structured_streaming.py:157-183), then batch-read with the
+    real option surface (subscribe + per-partition startingOffsets JSON
+    mixing explicit offsets and the -2 earliest special), JSON-decoded
+    and aggregated per partition. The DuckDB oracle regenerates the
+    stream analytically, so partition routing, offset assignment,
+    ranged-read boundaries and value fidelity are all hash-checked.
+    One Spark task per topic-partition — the real connector's
+    partition->task mapping."""
+    import json as _json
+    import tempfile
+
+    from ..sources.kafkalike import KafkaLikeBroker, register_kafkalike
+
+    root = tempfile.mkdtemp(prefix="kafkalike_demo_")
+    broker = KafkaLikeBroker(root)
+    broker.create_topic("events", partitions=_KL_PARTS)
+    for i in range(_KL_N):
+        broker.produce(
+            "events",
+            _json.dumps({"a": (i * 7919 + 13) % 100000}),
+            key=f"k{i}",
+            partition=i % _KL_PARTS,
+        )
+    register_kafkalike(spark)
+    starts = _json.dumps(
+        {"events": {"0": _KL_STARTS[0], "1": -2, "2": 0, "3": _KL_STARTS[3]}}
+    )
+    df = (
+        spark.read.format("kafkalike")
+        .option("path", root)
+        .option("subscribe", "events")
+        .option("startingOffsets", starts)
+        .load()
+    )
+    return (
+        df.withColumn(
+            "amount_cents",
+            F.get_json_object(F.col("value").cast("string"), "$.a").cast(
+                "bigint"
+            ),
+        )
+        .groupBy("partition")
+        .agg(
+            F.count("*").cast("bigint").alias("n_records"),
+            F.sum("amount_cents").cast("bigint").alias("total_cents"),
+            F.min("offset").cast("bigint").alias("first_offset"),
+            F.max("offset").cast("bigint").alias("last_offset"),
+        )
+    )

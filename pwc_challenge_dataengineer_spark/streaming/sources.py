@@ -25,7 +25,12 @@ def kafka_source(
     fail_on_data_loss: bool = False,
 ) -> DataFrame:
     """Kafka stream (requires the spark-sql-kafka package on the classpath;
-    not bundled in this environment — file/rate sources cover tests)."""
+    not bundled in this environment). The full option-surface SEMANTICS —
+    subscribe, startingOffsets (earliest/latest/per-partition JSON),
+    maxOffsetsPerTrigger rate allocation, failOnDataLoss — are proven
+    jar-free by the ``kafkalike`` Python DataSource
+    (sources/kafkalike.py, tests/test_kafkalike.py), which emits the same
+    wire schema; swap ``format("kafka")`` in when the jar is present."""
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
