@@ -507,14 +507,41 @@ def replay_snapshot(
     return {"adds": live, "metadata": meta, "protocol": proto}
 
 
-def _column_mapping_select(meta: dict) -> list | None:
-    """Physical→logical rename exprs for ``delta.columnMapping.mode=name``
-    tables (PROTOCOL.md "Column Mapping"): each schema field's metadata
-    carries ``delta.columnMapping.physicalName`` — the name actually
-    stored in parquet — and the logical name is the field name. Returns
-    None when the table has no column mapping. ``mode=id`` (parquet
-    field-id matching) and NESTED mapped fields raise honestly instead of
-    mis-reading."""
+def _parquet_field_ids(data_files: list[str]) -> dict[int, str]:
+    """field_id -> parquet column name from the data files' footers
+    (driver-side, footers only — what delta-spark's id-mode read feeds
+    the parquet reader's field-id matcher). All files must agree; a
+    disagreement means the table mixes physical layouts and matching by
+    name-of-one-file would silently mis-read, so raise."""
+    import pyarrow.parquet as pq
+
+    mapping: dict[int, str] | None = None
+    for f in data_files:
+        ids: dict[int, str] = {}
+        for fld in pq.read_schema(f):
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                ids[int(fid)] = fld.name
+        if mapping is None:
+            mapping = ids
+        elif mapping != ids:
+            raise ValueError(
+                "inconsistent parquet field-id layouts across data files; "
+                "cannot apply id-mode column mapping"
+            )
+    return mapping or {}
+
+
+def _column_mapping_select(meta: dict, data_files: list[str] | None = None) -> list | None:
+    """Physical→logical rename exprs for column-mapped tables
+    (PROTOCOL.md "Column Mapping"). ``mode=name``: each schema field's
+    metadata carries ``delta.columnMapping.physicalName`` — the name
+    actually stored in parquet — and the logical name is the field name.
+    ``mode=id``: fields match by ``delta.columnMapping.id`` against the
+    parquet footers' field_id tags (``data_files`` required). Returns
+    None when the table has no column mapping. NESTED mapped fields
+    raise honestly instead of mis-reading."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -525,11 +552,19 @@ def _column_mapping_select(meta: dict) -> list | None:
     )
     if mode in ("none", ""):
         return None
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise NotImplementedError(
-            f"column mapping mode {mode!r} (parquet field-id matching) is "
-            "not implemented; mode=name is"
+            f"column mapping mode {mode!r} is not implemented "
+            "(name and id are)"
         )
+    id_to_parquet: dict[int, str] = {}
+    if mode == "id":
+        if not data_files:
+            raise ValueError(
+                "id-mode column mapping needs data files to read "
+                "field ids from"
+            )
+        id_to_parquet = _parquet_field_ids(data_files)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
 
     def _has_nested_mapping(dt) -> bool:
@@ -550,12 +585,26 @@ def _column_mapping_select(meta: dict) -> list | None:
     exprs = []
     for f in schema.fields:
         md = f.metadata or {}
-        phys = md.get("delta.columnMapping.physicalName", f.name)
         if _has_nested_mapping(f.dataType):
             raise NotImplementedError(
                 f"nested column mapping under field {f.name!r} is not "
-                "implemented (top-level name mapping is)"
+                "implemented (top-level name/id mapping is)"
             )
+        if mode == "id":
+            fid = md.get("delta.columnMapping.id")
+            if fid is None:
+                raise ValueError(
+                    f"id-mode table field {f.name!r} has no "
+                    "delta.columnMapping.id"
+                )
+            if int(fid) not in id_to_parquet:
+                raise ValueError(
+                    f"field id {fid} ({f.name!r}) not found in the "
+                    "parquet field-id tags"
+                )
+            phys = id_to_parquet[int(fid)]
+        else:
+            phys = md.get("delta.columnMapping.physicalName", f.name)
         exprs.append(F.col(phys).alias(f.name))
     return exprs
 
@@ -623,7 +672,9 @@ def read_delta_log(
             )
             .drop("__file_name", "__row_index")
         )
-    mapping = _column_mapping_select(snap["metadata"])
+    mapping = _column_mapping_select(
+        snap["metadata"], sorted(abs_paths.values())
+    )
     if mapping is not None:
         df = df.select(*mapping)
     return df
@@ -639,37 +690,50 @@ def write_delta_table(
     path: str,
     df: DataFrame,
     n_files: int = 2,
-    column_mapping: bool = False,
+    column_mapping: bool | str = False,
 ) -> str:
     """Write ``df`` as a fresh spec-conformant Delta table at ``path``
     (data files at the table root + a version-0 commit). With
-    ``column_mapping=True`` the parquet files store generated physical
-    names (``col-<uuid>``) and the commit's metaData carries
-    ``delta.columnMapping.mode=name`` plus per-field
+    ``column_mapping=True`` (or ``"name"``) the parquet files store
+    generated physical names (``col-<uuid>``) and the commit's metaData
+    carries ``delta.columnMapping.mode=name`` plus per-field
     physicalName/id metadata — the reader-v2 layout real writers produce
-    (PROTOCOL.md "Column Mapping"). Returns the log dir."""
+    (PROTOCOL.md "Column Mapping"). ``column_mapping="id"`` additionally
+    tags every parquet column with its field_id (Spark's
+    ``parquet.field.id`` column metadata) and sets ``mode=id`` — readers
+    must then match by field id, not name. Returns the log dir."""
     import time
 
+    from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if column_mapping is True:
+        column_mapping = "name"
     logical = df.schema
     config: dict[str, str] = {}
     if column_mapping:
         fields = []
-        physical_names = []
+        out_cols = []
         for i, f in enumerate(logical.fields):
             phys = f"col-{uuid.uuid4()}"
-            physical_names.append(phys)
             md = dict(f.metadata or {})
             md["delta.columnMapping.id"] = i + 1
             md["delta.columnMapping.physicalName"] = phys
             fields.append(
                 T.StructField(f.name, f.dataType, f.nullable, md)
             )
+            if column_mapping == "id":
+                out_cols.append(
+                    F.col(f.name).alias(
+                        phys, metadata={"parquet.field.id": i + 1}
+                    )
+                )
+            else:
+                out_cols.append(F.col(f.name).alias(phys))
         schema_out = T.StructType(fields)
-        df = df.toDF(*physical_names)
+        df = df.select(*out_cols)
         config = {
-            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.mode": column_mapping,
             "delta.columnMapping.maxColumnId": str(len(fields)),
         }
         protocol = {"minReaderVersion": 2, "minWriterVersion": 5}
@@ -765,7 +829,7 @@ def delete_rows_with_dv(
         F.col("_metadata.row_index").alias("__ri"),
         "*",
     )
-    mapping = _column_mapping_select(meta)
+    mapping = _column_mapping_select(meta, sorted(abs_paths.values()))
     if mapping is not None:
         scan = scan.select("__fp", "__ri", *mapping)
     hits = (

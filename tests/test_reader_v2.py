@@ -289,15 +289,63 @@ def test_unknown_reader_feature_still_raises(spark, tmp_path):
         read_delta_log(spark, path)
 
 
-def test_id_mapping_mode_raises(spark, tmp_path):
+def test_id_mapping_mode_read(spark, tmp_path):
+    """mode=id: fields match by delta.columnMapping.id against the
+    parquet footers' field_id tags — NOT by name. Prove it by scrambling
+    the log's physicalNames so a name-mode read would mis-bind: the id
+    read must still return the right columns."""
+    path = str(tmp_path / "tbl")
+    write_delta_table(
+        spark, path, _mk_df(spark), n_files=3, column_mapping="id"
+    )
+    log_dir = os.path.join(path, "_delta_log")
+    v0 = [json.loads(l) for l in open(os.path.join(log_dir, f"{0:020d}.json"))]
+    for a in v0:
+        if "metaData" in a:
+            sch = json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:  # garbage names; ids stay authoritative
+                f["metadata"]["delta.columnMapping.physicalName"] = (
+                    "wrong-" + f["name"]
+                )
+            a["metaData"]["schemaString"] = json.dumps(sch)
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in v0) + "\n")
+    df = read_delta_log(spark, path)
+    assert df.columns == ["id", "bucket", "label"]
+    got = {(r["id"], r["bucket"], r["label"]) for r in df.collect()}
+    assert got == {(i, i % 7, f"row-{i}") for i in range(100)}
+
+
+def test_id_mapping_plus_dv_and_checkpoint(spark, tmp_path):
+    """id-mode composes with the other reader-v2/v3 features: DV DELETE
+    then checkpoint-only read must still field-id-match correctly."""
+    path = str(tmp_path / "tbl")
+    write_delta_table(
+        spark, path, _mk_df(spark), n_files=3, column_mapping="id"
+    )
+    n = delete_rows_with_dv(spark, path, F.col("bucket") == 3)
+    assert n == 14
+    want = {i for i in range(100) if i % 7 != 3}
+    assert {r["id"] for r in read_delta_log(spark, path).collect()} == want
+    v = checkpoint_table(path)
+    log_dir = os.path.join(path, "_delta_log")
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[0].isdigit():
+            os.remove(os.path.join(log_dir, f))
+    df = read_delta_log(spark, path, version_as_of=v)
+    assert df.columns == ["id", "bucket", "label"]
+    assert {r["id"] for r in df.collect()} == want
+
+
+def test_unknown_mapping_mode_still_raises(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_delta_table(spark, path, _mk_df(spark), column_mapping=True)
     log_dir = os.path.join(path, "_delta_log")
     v0 = [json.loads(l) for l in open(os.path.join(log_dir, f"{0:020d}.json"))]
     for a in v0:
         if "metaData" in a:
-            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+            a["metaData"]["configuration"]["delta.columnMapping.mode"] = "odd"
     with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
         fh.write("\n".join(json.dumps(a) for a in v0) + "\n")
-    with pytest.raises(NotImplementedError, match="mode 'id'"):
+    with pytest.raises(NotImplementedError, match="mode 'odd'"):
         read_delta_log(spark, path)
