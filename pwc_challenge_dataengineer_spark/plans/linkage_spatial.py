@@ -610,40 +610,46 @@ def _mutual_nn_sql(customer: str, supplier: str) -> str:
         FROM {supplier} CROSS JOIN pl
     ),
     hits AS (
+        -- probe from the SUPPLIER side: it is ~10x smaller than
+        -- customer (TPC-H 1:10), so the 9-cell replication multiplies
+        -- the small table before the cell-key shuffle, not the big one
         SELECT c.ck, s.sk,
                (c.px - s.sx) * (c.px - s.sx)
                + (c.py - s.sy) * (c.py - s.sy) AS d2
-        FROM cust c
+        FROM supp s
         CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
         CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
-        JOIN supp s
-          ON CAST(FLOOR(c.px / {_CELL}.0) AS BIGINT) + dx.v
-             = CAST(FLOOR(s.sx / {_CELL}.0) AS BIGINT)
-         AND CAST(FLOOR(c.py / {_CELL}.0) AS BIGINT) + dy.v
-             = CAST(FLOOR(s.sy / {_CELL}.0) AS BIGINT)
+        JOIN cust c
+          ON CAST(FLOOR(s.sx / {_CELL}.0) AS BIGINT) + dx.v
+             = CAST(FLOOR(c.px / {_CELL}.0) AS BIGINT)
+         AND CAST(FLOOR(s.sy / {_CELL}.0) AS BIGINT) + dy.v
+             = CAST(FLOOR(c.py / {_CELL}.0) AS BIGINT)
         WHERE (c.px - s.sx) * (c.px - s.sx)
               + (c.py - s.sy) * (c.py - s.sy) <= {_R2}
     ),
+    -- arg-min via a packed BIGINT (d2 * 2^32 + key): min(packed) ==
+    -- lexicographic min(d2, key) while keys < 2^32, and d2 <= {_R2}
+    -- keeps packed < 2^53 (exact in any engine). Hash aggregates with
+    -- map-side partial combine replace two full window sorts over the
+    -- candidate table — the windows were the scale bottleneck.
     c_best AS (
-        SELECT ck, sk, d2 FROM (
-            SELECT ck, sk, d2,
-                   row_number() OVER (PARTITION BY ck
-                                      ORDER BY d2, sk) AS rn
-            FROM hits
-        ) t WHERE rn = 1
+        SELECT ck, MIN(d2 * 4294967296 + sk) AS pk
+        FROM hits GROUP BY ck
     ),
     s_best AS (
-        SELECT ck, sk FROM (
-            SELECT ck, sk,
-                   row_number() OVER (PARTITION BY sk
-                                      ORDER BY d2, ck) AS rn
-            FROM hits
-        ) t WHERE rn = 1
+        SELECT sk, MIN(d2 * 4294967296 + ck) AS pk
+        FROM hits GROUP BY sk
     )
-    SELECT c.ck AS c_custkey, c.sk AS s_suppkey,
-           CAST(c.d2 AS BIGINT) AS dist2_deci,
-           ROUND(sqrt(CAST(c.d2 AS DOUBLE)) / 10.0, 6) AS dist_units
-    FROM c_best c JOIN s_best s ON c.ck = s.ck AND c.sk = s.sk
+    SELECT c.ck AS c_custkey,
+           c.pk % 4294967296 AS s_suppkey,
+           CAST(FLOOR(CAST(c.pk AS DOUBLE) / 4294967296.0) AS BIGINT)
+               AS dist2_deci,
+           ROUND(sqrt(FLOOR(CAST(c.pk AS DOUBLE) / 4294967296.0)) / 10.0, 6)
+               AS dist_units
+    FROM c_best c
+    JOIN s_best s
+      ON s.sk = c.pk % 4294967296
+     AND s.pk % 4294967296 = c.ck
     """
 
 

@@ -1172,19 +1172,41 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             # jaccard_verify_profiles' min_jaccard).
             <= F.col("n") - F.ceil(F.lit(_PF_T - 1e-6) * F.col("n")) + 1
         )
-        .select("doc_id", "shingle", "n")
+        .select("doc_id", "shingle", "n", "pos")
         # both legs of the self-join below reference this frame; without a
         # checkpoint Spark computes the df-join + window ONCE PER LEG
         # (subplans aren't shared across join legs) — at 30x that doubles
         # the query's dominant stage. Lazy: materializes on first use.
         .localCheckpoint(eager=False)
     )
+    # Positional + length filtering (PPJoin) on top of the prefix match,
+    # still lossless: with the same global (df, shingle) order in every
+    # doc, a match at positions (pa, pb) bounds the total overlap by
+    # 1 + min(n_a - pa, n_b - pb) — for the pair's FIRST shared element
+    # no common element precedes it, so the bound is valid, and the
+    # first match has the largest bound, so keeping pairs where ANY
+    # match passes equals keeping by the best bound. Jaccard >= t needs
+    # overlap >= t/(1+t) * (n_a + n_b); pairs whose positional bound
+    # can't reach it never get a verify row. Length filter
+    # n_b >= t * n_a (both ways) is the standard size bound. Both use
+    # the t - 1e-6 slack of the 6dp rounding convention.
+    tp = _PF_T - 1e-6
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= tp * F.col("a.n"))
+            & (F.col("a.n") >= tp * F.col("b.n"))
+            & (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+                >= (tp / (1.0 + tp)) * (F.col("a.n") + F.col("b.n"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),

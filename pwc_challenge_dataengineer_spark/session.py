@@ -36,6 +36,14 @@ def get_spark(
     master = master or f"local[{DEFAULT_CPUS}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
 
+    # google.protobuf (needed worker-side by transformWithStateInPandas's
+    # state-server protocol) is absent in this environment; the vendored
+    # mini runtime fills in BEFORE JVM launch so spawned Python workers
+    # inherit it via PYTHONPATH. No-op where the real wheel exists.
+    from .vendor import enable_protoshim
+
+    enable_protoshim()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

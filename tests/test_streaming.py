@@ -264,13 +264,16 @@ def test_stateful_running_totals_tws(spark, tmp_path):
     """transformWithStateInPandas variant must produce the same final
     snapshots as the applyInPandasWithState path and the batch groupBy.
 
-    Env gate: the TWS state-server protocol needs google.protobuf in the
-    Python workers (pyspark/sql/streaming/proto/StateMessage_pb2) — absent
-    in this sandbox, so the test skips there; the operator itself is pure
-    public API and runs wherever protobuf ships (any standard cluster)."""
+    The TWS state-server protocol needs google.protobuf in the Python
+    workers (pyspark/sql/streaming/proto/StateMessage_pb2); the real
+    wheel is absent in this sandbox, so the vendored mini runtime
+    (vendor/protoshim, enabled by session.get_spark before JVM launch)
+    fills in — this test runs LIVE against the JVM's Java protobuf,
+    which is the strongest wire-format check the shim has
+    (tests/test_protoshim.py pins the golden bytes)."""
     import datetime
 
-    pytest.importorskip("google.protobuf")
+    pytest.importorskip("google.protobuf")  # real wheel or protoshim
     from pwc_challenge_dataengineer_spark.streaming.stateful import (
         running_user_totals_tws,
     )
