@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Round-close evidence reconciliation gate.
+
+The catalog-freeze seam has reopened three rounds running: queries
+registered AFTER the canonical dual-SF capture ship without committed
+correctness evidence or plan fingerprints. This gate makes the seam
+mechanical — run it as the LAST step of a round (and any time after a
+capture) and it fails loudly unless every evidence artifact counts the
+exact same catalog:
+
+  1. len(__spark_entry__.queries()) — the live catalog;
+  2. the newest CORRECTNESS_local_r*.txt — each SF leg must contain one
+     PASS/SKIP line per catalog entry and a summary line whose
+     passed + rows-only == catalog size, with 0 fails;
+  3. PLANS_FINGERPRINT.json — one fingerprint per catalog entry.
+
+Exit 0 = reconciled; exit 1 = seam open (counts printed). No Spark
+session is created — this is a pure file/metadata check, safe to run
+while benchmarks are live.
+
+Usage: python scripts/check_round_close.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+
+    names = set(entry.queries())
+    n_catalog = len(names)
+    n_oracled = len(entry.oracle_sql())
+    problems: list[str] = []
+    print(f"catalog: {n_catalog} queries ({n_oracled} value-oracled, "
+          f"{n_catalog - n_oracled} rows-only)")
+
+    captures = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_local_r*.txt")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not captures:
+        problems.append("no CORRECTNESS_local_r*.txt capture exists")
+    else:
+        cap = captures[-1]
+        text = open(cap).read()
+        legs = re.split(r"=== (sf[\d.]+) ===", text)[1:]
+        leg_pairs = list(zip(legs[0::2], legs[1::2]))
+        if len(leg_pairs) < 2:
+            problems.append(f"{os.path.basename(cap)}: expected 2 SF legs, "
+                            f"found {len(leg_pairs)}")
+        for sf, body in leg_pairs:
+            seen = set(
+                re.findall(r"^(?:PASS|SKIP) (\S+?):?(?=[\s:])", body, re.M)
+            )
+            fails = re.findall(r"^FAIL (\S+)", body, re.M)
+            missing = names - seen
+            extra = seen - names
+            if fails:
+                problems.append(f"{sf}: {len(fails)} FAIL lines: "
+                                f"{sorted(fails)[:5]}")
+            if missing:
+                problems.append(
+                    f"{sf}: {len(missing)} catalog queries missing from "
+                    f"capture: {sorted(missing)[:8]}"
+                )
+            if extra:
+                problems.append(
+                    f"{sf}: {len(extra)} capture lines not in catalog "
+                    f"(renamed/deleted?): {sorted(extra)[:8]}"
+                )
+            print(f"{os.path.basename(cap)} {sf}: {len(seen)} result "
+                  f"lines, {len(fails)} fails")
+
+    fp_path = os.path.join(REPO, "PLANS_FINGERPRINT.json")
+    if not os.path.exists(fp_path):
+        problems.append("PLANS_FINGERPRINT.json missing")
+    else:
+        fp = json.load(open(fp_path))
+        fp_names = set(fp.get("fingerprints", fp))
+        missing = names - fp_names
+        extra = fp_names - names
+        if missing:
+            problems.append(
+                f"PLANS_FINGERPRINT: {len(missing)} catalog queries "
+                f"unfingerprinted: {sorted(missing)[:8]}"
+            )
+        if extra:
+            problems.append(
+                f"PLANS_FINGERPRINT: {len(extra)} stale entries: "
+                f"{sorted(extra)[:8]}"
+            )
+        print(f"PLANS_FINGERPRINT.json: {len(fp_names)} fingerprints")
+
+    if problems:
+        print("\nSEAM OPEN — evidence does not reconcile with the catalog:")
+        for p in problems:
+            print(f"  - {p}")
+        return 1
+    print("\nRECONCILED: catalog, dual-SF capture and plan fingerprints "
+          "all count the same queries.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -166,3 +166,57 @@ def test_lsh_near_dup_invariant_to_max_block(spark, sf_dir):
         ).collect()
     }
     assert big == tiny
+
+
+def test_setjoin_prefix_positional_filter_lossless(spark, tmp_path):
+    """Property check for the PPJoin prefix + positional + length filters:
+    on a planted corpus with pairs straddling the threshold (including
+    one at exactly J = t and shared-rare-shingle pairs the positional
+    bound must NOT kill), the filtered join returns exactly the
+    brute-force J >= t pair set."""
+    import itertools
+
+    from pwc_challenge_dataengineer_spark.plans.text_dedup import (
+        setjoin_prefix_filter,
+    )
+
+    base = [f"w{i}" for i in range(12)]
+    docs = {
+        1: base,  # 10 shingles (k=3)
+        2: base[:11] + ["xx"],  # near-identical to 1
+        3: base[:6] + [f"y{i}" for i in range(6)],  # ~half overlap with 1
+        4: [f"z{i}" for i in range(12)],  # disjoint
+        5: base,  # exact duplicate of 1 (J = 1)
+        6: base[:8] + [f"q{i}" for i in range(4)],
+        7: [f"z{i}" for i in range(11)] + ["qq"],  # near-dup of 4
+        8: ["a b", "lone"],  # tiny doc (prefix-size edge: n=1 shingle? no, 0)
+        9: base[2:] + ["t0", "t1"],
+    }
+    rows = [
+        (i, " ".join(toks), "en", "test", len(" ".join(toks)))
+        for i, toks in docs.items()
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.parquet(sf + "/documents.parquet")
+
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    want = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = shingles(docs[a]), shingles(docs[b])
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if round(j, 6) >= 0.5:
+            want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in setjoin_prefix_filter(spark, sf).collect()
+    }
+    assert got == want
+    assert want  # the plant actually exercises the >= t side
