@@ -589,6 +589,14 @@ def _mutual_nn_sql(customer: str, supplier: str) -> str:
     count on a FIXED plane densifies it quadratically (86x wall at 30x
     data) — real geography grows with population, so the scale-correct
     geofence keeps density constant and candidate pairs linear."""
+    probe_branches = "\n        UNION ALL ".join(
+        f"""SELECT sk, sx, sy,
+               CAST(FLOOR(sx / {_CELL}.0) AS BIGINT) + ({dx}) AS cx,
+               CAST(FLOOR(sy / {_CELL}.0) AS BIGINT) + ({dy}) AS cy
+        FROM supp"""
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
     return f"""
     WITH pop AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM {customer}),
     pl AS (
@@ -599,31 +607,36 @@ def _mutual_nn_sql(customer: str, supplier: str) -> str:
     ),
     cust AS (
         SELECT c_custkey AS ck,
-               (c_custkey * 48271 + 11) % pl.side AS px,
-               (c_custkey * 69621 + 7) % pl.side AS py
-        FROM {customer} CROSS JOIN pl
+               (c_custkey * 48271 + 11) % (SELECT side FROM pl) AS px,
+               (c_custkey * 69621 + 7) % (SELECT side FROM pl) AS py
+        FROM {customer}
     ),
     supp AS (
         SELECT s_suppkey AS sk,
-               (s_suppkey * 40503 + 3) % pl.side AS sx,
-               (s_suppkey * 16807 + 5) % pl.side AS sy
-        FROM {supplier} CROSS JOIN pl
+               (s_suppkey * 40503 + 3) % (SELECT side FROM pl) AS sx,
+               (s_suppkey * 16807 + 5) % (SELECT side FROM pl) AS sy
+        FROM {supplier}
+    ),
+    -- probe from the SUPPLIER side (~10x smaller than customer): the 9
+    -- neighbor cells are expanded as a UNION ALL over literal offsets
+    -- INSIDE one relation, so the cell condition below is a plain
+    -- two-table equi-join. (A CROSS JOIN (VALUES -1,0,1) dx/dy lateral
+    -- looked equivalent but let Spark's join reorder pull the VALUES
+    -- crosses ABOVE the supplier-customer join, degrading it to a
+    -- BroadcastNestedLoopJoin over all pairs — 30x wall at the x30
+    -- stress. Plane side comes via a scalar subquery, which Spark's
+    -- ReuseSubquery computes once across all branches.)
+    probe AS (
+        {probe_branches}
     ),
     hits AS (
-        -- probe from the SUPPLIER side: it is ~10x smaller than
-        -- customer (TPC-H 1:10), so the 9-cell replication multiplies
-        -- the small table before the cell-key shuffle, not the big one
         SELECT c.ck, s.sk,
                (c.px - s.sx) * (c.px - s.sx)
                + (c.py - s.sy) * (c.py - s.sy) AS d2
-        FROM supp s
-        CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
-        CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+        FROM probe s
         JOIN cust c
-          ON CAST(FLOOR(s.sx / {_CELL}.0) AS BIGINT) + dx.v
-             = CAST(FLOOR(c.px / {_CELL}.0) AS BIGINT)
-         AND CAST(FLOOR(s.sy / {_CELL}.0) AS BIGINT) + dy.v
-             = CAST(FLOOR(c.py / {_CELL}.0) AS BIGINT)
+          ON s.cx = CAST(FLOOR(c.px / {_CELL}.0) AS BIGINT)
+         AND s.cy = CAST(FLOOR(c.py / {_CELL}.0) AS BIGINT)
         WHERE (c.px - s.sx) * (c.px - s.sx)
               + (c.py - s.sy) * (c.py - s.sy) <= {_R2}
     ),
