@@ -1731,3 +1731,71 @@ def process_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _dwell_sql("pd_events", "(unix_micros(CAST({b} AS TIMESTAMP)) - unix_micros(CAST({a} AS TIMESTAMP)))")
     )
+
+
+def _burstiness_sql(events: str, epochms: str) -> str:
+    """Shared burstiness SQL body; ``epochms`` is the dialect's
+    timestamp->epoch-milliseconds spelling with {x} placeholder (Spark
+    unix_millis vs DuckDB epoch_ms). Gaps are exact BIGINT milliseconds;
+    sum-of-squares rides in DECIMAL(38,0) (squared gaps can exceed
+    BIGINT); mean/variance/B are single IEEE expressions over the exact
+    sums, emitted unrounded."""
+    ems = epochms.format(x="ts")
+    return f"""
+    WITH ordered AS (
+        SELECT user_id, CAST({ems} AS BIGINT) AS ms
+        FROM {events}
+    ),
+    gaps AS (
+        SELECT user_id,
+               ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                   AS g
+        FROM ordered
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(g) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS sg,
+               SUM(CAST(g AS DECIMAL(38,0)) * g) AS sgg
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(g) >= 5
+    )
+    SELECT user_id, n AS n_gaps,
+           CAST(sg AS DOUBLE) / n / 1000 AS mean_gap_sec,
+           sqrt((n * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)))
+               / n / 1000 AS std_gap_sec,
+           (n * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+               / n / (CAST(sg AS DOUBLE) * 1000) AS fano_factor_sec,
+           (sqrt(n * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / n
+            - CAST(sg AS DOUBLE) / n)
+           / (sqrt(n * CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / n
+              + CAST(sg AS DOUBLE) / n) AS burstiness
+    FROM stats
+    """
+
+
+@register(
+    "burstiness_fano",
+    oracle=_burstiness_sql("events", "epoch_ms({x})"),
+)
+def burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user temporal burstiness of the event stream: population
+    std/mean of inter-event gaps -> the Goh-Barabasi burstiness index
+    B = (sigma - mu)/(sigma + mu) (-1 = perfectly periodic, 0 = Poisson,
+    -> 1 = bursty) plus the per-second Fano factor — the
+    activity-pattern features behavioral segmentation and bot detection
+    feed on. Gaps are exact BIGINT milliseconds via one LAG window per
+    user; variance comes from exact integer/decimal sufficient sums, so
+    every emitted double is a single deterministic expression.
+
+    Scale: one window + one groupBy, both partitioned by user_id — the
+    natural key distribution; no global stage. Reference scope:
+    src/analytics behavioral features; public method: Goh & Barabasi
+    2008."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bf_events"
+    )
+    return spark.sql(
+        _burstiness_sql("bf_events", "unix_millis(CAST({x} AS TIMESTAMP))")
+    )

@@ -1022,3 +1022,58 @@ def fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("bh_nation")
     return spark.sql(_fdr_bh_sql("bh_orders", "bh_customer", "bh_nation"))
+
+
+def _gtest_sql(orders: str) -> str:
+    """Shared G-test SQL body. Observed/expected counts are exact
+    integers (expected kept as the exact rational o_r*o_c/N inside the
+    log); G and chi-square are sums of ~45 log/ratio terms of exact
+    integers — deterministic doubles, emitted unrounded."""
+    return f"""
+    WITH obs AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM {orders} GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT s, p, o,
+               CAST(SUM(o) OVER (PARTITION BY s) AS BIGINT) AS row_n,
+               CAST(SUM(o) OVER (PARTITION BY p) AS BIGINT) AS col_n,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    dims AS (
+        SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT p) AS BIGINT) AS c
+        FROM obs
+    )
+    SELECT
+        (SELECT r FROM dims) AS n_rows,
+        (SELECT c FROM dims) AS n_cols,
+        ((SELECT r FROM dims) - 1) * ((SELECT c FROM dims) - 1) AS dof,
+        CAST(MIN(n) AS BIGINT) AS n_total,
+        2 * SUM(o * ln(o * CAST(n AS DOUBLE) / (row_n * CAST(col_n AS DOUBLE))))
+            AS g_statistic,
+        SUM(power(o - row_n * CAST(col_n AS DOUBLE) / n, 2)
+            / (row_n * CAST(col_n AS DOUBLE) / n)) AS chi_square
+    FROM margins
+    """
+
+
+@register("gtest_independence", oracle=_gtest_sql("orders"))
+def gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) and Pearson chi-square of
+    independence between order status and order priority — the
+    categorical-association check a data-quality layer runs before
+    trusting a segmentation (dbt-style statistical test macro). Zero
+    cells contribute zero to G by construction (only observed cells
+    appear in the contingency CTE), matching the standard convention.
+
+    Scale: one map-side-combined groupBy over the 3x5 category lattice,
+    margins via windows over <=15 rows, single-row output. Reference
+    scope: dbt tests / src/analytics quality checks; public method:
+    Sokal & Rohlf's G-test."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "gt_orders"
+    )
+    return spark.sql(_gtest_sql("gt_orders"))

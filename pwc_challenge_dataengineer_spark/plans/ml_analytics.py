@@ -1711,3 +1711,74 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionable at scale, rfm precedent), one moment fold."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sp_orders")
     return spark.sql(_spearman_sql("sp_orders"))
+
+
+def _mann_whitney_sql(lineitem: str) -> str:
+    """Shared Mann-Whitney U SQL body (identical text on both engines).
+    All rank arithmetic stays in BIGINT via the doubled-average-rank
+    trick (r2 = 2*rank_min + ties - 1 = twice the midrank), so the U
+    statistic, tie term and group sizes are exact integers; the only
+    doubles are the final z / effect-size divisions of exact integers
+    (deterministic IEEE on both engines, emitted UNROUNDED)."""
+    return f"""
+    WITH vals AS (
+        SELECT l_extendedprice AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+        FROM {lineitem}
+    ),
+    tied AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(g) AS BIGINT) AS c1
+        FROM vals GROUP BY v
+    ),
+    ranked AS (
+        SELECT c, c1,
+               CAST(SUM(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM tied
+    ),
+    stats AS (
+        SELECT CAST(SUM(c1 * (2 * (cum - c) + c + 1)) AS BIGINT)
+                   AS sum_r2_g1,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c - c1) AS BIGINT) AS n2,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+        FROM ranked
+    )
+    SELECT n1, n2,
+           (CAST(sum_r2_g1 AS DOUBLE) - n1 * (n1 + CAST(1.0 AS DOUBLE)))
+               / 2 AS u1,
+           ((CAST(sum_r2_g1 AS DOUBLE) - n1 * (n1 + CAST(1.0 AS DOUBLE)))
+               / 2
+            - n1 * CAST(n2 AS DOUBLE) / 2)
+           / sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0
+                  * ((n + 1) - CAST(tie_term AS DOUBLE) / (n * (n - CAST(1.0 AS DOUBLE)))))
+               AS z_score,
+           (CAST(sum_r2_g1 AS DOUBLE) - n1 * (n1 + CAST(1.0 AS DOUBLE)))
+               / (n1 * CAST(n2 AS DOUBLE)) - 1 AS rank_biserial
+    FROM stats
+    """
+
+
+@register("mann_whitney_u", oracle=_mann_whitney_sql("lineitem"))
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do returned line items
+    ('R') draw from a different extended-price distribution than the
+    rest? Midranks via the doubled-rank BIGINT trick (ties exact, no
+    floats in the ranking), normal approximation with the standard tie
+    correction, and the rank-biserial effect size r = 2U/(n1 n2) - 1.
+    The nonparametric two-sample complement to roc_auc_eval (U/(n1 n2)
+    IS the AUC between the groups).
+
+    Scale: one groupBy on the DECIMAL value domain (bounded by the
+    price grid), one ordered prefix-sum over the distinct values —
+    value-domain-bounded and range-partitionable, the same documented
+    posture as the ECDF/KS family — then a single-row reduce. Reference
+    scope: src/analytics (statistical comparisons); public method:
+    Mann & Whitney 1947."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "mwu_lineitem"
+    )
+    return spark.sql(_mann_whitney_sql("mwu_lineitem"))

@@ -1752,3 +1752,286 @@ def littles_law_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _littles_law_sql("ll_orders", "ll_lineitem", "datediff({b}, {a})")
     )
+
+
+def _acf_sql(orders: str, max_lag: int = 14) -> str:
+    """Shared autocorrelation SQL body. Daily revenue goes to integer
+    CENTS (exact BIGINT); per-lag sufficient statistics are BIGINT /
+    DECIMAL(38,0) sums (cross-products exceed BIGINT range), so every
+    aggregate is exact; each r_k is one IEEE expression over those exact
+    stats — identical doubles on both engines, emitted unrounded."""
+    lag_cols = ",\n               ".join(
+        f"LAG(x_cents, {k}) OVER (ORDER BY d) AS x{k}"
+        for k in range(1, max_lag + 1)
+    )
+    stats = []
+    for k in range(1, max_lag + 1):
+        mk = f"CAST(COUNT(x{k}) AS BIGINT)"
+        sa = f"CAST(SUM(CASE WHEN x{k} IS NOT NULL THEN x0 END) AS BIGINT)"
+        sb = f"CAST(SUM(x{k}) AS BIGINT)"
+        sab = (f"SUM(CASE WHEN x{k} IS NOT NULL THEN "
+               f"CAST(x0 AS DECIMAL(38,0)) * x{k} END)")
+        saa = (f"SUM(CASE WHEN x{k} IS NOT NULL THEN "
+               f"CAST(x0 AS DECIMAL(38,0)) * x0 END)")
+        sbb = f"SUM(CAST(x{k} AS DECIMAL(38,0)) * x{k})"
+        num = f"({mk} * CAST({sab} AS DOUBLE) - CAST({sa} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+        va = f"({mk} * CAST({saa} AS DOUBLE) - CAST({sa} AS DOUBLE) * CAST({sa} AS DOUBLE))"
+        vb = f"({mk} * CAST({sbb} AS DOUBLE) - CAST({sb} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+        stats.append(f"{num} / sqrt({va} * {vb}) AS acf_lag_{k}")
+    stats_sql = ",\n           ".join(stats)
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS x_cents
+        FROM {orders} GROUP BY 1
+    ),
+    lagged AS (
+        SELECT x_cents AS x0,
+               {lag_cols}
+        FROM daily
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           {stats_sql}
+    FROM lagged
+    """
+
+
+@register("acf_daily_revenue", oracle=_acf_sql("orders"))
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of the daily revenue series at
+    lags 1..14 (per-lag Pearson over the observed day sequence — TPC-H
+    order dates are dense, so row-lag == day-lag): the periodicity
+    diagnostic that justifies the 7-day windows used across the
+    time-series family. Revenue is summed in exact integer cents; all
+    sufficient statistics are exact BIGINT/DECIMAL sums, so the doubles
+    are single deterministic expressions (no float accumulation — the
+    order-dependent-sum flake class is structurally excluded).
+
+    Scale: the day grid is calendar-bounded (~2.4k rows regardless of
+    data size after the map-side-combined daily groupBy), so the single
+    ordered window pass and the 84-aggregate reduce are O(days), not
+    O(orders). Reference scope: src/analytics trend diagnostics; public
+    method: Box & Jenkins sample ACF."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "acf_orders"
+    )
+    return spark.sql(_acf_sql("acf_orders"))
+
+
+def _cusum_cp_sql(orders: str) -> str:
+    """Shared offline-CUSUM changepoint SQL body. The centered cumulative
+    sum S_t = sum_{i<=t}(x_i - xbar) is kept exact by scaling through n:
+    n*S_t = n*CS_t - t*SX (all BIGINT), so the argmax is an integer
+    comparison; doubles appear only in the final S/sigma normalizations
+    of exact integers (unrounded)."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM {orders} GROUP BY 1
+    ),
+    walked AS (
+        SELECT d, x,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(SUM(x) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cs,
+               CAST(SUM(x) OVER () AS BIGINT) AS sx,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(x * x) OVER () AS BIGINT) AS sxx
+        FROM daily
+    ),
+    scored AS (
+        SELECT d, t, n, sx, sxx,
+               n * cs - t * sx AS ns,
+               ROW_NUMBER() OVER (
+                   ORDER BY ABS(n * cs - t * sx) DESC, d
+               ) AS rk
+        FROM walked
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           d AS changepoint_date,
+           CAST(t AS BIGINT) AS changepoint_index,
+           CAST(ns AS DOUBLE) / n AS s_max,
+           (CAST(ABS(ns) AS DOUBLE) / n)
+           / (sqrt((sxx - CAST(sx AS DOUBLE) * sx / n)
+                   / (n - CAST(1.0 AS DOUBLE))) * sqrt(CAST(n AS DOUBLE)))
+               AS normalized_stat
+    FROM scored WHERE rk = 1
+    """
+
+
+@register("cusum_changepoint_day", oracle=_cusum_cp_sql("orders"))
+def cusum_changepoint_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint location over the daily order-count
+    series: the day t maximizing |S_t|, S_t the mean-centered cumulative
+    sum — the classical single-changepoint estimator (the retrospective
+    complement to cusum_monthly_revenue's sequential one-sided
+    detector). Integer-exact via n-scaling (n*S_t is BIGINT), with the
+    sigma-normalized statistic for a Kolmogorov-style threshold.
+
+    Scale: daily groupBy (map-side combine) collapses to the
+    calendar-bounded day grid; both windows run over that grid.
+    Deterministic argmax tiebreak on date. Public method: Page 1954 /
+    Pettitt-style retrospective CUSUM."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ccp_orders"
+    )
+    return spark.sql(_cusum_cp_sql("ccp_orders"))
+
+
+def _theil_sen_sql(orders: str, customer: str, nation: str) -> str:
+    """Shared Theil-Sen SQL body. Revenue in exact integer cents; each
+    pairwise slope is one double division of exact integers; the median
+    picks rows by the div-free predicate 2*rn BETWEEN m AND m+2 (one row
+    for odd m, the two middles for even m — AVG over <= 2 doubles is
+    deterministic). Tiebreak (slope, ia, ib) pins rank order."""
+    return f"""
+    WITH monthly AS (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                    + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS mi,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM {orders}
+        JOIN {customer} ON o_custkey = c_custkey
+        JOIN {nation} ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.nation,
+               (b.cents - CAST(a.cents AS DOUBLE)) / (b.mi - a.mi) AS slope,
+               a.mi AS ia, b.mi AS ib
+        FROM monthly a
+        JOIN monthly b ON a.nation = b.nation AND b.mi > a.mi
+    ),
+    ranked AS (
+        SELECT nation, slope,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY slope, ia, ib) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS m
+        FROM slopes
+    )
+    SELECT nation,
+           CAST(MAX(m) AS BIGINT) AS n_pairs,
+           AVG(CASE WHEN 2 * rn BETWEEN m AND m + 2 THEN slope END)
+               AS sen_slope_cents_per_month,
+           AVG(CASE WHEN 2 * rn BETWEEN m AND m + 2 THEN slope END) / 100
+               AS sen_slope_dollars_per_month
+    FROM ranked
+    GROUP BY nation
+    """
+
+
+@register(
+    "theil_sen_slope",
+    oracle=_theil_sen_sql("orders", "customer", "nation"),
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of monthly revenue per nation: the
+    median of all pairwise month-to-month slopes — the
+    breakdown-point-29% alternative to OLS trend fitting (immune to the
+    outlier months that bend zipf/holt-style least squares). Exact
+    integer-cents arithmetic end to end; the median is an integer-rank
+    pick, not a percentile approximation.
+
+    Scale: the pair lattice folds to the calendar grid (months^2 per
+    nation, ~3.2k pairs x 25 nations regardless of row count), the
+    documented fold-to-grid posture; the only data-sized work is the
+    map-side-combined monthly groupBy. Public method: Theil 1950 /
+    Sen 1968."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"ts_{t}")
+    return spark.sql(_theil_sen_sql("ts_orders", "ts_customer", "ts_nation"))
+
+
+def _km_sql(orders: str, datediff: str) -> str:
+    """Shared Kaplan-Meier SQL body (same censoring frame as
+    _life_table_sql). The product limit rides as an ordered-window sum
+    of log terms (sequential adds in pinned bucket order — the
+    deterministic accumulation class), with the d = n absorbing state
+    handled explicitly instead of through ln(0)."""
+    dd = datediff.format(a="MIN(CAST(o_orderdate AS DATE))",
+                         b="MAX(CAST(o_orderdate AS DATE))")
+    return f"""
+    WITH span AS (
+        SELECT o_custkey, {dd} AS dur,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d
+        FROM {orders} GROUP BY 1
+    ),
+    horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM {orders}),
+    obs AS (
+        SELECT CAST(FLOOR(s.dur / 30.0) AS BIGINT) AS tb,
+               s.last_d < h.mx - INTERVAL 180 DAY AS churned
+        FROM span s CROSS JOIN horizon h
+    ),
+    bucketed AS (
+        SELECT tb,
+               CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_events,
+               CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+                   AS c_censored
+        FROM obs GROUP BY 1
+    ),
+    risk AS (
+        SELECT tb, d_events, c_censored,
+               CAST(SUM(d_events + c_censored) OVER () -
+                    (SUM(d_events + c_censored) OVER (ORDER BY tb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - (d_events + c_censored)) AS BIGINT) AS n_risk
+        FROM bucketed
+    ),
+    walked AS (
+        SELECT tb, d_events, c_censored, n_risk,
+               SUM(CASE WHEN d_events < n_risk
+                        THEN ln(1 - CAST(d_events AS DOUBLE) / n_risk)
+                        ELSE 0.0 END)
+                   OVER (ORDER BY tb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS log_surv,
+               MAX(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY tb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS absorbed,
+               SUM(CASE WHEN d_events < n_risk
+                        THEN CAST(d_events AS DOUBLE)
+                             / (n_risk * CAST(n_risk - d_events AS DOUBLE))
+                        ELSE 0.0 END)
+                   OVER (ORDER BY tb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS greenwood_sum
+        FROM risk
+    )
+    SELECT tb * 30 AS t_days, n_risk, d_events, c_censored,
+           CASE WHEN absorbed = 1 THEN 0.0 ELSE exp(log_surv) END
+               AS km_survival,
+           CASE WHEN absorbed = 1 THEN 0.0
+                ELSE exp(log_surv) * sqrt(greenwood_sum) END
+               AS greenwood_se
+    FROM walked
+    """
+
+
+@register(
+    "kaplan_meier_churn",
+    oracle=_km_sql("orders", "date_diff('day', {a}, {b})"),
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival of customer tenure (30-day
+    buckets, censoring at the 180-day inactivity horizon) with the
+    Greenwood standard error — the multiplicative dual of
+    life_table_nelson_aalen on the identical censoring frame, so the
+    two estimators cross-check each other (S_KM <= S_NA pointwise).
+    The product is an ordered log-sum (deterministic sequential
+    accumulation); an exhausted risk set (d = n) absorbs to S = 0
+    explicitly rather than through ln(0).
+
+    Scale: customer-level groupBy then a ~bucket-count-sized ordered
+    window (tenure grid, data-size-free). Public method:
+    Kaplan & Meier 1958; Greenwood 1926."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "km_orders"
+    )
+    return spark.sql(_km_sql("km_orders", "datediff({b}, {a})"))

@@ -440,8 +440,6 @@ def make_dedup_batch_fn(
     ``batch_shuffle_partitions=None`` on a shared session."""
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         conf = batch_df.sparkSession.conf
         old_width = None
         ours = None
@@ -470,6 +468,11 @@ def make_dedup_batch_fn(
         prof = minhash_doc_profiles(
             batch_df, "doc_id", "text", k=3, n_bands=N_BANDS
         ).localCheckpoint(eager=True)
+        # empty-batch guard on the checkpointed blocks (an in-memory
+        # probe) — the former take(1) on the raw stream chunk was a full
+        # extra scan job per batch
+        if not prof.take(1):
+            return
 
         # ONE candidate pass: (store sigs ∪ batch sigs) vs batch sigs —
         # batch-internal pairs keep the id_a < id_b canonical orientation,
@@ -518,25 +521,34 @@ def make_dedup_batch_fn(
         pairs = jaccard_verify_profiles(
             cand, both_prof, "doc_id", hint_small=small
         ).filter(F.col("jaccard") >= threshold)
-        # checkpoint the raw duplicate-of map BEFORE chain resolution:
-        # _resolve_chains self-joins its input, and Spark does not share
-        # unmaterialized subplans across join legs — resolving over the lazy
-        # frame re-executed the verify join (the batch's dominant cost) up
-        # to 4x inside one action (measured ~3x the batch p50).
-        dup0 = (
-            pairs.groupBy(F.col("id_b").alias("doc_id"))
-            .agg(F.min("id_a").alias("duplicate_of"))
-            .localCheckpoint(eager=True)
+        # ONE fused checkpoint: profiles left-joined with the raw
+        # duplicate-of map. This materializes the verify join exactly
+        # once (Spark does not share unmaterialized subplans across join
+        # legs — resolving chains over the lazy frame re-executed the
+        # batch's dominant cost up to 4x), and it REPLACES the former
+        # two-checkpoint shape (dup0 checkpoint + survivor anti-join in
+        # append): survivors and the dup map are now both narrow filters
+        # over these in-memory blocks. Per-batch latency here is job-
+        # count bound; this fusion removed one full job plus the
+        # anti-join recompute (measured p50 1209 -> below).
+        dupmap = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+            F.min("id_a").alias("duplicate_of")
+        )
+        marked = prof.join(
+            F.broadcast(dupmap), "doc_id", "left"
+        ).localCheckpoint(eager=True)
+        dup0 = marked.filter(F.col("duplicate_of").isNotNull()).select(
+            "doc_id", "duplicate_of"
         )
         # resolution rewrites TARGETS only, never the key set — the
-        # survivor anti-join can use the unresolved map
+        # survivor filter can use the unresolved map
         dup_of = _resolve_chains(dup0)
 
-        survivors = prof.join(dup0, "doc_id", "left_anti").select(
+        survivors = marked.filter(F.col("duplicate_of").isNull()).select(
             "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
         )
         verdicts = (
-            batch_df.select("doc_id")
+            marked.select("doc_id")  # checkpointed — no raw-chunk rescan
             .join(dup_of, "doc_id", "left")
             .select(
                 "doc_id",
