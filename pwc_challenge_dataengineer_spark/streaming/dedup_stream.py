@@ -521,34 +521,36 @@ def make_dedup_batch_fn(
         pairs = jaccard_verify_profiles(
             cand, both_prof, "doc_id", hint_small=small
         ).filter(F.col("jaccard") >= threshold)
-        # ONE fused checkpoint: profiles left-joined with the raw
-        # duplicate-of map. This materializes the verify join exactly
-        # once (Spark does not share unmaterialized subplans across join
-        # legs — resolving chains over the lazy frame re-executed the
-        # batch's dominant cost up to 4x), and it REPLACES the former
-        # two-checkpoint shape (dup0 checkpoint + survivor anti-join in
-        # append): survivors and the dup map are now both narrow filters
-        # over these in-memory blocks. Per-batch latency here is job-
-        # count bound; this fusion removed one full job plus the
-        # anti-join recompute (measured p50 1209 -> below).
-        dupmap = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
-            F.min("id_a").alias("duplicate_of")
-        )
-        marked = prof.join(
-            F.broadcast(dupmap), "doc_id", "left"
-        ).localCheckpoint(eager=True)
-        dup0 = marked.filter(F.col("duplicate_of").isNotNull()).select(
-            "doc_id", "duplicate_of"
+        # checkpoint the raw duplicate-of map BEFORE chain resolution:
+        # _resolve_chains self-joins its input, and Spark does not share
+        # unmaterialized subplans across join legs — resolving over the lazy
+        # frame re-executed the verify join (the batch's dominant cost) up
+        # to 4x inside one action (measured ~3x the batch p50).
+        # NOTE (r7): a fused single-checkpoint variant (profiles
+        # left-joined with this map, dup map + survivors as filters over
+        # one block set) measured geometrically WORSE per batch when the
+        # warm segment cache was enabled — per-batch wall doubled every
+        # batch from ~b7 (0.3s -> 35s by b10) with a constant-size,
+        # ExistingRDD-leaf plan; cache-off runs stayed flat, and neither
+        # removing the broadcast hint nor checkpointing the cached frames
+        # cured it. Root cause not isolated (suspected pathological
+        # interaction between per-batch broadcast subplans and reused
+        # checkpointed cache RDDs in the same session); reverted to this
+        # proven-flat two-checkpoint shape.
+        dup0 = (
+            pairs.groupBy(F.col("id_b").alias("doc_id"))
+            .agg(F.min("id_a").alias("duplicate_of"))
+            .localCheckpoint(eager=True)
         )
         # resolution rewrites TARGETS only, never the key set — the
-        # survivor filter can use the unresolved map
+        # survivor anti-join can use the unresolved map
         dup_of = _resolve_chains(dup0)
 
-        survivors = marked.filter(F.col("duplicate_of").isNull()).select(
+        survivors = prof.join(dup0, "doc_id", "left_anti").select(
             "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
         )
         verdicts = (
-            marked.select("doc_id")  # checkpointed — no raw-chunk rescan
+            prof.select("doc_id")  # checkpointed — no raw-chunk rescan
             .join(dup_of, "doc_id", "left")
             .select(
                 "doc_id",
