@@ -1782,3 +1782,65 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mwu_lineitem"
     )
     return spark.sql(_mann_whitney_sql("mwu_lineitem"))
+
+
+def _odds_ratio_sql(lineitem: str) -> str:
+    """Shared 2x2 odds-ratio SQL body: exact integer cell counts with
+    the Haldane-Anscombe +0.5 correction applied uniformly; OR, lnOR,
+    Woolf SE and the 95% CI are single IEEE expressions (unrounded)."""
+    return f"""
+    WITH cells AS (
+        SELECT
+            CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_quantity > 25
+                          THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_quantity <= 25
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_quantity > 25
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN l_returnflag <> 'R' AND l_quantity <= 25
+                          THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM {lineitem}
+    )
+    SELECT a, b, c, d,
+           -- +0.5 smoothing via doubled integer counts (2a+1 etc.):
+           -- exact BIGINT products, one double division (a raw 0.5
+           -- literal parses as DECIMAL in Spark and diverges from the
+           -- oracle's double arithmetic)
+           (2 * a + 1) * (2 * d + 1)
+               / CAST((2 * b + 1) * (2 * c + 1) AS DOUBLE) AS odds_ratio,
+           ln((2 * a + 1) * (2 * d + 1)
+              / CAST((2 * b + 1) * (2 * c + 1) AS DOUBLE)) AS ln_or,
+           sqrt(CAST(2.0 AS DOUBLE) / (2 * a + 1) + CAST(2.0 AS DOUBLE) / (2 * b + 1)
+                + CAST(2.0 AS DOUBLE) / (2 * c + 1) + CAST(2.0 AS DOUBLE) / (2 * d + 1))
+               AS woolf_se,
+           exp(ln((2 * a + 1) * (2 * d + 1)
+                  / CAST((2 * b + 1) * (2 * c + 1) AS DOUBLE))
+               - 1.959963984540054
+                 * sqrt(CAST(2.0 AS DOUBLE) / (2 * a + 1) + CAST(2.0 AS DOUBLE) / (2 * b + 1)
+                        + CAST(2.0 AS DOUBLE) / (2 * c + 1) + CAST(2.0 AS DOUBLE) / (2 * d + 1)))
+               AS ci95_low,
+           exp(ln((2 * a + 1) * (2 * d + 1)
+                  / CAST((2 * b + 1) * (2 * c + 1) AS DOUBLE))
+               + 1.959963984540054
+                 * sqrt(CAST(2.0 AS DOUBLE) / (2 * a + 1) + CAST(2.0 AS DOUBLE) / (2 * b + 1)
+                        + CAST(2.0 AS DOUBLE) / (2 * c + 1) + CAST(2.0 AS DOUBLE) / (2 * d + 1)))
+               AS ci95_high
+    FROM cells
+    """
+
+
+@register("odds_ratio_2x2", oracle=_odds_ratio_sql("lineitem"))
+def odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds ratio: is a returned line item more likely to be a
+    large-quantity one? Exact integer cell counts, Haldane-Anscombe
+    +0.5 smoothing (uniform, so the estimate is defined even with an
+    empty cell), Woolf's log-scale standard error and the 95% Wald CI —
+    the epidemiology-standard association readout complementing
+    gtest_independence's global test.
+
+    Scale: one map-side-combined 4-cell conditional aggregation, single
+    row out. Public method: Woolf 1955; Haldane 1956."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "or_lineitem"
+    )
+    return spark.sql(_odds_ratio_sql("or_lineitem"))

@@ -2035,3 +2035,379 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "km_orders"
     )
     return spark.sql(_km_sql("km_orders", "datediff({b}, {a})"))
+
+
+def _mann_kendall_sql(orders: str) -> str:
+    """Shared Mann-Kendall SQL body. S (sign-pair sum), tie groups and
+    the variance polynomial are all exact BIGINT; the z statistic is one
+    IEEE expression over them (Kendall's continuity-corrected normal
+    approximation), emitted unrounded."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM {orders} GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ties AS (
+        SELECT CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT)
+                   AS tie_poly
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tc
+              FROM daily GROUP BY x) t
+    ),
+    n_obs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+    SELECT n_obs.n AS n_days, pairs.s AS s_statistic,
+           (n_obs.n * (n_obs.n - 1) * (2 * n_obs.n + 5) - ties.tie_poly)
+               / CAST(18.0 AS DOUBLE) AS var_s,
+           CASE WHEN pairs.s > 0 THEN (pairs.s - 1)
+                WHEN pairs.s < 0 THEN (pairs.s + 1)
+                ELSE 0 END
+           / sqrt((n_obs.n * (n_obs.n - 1) * (2 * n_obs.n + 5)
+                   - ties.tie_poly) / CAST(18.0 AS DOUBLE)) AS z_score,
+           CAST(pairs.s AS DOUBLE)
+               / (n_obs.n * (n_obs.n - CAST(1.0 AS DOUBLE)) / 2)
+               AS kendall_tau
+    FROM pairs CROSS JOIN ties CROSS JOIN n_obs
+    """
+
+
+@register("mann_kendall_trend", oracle=_mann_kendall_sql("orders"))
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on the daily order-count
+    series: the sign-pair statistic S, its tie-corrected variance, the
+    continuity-corrected z, and Kendall's tau-a — the
+    distribution-free companion to theil_sen_slope (MK tests the trend
+    the Sen slope estimates). Everything up to the final division is
+    exact BIGINT.
+
+    Scale: the pair join folds to the calendar grid (days^2 ~ 2.9M
+    comparisons regardless of data size — grid-bounded, one equi-free
+    range self-join of a ~2.4k-row frame). Public method: Mann 1945 /
+    Kendall 1975."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "mk_orders"
+    )
+    return spark.sql(_mann_kendall_sql("mk_orders"))
+
+
+def _runs_test_sql(orders: str) -> str:
+    """Shared Wald-Wolfowitz runs-test SQL body. Signs come from the
+    exact integer comparison against twice-the-total (median-free
+    two-sided split via the mean in cents); run count, n+ and n- are
+    exact BIGINTs; z is one IEEE expression (unrounded)."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM {orders} GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS sc,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    ),
+    signed AS (
+        -- above/below the mean, exactly: cents * n vs total (no division)
+        SELECT d.d,
+               CASE WHEN d.cents * t.n > t.sc THEN 1 ELSE 0 END AS pos
+        FROM daily d CROSS JOIN tot t
+    ),
+    runs AS (
+        SELECT pos,
+               CASE WHEN LAG(pos) OVER (ORDER BY d) IS NULL
+                         OR LAG(pos) OVER (ORDER BY d) <> pos
+                    THEN 1 ELSE 0 END AS is_start
+        FROM signed
+    ),
+    stats AS (
+        SELECT CAST(SUM(is_start) AS BIGINT) AS r,
+               CAST(SUM(pos) AS BIGINT) AS n1,
+               CAST(SUM(1 - pos) AS BIGINT) AS n2
+        FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           1 + 2 * n1 * CAST(n2 AS DOUBLE) / (n1 + n2) AS expected_runs,
+           (r - (1 + 2 * n1 * CAST(n2 AS DOUBLE) / (n1 + n2)))
+           / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                  / ((n1 + CAST(n2 AS DOUBLE)) * (n1 + n2)
+                     * (n1 + n2 - 1))) AS z_score
+    FROM stats
+    """
+
+
+@register("runs_test_residuals", oracle=_runs_test_sql("orders"))
+def runs_test_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series around its mean: are above/below-mean days independently
+    mixed, or do they clump (autocorrelation / regime persistence the
+    ACF corroborates)? The above-mean indicator is the exact integer
+    comparison cents*n > total (division-free), runs are counted with
+    one LAG over the calendar grid, and z is a single expression over
+    exact counts.
+
+    Scale: daily groupBy then a calendar-bounded ordered window.
+    Public method: Wald & Wolfowitz 1940."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "rt_orders"
+    )
+    return spark.sql(_runs_test_sql("rt_orders"))
+
+
+def _decomp_sql(orders: str, dow: str) -> str:
+    """Shared classical-decomposition SQL body; ``dow`` is the dialect's
+    day-of-week spelling with {x} placeholder (both map Sunday=1..7
+    here: Spark dayofweek, DuckDB dayofweek()+1). The centered 7-day
+    trend stays division-free (trend7 = windowed SUM, detrended7 =
+    7*x - trend7 — exact BIGINT cents), so every per-DOW statistic is a
+    single IEEE expression over exact integer sums."""
+    dw = dow.format(x="d")
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM {orders} GROUP BY 1
+    ),
+    windowed AS (
+        SELECT d, cents,
+               CAST(SUM(cents) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS BIGINT) AS trend7,
+               CAST(COUNT(*) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS BIGINT) AS w
+        FROM daily
+    ),
+    detr AS (
+        -- interior days only (full 7-day window): exact 7x - trend
+        SELECT {dw} AS dow, 7 * cents - trend7 AS d7
+        FROM windowed WHERE w = 7
+    )
+    SELECT CAST(dow AS BIGINT) AS day_of_week,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d7) AS DOUBLE) / (7 * COUNT(*)) / 100
+               AS seasonal_index_dollars,
+           sqrt((COUNT(*) * CAST(SUM(CAST(d7 AS DECIMAL(38,0)) * d7)
+                                 AS DOUBLE)
+                 - CAST(SUM(d7) AS DOUBLE) * CAST(SUM(d7) AS DOUBLE)))
+               / (7 * COUNT(*)) / 100 AS remainder_std_dollars
+    FROM detr
+    GROUP BY dow
+    """
+
+
+@register(
+    "classical_decomposition",
+    oracle=_decomp_sql("orders", "dayofweek({x}) + 1"),
+)
+def classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue: centered
+    7-day moving-average trend, per-day-of-week seasonal index
+    (mean detrended value) and the within-DOW remainder spread — the
+    Box-Jenkins preprocessing step whose seasonal indexes justify (or
+    refute) weekday effects before modeling. The trend division never
+    happens: detrended values ride as exact 7x - sum7 integer cents, so
+    the per-DOW statistics are deterministic single expressions.
+
+    Scale: daily groupBy then one calendar-bounded ordered window and a
+    7-group reduce. Public method: classical seasonal decomposition
+    (Persons 1919 lineage)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "cd_orders"
+    )
+    return spark.sql(_decomp_sql("cd_orders", "dayofweek({x})"))
+
+
+def _page_hinkley_sql(orders: str) -> str:
+    """Shared Page-Hinkley SQL body. Residuals against the RUNNING mean
+    use one double division of exact integers per row; the PH walk and
+    its prefix minimum are ordered-window accumulations (deterministic
+    sequential adds); the argmax pick is rank-based with a date
+    tiebreak."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM {orders} GROUP BY 1
+    ),
+    walked AS (
+        SELECT d, cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(SUM(cents) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cs
+        FROM daily
+    ),
+    resid AS (
+        SELECT d, t,
+               cents - CAST(cs AS DOUBLE) / t AS r
+        FROM walked
+    ),
+    ph AS (
+        SELECT d, t,
+               SUM(r) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+        FROM resid
+    ),
+    exc AS (
+        SELECT d, t, u,
+               u - MIN(u) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS excursion
+        FROM ph
+    ),
+    picked AS (
+        SELECT d, t, excursion,
+               ROW_NUMBER() OVER (ORDER BY excursion DESC, d) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM exc
+    )
+    SELECT n AS n_days,
+           d AS peak_date,
+           t AS peak_index,
+           excursion / 100 AS max_excursion_dollars
+    FROM picked WHERE rk = 1
+    """
+
+
+@register("page_hinkley_drift", oracle=_page_hinkley_sql("orders"))
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift statistic over daily revenue: the cumulative
+    sum of residuals against the RUNNING mean, tracked against its
+    prefix minimum — the sequential mean-shift detector (the online
+    counterpart of cusum_changepoint_day's retrospective scan; PH's
+    running-mean residual adapts to slow drift where global-mean CUSUM
+    does not). Reports the peak excursion and its date; thresholding is
+    the caller's policy knob. Ordered-window accumulations only —
+    deterministic on both engines.
+
+    Scale: calendar-bounded windows over the daily grid. Public
+    method: Page 1954; Hinkley 1971."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ph_orders"
+    )
+    return spark.sql(_page_hinkley_sql("ph_orders"))
+
+
+def _hurst_sql(orders: str) -> str:
+    """Shared R/S Hurst SQL body. Per block-size branch (8/16/32/64, a
+    UNION ALL over literals): b-scaled deviations (b*x - S_b) keep the
+    within-block cumulative walk exact BIGINT; R/S per block is one IEEE
+    expression; per-size means and the final log-log OLS use a 4-column
+    PIVOT (fixed expression order — no float aggregation ordering
+    anywhere)."""
+    branches = "\n        UNION ALL ".join(
+        f"""SELECT {b} AS b, block_id, pos, cents,
+               CAST(SUM(cents) OVER (PARTITION BY block_id) AS BIGINT)
+                   AS sb,
+               SUM(CAST(cents AS DECIMAL(38,0)) * cents)
+                   OVER (PARTITION BY block_id) AS sbb,
+               CAST(COUNT(*) OVER (PARTITION BY block_id) AS BIGINT)
+                   AS cb
+        FROM (SELECT CAST(FLOOR((rn - 1) / {b}.0) AS BIGINT) AS block_id,
+                     rn - 1 - {b} * CAST(FLOOR((rn - 1) / {b}.0) AS BIGINT)
+                         AS pos,
+                     cents, rn
+              FROM indexed) i{b}"""
+        for b in (8, 16, 32, 64)
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM {orders} GROUP BY 1
+    ),
+    indexed AS (
+        SELECT cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM daily
+    ),
+    blocked AS (
+        {branches}
+    ),
+    walked AS (
+        SELECT b, block_id, sb, sbb, cb,
+               CAST(SUM(b * cents - sb) OVER (PARTITION BY b, block_id
+                    ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumdev
+        FROM blocked WHERE cb = b
+    ),
+    per_block AS (
+        SELECT b, block_id,
+               (MAX(cumdev) - CAST(MIN(LEAST(cumdev, 0)) AS DOUBLE))
+                   / (b * sqrt((b * CAST(MAX(sbb) AS DOUBLE)
+                                - CAST(MAX(sb) AS DOUBLE) * MAX(sb))) / b)
+                   AS rs
+        FROM walked
+        GROUP BY b, block_id, sb
+        HAVING b * MAX(sbb) > CAST(MAX(sb) AS DOUBLE) * MAX(sb)
+    ),
+    ordered AS (
+        SELECT b, rs,
+               ROW_NUMBER() OVER (PARTITION BY b ORDER BY block_id) AS rn2,
+               CAST(COUNT(*) OVER (PARTITION BY b) AS BIGINT) AS nb,
+               SUM(rs) OVER (PARTITION BY b ORDER BY block_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_rs
+        FROM per_block
+    ),
+    mean_rs AS (
+        SELECT b, cum_rs / nb AS mrs, nb
+        FROM ordered WHERE rn2 = nb
+    ),
+    pivoted AS (
+        SELECT MAX(CASE WHEN b = 8 THEN ln(mrs) END) AS y8,
+               MAX(CASE WHEN b = 16 THEN ln(mrs) END) AS y16,
+               MAX(CASE WHEN b = 32 THEN ln(mrs) END) AS y32,
+               MAX(CASE WHEN b = 64 THEN ln(mrs) END) AS y64,
+               MAX(CASE WHEN b = 8 THEN nb END) AS nb8,
+               MAX(CASE WHEN b = 64 THEN nb END) AS nb64
+        FROM mean_rs
+    )
+    SELECT nb8 AS n_blocks_8, nb64 AS n_blocks_64,
+           ((ln(CAST(8 AS DOUBLE)) * y8 + ln(CAST(16 AS DOUBLE)) * y16
+             + ln(CAST(32 AS DOUBLE)) * y32 + ln(CAST(64 AS DOUBLE)) * y64)
+            - (ln(CAST(8 AS DOUBLE)) + ln(CAST(16 AS DOUBLE))
+               + ln(CAST(32 AS DOUBLE)) + ln(CAST(64 AS DOUBLE)))
+              * (y8 + y16 + y32 + y64) / 4)
+           / ((ln(CAST(8 AS DOUBLE)) * ln(CAST(8 AS DOUBLE))
+               + ln(CAST(16 AS DOUBLE)) * ln(CAST(16 AS DOUBLE))
+               + ln(CAST(32 AS DOUBLE)) * ln(CAST(32 AS DOUBLE))
+               + ln(CAST(64 AS DOUBLE)) * ln(CAST(64 AS DOUBLE)))
+              - (ln(CAST(8 AS DOUBLE)) + ln(CAST(16 AS DOUBLE))
+                 + ln(CAST(32 AS DOUBLE)) + ln(CAST(64 AS DOUBLE)))
+                * (ln(CAST(8 AS DOUBLE)) + ln(CAST(16 AS DOUBLE))
+                   + ln(CAST(32 AS DOUBLE)) + ln(CAST(64 AS DOUBLE))) / 4)
+               AS hurst_exponent
+    FROM pivoted
+    """
+
+
+@register("hurst_exponent", oracle=_hurst_sql("orders"))
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range (R/S) analysis
+    over block sizes 8/16/32/64: H ~ 0.5 = random walk increments,
+    H > 0.5 = long-range persistence — the memory diagnostic that
+    complements the ACF's short-lag view. Within-block cumulative
+    deviations ride as exact b-scaled BIGINTs; per-size means use
+    ordered accumulation and the final log-log OLS is a 4-point pivot
+    with a fixed expression order, so no float sum anywhere depends on
+    partitioning.
+
+    Scale: four calendar-grid-bounded window passes (one per block
+    size) over the ~2.4k-day series; data-sized work is only the daily
+    groupBy. Public method: Hurst 1951; Mandelbrot & Wallis 1969."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "hx_orders"
+    )
+    return spark.sql(_hurst_sql("hx_orders"))
