@@ -1046,17 +1046,35 @@ def _gtest_sql(orders: str) -> str:
         SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS r,
                CAST(COUNT(DISTINCT p) AS BIGINT) AS c
         FROM obs
+    ),
+    -- the G / chi-square cell terms are doubles; summing them with a
+    -- plain aggregate is order-dependent across partitionings (the
+    -- known float-sum flake class), so accumulate in pinned (s, p)
+    -- window order and take the final row
+    walked AS (
+        SELECT n,
+               SUM(o * ln(o * CAST(n AS DOUBLE)
+                          / (row_n * CAST(col_n AS DOUBLE))))
+                   OVER (ORDER BY s, p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS g_half,
+               SUM(power(o - row_n * CAST(col_n AS DOUBLE) / n, 2)
+                   / (row_n * CAST(col_n AS DOUBLE) / n))
+                   OVER (ORDER BY s, p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS chi2,
+               ROW_NUMBER() OVER (ORDER BY s, p) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_cells
+        FROM margins
     )
     SELECT
         (SELECT r FROM dims) AS n_rows,
         (SELECT c FROM dims) AS n_cols,
         ((SELECT r FROM dims) - 1) * ((SELECT c FROM dims) - 1) AS dof,
-        CAST(MIN(n) AS BIGINT) AS n_total,
-        2 * SUM(o * ln(o * CAST(n AS DOUBLE) / (row_n * CAST(col_n AS DOUBLE))))
-            AS g_statistic,
-        SUM(power(o - row_n * CAST(col_n AS DOUBLE) / n, 2)
-            / (row_n * CAST(col_n AS DOUBLE) / n)) AS chi_square
-    FROM margins
+        CAST(n AS BIGINT) AS n_total,
+        2 * g_half AS g_statistic,
+        chi2 AS chi_square
+    FROM walked WHERE rk = n_cells
     """
 
 
@@ -1077,3 +1095,124 @@ def gtest_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gt_orders"
     )
     return spark.sql(_gtest_sql("gt_orders"))
+
+
+def _spc_sql(orders: str) -> str:
+    """Shared Shewhart X-bar/R control-chart SQL body over 7-day
+    subgroups. Subgroup sums/ranges are exact integer cents; the chart
+    constants for n=7 (A2, D3, D4) are the published Shewhart factors
+    as exact decimal literals cast to DOUBLE; grand averages use
+    ordered accumulation (no unordered float sums)."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM {orders} GROUP BY 1
+    ),
+    indexed AS (
+        SELECT cents,
+               CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY d) - 1) / 7.0)
+                    AS BIGINT) AS sg
+        FROM daily
+    ),
+    subgroups AS (
+        SELECT sg,
+               CAST(SUM(cents) AS BIGINT) AS s7,
+               CAST(MAX(cents) - MIN(cents) AS BIGINT) AS r7,
+               CAST(COUNT(*) AS BIGINT) AS n7
+        FROM indexed GROUP BY sg
+        HAVING COUNT(*) = 7
+    ),
+    grand AS (
+        SELECT sg, s7, r7,
+               CAST(SUM(s7) OVER () AS BIGINT) AS ss,
+               CAST(SUM(r7) OVER () AS BIGINT) AS sr,
+               CAST(COUNT(*) OVER () AS BIGINT) AS k
+        FROM subgroups
+    )
+    SELECT sg AS subgroup,
+           CAST(s7 AS DOUBLE) / 7 / 100 AS xbar_dollars,
+           CAST(r7 AS DOUBLE) / 100 AS range_dollars,
+           CAST(ss AS DOUBLE) / (7 * k) / 100 AS center_line,
+           (CAST(ss AS DOUBLE) / (7 * k)
+            + CAST(0.419 AS DOUBLE) * (CAST(sr AS DOUBLE) / k)) / 100
+               AS ucl_xbar,
+           (CAST(ss AS DOUBLE) / (7 * k)
+            - CAST(0.419 AS DOUBLE) * (CAST(sr AS DOUBLE) / k)) / 100
+               AS lcl_xbar,
+           CAST(1.924 AS DOUBLE) * (CAST(sr AS DOUBLE) / k) / 100
+               AS ucl_range,
+           CAST(0.076 AS DOUBLE) * (CAST(sr AS DOUBLE) / k) / 100
+               AS lcl_range,
+           CASE WHEN CAST(s7 AS DOUBLE) / 7
+                     > CAST(ss AS DOUBLE) / (7 * k)
+                       + CAST(0.419 AS DOUBLE) * (CAST(sr AS DOUBLE) / k)
+                  OR CAST(s7 AS DOUBLE) / 7
+                     < CAST(ss AS DOUBLE) / (7 * k)
+                       - CAST(0.419 AS DOUBLE) * (CAST(sr AS DOUBLE) / k)
+                THEN 1 ELSE 0 END AS xbar_violation
+    FROM grand
+    """
+
+
+@register("spc_control_chart", oracle=_spc_sql("orders"))
+def spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar / R control chart over weekly (7-day) subgroups of
+    daily revenue: subgroup means and ranges against +/- A2*Rbar control
+    limits (A2 = 0.419, D3 = 0.076, D4 = 1.924 — the published Shewhart
+    constants for n = 7), flagging out-of-control subgroups — the SPC
+    monitoring layer a data-quality process puts on any metric stream.
+    All sums are exact integer cents; limits are single expressions.
+
+    Scale: daily groupBy then a subgroup groupBy on the calendar grid.
+    Public method: Shewhart 1931 control-chart factors."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "spc_orders"
+    )
+    return spark.sql(_spc_sql("spc_orders"))
+
+
+def _dispersion_sql(orders: str) -> str:
+    """Shared Poisson-dispersion SQL body: all sufficient statistics are
+    exact BIGINT; the index and chi-square are single IEEE
+    expressions."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM {orders} GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM daily
+    )
+    SELECT n AS n_days, sx AS n_orders,
+           CAST(sx AS DOUBLE) / n AS mean_per_day,
+           (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               / (n * (n - CAST(1.0 AS DOUBLE)))
+               / (CAST(sx AS DOUBLE) / n) AS dispersion_index,
+           (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               / (n * CAST(sx AS DOUBLE) / n) AS chi_square,
+           n - 1 AS dof
+    FROM stats
+    """
+
+
+@register("poisson_dispersion_test", oracle=_dispersion_sql("orders"))
+def poisson_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion (index-of-dispersion) test on daily order
+    counts: sample variance over mean, with the (n-1)*s^2/mean
+    chi-square statistic — the standard over/under-dispersion check
+    before trusting Poisson assumptions in anomaly thresholds (rowcount
+    alerts assume equidispersion; this measures it). Exact integer
+    sufficient statistics; two final divisions.
+
+    Scale: daily groupBy then a single-row reduce. Public method:
+    Fisher 1950 index of dispersion."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pd_orders"
+    )
+    return spark.sql(_dispersion_sql("pd_orders"))

@@ -1844,3 +1844,104 @@ def odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "or_lineitem"
     )
     return spark.sql(_odds_ratio_sql("or_lineitem"))
+
+
+def _kappa_sql(lineitem: str) -> str:
+    """Shared Cohen's-kappa SQL body: 2x2 agreement counts are exact
+    BIGINT; observed/expected agreement and kappa are single IEEE
+    expressions over them."""
+    return f"""
+    WITH judged AS (
+        SELECT CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END AS r1,
+               CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS r2
+        FROM {lineitem}
+    ),
+    cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r1 * r2) AS BIGINT) AS a,
+               CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS b,
+               CAST(SUM((1 - r1) * r2) AS BIGINT) AS c,
+               CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS d
+        FROM judged
+    )
+    SELECT n, a, b, c, d,
+           (a + CAST(d AS DOUBLE)) / n AS observed_agreement,
+           ((a + b) * (a + CAST(c AS DOUBLE)) + (c + d) * (b + CAST(d AS DOUBLE)))
+               / (CAST(n AS DOUBLE) * n) AS expected_agreement,
+           ((a + CAST(d AS DOUBLE)) / n
+            - ((a + b) * (a + CAST(c AS DOUBLE))
+               + (c + d) * (b + CAST(d AS DOUBLE)))
+              / (CAST(n AS DOUBLE) * n))
+           / (1 - ((a + b) * (a + CAST(c AS DOUBLE))
+                   + (c + d) * (b + CAST(d AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) * n)) AS cohens_kappa
+    FROM cells
+    """
+
+
+@register("cohens_kappa_agreement", oracle=_kappa_sql("lineitem"))
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two derived binary judgments of a line item
+    (high-price vs high-quantity): chance-corrected agreement — the
+    label-quality metric annotation pipelines report when two raters
+    (or a heuristic vs a model) tag the same corpus. Exact integer
+    agreement table; kappa is one expression.
+
+    Scale: one conditional aggregation, single row. Public method:
+    Cohen 1960."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ck_lineitem"
+    )
+    return spark.sql(_kappa_sql("ck_lineitem"))
+
+
+def _grubbs_sql(orders: str) -> str:
+    """Shared Grubbs-outlier SQL body: n-scaled deviations keep the
+    argmax comparison exact (|n*x - sx| in BIGINT); the G statistic is
+    one IEEE expression over exact sums, tiebreak on date."""
+    return f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM {orders} GROUP BY 1
+    ),
+    stats AS (
+        SELECT d, cents,
+               CAST(SUM(cents) OVER () AS BIGINT) AS sx,
+               SUM(CAST(cents AS DECIMAL(38,0)) * cents) OVER () AS sxx,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM daily
+    ),
+    ranked AS (
+        SELECT d, cents, sx, sxx, n,
+               ROW_NUMBER() OVER (
+                   ORDER BY ABS(n * cents - sx) DESC, d) AS rk
+        FROM stats
+    )
+    SELECT n AS n_days, d AS outlier_date,
+           CAST(cents AS DOUBLE) / 100 AS outlier_value_dollars,
+           CAST(sx AS DOUBLE) / n / 100 AS mean_dollars,
+           ABS(n * cents - CAST(sx AS DOUBLE)) / n
+               / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      / (n * (n - CAST(1.0 AS DOUBLE))))
+               AS grubbs_g
+    FROM ranked WHERE rk = 1
+    """
+
+
+@register("grubbs_outlier_day", oracle=_grubbs_sql("orders"))
+def grubbs_outlier_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic for the most extreme daily revenue: the
+    maximum studentized deviation G = max|x - xbar|/s with its date —
+    the single-outlier screen complementing the 3-sigma and MAD family
+    (Grubbs is the version with an exact small-sample critical value).
+    The argmax compares exact n-scaled integer deviations; G is one
+    expression over exact sums; date tiebreak pins ties.
+
+    Scale: daily groupBy then calendar-bounded windows. Public method:
+    Grubbs 1950."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "gr_orders"
+    )
+    return spark.sql(_grubbs_sql("gr_orders"))

@@ -2015,15 +2015,17 @@ def _km_sql(orders: str, datediff: str) -> str:
 
 
 @register(
-    "kaplan_meier_churn",
+    "kaplan_meier_tenure",
     oracle=_km_sql("orders", "date_diff('day', {a}, {b})"),
 )
-def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kaplan_meier_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier product-limit survival of customer tenure (30-day
     buckets, censoring at the 180-day inactivity horizon) with the
     Greenwood standard error — the multiplicative dual of
     life_table_nelson_aalen on the identical censoring frame, so the
-    two estimators cross-check each other (S_KM <= S_NA pointwise).
+    two estimators cross-check each other (S_KM <= S_NA pointwise);
+    distinct from the per-mktsegment kaplan_meier_churn, which buckets
+    by event-time order rather than 30-day tenure.
     The product is an ordered log-sum (deterministic sequential
     accumulation); an exhausted risk set (d = n) absorbs to S = 0
     explicitly rather than through ln(0).
