@@ -1241,3 +1241,136 @@ def adoption_curve_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("ad_orders")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("ad_part")
     return spark.sql(_adoption_sql("ad_lineitem", "ad_orders", "ad_part"))
+
+
+def _newsvendor_sql(lineitem: str) -> str:
+    """Shared newsvendor SQL body. The critical-fractile quantile is an
+    exact integer-rank pick over each brand-bucket's discrete quantity
+    distribution (rank*denominator comparisons, no division); expected
+    over/underage units at the chosen stock level are exact integer
+    sums scaled once to doubles."""
+    return f"""
+    WITH demand AS (
+        SELECT l_partkey % 25 AS brand_bucket,
+               CAST(l_quantity AS BIGINT) AS q
+        FROM {lineitem}
+    ),
+    ranked AS (
+        SELECT brand_bucket, q,
+               CAST(ROW_NUMBER() OVER (PARTITION BY brand_bucket
+                                       ORDER BY q, q) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY brand_bucket) AS BIGINT)
+                   AS n
+        FROM demand
+    ),
+    -- critical fractile for cost ratio cu/(cu+co) = 3/(3+1) = 3/4:
+    -- smallest order statistic with rank >= ceil(3n/4), picked by the
+    -- integer comparison 4*rn >= 3*n (div-free)
+    stock AS (
+        SELECT brand_bucket, MIN(q) AS s_star,
+               MAX(n) AS n
+        FROM ranked WHERE 4 * rn >= 3 * n
+        GROUP BY brand_bucket
+    )
+    SELECT d.brand_bucket,
+           CAST(MAX(s.n) AS BIGINT) AS n_obs,
+           CAST(MAX(s.s_star) AS BIGINT) AS stock_level,
+           CAST(SUM(CASE WHEN d.q < s.s_star THEN s.s_star - d.q
+                         ELSE 0 END) AS DOUBLE) / MAX(s.n)
+               AS expected_overage_units,
+           CAST(SUM(CASE WHEN d.q > s.s_star THEN d.q - s.s_star
+                         ELSE 0 END) AS DOUBLE) / MAX(s.n)
+               AS expected_underage_units
+    FROM demand d JOIN stock s ON d.brand_bucket = s.brand_bucket
+    GROUP BY d.brand_bucket
+    """
+
+
+@register("newsvendor_quantile", oracle=_newsvendor_sql("lineitem"))
+def newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor critical-fractile stocking level per brand bucket:
+    the 3/4 demand quantile (underage cost 3x overage) picked by exact
+    integer-rank comparison over the discrete quantity distribution,
+    plus the resulting expected overage/underage units — the classic
+    single-period inventory optimum, computed distribution-free from
+    the empirical demand. Exact integer sums throughout; one scale to
+    double at the end.
+
+    Scale: two partitioned windows + one groupBy, all keyed on the
+    25-bucket brand dimension (map-side combinable). Public method:
+    the newsvendor critical fractile (Arrow-Harris-Marschak 1951
+    lineage)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "nv_lineitem"
+    )
+    return spark.sql(_newsvendor_sql("nv_lineitem"))
+
+
+def _abc_xyz_sql(lineitem: str) -> str:
+    """Shared ABC-XYZ SQL body. ABC uses DECIMAL-exact revenue shares
+    via an ordered cumulative window; XYZ uses the coefficient of
+    variation from exact integer monthly sums; class edges are exact
+    rational comparisons (cum*10 vs total thresholds, 20*var vs mean^2
+    bands) so no float rounding decides a class."""
+    return f"""
+    WITH monthly AS (
+        SELECT l_partkey % 100 AS sku_bucket,
+               CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) * 12
+                    + EXTRACT(MONTH FROM CAST(l_shipdate AS DATE))
+                    AS BIGINT) AS mi,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM {lineitem}
+        GROUP BY 1, 2
+    ),
+    per_sku AS (
+        SELECT sku_bucket,
+               CAST(SUM(cents) AS BIGINT) AS rev,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS revsq
+        FROM monthly GROUP BY 1
+    ),
+    abc AS (
+        SELECT sku_bucket, rev, m, revsq,
+               CAST(SUM(rev) OVER (ORDER BY rev DESC, sku_bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(SUM(rev) OVER () AS BIGINT) AS total
+        FROM per_sku
+    )
+    SELECT sku_bucket,
+           CAST(rev AS DOUBLE) / 100 AS revenue_dollars,
+           CASE WHEN cum * 10 <= total * 8 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           sqrt((m * CAST(revsq AS DOUBLE) - CAST(rev AS DOUBLE) * rev))
+               / rev AS cv,
+           -- XYZ bands at CV 0.1 / 0.25: exact rational comparison
+           -- m*revsq - rev^2 vs (band*rev)^2 -> scaled by 10^2 / 4^2
+           CASE WHEN (m * CAST(revsq AS DOUBLE) - CAST(rev AS DOUBLE) * rev)
+                     * 100 <= CAST(rev AS DOUBLE) * rev THEN 'X'
+                WHEN (m * CAST(revsq AS DOUBLE) - CAST(rev AS DOUBLE) * rev)
+                     * 16 <= CAST(rev AS DOUBLE) * rev THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM abc
+    """
+
+
+@register("abc_xyz_matrix", oracle=_abc_xyz_sql("lineitem"))
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory segmentation per SKU bucket: revenue-share ABC
+    classes (80/95 cut on the DECIMAL-exact cumulative share, ordered
+    deterministically) crossed with demand-variability XYZ classes
+    (coefficient of variation of monthly revenue, banded at 0.1/0.25 by
+    exact rational comparison) — the 9-cell planning matrix
+    replenishment policy is keyed on, extending abc_classification with
+    the variability axis. No float rounding ever decides a class.
+
+    Scale: monthly groupBy (map-side combine) collapses to the
+    SKU-bucket x month grid; one ordered window over 100 buckets.
+    Public method: ABC-XYZ analysis (Dickie 1951; coefficient-of-
+    variation banding)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ax_lineitem"
+    )
+    return spark.sql(_abc_xyz_sql("ax_lineitem"))
