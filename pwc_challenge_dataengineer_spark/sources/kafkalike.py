@@ -195,15 +195,58 @@ class KafkaLikeBroker:
 # ------------------------------------------------- option / offset helpers
 
 
-def _parse_topics(options: dict) -> list[str]:
-    sub = options.get("subscribe")
-    if not sub:
-        raise ValueError("kafkalike requires the 'subscribe' option")
-    return [t.strip() for t in sub.split(",") if t.strip()]
+def _parse_subscription(options: dict):
+    """The connector's three mutually-exclusive subscription modes:
+    ``subscribe`` (comma topic list), ``subscribePattern`` (regex over
+    topic names, resolved against the broker lazily) and ``assign``
+    (explicit {topic: [partition,...]} JSON). Returns a spec consumed by
+    :func:`_resolve_subscription`."""
+    modes = [
+        m for m in ("subscribe", "subscribePattern", "assign")
+        if options.get(m)
+    ]
+    if len(modes) != 1:
+        raise ValueError(
+            "kafkalike requires exactly one of subscribe / "
+            f"subscribePattern / assign (got {modes or 'none'})"
+        )
+    mode = modes[0]
+    if mode == "subscribe":
+        return ("topics", [
+            t.strip() for t in options["subscribe"].split(",") if t.strip()
+        ])
+    if mode == "subscribePattern":
+        return ("pattern", options["subscribePattern"])
+    return ("assign", {
+        t: [int(p) for p in ps]
+        for t, ps in json.loads(options["assign"]).items()
+    })
+
+
+def _resolve_subscription(broker: KafkaLikeBroker, spec) -> dict:
+    """Spec -> {topic: [partitions]} against the live broker."""
+    import re as _re
+
+    kind, v = spec
+    if kind == "topics":
+        return {t: broker.partitions_of(t) for t in v}
+    if kind == "pattern":
+        rx = _re.compile(v)
+        topics = sorted(
+            t for t in os.listdir(broker.root)
+            if os.path.isdir(os.path.join(broker.root, t))
+            and not t.startswith(".") and rx.fullmatch(t)
+        )
+        if not topics:
+            raise ValueError(
+                f"subscribePattern {v!r} matches no topics in {broker.root}"
+            )
+        return {t: broker.partitions_of(t) for t in topics}
+    return {t: ps for t, ps in v.items()}
 
 
 def _resolve_offsets(
-    broker: KafkaLikeBroker, topics: list[str], spec: str, *, what: str
+    broker: KafkaLikeBroker, topic_parts: dict, spec: str, *, what: str
 ) -> dict:
     """Kafka's startingOffsets/endingOffsets resolution → nested offset
     dict {topic: {"<p>": offset}}. -2 = earliest, -1 = latest."""
@@ -211,9 +254,9 @@ def _resolve_offsets(
     if spec not in ("earliest", "latest"):
         per_topic_json = json.loads(spec)
     out: dict = {}
-    for t in topics:
+    for t, parts in topic_parts.items():
         out[t] = {}
-        for p in broker.partitions_of(t):
+        for p in parts:
             if per_topic_json is not None:
                 if t not in per_topic_json or str(p) not in per_topic_json[t]:
                     raise ValueError(
@@ -345,7 +388,7 @@ def _plan_slices(
 class KafkaLikeBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"]
-        self.topics = _parse_topics(options)
+        self.subscription = _parse_subscription(options)
         self.starting = options.get("startingOffsets", "earliest")
         self.ending = options.get("endingOffsets", "latest")
         self.fail_on_data_loss = (
@@ -354,11 +397,12 @@ class KafkaLikeBatchReader(DataSourceReader):
 
     def partitions(self):
         broker = KafkaLikeBroker(self.root)
+        tp = _resolve_subscription(broker, self.subscription)
         start = _resolve_offsets(
-            broker, self.topics, self.starting, what="startingOffsets"
+            broker, tp, self.starting, what="startingOffsets"
         )
         end = _resolve_offsets(
-            broker, self.topics, self.ending, what="endingOffsets"
+            broker, tp, self.ending, what="endingOffsets"
         )
         return _plan_slices(broker, start, end, self.fail_on_data_loss)
 
@@ -379,7 +423,7 @@ class KafkaLikeStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.root = options["path"]
-        self.topics = _parse_topics(options)
+        self.subscription = _parse_subscription(options)
         self.starting = options.get("startingOffsets", "latest")
         cap = options.get("maxOffsetsPerTrigger")
         self.max_per_trigger = int(cap) if cap is not None else None
@@ -389,22 +433,27 @@ class KafkaLikeStreamReader(DataSourceStreamReader):
         self._broker = KafkaLikeBroker(self.root)
         self._last_end: dict | None = None
 
+    def _topic_parts(self) -> dict:
+        return _resolve_subscription(self._broker, self.subscription)
+
     def initialOffset(self) -> dict:
         out = _resolve_offsets(
-            self._broker, self.topics, self.starting, what="startingOffsets"
+            self._broker, self._topic_parts(), self.starting,
+            what="startingOffsets",
         )
         if self._last_end is None:
             self._last_end = out
         return out
 
     def latestOffset(self) -> dict:
+        tp = self._topic_parts()
         avail = _resolve_offsets(
-            self._broker, self.topics, "latest", what="latestOffsets"
+            self._broker, tp, "latest", what="latestOffsets"
         )
         base = self._last_end
         if base is None:
             base = _resolve_offsets(
-                self._broker, self.topics, self.starting,
+                self._broker, tp, self.starting,
                 what="startingOffsets",
             )
         # never plan backwards from what's already consumed

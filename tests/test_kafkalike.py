@@ -434,3 +434,66 @@ def test_kafkalike_silver_gold_windowed_agg(spark, tmp_path):
             if idx:
                 want.add((et, start, len(idx), sum(idx)))
     assert got == want
+
+
+def test_subscribe_pattern_and_assign(tmp_path):
+    """The two remaining Kafka subscription modes: subscribePattern
+    (regex over topic names) and assign (explicit topic-partition JSON),
+    mirroring the real connector's mutually-exclusive trio."""
+    broker = KafkaLikeBroker(str(tmp_path / "broker"))
+    for t in ("orders.us", "orders.eu", "clicks"):
+        broker.create_topic(t, partitions=2)
+        for i in range(4):
+            broker.produce(t, f"{t}-{i}", partition=i % 2)
+    r = KafkaLikeStreamReader(
+        {
+            "path": broker.root,
+            "subscribePattern": "orders\\..*",
+            "startingOffsets": "earliest",
+        }
+    )
+    assert r.initialOffset() == {
+        "orders.us": {"0": 0, "1": 0},
+        "orders.eu": {"0": 0, "1": 0},
+    }
+    r2 = KafkaLikeStreamReader(
+        {
+            "path": broker.root,
+            "assign": json.dumps({"orders.us": [0], "clicks": [1]}),
+            "startingOffsets": "earliest",
+        }
+    )
+    offs = r2.initialOffset()
+    assert offs == {"orders.us": {"0": 0}, "clicks": {"1": 0}}
+    slices = r2.partitions(offs, {"orders.us": {"0": 2}, "clicks": {"1": 2}})
+    assert {(s.topic, s.partition) for s in slices} == {
+        ("orders.us", 0),
+        ("clicks", 1),
+    }
+    with pytest.raises(ValueError, match="exactly one"):
+        KafkaLikeStreamReader(
+            {
+                "path": broker.root,
+                "subscribe": "clicks",
+                "subscribePattern": ".*",
+            }
+        )
+    with pytest.raises(ValueError, match="matches no topics"):
+        KafkaLikeStreamReader(
+            {"path": broker.root, "subscribePattern": "nope\\..*"}
+        ).initialOffset()
+
+
+def test_subscribe_pattern_spark_batch(spark, tmp_path):
+    broker = KafkaLikeBroker(str(tmp_path / "broker"))
+    for t in ("t.a", "t.b", "other"):
+        broker.create_topic(t, partitions=1)
+        broker.produce(t, f"v-{t}")
+    register_kafkalike(spark)
+    df = (
+        spark.read.format("kafkalike")
+        .option("path", broker.root)
+        .option("subscribePattern", "t\\..*")
+        .load()
+    )
+    assert {r.topic for r in df.collect()} == {"t.a", "t.b"}
