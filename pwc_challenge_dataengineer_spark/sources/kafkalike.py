@@ -294,13 +294,22 @@ def _allocate_cap(
         return avail
     alloc = {k: max_offsets * lag // total for k, lag in lags.items()}
     left = max_offsets - sum(alloc.values())
-    for k in sorted(lags):
-        if left <= 0:
+    # remainder: ONE offset per partition round-robin (not the whole
+    # remainder to the first partition with headroom — with equal lags and
+    # a small cap that starves every other partition), in numeric
+    # partition order ("10" must sort after "2"; keys are strings)
+    keys = sorted(lags, key=lambda k: (k[0], int(k[1])))
+    while left > 0:
+        bumped = False
+        for k in keys:
+            if left <= 0:
+                break
+            if alloc[k] < lags[k]:
+                alloc[k] += 1
+                left -= 1
+                bumped = True
+        if not bumped:
             break
-        if alloc[k] < lags[k]:
-            bump = min(left, lags[k] - alloc[k])
-            alloc[k] += bump
-            left -= bump
     out: dict = {}
     for t in avail:
         out[t] = {}

@@ -103,12 +103,33 @@ def cdc_scd2_apply(
     # state, as the reference cdc_processor does: drop changes older
     # than the matching current row's start.
     cur_vf = cur.select(*key_cols, F.col("valid_from").alias("__cur_vf"))
+    # Post-delete guard: after a delete there is NO current row, so the
+    # __cur_vf check alone would let a straggler upsert with ts older than
+    # the delete resurrect the key. The key's true event-time high-water
+    # mark is max(valid_to) over its CLOSED versions (a delete's boundary
+    # lives there) — compare against that too. History is semi-joined to
+    # the batch's keys first so the aggregate is batch-sized, not
+    # dimension-sized (the micro-batch key set broadcasts).
+    batch_keys = lww.select(*key_cols).distinct()
+    hist_hwm = (
+        history.join(F.broadcast(batch_keys), key_cols, "left_semi")
+        .groupBy(*key_cols)
+        .agg(F.max("valid_to").alias("__hist_vt"))
+    )
     lww = (
         lww.join(cur_vf, key_cols, "left")
+        .join(F.broadcast(hist_hwm), key_cols, "left")
         .filter(
-            F.col("__cur_vf").isNull() | (F.col("__eff") >= F.col("__cur_vf"))
+            (
+                F.col("__cur_vf").isNull()
+                | (F.col("__eff") >= F.col("__cur_vf"))
+            )
+            & (
+                F.col("__hist_vt").isNull()
+                | (F.col("__eff") >= F.col("__hist_vt"))
+            )
         )
-        .drop("__cur_vf")
+        .drop("__cur_vf", "__hist_vt")
     )
 
     ups = lww.filter(F.col("op") != "d")

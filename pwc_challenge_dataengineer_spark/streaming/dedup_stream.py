@@ -38,11 +38,12 @@ segment writes over a broadcast anti-join of those checkpoints), verdict
 write. Store reads cost zero jobs while the in-memory segment cache is
 warm (see DedupSegmentStore).
 
-Verdict contract: ``duplicate_of`` is resolved through up to
-``_RESOLVE_ROUNDS`` chain hops (batch doc → batch rep → stored rep), so it
-names a document that was retained as a representative except for
-within-one-batch chains longer than 2^rounds links — those remain
-single-link (stated, not claimed away).
+Verdict contract: ``duplicate_of`` chains (batch doc → batch rep → stored
+rep) are fully resolved driver-side — the dup map is micro-batch-bounded
+(it crossed the driver as a broadcast in the former self-join shape
+anyway), so pointer-chasing it in Python costs no Spark jobs and every
+emitted ``duplicate_of`` names a document that was actually retained as a
+representative, for chains of any length.
 
 Exactly-once posture: the store commit is manifest-gated per batch_id — a
 replayed micro-batch finds its segment already committed and skips the
@@ -465,9 +466,34 @@ def make_dedup_batch_fn(
                     )
 
     def _run_batch(batch_df: DataFrame, batch_id: int) -> None:
-        prof = minhash_doc_profiles(
-            batch_df, "doc_id", "text", k=3, n_bands=N_BANDS
-        ).localCheckpoint(eager=True)
+        # LEFT-join every incoming doc_id into the profile frame: docs with
+        # < k tokens have an EMPTY shingle array, so the explode inside
+        # minhash_doc_profiles drops them entirely — without this join they
+        # would silently get no verdict row (output-completeness bug for
+        # short documents). The join lives INSIDE the one checkpoint job
+        # (no later raw-chunk rescan); shingle-less docs carry n_sh = 0,
+        # an empty verify set, and NULL band minima — a NULL signature can
+        # never equi-join a candidate, so they are trivially non-duplicates.
+        prof = (
+            batch_df.select("doc_id")
+            .distinct()
+            .join(
+                minhash_doc_profiles(
+                    batch_df, "doc_id", "text", k=3, n_bands=N_BANDS
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce("sh_set", F.array().cast("array<bigint>")).alias(
+                    "sh_set"
+                ),
+                F.coalesce("n_sh", F.lit(0).cast("bigint")).alias("n_sh"),
+                *[F.col(f"__s{b}") for b in range(N_BANDS)],
+            )
+            .localCheckpoint(eager=True)
+        )
         # empty-batch guard on the checkpointed blocks (an in-memory
         # probe) — the former take(1) on the raw stream chunk was a full
         # extra scan job per batch
@@ -542,16 +568,45 @@ def make_dedup_batch_fn(
             .agg(F.min("id_a").alias("duplicate_of"))
             .localCheckpoint(eager=True)
         )
-        # resolution rewrites TARGETS only, never the key set — the
-        # survivor anti-join can use the unresolved map
-        dup_of = _resolve_chains(dup0)
+        # chain resolution DRIVER-SIDE (r8): the dup map is micro-batch-
+        # bounded and the former _resolve_chains broadcast self-joins moved
+        # the same rows through the driver anyway (broadcast = collect),
+        # while costing one broadcast-build job per round. Collecting once
+        # (an in-memory scan of the checkpointed leaf) and pointer-chasing
+        # in Python resolves chains of ANY length (strictly-decreasing
+        # batch chains + terminal store targets guarantee termination) and
+        # re-enters the plan as a LocalRelation — which broadcasts with NO
+        # extra job. Net: -2 jobs/batch and a stronger verdict contract
+        # (every duplicate_of names a retained representative, no 2^rounds
+        # cap).
+        dmap = {
+            r["doc_id"]: r["duplicate_of"] for r in dup0.collect()
+        }
+        resolved: dict[int, int] = {}
+        for d in dmap:
+            t = dmap[d]
+            while t in dmap:
+                t = dmap[t]
+            resolved[d] = t
+        spark = batch_df.sparkSession
+        dup_local = spark.createDataFrame(
+            list(resolved.items()) or [],
+            "doc_id BIGINT, duplicate_of BIGINT",
+        )
 
-        survivors = prof.join(dup0, "doc_id", "left_anti").select(
-            "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
+        # shingle-less docs (n_sh = 0) are excluded from the store: their
+        # NULL signatures can never match a future candidate, so storing
+        # them would only grow the segments (pre-r8 behavior preserved)
+        survivors = (
+            prof.filter(F.col("n_sh") > 0)
+            .join(F.broadcast(dup_local.select("doc_id")), "doc_id", "left_anti")
+            .select(
+                "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
+            )
         )
         verdicts = (
             prof.select("doc_id")  # checkpointed — no raw-chunk rescan
-            .join(dup_of, "doc_id", "left")
+            .join(F.broadcast(dup_local), "doc_id", "left")
             .select(
                 "doc_id",
                 F.lit(int(batch_id)).alias("batch_id"),

@@ -171,3 +171,24 @@ def test_cdc_scd2_cross_batch_late_event_dropped(spark, tmp_path):
         (1, 15.0, 5, 7, False),
         (1, 20.0, 7, None, True),
     }
+
+
+def test_cdc_scd2_late_event_after_delete_not_resurrected(spark, tmp_path):
+    """After a DELETE there is no current row, so the open-version guard
+    alone cannot see the key's event-time boundary — a straggler upsert
+    with a ts OLDER than the delete must still be dropped (compared
+    against max(valid_to) in history), not resurrect the key as current."""
+    table = VersionedTable(spark, str(tmp_path / "dim"))
+    fn = make_cdc_scd2_batch_fn(table, PAYLOAD, ["user_id"], ["balance"])
+    fn(spark.createDataFrame([(_env("c", 1, 10.0, 1),)], "value STRING"), 0)
+    fn(spark.createDataFrame([(_env("d", 1, 10.0, 5),)], "value STRING"), 1)
+    assert _state(table) == {(1, 10.0, 1, 5, False)}
+    # straggler upsert older than the delete: must NOT resurrect
+    fn(spark.createDataFrame([(_env("u", 1, 12.0, 3),)], "value STRING"), 2)
+    assert _state(table) == {(1, 10.0, 1, 5, False)}
+    # an upsert at/after the delete boundary is a legitimate re-create
+    fn(spark.createDataFrame([(_env("c", 1, 30.0, 8),)], "value STRING"), 3)
+    assert _state(table) == {
+        (1, 10.0, 1, 5, False),
+        (1, 30.0, 8, None, True),
+    }

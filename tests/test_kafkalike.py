@@ -59,6 +59,20 @@ def test_allocate_cap_proportional_to_lag():
     assert _allocate_cap(start, avail, 1000) == avail
 
 
+def test_allocate_cap_remainder_round_robin():
+    # equal lags + a cap smaller than the partition count: the rounding
+    # remainder must spread one offset per partition (round-robin), not
+    # hand the whole budget to one partition
+    start = {"t": {str(p): 0 for p in range(12)}}
+    avail = {"t": {str(p): 100 for p in range(12)}}
+    out = _allocate_cap(start, avail, 5)
+    got = [out["t"][str(p)] for p in range(12)]
+    assert sum(got) == 5
+    assert max(got) == 1, got  # no partition hogs the budget
+    # numeric partition order: p2 is served before p10
+    assert got[:5] == [1, 1, 1, 1, 1] and got[5:] == [0] * 7, got
+
+
 def test_starting_offsets_resolution(tmp_path):
     broker = _mk_broker(tmp_path, n=20, partitions=2)
     broker.truncate("orders", 0, 3)  # retention on p0

@@ -108,6 +108,47 @@ def test_proto3_default_elision_and_presence():
     )
 
 
+def test_reading_singular_message_does_not_flip_presence():
+    # real protobuf: merely READING a singular submessage returns an
+    # unstored default — HasField stays False and nothing serializes
+    req = sm.StateRequest()
+    _ = req.statefulProcessorCall  # read-only touch
+    assert not req.HasField("statefulProcessorCall")
+    assert req.SerializeToString() == b""
+    assert req.WhichOneof("method") is None
+    # read identity is stable (same lazy default each time)
+    assert req.statefulProcessorCall is req.statefulProcessorCall
+    # ...but WRITING THROUGH the read reference links the whole chain
+    req.statefulProcessorCall.getValueState.stateName = "s"
+    assert req.HasField("statefulProcessorCall")
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    assert req.statefulProcessorCall.getValueState.stateName == "s"
+    rt = sm.StateRequest()
+    rt.ParseFromString(req.SerializeToString())
+    assert rt.statefulProcessorCall.getValueState.stateName == "s"
+
+
+def test_write_through_lazy_ref_respects_oneof_and_clear():
+    call = sm.StatefulProcessorCall()
+    lazy_a = call.getValueState  # unstored default
+    call.getListState = sm.StateCallCommand(stateName="b")
+    # mutating the stale read-ref commits it, displacing the oneof sibling
+    lazy_a.stateName = "a"
+    assert call.WhichOneof("method") == "getValueState"
+    assert not call.HasField("getListState")
+    # a cleared field's old reference is detached — mutating it afterwards
+    # must not silently re-install it
+    call.ClearField("getValueState")
+    lazy_a.stateName = "zombie"
+    assert not call.HasField("getValueState")
+    # explicit assignment detaches the previously-read lazy default too
+    req = sm.StateRequest()
+    stale = req.implicitGroupingKeyRequest
+    req.implicitGroupingKeyRequest = sm.ImplicitGroupingKeyRequest()
+    stale.setImplicitKey.key = b"old"
+    assert not req.implicitGroupingKeyRequest.HasField("setImplicitKey")
+
+
 def test_unknown_field_name_raises():
     req = sm.StateRequest()
     with pytest.raises(AttributeError):
@@ -180,6 +221,35 @@ def test_unknown_fields_skipped():
     r = sm.StateResponse()
     r.ParseFromString(bytes(extra))
     assert r.statusCode == 7
+
+
+def test_google_namespace_stays_open(tmp_path, monkeypatch):
+    """The shim's ``google`` package must not terminate namespace-package
+    merging: a sibling ``google.*`` distribution elsewhere on sys.path
+    (google-auth, google-cloud-*) must stay importable after
+    enable_protoshim() puts the shim first."""
+    import importlib
+    import sys
+
+    pkg = tmp_path / "google" / "protoshim_ns_probe"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("MARKER = 'sibling-ok'\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    # the shim's google is already imported; extend_path recomputation
+    # happens at import time, so re-extend for the new sys.path entry
+    import google
+
+    importlib.reload(google)
+    mod = importlib.import_module("google.protoshim_ns_probe")
+    try:
+        assert mod.MARKER == "sibling-ok"
+        # and the shim still owns google.protobuf
+        import google.protobuf as gp
+
+        assert "protoshim" in (gp.__file__ or "")
+    finally:
+        sys.modules.pop("google.protoshim_ns_probe", None)
+        importlib.reload(google)
 
 
 def test_never_shadows_real_protobuf(monkeypatch):

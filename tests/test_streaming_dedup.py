@@ -65,6 +65,49 @@ def test_streaming_minhash_dedup_cross_batch(spark, tmp_path):
     assert {r["doc_id"] for r in store.read().collect()} == {1, 2, 4}
 
 
+def test_short_docs_get_verdicts(spark, tmp_path):
+    """Docs with fewer than k=3 tokens produce an EMPTY shingle array, so
+    they have no natural profile row — they must still receive an explicit
+    is_duplicate=false verdict (output completeness), and must NOT be
+    appended to the signature store (a NULL-signature row can never match
+    anything and would only grow the segments)."""
+    store = DedupSegmentStore(spark, str(tmp_path / "store"))
+    out = str(tmp_path / "verdicts")
+    fn = make_dedup_batch_fn(store, out, threshold=0.5)
+    fn(
+        spark.createDataFrame(
+            [
+                (1, _BASE_A + " end1"),  # normal doc
+                (2, "hi"),               # 1 token — shingle-less
+                (3, "two words"),        # 2 tokens — shingle-less
+                (4, ""),                 # empty text
+            ],
+            "doc_id BIGINT, text STRING",
+        ),
+        0,
+    )
+    # a second batch duplicating doc 1 — short docs from b0 must not have
+    # polluted the store or the candidate join
+    fn(
+        spark.createDataFrame(
+            [(5, _BASE_A + " end5"), (6, "ok")], "doc_id BIGINT, text STRING"
+        ),
+        1,
+    )
+    verdicts = {
+        r["doc_id"]: (r["is_duplicate"], r["duplicate_of"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(verdicts) == {1, 2, 3, 4, 5, 6}, verdicts
+    assert verdicts[2] == (False, None)
+    assert verdicts[3] == (False, None)
+    assert verdicts[4] == (False, None)
+    assert verdicts[6] == (False, None)
+    assert verdicts[5] == (True, 1), verdicts
+    # only shingled representatives stored
+    assert {r["doc_id"] for r in store.read().collect()} == {1}
+
+
 def test_segment_store_replay_is_idempotent(spark, tmp_path):
     store = DedupSegmentStore(spark, str(tmp_path / "store"))
     out = str(tmp_path / "verdicts")
