@@ -58,13 +58,24 @@ def word_shingles(tokens_col: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
 
 
-def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def exploded_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    keep_empty_docs: bool = False,
+) -> DataFrame:
+    """``keep_empty_docs=True`` uses explode_outer so a doc with < k tokens
+    (empty shingle array) still yields ONE row with a NULL shingle — needed
+    by consumers that must emit a result for EVERY input doc (the streaming
+    dedup verdict contract) without a second scan + join over the source."""
     toked = df.select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), "\\s+").alias("__toks"),
     )
+    explode = F.explode_outer if keep_empty_docs else F.explode
     return toked.select(
-        F.col(id_col), F.explode(word_shingles(F.col("__toks"), k)).alias("shingle")
+        F.col(id_col), explode(word_shingles(F.col("__toks"), k)).alias("shingle")
     )
 
 
@@ -101,7 +112,12 @@ def minhash_band_signatures(
 
 
 def minhash_doc_profiles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_bands: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_bands: int = 4,
+    keep_empty_docs: bool = False,
 ) -> DataFrame:
     """ONE explode + ONE doc-level groupBy producing everything the
     LSH pipeline needs per doc: sorted shingle set, shingle count, and all
@@ -114,9 +130,9 @@ def minhash_doc_profiles(
     explode+shuffle work, and the fused output is one row per DOCUMENT
     (shingle arrays included), small enough to localCheckpoint and fan out
     to the signature/verify consumers without recompute."""
-    sh = exploded_shingles(df, id_col, text_col, k).withColumn(
-        "__h", F.md5("shingle")
-    )
+    sh = exploded_shingles(
+        df, id_col, text_col, k, keep_empty_docs=keep_empty_docs
+    ).withColumn("__h", F.md5("shingle"))
     # The verify set stores 64-bit hashes, not the shingle strings:
     # array_intersect over bigints is ~3x cheaper than over strings
     # (measured — the string intersect was the pipeline's single most
@@ -131,12 +147,18 @@ def minhash_doc_profiles(
     # fail fast on mismatch, so a store written under another scheme can
     # never silently undercount common shingles.
     sh_hash = F.xxhash64("shingle")
+    if keep_empty_docs:
+        # a shingle-less doc's single explode_outer row carries a NULL
+        # shingle; xxhash64(NULL) is NOT null (seed pass-through), so gate
+        # the verify-set entry explicitly. count("shingle") skips the null
+        # row; md5(NULL) IS null so the band minima come out null unaided.
+        sh_hash = F.when(F.col("shingle").isNotNull(), sh_hash)
     # no sort_array on the verify set: array_intersect is hash-based (order
     # irrelevant), n_common/size are order-independent, and the sort cost
     # ~10% of the whole profile aggregation (measured at sf0.1)
     return sh.groupBy(id_col).agg(
         F.collect_list(sh_hash).alias("sh_set"),
-        F.count("*").alias("n_sh"),
+        F.count("shingle" if keep_empty_docs else "*").alias("n_sh"),
         *_band_minima_aggs("__h", n_bands),
     )
 

@@ -33,10 +33,11 @@ store inside ``foreachBatch``:
 
 Per-batch latency floor = Spark JOB COUNT × local scheduling overhead, so
 the batch body is shaped to a minimal job inventory: profile checkpoint,
-one fused verify + duplicate-of checkpoint, manifest append (count + two
-segment writes over a broadcast anti-join of those checkpoints), verdict
-write. Store reads cost zero jobs while the in-memory segment cache is
-warm (see DedupSegmentStore).
+ONE fused verify + duplicate-of + batch-counts collect, then overlapped
+verdict + segment writes that are pure literal-expression filters and
+projections over the profile leaf (no further checkpoints, no
+broadcast-build or count jobs). Store reads cost zero jobs while the
+in-memory segment cache is warm (see DedupSegmentStore).
 
 Verdict contract: ``duplicate_of`` chains (batch doc → batch rep → stored
 rep) are fully resolved driver-side — the dup map is micro-batch-bounded
@@ -83,6 +84,11 @@ from ..functions.dedup_fuzzy import (
 
 N_BANDS = 4
 _RESOLVE_ROUNDS = 2
+
+#: largest per-batch duplicate map inlined as literal map/isin expressions
+#: (zero extra Spark jobs); bigger maps fall back to a broadcast join so a
+#: pathological all-duplicates batch cannot bloat the plan unboundedly
+_EXPR_MAP_MAX = 2_000
 
 
 class DedupSegmentStore:
@@ -256,7 +262,13 @@ class DedupSegmentStore:
             )
         )
 
-    def append(self, profiles: DataFrame, seg_id: str) -> bool:
+    def append(
+        self,
+        profiles: DataFrame,
+        seg_id: str,
+        leaf_backed: bool = False,
+        precount: int | None = None,
+    ) -> bool:
         """Commit one batch's surviving profiles (+ derived signature index)
         as a new segment. Returns False when the segment already exists —
         the replayed-batch case. An all-duplicates batch (no survivors)
@@ -265,14 +277,28 @@ class DedupSegmentStore:
 
         The checkpoint here is also what makes the segment CACHE flat-cost:
         cached frames are narrow projections over these materialized blocks
-        (no joins re-executed per store read)."""
+        (no joins re-executed per store read). ``leaf_backed=True`` skips
+        it — the caller asserts ``profiles`` is already a filter/projection
+        over in-memory checkpoint blocks (NEVER a join plan: session-lived
+        cache frames deriving from a join DAG is exactly the r7 stats-
+        estimation pathology — see the checkpoint-ancestry note in
+        ``make_dedup_batch_fn`` and ``scripts/repro_stats_ancestry.py``),
+        so the count + two segment writes + cache re-scan it cheaply and
+        one scheduling round is saved per batch. ``precount``: the exact
+        row count of ``profiles`` when the caller already knows it — skips
+        the count job (every Spark job is a scheduling round on the
+        micro-batch latency floor); the manifest row entry drives the
+        broadcast cutoff and the cache cap, so it must be exact."""
         state = self._load()
         if seg_id in state["applied"]:
             return False
         prof = profiles.select(
             "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
-        ).localCheckpoint(eager=True)
-        n = prof.count()  # on the checkpointed blocks — cheap, recorded once
+        )
+        if not leaf_backed:
+            prof = prof.localCheckpoint(eager=True)
+        # on the checkpointed blocks when counted here — cheap, recorded once
+        n = precount if precount is not None else prof.count()
         sig = None
         if n:
             nfiles = -(-n // self.rows_per_file)  # files sized by rows
@@ -286,13 +312,21 @@ class DedupSegmentStore:
                 ).write.mode("overwrite").parquet(pdir)
 
             def _write_sigs() -> None:
-                # partitioned by band: the 100 TB layout is band-partitioned
-                # + signature-bucketed so the candidate join co-locates;
-                # locally the partition dirs document the shape and prune
-                # band scans.
-                sig.select("doc_id", "band", "signature").coalesce(
+                # Fresh per-batch segments write band as a PLAIN COLUMN:
+                # they live at most ``compact_every`` batches before the
+                # fold, and the dynamic-partition committer (4 band dirs ×
+                # files + per-dir commits) was a measured slice of the
+                # per-batch write phase. The long-lived COMPACTED segment
+                # (see compact()) keeps the band-partitioned layout — at
+                # 100 TB that is the store the candidate join actually
+                # scans (band-partitioned + signature-bucketed so it
+                # co-locates), while fresh micro-segments are latency-path
+                # scratch. The read path gives an explicit schema, so band
+                # resolves as a data column here and as a partition column
+                # on compacted dirs.
+                sig.select("doc_id", "signature", "band").coalesce(
                     nfiles
-                ).write.mode("overwrite").partitionBy("band").parquet(sdir)
+                ).write.mode("overwrite").parquet(sdir)
 
             # independent dirs over the same checkpointed blocks: submit
             # both write jobs concurrently — per-batch latency is job-count
@@ -416,7 +450,8 @@ def make_dedup_batch_fn(
     threshold: float = 0.5,
     broadcast_store_max_rows: int = 100_000,
     compact_every: int = 8,
-    batch_shuffle_partitions: int | None = 8,
+    batch_shuffle_partitions: int | None = 4,
+    candidate_distinct: bool = False,
 ):
     """foreachBatch function: cross-batch MinHash dedup against ``store``,
     verdicts appended to ``out_path`` as parquet.
@@ -428,6 +463,15 @@ def make_dedup_batch_fn(
     scheduling IS the latency floor. The conf is swapped in around the
     batch body and restored after — size it to the micro-batch volume (or
     None to leave the session width) on a real cluster.
+
+    ``candidate_distinct``: a pair matching in m of the n_bands would be
+    exact-verified m times; True dedups the candidate pairs before the
+    verify join. For micro-batch LATENCY the extra shuffle stage costs
+    more than verifying a pair ≤ n_bands times (measured ~-5% p50 with it
+    off; the dup-map groupBy dedups the OUTPUT either way), so the default
+    is off — turn it on for BULK back-fills, where the array_intersect
+    verify is the dominant data-sized stage and candidate volume, not job
+    count, is what matters.
 
     REQUIREMENT: the SparkSession must run ONLY this query while the
     stream is active when ``batch_shuffle_partitions`` is set.
@@ -466,39 +510,20 @@ def make_dedup_batch_fn(
                     )
 
     def _run_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # LEFT-join every incoming doc_id into the profile frame: docs with
-        # < k tokens have an EMPTY shingle array, so the explode inside
-        # minhash_doc_profiles drops them entirely — without this join they
-        # would silently get no verdict row (output-completeness bug for
-        # short documents). The join lives INSIDE the one checkpoint job
-        # (no later raw-chunk rescan); shingle-less docs carry n_sh = 0,
-        # an empty verify set, and NULL band minima — a NULL signature can
-        # never equi-join a candidate, so they are trivially non-duplicates.
-        prof = (
-            batch_df.select("doc_id")
-            .distinct()
-            .join(
-                minhash_doc_profiles(
-                    batch_df, "doc_id", "text", k=3, n_bands=N_BANDS
-                ),
-                "doc_id",
-                "left",
-            )
-            .select(
-                "doc_id",
-                F.coalesce("sh_set", F.array().cast("array<bigint>")).alias(
-                    "sh_set"
-                ),
-                F.coalesce("n_sh", F.lit(0).cast("bigint")).alias("n_sh"),
-                *[F.col(f"__s{b}") for b in range(N_BANDS)],
-            )
-            .localCheckpoint(eager=True)
-        )
-        # empty-batch guard on the checkpointed blocks (an in-memory
-        # probe) — the former take(1) on the raw stream chunk was a full
-        # extra scan job per batch
-        if not prof.take(1):
-            return
+        # keep_empty_docs: docs with < k tokens have an EMPTY shingle
+        # array, so a plain explode would drop them from the profile and
+        # they would silently get no verdict row (output-completeness bug
+        # for short documents). explode_outer inside the ONE profile
+        # aggregation keeps them as rows with n_sh = 0, an empty verify
+        # set, and NULL band minima — a NULL signature can never equi-join
+        # a candidate, so they are trivially non-duplicates; costs zero
+        # extra scans/joins (the first fix attempt — a distinct+left-join
+        # over the chunk — double-scanned the source and added two
+        # shuffles per batch, +45% on the measured p50).
+        prof = minhash_doc_profiles(
+            batch_df, "doc_id", "text", k=3, n_bands=N_BANDS,
+            keep_empty_docs=True,
+        ).localCheckpoint(eager=True)
 
         # ONE candidate pass: (store sigs ∪ batch sigs) vs batch sigs —
         # batch-internal pairs keep the id_a < id_b canonical orientation,
@@ -537,8 +562,9 @@ def make_dedup_batch_fn(
                 | (~F.col("__stored") & (F.col("id_a") < F.col("id_b")))
             )
             .select("id_a", "id_b")
-            .distinct()
         )
+        if candidate_distinct:
+            cand = cand.distinct()
         # broadcast only while the store fits the envelope — row count
         # comes from the manifest (recorded at append time), so the
         # cutoff costs no Spark job per batch.
@@ -547,73 +573,156 @@ def make_dedup_batch_fn(
         pairs = jaccard_verify_profiles(
             cand, both_prof, "doc_id", hint_small=small
         ).filter(F.col("jaccard") >= threshold)
-        # checkpoint the raw duplicate-of map BEFORE chain resolution:
-        # _resolve_chains self-joins its input, and Spark does not share
-        # unmaterialized subplans across join legs — resolving over the lazy
-        # frame re-executed the verify join (the batch's dominant cost) up
-        # to 4x inside one action (measured ~3x the batch p50).
-        # NOTE (r7): a fused single-checkpoint variant (profiles
-        # left-joined with this map, dup map + survivors as filters over
-        # one block set) measured geometrically WORSE per batch when the
-        # warm segment cache was enabled — per-batch wall doubled every
-        # batch from ~b7 (0.3s -> 35s by b10) with a constant-size,
-        # ExistingRDD-leaf plan; cache-off runs stayed flat, and neither
-        # removing the broadcast hint nor checkpointing the cached frames
-        # cured it. Root cause not isolated (suspected pathological
-        # interaction between per-batch broadcast subplans and reused
-        # checkpointed cache RDDs in the same session); reverted to this
-        # proven-flat two-checkpoint shape.
-        dup0 = (
-            pairs.groupBy(F.col("id_b").alias("doc_id"))
-            .agg(F.min("id_a").alias("duplicate_of"))
-            .localCheckpoint(eager=True)
+        dupmap = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
+            F.min("id_a").alias("duplicate_of")
         )
+        # Batch counts ride ALONG in the dup-map collect as two sentinel
+        # rows (doc_ids are non-negative, so -1/-2 cannot collide): the
+        # total row count is the empty-batch guard and the shingled count
+        # becomes the store append's manifest row entry. The counts leg and
+        # the verify leg are independent subtrees of one union, so their
+        # stages run concurrently inside ONE job — the former shape (a
+        # take(1) probe, then a separate count() inside append) spent two
+        # extra scheduling rounds on the same information, and on the
+        # micro-batch latency path scheduling rounds ARE the floor.
+        sentinels = (
+            prof.groupBy()
+            .agg(
+                F.count("*").alias("__n"),
+                F.count(F.when(F.col("n_sh") > 0, 1)).alias("__ns"),
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(-1).cast("bigint").alias("doc_id"),
+                            F.col("__n").cast("bigint").alias("duplicate_of"),
+                        ),
+                        F.struct(
+                            F.lit(-2).cast("bigint").alias("doc_id"),
+                            F.col("__ns").cast("bigint").alias("duplicate_of"),
+                        ),
+                    )
+                ).alias("__s")
+            )
+            .select("__s.doc_id", "__s.duplicate_of")
+        )
+        prof_cols = [
+            "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
+        ]
+        # The dup map is collect()ed directly below — the verify join (the
+        # batch's dominant data-sized work) executes exactly ONCE, inside
+        # that collect job, and nothing else ever reads the dup-map frame,
+        # so the former localCheckpoint of it was a whole extra scheduling
+        # round buying nothing. The per-batch job inventory is therefore:
+        # profile ckpt, ONE fused verify+dup-map+counts collect, then the
+        # overlapped verdict/segment writes (pure expression filters over
+        # prof's blocks — no further checkpoints or broadcast builds).
+        #
+        # WHY NOT fuse prof+dupmap into one checkpointed frame (r7's idea,
+        # re-attempted and killed in r8): localCheckpoint leaves DO NOT
+        # truncate Catalyst stats estimation — forcing a leaf's stats
+        # re-enters its origin plan's stats, and the analyzer clones
+        # every self-referenced subtree (DeduplicateRelations), defeating
+        # the per-node stats memo. A session-lived frame whose checkpoint
+        # ANCESTRY references prior checkpoints r times per level makes
+        # per-batch planning cost r^depth — measured x4/batch here and
+        # reproduced minimally in scripts/repro_stats_ancestry.py (a
+        # join-shaped checkpoint chain is 2^depth; a union-shaped chain is
+        # flat). A persist()-based fusion (InMemoryRelation stats ARE
+        # ancestry-terminal) was also built and A/B-measured: the columnar
+        # cache build cost MORE than the scheduling round it saved (p50
+        # 1.49 s vs 1.23 s) — rejected. The invariant that stands:
+        # BOUNDED CHECKPOINT-STATS ANCESTRY for anything the store
+        # retains — prof's origin (aggregate over the stream chunk) and
+        # the dup map's origin (join over ancestry-terminal store frames)
+        # both terminate at depth <= 3.
+        base = prof
         # chain resolution DRIVER-SIDE (r8): the dup map is micro-batch-
         # bounded and the former _resolve_chains broadcast self-joins moved
         # the same rows through the driver anyway (broadcast = collect),
         # while costing one broadcast-build job per round. Collecting once
-        # (an in-memory scan of the checkpointed leaf) and pointer-chasing
-        # in Python resolves chains of ANY length (strictly-decreasing
-        # batch chains + terminal store targets guarantee termination) and
-        # re-enters the plan as a LocalRelation — which broadcasts with NO
-        # extra job. Net: -2 jobs/batch and a stronger verdict contract
-        # (every duplicate_of names a retained representative, no 2^rounds
-        # cap).
+        # and pointer-chasing in Python resolves chains of ANY length
+        # (strictly-decreasing batch chains + terminal store targets
+        # guarantee termination) and re-enters the plan as literal
+        # expressions costing ZERO extra jobs. Net: -2 jobs/batch and a
+        # stronger verdict contract (every duplicate_of names a retained
+        # representative, no 2^rounds cap).
         dmap = {
-            r["doc_id"]: r["duplicate_of"] for r in dup0.collect()
+            r["doc_id"]: r["duplicate_of"]
+            for r in dupmap.unionByName(sentinels).collect()
         }
+        n_total = dmap.pop(-1)
+        n_shingled = dmap.pop(-2)
+        if not n_total:
+            return
         resolved: dict[int, int] = {}
         for d in dmap:
             t = dmap[d]
             while t in dmap:
                 t = dmap[t]
             resolved[d] = t
+        # Re-enter the plan as LITERAL EXPRESSIONS, not a joined frame:
+        # spark.createDataFrame() parallelizes to an RDD, so broadcasting
+        # it back costs one build job per join (measured — it gave back
+        # everything the driver-side resolution saved). A literal map
+        # lookup + isin predicate over the checkpointed profiles costs
+        # ZERO extra jobs. Guarded by _EXPR_MAP_MAX: a pathological batch
+        # (everything duplicate) would otherwise inline an unbounded
+        # expression tree — past the cap, fall back to a broadcast join.
         spark = batch_df.sparkSession
-        dup_local = spark.createDataFrame(
-            list(resolved.items()) or [],
-            "doc_id BIGINT, duplicate_of BIGINT",
-        )
+        use_expr = len(resolved) <= _EXPR_MAP_MAX
+        if not resolved:
+            dup_col = F.lit(None).cast("bigint")
+            surv_pred = F.col("n_sh") > 0
+        elif use_expr:
+            # ONE F.expr string, not per-entry F.lit() columns: each lit()
+            # is a py4j round-trip, and building 2 x |dups| of them cost
+            # ~0.3-0.4 s/batch at 20 dups (measured — more than the two
+            # broadcast jobs it replaced). The L suffix types every literal
+            # BIGINT; a bare int literal is INT, and a verdict file written
+            # with an INT duplicate_of breaks the parquet read against
+            # BIGINT files from other batches.
+            entries = ", ".join(f"{k}L, {v}L" for k, v in resolved.items())
+            dup_col = F.expr(f"map({entries})[doc_id]")
+            ids = ",".join(f"{k}L" for k in resolved)
+            surv_pred = F.expr(f"n_sh > 0 AND doc_id NOT IN ({ids})")
+        else:
+            dup_local = spark.createDataFrame(
+                list(resolved.items()), "doc_id BIGINT, duplicate_of BIGINT"
+            )
 
         # shingle-less docs (n_sh = 0) are excluded from the store: their
         # NULL signatures can never match a future candidate, so storing
-        # them would only grow the segments (pre-r8 behavior preserved)
-        survivors = (
-            prof.filter(F.col("n_sh") > 0)
-            .join(F.broadcast(dup_local.select("doc_id")), "doc_id", "left_anti")
-            .select(
-                "doc_id", "sh_set", "n_sh", *[f"__s{b}" for b in range(N_BANDS)]
-            )
-        )
-        verdicts = (
-            prof.select("doc_id")  # checkpointed — no raw-chunk rescan
-            .join(F.broadcast(dup_local), "doc_id", "left")
-            .select(
+        # them would only grow the segments
+        if not resolved or use_expr:
+            survivors = base.filter(surv_pred).select(*prof_cols)
+            verdicts = base.select(
                 "doc_id",
                 F.lit(int(batch_id)).alias("batch_id"),
-                F.col("duplicate_of").isNotNull().alias("is_duplicate"),
-                "duplicate_of",
+                dup_col.isNotNull().alias("is_duplicate"),
+                dup_col.alias("duplicate_of"),
             )
-        )
+        else:
+            survivors = (
+                base.filter(F.col("n_sh") > 0)
+                .join(
+                    F.broadcast(dup_local.select("doc_id")),
+                    "doc_id",
+                    "left_anti",
+                )
+                .select(*prof_cols)
+            )
+            verdicts = (
+                base.select("doc_id")  # checkpointed — no raw-chunk rescan
+                .join(F.broadcast(dup_local), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.lit(int(batch_id)).alias("batch_id"),
+                    F.col("duplicate_of").isNotNull().alias("is_duplicate"),
+                    "duplicate_of",
+                )
+            )
         # the store commit and the verdict emit touch disjoint paths and
         # depend only on the two checkpoints above — overlap the jobs.
         # Crash ordering note: a crash here can leave EITHER side ahead;
@@ -621,9 +730,29 @@ def make_dedup_batch_fn(
         # at-least-once verdicts), so the overlap adds no new states.
         with ThreadPoolExecutor(1) as pool:
             # manifest-gated append: replaying this batch finds the segment
-            # committed and skips -> idempotent under crash-replay
-            fut = pool.submit(store.append, survivors, str(batch_id))
-            verdicts.write.mode("append").parquet(out_path)
+            # committed and skips -> idempotent under crash-replay.
+            # leaf_backed + precount only on the expression path: there
+            # survivors is a pure filter over prof's materialized blocks
+            # and its exact row count is already known driver-side — every
+            # resolved duplicate matched a band signature, so it has
+            # n_sh > 0 and subtracts from the shingled count (the
+            # join-fallback path must checkpoint and count itself —
+            # session-lived cache frames must stay ancestry-terminal, see
+            # the checkpoint-ancestry note above).
+            expr_path = not resolved or use_expr
+            fut = pool.submit(
+                store.append,
+                survivors,
+                str(batch_id),
+                expr_path,
+                (n_shingled - len(resolved)) if expr_path else None,
+            )
+            # verdict volume is exactly n_total rows (known driver-side) —
+            # size the file count like the store does instead of emitting
+            # one near-empty file per shuffle partition every batch
+            verdicts.coalesce(
+                -(-n_total // DedupSegmentStore.rows_per_file)
+            ).write.mode("append").parquet(out_path)
             fut.result()
 
         # compact LAST: the verdict plan above lazily reads the pre-append
