@@ -14,6 +14,19 @@ exact same catalog:
      passed + rows-only == catalog size, with 0 fails;
   3. PLANS_FINGERPRINT.json — one fingerprint per catalog entry.
 
+Freshness checks (added r8, from the r7 judge's hygiene findings — each
+was a real seam that round):
+
+  4. PLANS_DIFF.md must be committed no earlier than
+     PLANS_FINGERPRINT.json (the r7 close regenerated the fingerprint but
+     left the drift-adjudication page one round stale);
+  5. COVERAGE.md's header catalog count must equal the live catalog (the
+     header sat at 361 while the body documented 380);
+  6. no file under pwc_challenge_dataengineer_spark/ may be modified —
+     committed or in the working tree — after the commit that recorded
+     the newest capture (the plans/-only freeze let sources/kafkalike.py
+     change post-capture; runtime modules alter query behavior too).
+
 Exit 0 = reconciled; exit 1 = seam open (counts printed). No Spark
 session is created — this is a pure file/metadata check, safe to run
 while benchmarks are live.
@@ -27,6 +40,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -100,6 +114,69 @@ def main() -> int:
                 f"{sorted(extra)[:8]}"
             )
         print(f"PLANS_FINGERPRINT.json: {len(fp_names)} fingerprints")
+
+    def _git(*args: str) -> str:
+        return subprocess.check_output(
+            ["git", "-C", REPO, *args], text=True
+        ).strip()
+
+    def _last_commit_ts(path: str) -> int | None:
+        out = _git("log", "-1", "--format=%ct", "--", path)
+        return int(out) if out else None
+
+    # 4. drift page at least as fresh as the fingerprint it adjudicates
+    fp_ts = _last_commit_ts("PLANS_FINGERPRINT.json")
+    diff_ts = _last_commit_ts("PLANS_DIFF.md")
+    diff_dirty = bool(_git("status", "--porcelain", "--", "PLANS_DIFF.md"))
+    if fp_ts is not None:
+        if diff_ts is None and not diff_dirty:
+            problems.append("PLANS_DIFF.md missing while fingerprints exist")
+        elif not diff_dirty and diff_ts < fp_ts:
+            problems.append(
+                "PLANS_DIFF.md committed BEFORE PLANS_FINGERPRINT.json — "
+                "the drift page was not regenerated with the fingerprints"
+            )
+        else:
+            print("PLANS_DIFF.md: fresh (>= fingerprint commit)")
+
+    # 5. COVERAGE.md header count == live catalog
+    cov = open(os.path.join(REPO, "COVERAGE.md")).read()
+    m = re.search(r"Catalog:\s*(\d+)\s+queries", cov)
+    if not m:
+        problems.append("COVERAGE.md: no 'Catalog: N queries' header found")
+    elif int(m.group(1)) != n_catalog:
+        problems.append(
+            f"COVERAGE.md header says {m.group(1)} queries; live catalog "
+            f"is {n_catalog}"
+        )
+    else:
+        print(f"COVERAGE.md header: {m.group(1)} (matches catalog)")
+
+    # 6. full-package freeze: nothing under the package changed after the
+    # commit that recorded the newest capture
+    if captures:
+        cap_rel = os.path.relpath(captures[-1], REPO)
+        cap_commit = _git("log", "-1", "--format=%H", "--", cap_rel)
+        if cap_commit:
+            changed = [
+                ln
+                for ln in _git(
+                    "diff", "--name-only", cap_commit, "--",
+                    "pwc_challenge_dataengineer_spark",
+                ).splitlines()
+                if ln
+            ]
+            if changed:
+                problems.append(
+                    f"{len(changed)} package files modified after the "
+                    f"capture commit ({cap_commit[:8]}): {changed[:6]} — "
+                    "re-capture or adjudicate before closing"
+                )
+            else:
+                print(
+                    "package freeze: no pwc_challenge_dataengineer_spark/ "
+                    "changes since the capture commit"
+                )
 
     if problems:
         print("\nSEAM OPEN — evidence does not reconcile with the catalog:")
