@@ -14,8 +14,14 @@ the operator contract (schema in/out, batching) does not change.
 UPDATE: for codec-free containers the decode is now REAL — see the
 "REAL container codecs" section below (uncompressed 24-bit BMP pixels,
 RIFF PCM WAV samples, both pure stdlib and oracle-verified end-to-end by
-the multimodal_real_decode catalog query). Only compressed formats
-(PNG/JPEG/MP3/H.264) remain gated.
+the multimodal_real_decode catalog query).
+
+UPDATE 2 (r8): PNG is no longer gated either — its compression is DEFLATE,
+which the stdlib zlib provides, so make_png/parse_png implement the full
+spec path (chunk walk + CRC validation, inflate, all five row unfilters
+including Paeth) with zero dependencies; oracle-verified end-to-end by the
+png_real_decode catalog query. Remaining honest gates: JPEG/MP3/H.264
+(DCT/psychoacoustic codecs genuinely need codec libraries).
 """
 
 from __future__ import annotations
@@ -405,3 +411,238 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, REAL_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------- PNG (r8)
+# PNG's only compression is DEFLATE, which the stdlib zlib provides — so
+# unlike JPEG/MP3/H.264 there is nothing environment-gated about it. The
+# encoder and decoder below are independent implementations of the spec
+# (RFC 2083): the encoder deliberately writes row y with filter type
+# y % 5, so a successful decode proves all five unfilters (None/Sub/Up/
+# Average/Paeth), the chunk walk, and per-chunk CRC validation — not just
+# the trivial filter-0 path.
+
+_PNG_W, _PNG_H = 6, 10  # 10 rows -> each of the 5 filter types twice
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def make_png(seed: int, width: int = _PNG_W, height: int = _PNG_H) -> bytes:
+    """Spec-conformant 8-bit truecolor (color type 2) PNG, stdlib-only.
+    Pixel p = y*width + x (top-down) carries R/G/B =
+    (seed + 3p + 2, seed + 3p + 1, seed + 3p) % 256 — the same closed form
+    as make_bmp, so the DuckDB oracle recomputes features analytically.
+    Row y is FILTERED with type y % 5 before deflate, exercising every
+    unfilter in the decoder."""
+    import struct
+    import zlib
+
+    bpp = 3
+    raw_rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            p = y * width + x
+            row += bytes(
+                (
+                    (seed + 3 * p + 2) % 256,
+                    (seed + 3 * p + 1) % 256,
+                    (seed + 3 * p) % 256,
+                )
+            )
+        raw_rows.append(bytes(row))
+    out = bytearray()
+    prev = bytes(width * bpp)
+    for y, row in enumerate(raw_rows):
+        ft = y % 5
+        out.append(ft)
+        for i, c in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = c
+            elif ft == 1:
+                f = c - a
+            elif ft == 2:
+                f = c - b
+            elif ft == 3:
+                f = c - (a + b) // 2
+            else:
+                f = c - _paeth(a, b, cc)
+            out.append(f % 256)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(data: bytes):
+    """Full PNG decode for 8-bit truecolor (color types 2 and 6), stdlib
+    only: chunk walk with CRC validation, concatenated-IDAT inflate, and
+    all five row unfilters. Returns (width, height, pixels) with pixels a
+    top-down row-major list of (R, G, B) tuples (alpha dropped for type
+    6). Palette / grayscale / 16-bit / interlaced files raise
+    NotImplementedError — stated, not silently mangled."""
+    import struct
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG file (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_n not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG decoded here "
+            f"(depth={depth}, colorType={ctype_n}, interlace={interlace})"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    bpp = 4 if ctype_n == 6 else 3
+    raw = zlib.decompress(bytes(idat))
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    pixels = []
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ft = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 1:
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) % 256
+        elif ft == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) % 256
+        elif ft == 3:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) % 256
+        elif ft == 4:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(a, prev[i], c)) % 256
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        for x in range(width):
+            o = x * bpp
+            pixels.append((row[o], row[o + 1], row[o + 2]))
+        prev = row
+    return width, height, pixels
+
+
+PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("img_width", T.IntegerType(), True),
+        T.StructField("img_height", T.IntegerType(), True),
+        T.StructField("px0_r", T.IntegerType(), True),
+        T.StructField("px0_g", T.IntegerType(), True),
+        T.StructField("px0_b", T.IntegerType(), True),
+        T.StructField("img_sum", T.LongType(), True),
+        T.StructField("paeth_row_sum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One real (deflate-compressed, mixed-filter) PNG per row — Arrow-
+    batched mapInPandas, same shape as synthesize_real_media."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it):
+        for pdf in it:
+            seeds = (pdf["media_id"] % 251).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "png": [make_png(int(s)) for s in seeds],
+                }
+            )
+
+    return src.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("png", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def extract_png_features(media: DataFrame) -> DataFrame:
+    """TRUE-pixel features from PARSED PNG bytes. ``paeth_row_sum`` is the
+    channel sum of row y=4 — the first Paeth-filtered row, so the value is
+    only right if the Paeth unfilter is."""
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, png in zip(pdf["media_id"], pdf["png"]):
+                w, h, px = parse_png(bytes(png))
+                s_all = sum(r + g + b for r, g, b in px)
+                s_p = sum(r + g + b for r, g, b in px[4 * w : 5 * w])
+                rows.append(
+                    {
+                        "doc_id": mid,
+                        "img_width": w,
+                        "img_height": h,
+                        "px0_r": px[0][0],
+                        "px0_g": px[0][1],
+                        "px0_b": px[0][2],
+                        "img_sum": s_all,
+                        "paeth_row_sum": s_p,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, PNG_FEATURES_SCHEMA)

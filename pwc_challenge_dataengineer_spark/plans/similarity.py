@@ -29,8 +29,10 @@ from pyspark.sql.window import Window
 
 from ..functions.multimodal import (
     extract_image_features,
+    extract_png_features,
     extract_real_media_features,
     synthesize_media,
+    synthesize_png_media,
     synthesize_real_media,
 )
 from ..functions.similarity import ann_lsh_topk, as_double_array, cosine_topk_brute, l2_norm
@@ -1072,6 +1074,51 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = synthesize_real_media(docs, "doc_id")
     return extract_real_media_features(media)
+
+
+@register(
+    "png_real_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
+    ),
+    img AS (
+        SELECT b.doc_id,
+               CAST(SUM((b.seed + 3*g.p) % 256 + (b.seed + 3*g.p + 1) % 256
+                        + (b.seed + 3*g.p + 2) % 256) AS BIGINT) AS s_all,
+               CAST(SUM(CASE WHEN g.p >= 24 AND g.p < 30 THEN
+                        (b.seed + 3*g.p) % 256 + (b.seed + 3*g.p + 1) % 256
+                        + (b.seed + 3*g.p + 2) % 256 END) AS BIGINT) AS s_paeth
+        FROM base b, (SELECT unnest(range(0, 60)) AS p) g
+        GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(6 AS INT) AS img_width, CAST(10 AS INT) AS img_height,
+           CAST((b.seed + 2) % 256 AS INT) AS px0_r,
+           CAST((b.seed + 1) % 256 AS INT) AS px0_g,
+           CAST(b.seed % 256 AS INT) AS px0_b,
+           img.s_all AS img_sum,
+           img.s_paeth AS paeth_row_sum
+    FROM base b JOIN img ON b.doc_id = img.doc_id
+    """,
+)
+def png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-pixel decode of a COMPRESSED format, jar- and dependency-free:
+    PNG's compression is DEFLATE (stdlib zlib), so the r7 "compressed
+    codecs gated" boundary moves — only DCT/psychoacoustic codecs
+    (JPEG/MP3/H.264) genuinely need codec libraries. Per document this
+    synthesizes a spec-conformant 8-bit truecolor PNG whose row y is
+    filtered with type y % 5 (functions/multimodal.py make_png), decodes
+    it with the independent parse_png (chunk walk + CRC validation,
+    inflate, all five unfilters), and emits integer-exact features from
+    the PARSED pixels. The oracle recomputes them analytically from the
+    generation closed form; ``paeth_row_sum`` (row y=4, the first
+    Paeth-filtered row) is only right if the Paeth unfilter is, and the
+    whole result is only right if every filter type round-trips —
+    BIGINT-exact sums, no float-order risk. Arrow-batched mapInPandas at
+    both stages, one row per document at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_png_features(synthesize_png_media(docs, "doc_id"))
 
 
 _MRL_DIMS = (8, 16, 32)

@@ -580,3 +580,49 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est / F.col("true_pairs"), 6).alias("est_over_actual"),
         )
     )
+
+
+@register(
+    "avro_round_trip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(MIN(o_orderdate) AS DATE) AS min_day,
+           CAST(MAX(o_orderdate) AS DATE) AS max_day
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container round trip, jar-free: write orders through the
+    pure-stdlib ``avrolite`` Python DataSource (sources/avrolite.py —
+    deflate-compressed Object Container Files, split-parallel reads
+    planned by walking block headers) and aggregate the READ-BACK rows;
+    the oracle aggregates the original parquet. Any wire-format defect —
+    zigzag varints, block framing, sync markers, union nullability, the
+    date logical type — lands in the hash compare. This closes SURVEY
+    §2.1's Avro row without the spark-avro jar, the same pattern that
+    closed Kafka (kafkalike). BIGINT/DATE columns only: exact, no
+    float-order risk."""
+    import os
+    import tempfile
+
+    from ..sources.avrolite import register_avrolite
+
+    register_avrolite(spark)
+    root = tempfile.mkdtemp(prefix="avro_rt_")
+    out = os.path.join(root, "orders_avro")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    orders.write.format("avrolite").mode("append").save(out)
+    back = spark.read.format("avrolite").load(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.min("o_orderdate").alias("min_day"),
+        F.max("o_orderdate").alias("max_day"),
+    )

@@ -1,0 +1,647 @@
+"""Jar-free Avro: a pure-stdlib Object Container File codec exposed as a
+Spark 4 Python DataSource (``format("avrolite")``), batch read + write.
+
+The spark-avro module is external to pyspark and absent here, so the Avro
+surface was an honest NotImplementedError gate (sources/readers.py). This
+closes it the same way kafkalike closed the Kafka gate: implement the wire
+format against the PUBLIC spec (Avro 1.11 specification, "Object Container
+Files" + binary encoding) in pure Python, and let Spark parallelize it as
+a first-class DataSource. Parity target: the reference reads/writes Avro
+event exports through its ingestion service (reference: src/etl/ingest —
+format registry); this gives the same capability without a JVM package.
+
+Scale posture:
+  * SPLITTABLE READS, like real Avro: the driver walks each file's block
+    headers (count + byteSize varints let it SEEK over the data without
+    decompressing), groups blocks into ~32 MB splits, and each executor
+    decodes only its byte range — a 100 TB Avro lake fans out across the
+    cluster exactly as the jar-based reader would.
+  * the decode itself is Python-side (that is the honest cost of jar-free;
+    the container format is record-oriented, not columnar) — blocks decode
+    in one pass with zero per-record seeks, and rows stream to Spark
+    without buffering a whole file.
+
+Supported: codecs null + deflate (raw RFC-1951 via stdlib zlib; snappy
+gated honestly), all primitives, records (nested), arrays, maps, enums,
+fixed, unions of [null, X] (→ nullable X), logical types date /
+timestamp-millis / timestamp-micros. Multi-branch non-null unions and
+decimals raise NotImplementedError — stated, not silently mangled.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+MAGIC = b"Obj\x01"
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+#: target bytes of (compressed) block data per read split
+SPLIT_BYTES = 32 * 1024 * 1024
+
+
+# ----------------------------------------------------------- binary codec
+
+
+def _read_long(buf: io.BufferedIOBase) -> int:
+    """Zigzag varint — the one primitive everything else builds on."""
+    shift, acc = 0, 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        byte = b[0]
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_bytes(buf) -> bytes:
+    n = _read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("truncated bytes")
+    return data
+
+
+# ------------------------------------------------------------ schema model
+
+
+class _Named:
+    """Registry for named-type references (a record/enum/fixed defined once
+    and referenced by name later in the same schema)."""
+
+    def __init__(self) -> None:
+        self.types: dict[str, dict] = {}
+
+    def define(self, schema: dict) -> None:
+        name = schema.get("name")
+        if name:
+            ns = schema.get("namespace")
+            self.types[f"{ns}.{name}" if ns else name] = schema
+            self.types[name] = schema
+
+    def resolve(self, schema):
+        if isinstance(schema, str) and schema in self.types:
+            return self.types[schema]
+        return schema
+
+
+def _avro_to_spark(schema, named: _Named) -> tuple[T.DataType, bool]:
+    """(spark type, nullable). Nullability only ever comes from a
+    [null, X] union — Avro has no nullable-by-default."""
+    schema = named.resolve(schema)
+    if isinstance(schema, list):
+        branches = [s for s in schema if s != "null"]
+        if len(schema) - len(branches) != 1 or len(branches) != 1:
+            raise NotImplementedError(
+                f"avrolite: only unions of ['null', X] are supported, "
+                f"got {schema!r}"
+            )
+        t, _ = _avro_to_spark(branches[0], named)
+        return t, True
+    if isinstance(schema, dict):
+        typ = schema["type"]
+        logical = schema.get("logicalType")
+        if logical == "decimal":
+            raise NotImplementedError("avrolite: decimal logical type")
+        if typ == "int" and logical == "date":
+            return T.DateType(), False
+        if typ == "long" and logical in ("timestamp-millis", "timestamp-micros"):
+            return T.TimestampType(), False
+        if typ == "record":
+            named.define(schema)
+            fields = []
+            for f in schema["fields"]:
+                ft, fn = _avro_to_spark(f["type"], named)
+                fields.append(T.StructField(f["name"], ft, fn))
+            return T.StructType(fields), False
+        if typ == "array":
+            it, inull = _avro_to_spark(schema["items"], named)
+            return T.ArrayType(it, inull), False
+        if typ == "map":
+            vt, vnull = _avro_to_spark(schema["values"], named)
+            return T.MapType(T.StringType(), vt, vnull), False
+        if typ == "enum":
+            named.define(schema)
+            return T.StringType(), False
+        if typ == "fixed":
+            named.define(schema)
+            return T.BinaryType(), False
+        return _avro_to_spark(typ, named)
+    prim = {
+        "null": T.NullType(),
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "bytes": T.BinaryType(),
+        "string": T.StringType(),
+    }
+    if schema not in prim:
+        raise NotImplementedError(f"avrolite: unsupported type {schema!r}")
+    return prim[schema], False
+
+
+def _spark_to_avro(dt: T.DataType, nullable: bool, name: str = "r"):
+    """Inverse mapping for the writer; nullable → [null, X] union."""
+    if isinstance(dt, T.StructType):
+        out = {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": _spark_to_avro(f.dataType, f.nullable, f"{name}_{f.name}"),
+                }
+                for f in dt.fields
+            ],
+        }
+    elif isinstance(dt, T.ArrayType):
+        out = {
+            "type": "array",
+            "items": _spark_to_avro(dt.elementType, dt.containsNull, name),
+        }
+    elif isinstance(dt, T.MapType):
+        out = {
+            "type": "map",
+            "values": _spark_to_avro(dt.valueType, dt.valueContainsNull, name),
+        }
+    elif isinstance(dt, T.DateType):
+        out = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        out = {"type": "long", "logicalType": "timestamp-micros"}
+    else:
+        prim = {
+            T.BooleanType(): "boolean",
+            T.IntegerType(): "int",
+            T.ShortType(): "int",
+            T.ByteType(): "int",
+            T.LongType(): "long",
+            T.FloatType(): "float",
+            T.DoubleType(): "double",
+            T.BinaryType(): "bytes",
+            T.StringType(): "string",
+        }
+        if dt not in prim:
+            raise NotImplementedError(f"avrolite writer: unsupported {dt}")
+        out = prim[dt]
+    if nullable:
+        return ["null", out]
+    return out
+
+
+# ------------------------------------------------------------------ decode
+
+
+def _decoder(schema, named: _Named):
+    """Compile an Avro schema into a closure buf -> python value. Compiled
+    ONCE per split, so per-record work is just the closure chain."""
+    schema = named.resolve(schema)
+    if isinstance(schema, list):
+        subs = [_decoder(s, named) for s in schema]
+
+        def du(buf, subs=subs):
+            return subs[_read_long(buf)](buf)
+
+        return du
+    if isinstance(schema, dict):
+        typ = schema["type"]
+        logical = schema.get("logicalType")
+        if typ == "int" and logical == "date":
+            return lambda buf: _EPOCH_DATE + _dt.timedelta(days=_read_long(buf))
+        if typ == "long" and logical == "timestamp-millis":
+            return lambda buf: _EPOCH_DT + _dt.timedelta(
+                milliseconds=_read_long(buf)
+            )
+        if typ == "long" and logical == "timestamp-micros":
+            return lambda buf: _EPOCH_DT + _dt.timedelta(
+                microseconds=_read_long(buf)
+            )
+        if typ == "record":
+            named.define(schema)
+            fds = [_decoder(f["type"], named) for f in schema["fields"]]
+            return lambda buf, fds=fds: tuple(d(buf) for d in fds)
+        if typ == "array":
+            item = _decoder(schema["items"], named)
+
+            def da(buf, item=item):
+                out = []
+                while True:
+                    n = _read_long(buf)
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        _read_long(buf)  # block byte size — skip
+                    for _ in range(n):
+                        out.append(item(buf))
+
+            return da
+        if typ == "map":
+            val = _decoder(schema["values"], named)
+
+            def dm(buf, val=val):
+                out = {}
+                while True:
+                    n = _read_long(buf)
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        _read_long(buf)
+                    for _ in range(n):
+                        # key MUST decode before the value: subscript
+                        # assignment evaluates its RHS first, so inlining
+                        # both reads in one statement consumes the bytes
+                        # in the wrong order
+                        k = _read_bytes(buf).decode("utf-8")
+                        out[k] = val(buf)
+
+            return dm
+        if typ == "enum":
+            named.define(schema)
+            syms = schema["symbols"]
+            return lambda buf, syms=syms: syms[_read_long(buf)]
+        if typ == "fixed":
+            named.define(schema)
+            size = schema["size"]
+            return lambda buf, size=size: buf.read(size)
+        return _decoder(typ, named)
+    return {
+        "null": lambda buf: None,
+        "boolean": lambda buf: buf.read(1) == b"\x01",
+        "int": _read_long,
+        "long": _read_long,
+        "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
+        "double": lambda buf: struct.unpack("<d", buf.read(8))[0],
+        "bytes": _read_bytes,
+        "string": lambda buf: _read_bytes(buf).decode("utf-8"),
+    }[schema]
+
+
+def _encoder(schema, named: _Named):
+    schema = named.resolve(schema)
+    if isinstance(schema, list):
+        # only [null, X] is ever produced by _spark_to_avro
+        sub = _encoder([s for s in schema if s != "null"][0], named)
+        null_at = schema.index("null")
+        val_at = 1 - null_at
+
+        def eu(out, v, sub=sub):
+            if v is None:
+                _write_long(out, null_at)
+            else:
+                _write_long(out, val_at)
+                sub(out, v)
+
+        return eu
+    if isinstance(schema, dict):
+        typ = schema["type"]
+        logical = schema.get("logicalType")
+        if typ == "int" and logical == "date":
+            return lambda out, v: _write_long(out, (v - _EPOCH_DATE).days)
+        if typ == "long" and logical == "timestamp-micros":
+
+            def ets(out, v):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                td = v - _EPOCH_DT
+                _write_long(
+                    out,
+                    (td.days * 86400 + td.seconds) * 1_000_000
+                    + td.microseconds,
+                )
+
+            return ets
+        if typ == "record":
+            named.define(schema)
+            fes = [
+                (f["name"], _encoder(f["type"], named))
+                for f in schema["fields"]
+            ]
+
+            def er(out, v, fes=fes):
+                # v is a pyspark Row or tuple in field order
+                for i, (_, e) in enumerate(fes):
+                    e(out, v[i])
+
+            return er
+        if typ == "array":
+            item = _encoder(schema["items"], named)
+
+            def ea(out, v, item=item):
+                if v:
+                    _write_long(out, len(v))
+                    for x in v:
+                        item(out, x)
+                _write_long(out, 0)
+
+            return ea
+        if typ == "map":
+            val = _encoder(schema["values"], named)
+
+            def em(out, v, val=val):
+                if v:
+                    _write_long(out, len(v))
+                    for k, x in v.items():
+                        kb = k.encode("utf-8")
+                        _write_long(out, len(kb))
+                        out.extend(kb)
+                        val(out, x)
+                _write_long(out, 0)
+
+            return em
+        return _encoder(typ, named)
+
+    def eb(out, v):
+        _write_long(out, len(v))
+        out.extend(v)
+
+    return {
+        "boolean": lambda out, v: out.append(1 if v else 0),
+        "int": _write_long,
+        "long": _write_long,
+        "float": lambda out, v: out.extend(struct.pack("<f", v)),
+        "double": lambda out, v: out.extend(struct.pack("<d", v)),
+        "bytes": eb,
+        "string": lambda out, v: eb(out, v.encode("utf-8")),
+    }[schema]
+
+
+# --------------------------------------------------------- container files
+
+
+def _read_header(fh) -> tuple[dict, bytes, int]:
+    """(metadata map, sync marker, header byte length)."""
+    if fh.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta = {}
+    while True:
+        n = _read_long(fh)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _read_long(fh)
+        for _ in range(n):
+            k = _read_bytes(fh).decode("utf-8")
+            meta[k] = _read_bytes(fh)
+    sync = fh.read(16)
+    return meta, sync, fh.tell()
+
+
+def _decompressor(codec: str):
+    if codec in ("", "null"):
+        return lambda b: b
+    if codec == "deflate":
+        return lambda b: zlib.decompress(b, -15)  # raw RFC-1951
+    raise NotImplementedError(
+        f"avrolite: codec {codec!r} needs a non-stdlib library "
+        "(only null/deflate are jar-and-dependency-free)"
+    )
+
+
+def _scan_blocks(path: str) -> tuple[dict, bytes, list[tuple[int, int, int]]]:
+    """Walk block headers WITHOUT decompressing: each block is
+    (record count, byte size, data, sync), so the scan seeks over data.
+    Returns (meta, sync, [(start_offset, end_offset, n_records), ...])."""
+    blocks = []
+    with open(path, "rb") as fh:
+        meta, sync, pos = _read_header(fh)
+        size = os.fstat(fh.fileno()).st_size
+        while pos < size:
+            n_rec = _read_long(fh)
+            n_bytes = _read_long(fh)
+            fh.seek(n_bytes, 1)
+            if fh.read(16) != sync:
+                raise ValueError(
+                    f"{path}: sync marker mismatch at block ending "
+                    f"{fh.tell()} — corrupt container"
+                )
+            end = fh.tell()
+            blocks.append((pos, end, n_rec))
+            pos = end
+    return meta, sync, blocks
+
+
+class _AvroSplit(InputPartition):
+    def __init__(self, path, start, end, schema_json, codec, sync_hex):
+        self.path = path
+        self.start = start
+        self.end = end
+        self.schema_json = schema_json
+        self.codec = codec
+        self.sync_hex = sync_hex
+
+
+def _read_split(split: _AvroSplit):
+    decode = _decoder(json.loads(split.schema_json), _Named())
+    decomp = _decompressor(split.codec)
+    sync = bytes.fromhex(split.sync_hex)
+    with open(split.path, "rb") as fh:
+        fh.seek(split.start)
+        while fh.tell() < split.end:
+            n_rec = _read_long(fh)
+            n_bytes = _read_long(fh)
+            data = decomp(fh.read(n_bytes))
+            if fh.read(16) != sync:
+                raise ValueError(f"{split.path}: sync mismatch mid-split")
+            buf = io.BytesIO(data)
+            for _ in range(n_rec):
+                yield decode(buf)
+
+
+def _avro_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".avro") and not f.startswith((".", "_"))
+        )
+    raise FileNotFoundError(path)
+
+
+# -------------------------------------------------------------- datasource
+
+
+class AvroLiteReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def partitions(self):
+        splits: list[_AvroSplit] = []
+        for f in _avro_files(self.path):
+            meta, sync, blocks = _scan_blocks(f)
+            schema_json = meta["avro.schema"].decode("utf-8")
+            codec = meta.get("avro.codec", b"null").decode("utf-8")
+            # group contiguous blocks up to SPLIT_BYTES of on-disk data
+            cur_start, cur_end = None, None
+            for start, end, _n in blocks:
+                if cur_start is None:
+                    cur_start, cur_end = start, end
+                elif end - cur_start <= SPLIT_BYTES:
+                    cur_end = end
+                else:
+                    splits.append(
+                        _AvroSplit(f, cur_start, cur_end, schema_json,
+                                   codec, sync.hex())
+                    )
+                    cur_start, cur_end = start, end
+            if cur_start is not None:
+                splits.append(
+                    _AvroSplit(f, cur_start, cur_end, schema_json,
+                               codec, sync.hex())
+                )
+        return splits
+
+    def read(self, partition: _AvroSplit):
+        yield from _read_split(partition)
+
+
+class _Staged(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AvroLiteWriter(DataSourceWriter):
+    """Two-phase writer: each task encodes its rows into one staged
+    container file; driver commit() renames them into place (and clears
+    prior part files first under overwrite). Task retries leave only
+    orphaned staging files, never half-visible data."""
+
+    def __init__(self, options: dict, schema: T.StructType, overwrite: bool):
+        self.path = options["path"]
+        self.codec = options.get("codec", "deflate")
+        if self.codec not in ("null", "deflate"):
+            raise NotImplementedError(
+                f"avrolite writer: codec {self.codec!r} (null/deflate only)"
+            )
+        self.overwrite = overwrite
+        self.avro_schema = _spark_to_avro(schema, False, "spark_row")
+        self.block_records = int(options.get("blockRecords", "50000"))
+
+    def write(self, iterator):
+        os.makedirs(os.path.join(self.path, ".staging"), exist_ok=True)
+        staged = os.path.join(self.path, ".staging", f"{uuid.uuid4()}.avro")
+        encode = _encoder(self.avro_schema, _Named())
+        sync = os.urandom(16)
+        header = bytearray(MAGIC)
+        meta = {
+            "avro.schema": json.dumps(self.avro_schema).encode(),
+            "avro.codec": self.codec.encode(),
+        }
+        _write_long(header, len(meta))
+        for k, v in meta.items():
+            kb = k.encode()
+            _write_long(header, len(kb))
+            header.extend(kb)
+            _write_long(header, len(v))
+            header.extend(v)
+        _write_long(header, 0)
+        header.extend(sync)
+        with open(staged, "wb") as fh:
+            fh.write(header)
+            block = bytearray()
+            n = 0
+
+            def flush():
+                nonlocal block, n
+                if not n:
+                    return
+                data = bytes(block)
+                if self.codec == "deflate":
+                    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+                    data = c.compress(data) + c.flush()
+                head = bytearray()
+                _write_long(head, n)
+                _write_long(head, len(data))
+                fh.write(bytes(head) + data + sync)
+                block, n = bytearray(), 0
+
+            for row in iterator:
+                encode(block, row)
+                n += 1
+                if n >= self.block_records:
+                    flush()
+            flush()
+        return _Staged(staged)
+
+    def commit(self, messages):
+        if self.overwrite:
+            for f in _avro_files(self.path):
+                os.remove(f)
+        for i, m in enumerate(
+            sorted((m for m in messages if m is not None),
+                   key=lambda m: m.path)
+        ):
+            os.replace(
+                m.path, os.path.join(self.path, f"part-{i:05d}.avro")
+            )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class AvroLiteDataSource(DataSource):
+    """``spark.read.format("avrolite").load(path)`` /
+    ``df.write.format("avrolite").mode(...).save(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avrolite"
+
+    def schema(self):
+        files = _avro_files(self.options["path"])
+        if not files:
+            raise ValueError(f"avrolite: no .avro files under {self.options['path']}")
+        meta, _sync, _blocks = _scan_blocks(files[0])
+        spark_t, _ = _avro_to_spark(
+            json.loads(meta["avro.schema"].decode("utf-8")), _Named()
+        )
+        if not isinstance(spark_t, T.StructType):
+            spark_t = T.StructType([T.StructField("value", spark_t, True)])
+        return spark_t
+
+    def reader(self, schema):
+        return AvroLiteReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return AvroLiteWriter(self.options, schema, overwrite)
+
+
+def register_avrolite(spark) -> None:
+    spark.dataSource.register(AvroLiteDataSource)

@@ -197,20 +197,24 @@ def read_xml(
 
 
 def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
-    """Avro scan. The spark-avro module is external (not bundled with
-    pyspark); without the jar Spark raises AnalysisException at plan
-    time — re-raised here with the honest capability gate, same policy
-    as the Kafka connector (streaming/sources.py)."""
+    """Avro scan. Prefers the JVM spark-avro module when its jar is on the
+    classpath (columnar, codegen'd); without it, falls back to the
+    pure-stdlib ``avrolite`` Python DataSource (sources/avrolite.py) —
+    same container format, split-parallel reads, codecs null/deflate.
+    The former hard NotImplementedError gate is thus closed jar-free,
+    the same way ``kafkalike`` closed the Kafka gate."""
     try:
         reader = spark.read.format("avro")
         for k, v in options.items():
             reader = reader.option(k, v)
         return reader.load(path)
     except Exception as exc:  # AnalysisException: failed to find source
-        if "avro" in str(exc).lower():
-            raise NotImplementedError(
-                "Avro requires the external spark-avro jar "
-                "(org.apache.spark:spark-avro); not available in this "
-                "environment — same gate as Kafka."
-            ) from exc
-        raise
+        if "avro" not in str(exc).lower():
+            raise
+        from .avrolite import register_avrolite
+
+        register_avrolite(spark)
+        reader = spark.read.format("avrolite")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load(path)

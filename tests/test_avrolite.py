@@ -1,0 +1,179 @@
+"""Jar-free Avro (sources/avrolite.py): golden-byte wire-format pin,
+round-trip through the Python DataSource, split planning, codec gates.
+
+Wire-format bytes in test_golden_bytes_null_codec are hand-assembled from
+the Avro 1.11 spec (zigzag varints, container layout) INDEPENDENTLY of the
+module's encoder — the same evidence style as the protoshim golden tests:
+if the codec and the spec ever disagree, this fails even though writer and
+reader agree with each other.
+"""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from pwc_challenge_dataengineer_spark.sources import avrolite
+from pwc_challenge_dataengineer_spark.sources.avrolite import (
+    register_avrolite,
+)
+
+SYNC = bytes(range(16))
+
+
+def _hand_container(tmp_path) -> str:
+    """record{a: long, b: string}, codec null, rows (1,'x'), (-2,'yz')."""
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"},
+            ],
+        }
+    ).encode()
+
+    def vint(n: int) -> bytes:  # unsigned varint of zigzag(n)
+        z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+        out = bytearray()
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    meta = (
+        vint(2)
+        + vint(len(b"avro.schema")) + b"avro.schema"
+        + vint(len(schema)) + schema
+        + vint(len(b"avro.codec")) + b"avro.codec"
+        + vint(4) + b"null"
+        + vint(0)
+    )
+    # records: (1,'x') -> 02 02 78 ; (-2,'yz') -> 03 04 79 7a
+    data = vint(1) + vint(1) + b"x" + vint(-2) + vint(2) + b"yz"
+    block = vint(2) + vint(len(data)) + data + SYNC
+    p = tmp_path / "hand.avro"
+    p.write_bytes(b"Obj\x01" + meta + SYNC + block)
+    return str(p)
+
+
+def test_golden_bytes_null_codec(spark, tmp_path):
+    path = _hand_container(tmp_path)
+    register_avrolite(spark)
+    rows = spark.read.format("avrolite").load(path).collect()
+    assert [(r.a, r.b) for r in rows] == [(1, "x"), (-2, "yz")]
+
+
+def test_round_trip_all_types(spark, tmp_path):
+    register_avrolite(spark)
+    out = str(tmp_path / "rt")
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "alpha",
+                2.5,
+                True,
+                dt.date(2024, 3, 1),
+                dt.datetime(2024, 3, 1, 12, 30, 45, 123456),
+                [1, 2, 3],
+                {"k": 7},
+                bytearray(b"\x00\xff"),
+                (10, "nested"),
+                None,
+            ),
+            (
+                -2,
+                "beta",
+                -0.125,
+                False,
+                dt.date(1969, 12, 31),
+                dt.datetime(1969, 12, 31, 23, 59, 59),
+                [],
+                {},
+                bytearray(b""),
+                (-1, ""),
+                "present",
+            ),
+        ],
+        "a BIGINT, s STRING, d DOUBLE, f BOOLEAN, dy DATE, ts TIMESTAMP, "
+        "arr ARRAY<BIGINT>, m MAP<STRING,BIGINT>, bin BINARY, "
+        "st STRUCT<x: BIGINT, y: STRING>, opt STRING",
+    )
+    df.write.format("avrolite").mode("append").save(out)
+    back = spark.read.format("avrolite").load(out)
+    assert back.schema == df.schema
+    a, b = sorted(back.collect(), key=lambda r: -r.a)
+    assert (a.a, a.s, a.d, a.f) == (1, "alpha", 2.5, True)
+    assert a.dy == dt.date(2024, 3, 1)
+    assert a.ts == dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    assert a.arr == [1, 2, 3] and a.m == {"k": 7}
+    assert bytes(a.bin) == b"\x00\xff"
+    assert (a.st.x, a.st.y) == (10, "nested") and a.opt is None
+    assert (b.a, b.dy, b.opt) == (-2, dt.date(1969, 12, 31), "present")
+    assert b.arr == [] and b.m == {}
+
+
+def test_overwrite_and_deflate_smaller(spark, tmp_path):
+    register_avrolite(spark)
+    out = str(tmp_path / "ow")
+    df1 = spark.range(1000).selectExpr(
+        "id", "repeat('pad', 20) AS s"
+    ).coalesce(1)
+    df1.write.format("avrolite").option("codec", "deflate").mode("append").save(out)
+    deflate_bytes = sum(
+        os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out) if f.endswith(".avro")
+    )
+    df1.write.format("avrolite").option("codec", "null").mode(
+        "overwrite"
+    ).save(out)
+    null_bytes = sum(
+        os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out) if f.endswith(".avro")
+    )
+    assert spark.read.format("avrolite").load(out).count() == 1000
+    # overwrite replaced, not appended; deflate actually compressed
+    assert deflate_bytes < null_bytes
+
+
+def test_block_splits_cover_all_rows(spark, tmp_path, monkeypatch):
+    register_avrolite(spark)
+    out = str(tmp_path / "blocks")
+    spark.range(5000).selectExpr("id", "'v' || id AS s").coalesce(
+        1
+    ).write.format("avrolite").option("blockRecords", "500").mode("append").save(out)
+    # one physical file, many blocks: with a tiny split target the driver
+    # must plan >1 split and together they must cover every row exactly once
+    monkeypatch.setattr(avrolite, "SPLIT_BYTES", 4096)
+    reader = avrolite.AvroLiteReader({"path": out})
+    splits = reader.partitions()
+    assert len(splits) > 1
+    seen = [r[0] for s in splits for r in avrolite._read_split(s)]
+    assert sorted(seen) == list(range(5000))
+
+
+def test_unsupported_codec_and_union_raise(tmp_path):
+    with pytest.raises(NotImplementedError, match="codec 'snappy'"):
+        avrolite._decompressor("snappy")
+    with pytest.raises(NotImplementedError, match="unions"):
+        avrolite._avro_to_spark(["int", "string"], avrolite._Named())
+
+
+def test_read_avro_falls_back_jar_free(spark, tmp_path):
+    from pwc_challenge_dataengineer_spark.sources.readers import read_avro
+
+    out = str(tmp_path / "fb")
+    register_avrolite(spark)
+    spark.range(10).selectExpr("id", "id * 2 AS dbl").write.format(
+        "avrolite"
+    ).mode("append").save(out)
+    df = read_avro(spark, out)
+    assert df.count() == 10
+    assert {r.dbl for r in df.collect()} == {i * 2 for i in range(10)}
