@@ -660,3 +660,165 @@ def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ------------------------------------------------------- LLM curation (r8)
+
+_QC_STOP = ("a", "the")  # the synthetic corpus's function words
+#: fixed classifier weights (bias, stopword share, mean token length,
+#: type-token ratio, top-token share) — a stand-in for trained fastText /
+#: logistic quality-classifier coefficients; the OPERATOR under test is
+#: the distributed feature extraction + linear scoring, not the fit.
+_QC_W = (-2.0, 4.0, 0.5, 3.0, -5.0)
+
+
+@register(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    tc AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(length(tok) AS BIGINT) AS l,
+               tok IN {_QC_STOP!r} AS is_stop
+        FROM t2 GROUP BY 1, 2, 4, 5
+    ),
+    feat AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN is_stop THEN c ELSE 0 END) AS BIGINT) AS n_stop,
+               CAST(SUM(c * l) AS BIGINT) AS sum_len,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(MAX(c) AS BIGINT) AS max_c
+        FROM tc GROUP BY 1
+    )
+    SELECT doc_id, n AS n_toks,
+           round(CAST(n_stop AS DOUBLE) / n, 6) AS stop_share,
+           round(CAST(sum_len AS DOUBLE) / n, 6) AS mean_tok_len,
+           round(CAST(n_types AS DOUBLE) / n, 6) AS type_token_ratio,
+           round(CAST(max_c AS DOUBLE) / n, 6) AS top_tok_share,
+           round(1.0 / (1.0 + exp(-({_QC_W[0]}
+                 + {_QC_W[1]} * (CAST(n_stop AS DOUBLE) / n)
+                 + {_QC_W[2]} * (CAST(sum_len AS DOUBLE) / n)
+                 + {_QC_W[3]} * (CAST(n_types AS DOUBLE) / n)
+                 + {_QC_W[4]} * (CAST(max_c AS DOUBLE) / n)))), 6) AS quality_score,
+           1.0 / (1.0 + exp(-({_QC_W[0]}
+                 + {_QC_W[1]} * (CAST(n_stop AS DOUBLE) / n)
+                 + {_QC_W[2]} * (CAST(sum_len AS DOUBLE) / n)
+                 + {_QC_W[3]} * (CAST(n_types AS DOUBLE) / n)
+                 + {_QC_W[4]} * (CAST(max_c AS DOUBLE) / n)))) >= 0.5 AS keep
+    FROM feat
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier over per-document text
+    features — the scoring half of the standard pretraining quality
+    filter (a trained classifier's coefficients slot into _QC_W without
+    changing the plan). Features are BIGINT-exact counts folded in ONE
+    (doc, tok) aggregation (map-side combinable, no windows): token count,
+    stopword share, mean token length, type-token ratio, top-token share.
+    The logit is a single fixed-order IEEE expression over one-division
+    ratios, so Spark and DuckDB agree bit-for-bit — no unordered float
+    sums anywhere. Keep decision at sigmoid >= 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    feat = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("tok").isin(*_QC_STOP), F.col("c")).otherwise(0)).alias("n_stop"),
+        F.sum(F.col("c") * F.length("tok")).alias("sum_len"),
+        F.count("*").alias("n_types"),
+        F.max("c").alias("max_c"),
+    )
+    n = F.col("n").cast("double")
+    f1 = F.col("n_stop").cast("double") / n
+    f2 = F.col("sum_len").cast("double") / n
+    f3 = F.col("n_types").cast("double") / n
+    f4 = F.col("max_c").cast("double") / n
+    z = (
+        F.lit(_QC_W[0])
+        + F.lit(_QC_W[1]) * f1
+        + F.lit(_QC_W[2]) * f2
+        + F.lit(_QC_W[3]) * f3
+        + F.lit(_QC_W[4]) * f4
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feat.select(
+        "doc_id",
+        F.col("n").alias("n_toks"),
+        F.round(f1, 6).alias("stop_share"),
+        F.round(f2, 6).alias("mean_tok_len"),
+        F.round(f3, 6).alias("type_token_ratio"),
+        F.round(f4, 6).alias("top_tok_share"),
+        F.round(score, 6).alias("quality_score"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )
+
+
+_PPL_Q = 0.75  # prune docs above the corpus's 75th perplexity percentile
+
+
+def _ppl_prune_oracle() -> str:
+    from .catalog import ORACLES
+
+    return f"""
+    WITH lm AS ({ORACLES["unigram_lm_score"]}),
+    ranked AS (
+        SELECT doc_id, unigram_ppl,
+               CAST(row_number() OVER (ORDER BY unigram_ppl, doc_id)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_docs
+        FROM lm
+    ),
+    cut AS (
+        SELECT unigram_ppl AS cutoff FROM ranked
+        WHERE rn = CAST(ceil({_PPL_Q} * n_docs) AS BIGINT)
+    )
+    SELECT r.doc_id, r.unigram_ppl, c.cutoff,
+           r.unigram_ppl <= c.cutoff AS keep
+    FROM ranked r CROSS JOIN cut c
+    """
+
+
+@register("perplexity_prune", oracle=_ppl_prune_oracle())
+def perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity pruning — the CCNet/Gopher-style curation step this
+    corpus's unigram LM supports end-to-end: score every document's
+    perplexity under the corpus LM (exact reuse of unigram_lm_score's
+    plan), pick the corpus's 75th-percentile perplexity as the cutoff by
+    EXACT rank (row_number over (ppl, doc_id) — deterministic under ties,
+    and both engines compare the same round(,4) values so the boundary
+    cannot flake), and emit keep/prune per document with the cutoff
+    attached. Scale note: the rank pick is a global sort over one row per
+    DOCUMENT (not per token); at 10^10+ docs swap the exact pick for
+    approx_percentile with a stated tolerance — the rest of the plan is
+    unchanged."""
+    from .text_retrieval import unigram_lm_score
+
+    from pyspark.sql.window import Window
+
+    lm = unigram_lm_score(spark, sf_dir).select("doc_id", "unigram_ppl")
+    w = Window.orderBy("unigram_ppl", "doc_id")
+    ranked = lm.select(
+        "doc_id",
+        "unigram_ppl",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).cast("bigint").alias("n_docs"),
+    )
+    cut = ranked.filter(
+        F.col("rn") == F.ceil(F.lit(_PPL_Q) * F.col("n_docs")).cast("bigint")
+    ).select(F.col("unigram_ppl").alias("cutoff"))
+    return ranked.crossJoin(F.broadcast(cut)).select(
+        "doc_id",
+        "unigram_ppl",
+        "cutoff",
+        (F.col("unigram_ppl") <= F.col("cutoff")).alias("keep"),
+    )
