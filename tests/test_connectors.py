@@ -426,10 +426,22 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert {r["yr"] for r in back.select("yr").distinct().collect()} == {2024, 2025}
 
 
-def test_avro_gate_raises_honestly(spark, tmp_path):
+def test_avro_gate_closed_by_fallback(spark, tmp_path):
+    """The former jar gate is CLOSED (r8): without spark-avro on the
+    classpath read_avro falls back to the pure-stdlib avrolite
+    DataSource. A missing path now surfaces as a file error (the jar-less
+    environment is no longer the failure), and a real avrolite-written
+    dir reads back through the same read_avro entry point."""
     import pytest
 
+    from pwc_challenge_dataengineer_spark.sources.avrolite import (
+        register_avrolite,
+    )
     from pwc_challenge_dataengineer_spark.sources.readers import read_avro
 
-    with pytest.raises(NotImplementedError, match="spark-avro"):
-        read_avro(spark, str(tmp_path / "nope.avro"))
+    with pytest.raises(Exception, match="nope.avro"):
+        read_avro(spark, str(tmp_path / "nope.avro")).collect()
+    register_avrolite(spark)
+    out = str(tmp_path / "ok")
+    spark.range(5).write.format("avrolite").mode("append").save(out)
+    assert read_avro(spark, out).count() == 5
