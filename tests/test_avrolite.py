@@ -177,3 +177,108 @@ def test_read_avro_falls_back_jar_free(spark, tmp_path):
     df = read_avro(spark, out)
     assert df.count() == 10
     assert {r.dbl for r in df.collect()} == {i * 2 for i in range(10)}
+
+
+def _vint(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _container(schema_obj, data: bytes, n_rec: int, codec: bytes = b"null") -> bytes:
+    schema = json.dumps(schema_obj).encode()
+    meta = (
+        _vint(2)
+        + _vint(len(b"avro.schema")) + b"avro.schema"
+        + _vint(len(schema)) + schema
+        + _vint(len(b"avro.codec")) + b"avro.codec"
+        + _vint(len(codec)) + codec
+        + _vint(0)
+    )
+    block = _vint(n_rec) + _vint(len(data)) + data + SYNC
+    return b"Obj\x01" + meta + SYNC + block
+
+
+def test_enum_fixed_and_named_type_reuse(spark, tmp_path):
+    """Decode paths the writer never emits: enum (index -> symbol), fixed
+    (raw size bytes), and a named type defined once then referenced BY
+    NAME in a later field — per the spec's named-type rules."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "e1", "type": {"type": "enum", "name": "E",
+                                    "symbols": ["LO", "MID", "HI"]}},
+            {"name": "e2", "type": "E"},  # reference by name
+            {"name": "fx", "type": {"type": "fixed", "name": "F2", "size": 2}},
+        ],
+    }
+    # row 1: e1=HI(2), e2=LO(0), fx=0xBEEF ; row 2: e1=MID(1), e2=MID(1), fx=0x0102
+    data = (
+        _vint(2) + _vint(0) + b"\xbe\xef"
+        + _vint(1) + _vint(1) + b"\x01\x02"
+    )
+    p = tmp_path / "enum.avro"
+    p.write_bytes(_container(schema, data, 2))
+    register_avrolite(spark)
+    rows = spark.read.format("avrolite").load(str(p)).collect()
+    assert [(r.e1, r.e2, bytes(r.fx)) for r in rows] == [
+        ("HI", "LO", b"\xbe\xef"),
+        ("MID", "MID", b"\x01\x02"),
+    ]
+
+
+def test_hand_deflated_block(spark, tmp_path):
+    """A deflate block compressed INDEPENDENTLY of the module's writer
+    (raw RFC-1951 stream) decodes correctly — pins the raw-vs-zlib-header
+    distinction the Avro spec requires."""
+    import zlib
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    raw = _vint(100) + _vint(-100) + _vint(0)
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    data = comp.compress(raw) + comp.flush()
+    p = tmp_path / "defl.avro"
+    p.write_bytes(_container(schema, data, 3, codec=b"deflate"))
+    register_avrolite(spark)
+    assert [r.a for r in spark.read.format("avrolite").load(str(p)).collect()] == [
+        100, -100, 0,
+    ]
+
+
+def test_corrupt_sync_marker_detected(tmp_path):
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    raw = bytearray(_container(schema, _vint(1), 1))
+    raw[-1] ^= 0xFF  # flip a byte of the block-trailing sync marker
+    p = tmp_path / "bad.avro"
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        avrolite._scan_blocks(str(p))
+
+
+def test_empty_partition_writes_header_only_file(spark, tmp_path):
+    """A task with zero rows stages a header-only container; reading the
+    directory back yields exactly the non-empty rows (header-only files
+    contribute no splits)."""
+    register_avrolite(spark)
+    out = str(tmp_path / "sparse")
+    # 32 partitions, 3 rows -> most tasks are empty
+    spark.range(3).repartition(32).write.format("avrolite").mode(
+        "append"
+    ).save(out)
+    assert sorted(
+        r.id for r in spark.read.format("avrolite").load(out).collect()
+    ) == [0, 1, 2]
