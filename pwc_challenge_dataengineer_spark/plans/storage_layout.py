@@ -605,20 +605,24 @@ def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.1's Avro row without the spark-avro jar, the same pattern that
     closed Kafka (kafkalike). BIGINT/DATE columns only: exact, no
     float-order risk."""
+    import hashlib
     import os
     import tempfile
 
     from ..sources.avrolite import register_avrolite
 
     register_avrolite(spark)
-    root = tempfile.mkdtemp(prefix="avro_rt_")
-    out = os.path.join(root, "orders_avro")
+    # deterministic per-sf_dir path + overwrite: the read-back frame is
+    # lazy so the dir can't be deleted here, but repeated verify runs
+    # REUSE one dir instead of leaking a fresh mkdtemp each run
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"avro_rt_{tag}", "orders_avro")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
         F.col("o_orderdate").cast("date").alias("o_orderdate"),
     )
-    orders.write.format("avrolite").mode("append").save(out)
+    orders.write.format("avrolite").mode("overwrite").save(out)
     back = spark.read.format("avrolite").load(out)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),

@@ -34,6 +34,7 @@ import datetime as _dt
 import io
 import json
 import os
+import re
 import struct
 import uuid
 import zlib
@@ -50,6 +51,17 @@ from pyspark.sql.datasource import (
 MAGIC = b"Obj\x01"
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 _EPOCH_DT = _dt.datetime(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _tzinfo(name: str) -> "_dt.tzinfo | None":
+    """tzinfo for a session-timezone name; None for UTC spellings (the
+    fast path — naive arithmetic against the naive epoch is then exact)."""
+    if name in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "UTC+00:00"):
+        return None
+    from zoneinfo import ZoneInfo
+
+    return ZoneInfo(name)
 #: target bytes of (compressed) block data per read split
 SPLIT_BYTES = 32 * 1024 * 1024
 
@@ -99,8 +111,16 @@ class _Named:
     """Registry for named-type references (a record/enum/fixed defined once
     and referenced by name later in the same schema)."""
 
-    def __init__(self) -> None:
+    def __init__(self, tz: "_dt.tzinfo | None" = None) -> None:
         self.types: dict[str, dict] = {}
+        #: session timezone for NAIVE timestamp values (None = UTC fast
+        #: path). Avro timestamp-micros/millis are UTC-epoch instants;
+        #: Spark hands the Python DataSource naive datetimes in the
+        #: SESSION timezone, so in a non-UTC session the caller must pass
+        #: option("timeZone", <session tz>) or the container would carry
+        #: local-epoch micros and read back shifted in third-party
+        #: readers. This repo's session.py pins the session to UTC.
+        self.tz = tz
 
     def define(self, schema: dict) -> None:
         name = schema.get("name")
@@ -239,14 +259,18 @@ def _decoder(schema, named: _Named):
         logical = schema.get("logicalType")
         if typ == "int" and logical == "date":
             return lambda buf: _EPOCH_DATE + _dt.timedelta(days=_read_long(buf))
-        if typ == "long" and logical == "timestamp-millis":
-            return lambda buf: _EPOCH_DT + _dt.timedelta(
-                milliseconds=_read_long(buf)
-            )
-        if typ == "long" and logical == "timestamp-micros":
-            return lambda buf: _EPOCH_DT + _dt.timedelta(
-                microseconds=_read_long(buf)
-            )
+        if typ == "long" and logical in ("timestamp-millis", "timestamp-micros"):
+            scale = 1000 if logical == "timestamp-millis" else 1
+            tz = named.tz
+            if tz is None:
+                return lambda buf, s=scale: _EPOCH_DT + _dt.timedelta(
+                    microseconds=_read_long(buf) * s
+                )
+            # container carries UTC-epoch instants; surface them as naive
+            # session-local wall times (what Spark expects back)
+            return lambda buf, s=scale, tz=tz: (
+                _EPOCH_UTC + _dt.timedelta(microseconds=_read_long(buf) * s)
+            ).astimezone(tz).replace(tzinfo=None)
         if typ == "record":
             named.define(schema)
             fds = [_decoder(f["type"], named) for f in schema["fields"]]
@@ -331,10 +355,19 @@ def _encoder(schema, named: _Named):
         if typ == "int" and logical == "date":
             return lambda out, v: _write_long(out, (v - _EPOCH_DATE).days)
         if typ == "long" and logical == "timestamp-micros":
+            tz = named.tz
 
-            def ets(out, v):
+            def ets(out, v, tz=tz):
                 if v.tzinfo is not None:
                     v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                elif tz is not None:
+                    # naive value = session-local wall time; normalize to
+                    # UTC so the container carries true epoch micros
+                    v = (
+                        v.replace(tzinfo=tz)
+                        .astimezone(_dt.timezone.utc)
+                        .replace(tzinfo=None)
+                    )
                 td = v - _EPOCH_DT
                 _write_long(
                     out,
@@ -455,17 +488,21 @@ def _scan_blocks(path: str) -> tuple[dict, bytes, list[tuple[int, int, int]]]:
 
 
 class _AvroSplit(InputPartition):
-    def __init__(self, path, start, end, schema_json, codec, sync_hex):
+    def __init__(self, path, start, end, schema_json, codec, sync_hex,
+                 tzname="UTC"):
         self.path = path
         self.start = start
         self.end = end
         self.schema_json = schema_json
         self.codec = codec
         self.sync_hex = sync_hex
+        self.tzname = tzname
 
 
 def _read_split(split: _AvroSplit):
-    decode = _decoder(json.loads(split.schema_json), _Named())
+    decode = _decoder(
+        json.loads(split.schema_json), _Named(_tzinfo(split.tzname))
+    )
     decomp = _decompressor(split.codec)
     sync = bytes.fromhex(split.sync_hex)
     with open(split.path, "rb") as fh:
@@ -499,6 +536,7 @@ def _avro_files(path: str) -> list[str]:
 class AvroLiteReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
+        self.tzname = options.get("timeZone", "UTC")
 
     def partitions(self):
         splits: list[_AvroSplit] = []
@@ -516,13 +554,13 @@ class AvroLiteReader(DataSourceReader):
                 else:
                     splits.append(
                         _AvroSplit(f, cur_start, cur_end, schema_json,
-                                   codec, sync.hex())
+                                   codec, sync.hex(), self.tzname)
                     )
                     cur_start, cur_end = start, end
             if cur_start is not None:
                 splits.append(
                     _AvroSplit(f, cur_start, cur_end, schema_json,
-                               codec, sync.hex())
+                               codec, sync.hex(), self.tzname)
                 )
         return splits
 
@@ -551,11 +589,15 @@ class AvroLiteWriter(DataSourceWriter):
         self.overwrite = overwrite
         self.avro_schema = _spark_to_avro(schema, False, "spark_row")
         self.block_records = int(options.get("blockRecords", "50000"))
+        # naive timestamps arrive in the SESSION timezone; pass
+        # option("timeZone", <session tz>) in non-UTC sessions so the
+        # container carries true UTC-epoch micros (Avro spec semantics)
+        self.tzname = options.get("timeZone", "UTC")
 
     def write(self, iterator):
         os.makedirs(os.path.join(self.path, ".staging"), exist_ok=True)
         staged = os.path.join(self.path, ".staging", f"{uuid.uuid4()}.avro")
-        encode = _encoder(self.avro_schema, _Named())
+        encode = _encoder(self.avro_schema, _Named(_tzinfo(self.tzname)))
         sync = os.urandom(16)
         header = bytearray(MAGIC)
         meta = {
@@ -602,12 +644,22 @@ class AvroLiteWriter(DataSourceWriter):
         if self.overwrite:
             for f in _avro_files(self.path):
                 os.remove(f)
+        # Start numbering past any existing part files: committing from
+        # index 0 unconditionally would os.replace() over a previous
+        # append's part-0000N.avro files — silent data loss in a
+        # documented write mode. Under overwrite the directory was just
+        # cleared, so start stays 0.
+        start = 0
+        for f in _avro_files(self.path):
+            m = re.fullmatch(r"part-(\d+)\.avro", os.path.basename(f))
+            if m:
+                start = max(start, int(m.group(1)) + 1)
         for i, m in enumerate(
             sorted((m for m in messages if m is not None),
                    key=lambda m: m.path)
         ):
             os.replace(
-                m.path, os.path.join(self.path, f"part-{i:05d}.avro")
+                m.path, os.path.join(self.path, f"part-{start + i:05d}.avro")
             )
 
     def abort(self, messages):

@@ -196,6 +196,31 @@ def read_xml(
     return reader.load(path)
 
 
+def _is_missing_avro_source(exc: Exception) -> bool:
+    """True ONLY for the specific failed-to-find-data-source condition.
+
+    Matching any message containing "avro" (the former check) would also
+    catch a genuine error raised while the spark-avro jar IS present —
+    e.g. a missing path named ``.../orders_avro`` — and silently retry it
+    through the more limited avrolite reader, masking the real failure.
+    """
+    from pyspark.errors import AnalysisException
+
+    cond = ""
+    if isinstance(exc, AnalysisException):
+        for probe in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(exc, probe)() or ""
+                if cond:
+                    break
+            except Exception:
+                continue
+    return (
+        cond in ("DATA_SOURCE_NOT_FOUND", "FAILED_TO_LOAD_DATA_SOURCE")
+        or "Failed to find data source: avro" in str(exc)
+    )
+
+
 def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """Avro scan. Prefers the JVM spark-avro module when its jar is on the
     classpath (columnar, codegen'd); without it, falls back to the
@@ -208,8 +233,8 @@ def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
         for k, v in options.items():
             reader = reader.option(k, v)
         return reader.load(path)
-    except Exception as exc:  # AnalysisException: failed to find source
-        if "avro" not in str(exc).lower():
+    except Exception as exc:
+        if not _is_missing_avro_source(exc):
             raise
         from .avrolite import register_avrolite
 

@@ -576,8 +576,9 @@ def make_dedup_batch_fn(
         dupmap = pairs.groupBy(F.col("id_b").alias("doc_id")).agg(
             F.min("id_a").alias("duplicate_of")
         )
-        # Batch counts ride ALONG in the dup-map collect as two sentinel
-        # rows (doc_ids are non-negative, so -1/-2 cannot collide): the
+        # Batch counts ride ALONG in the dup-map collect as three sentinel
+        # rows (doc_ids -1/-2/-3; the third carries min(doc_id) so the
+        # non-negative assumption is VALIDATED per batch, not assumed): the
         # total row count is the empty-batch guard and the shingled count
         # becomes the store append's manifest row entry. The counts leg and
         # the verify leg are independent subtrees of one union, so their
@@ -590,6 +591,11 @@ def make_dedup_batch_fn(
             .agg(
                 F.count("*").alias("__n"),
                 F.count(F.when(F.col("n_sh") > 0, 1)).alias("__ns"),
+                # sentinel keyspace guard: doc_ids -1/-2/-3 are assumed
+                # free, so the min doc_id rides along and the driver
+                # REJECTS a batch with negative ids instead of silently
+                # corrupting counts (coalesce: empty batch → 0, passes)
+                F.coalesce(F.min("doc_id"), F.lit(0)).alias("__mn"),
             )
             .select(
                 F.explode(
@@ -601,6 +607,10 @@ def make_dedup_batch_fn(
                         F.struct(
                             F.lit(-2).cast("bigint").alias("doc_id"),
                             F.col("__ns").cast("bigint").alias("duplicate_of"),
+                        ),
+                        F.struct(
+                            F.lit(-3).cast("bigint").alias("doc_id"),
+                            F.col("__mn").cast("bigint").alias("duplicate_of"),
                         ),
                     )
                 ).alias("__s")
@@ -654,14 +664,41 @@ def make_dedup_batch_fn(
         }
         n_total = dmap.pop(-1)
         n_shingled = dmap.pop(-2)
+        min_doc_id = dmap.pop(-3)
         if not n_total:
             return
+        if min_doc_id < 0:
+            raise ValueError(
+                f"dedup stream: batch {batch_id} contains doc_id "
+                f"{min_doc_id} < 0 — the -1/-2/-3 sentinel keyspace "
+                "requires non-negative doc_ids"
+            )
         resolved: dict[int, int] = {}
         for d in dmap:
             t = dmap[d]
+            # Cycle guard: a stored representative re-delivered alongside
+            # a smaller-id near-duplicate in one batch can produce
+            # dmap[b]=a (batch-internal pair) AND dmap[a]=b (store-side
+            # pair has no id_a<id_b filter), so an unguarded chase loops
+            # forever. Track the chain; on re-entry, break to the
+            # smallest id in the cycle (deterministic representative).
+            seen = {d}
             while t in dmap:
+                if t in seen:
+                    # walk the loop once from the re-entered node to
+                    # collect exactly the cycle members (path nodes
+                    # BEFORE the cycle entry are duplicates, not
+                    # candidates for representative)
+                    cyc, u = {t}, dmap[t]
+                    while u != t:
+                        cyc.add(u)
+                        u = dmap[u]
+                    t = min(cyc)
+                    break
+                seen.add(t)
                 t = dmap[t]
-            resolved[d] = t
+            if t != d:
+                resolved[d] = t
         # Re-enter the plan as LITERAL EXPRESSIONS, not a joined frame:
         # spark.createDataFrame() parallelizes to an RDD, so broadcasting
         # it back costs one build job per join (measured — it gave back

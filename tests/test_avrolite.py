@@ -282,3 +282,77 @@ def test_empty_partition_writes_header_only_file(spark, tmp_path):
     assert sorted(
         r.id for r in spark.read.format("avrolite").load(out).collect()
     ) == [0, 1, 2]
+
+
+def test_append_does_not_clobber_prior_parts(spark, tmp_path):
+    """r8 ADVICE: commit() used to rename staged files to part-00000...
+    from index 0 unconditionally, so a second append os.replace()d over
+    the first append's files — silent data loss. Appends must accumulate."""
+    register_avrolite(spark)
+    path = str(tmp_path / "acc")
+    df1 = spark.range(0, 10).selectExpr("id AS a")
+    df2 = spark.range(10, 25).selectExpr("id AS a")
+    df1.coalesce(1).write.format("avrolite").mode("append").save(path)
+    df2.coalesce(1).write.format("avrolite").mode("append").save(path)
+    got = sorted(
+        r["a"] for r in
+        spark.read.format("avrolite").load(path).collect()
+    )
+    assert got == list(range(25))
+    # and overwrite still clears everything first
+    df1.coalesce(1).write.format("avrolite").mode("overwrite").save(path)
+    assert spark.read.format("avrolite").load(path).count() == 10
+
+
+def test_timestamp_micros_utc_epoch_with_session_tz_option(tmp_path):
+    """r8 ADVICE: the container must carry UTC-epoch micros per the Avro
+    spec. With option timeZone=<session tz>, a naive (session-local)
+    datetime must be normalized to UTC on encode and shifted back on
+    decode — verified against hand-computed epoch micros, no Spark session
+    needed (pure codec level)."""
+    import io as _io
+
+    enc_named = avrolite._Named(avrolite._tzinfo("America/New_York"))
+    schema = {"type": "long", "logicalType": "timestamp-micros"}
+    encode = avrolite._encoder(schema, enc_named)
+    out = bytearray()
+    # 2024-01-15 12:00:00 EST (UTC-5, winter — no DST ambiguity)
+    naive_local = dt.datetime(2024, 1, 15, 12, 0, 0)
+    encode(out, naive_local)
+    raw = avrolite._read_long(_io.BytesIO(bytes(out)))
+    true_utc_micros = int(
+        dt.datetime(2024, 1, 15, 17, 0, 0, tzinfo=dt.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    assert raw == true_utc_micros
+    # decode with the same tz round-trips to the local wall time
+    dec = avrolite._decoder(
+        schema, avrolite._Named(avrolite._tzinfo("America/New_York"))
+    )
+    assert dec(_io.BytesIO(bytes(out))) == naive_local
+    # decode with UTC (default) surfaces the true UTC wall time
+    dec_utc = avrolite._decoder(schema, avrolite._Named(None))
+    assert dec_utc(_io.BytesIO(bytes(out))) == dt.datetime(2024, 1, 15, 17, 0, 0)
+
+
+def test_avro_fallback_condition_is_specific():
+    """r8 ADVICE: the jar-free fallback must trigger ONLY on the
+    missing-data-source condition, not on any error whose message merely
+    contains 'avro' (e.g. a missing path named .../orders_avro raised
+    while the jar IS present)."""
+    from pyspark.errors import AnalysisException
+
+    from pwc_challenge_dataengineer_spark.sources.readers import (
+        _is_missing_avro_source,
+    )
+
+    assert _is_missing_avro_source(
+        AnalysisException("Failed to find data source: avro.")
+    )
+    assert not _is_missing_avro_source(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist: "
+                          "file:/data/orders_avro")
+    )
+    assert not _is_missing_avro_source(
+        ValueError("avrolite: no .avro files under /data/orders_avro")
+    )

@@ -193,3 +193,55 @@ def test_replay_idempotent_after_compaction(spark, tmp_path):
     prof2 = minhash_doc_profiles(df2, "doc_id", "text", k=3, n_bands=4)
     assert store.append(prof2, seg_id="2") is False
     assert store.read().count() == n_before
+
+
+def test_cycle_in_dup_map_terminates(spark, tmp_path):
+    """r8 ADVICE (high): re-delivering a stored representative alongside a
+    SMALLER-id near-duplicate in one batch creates dmap[rep]=new (batch-
+    internal pair, id-ordered) AND dmap[new]=rep (store-side pair, only
+    filtered by id_a != id_b) — a 2-cycle the unguarded pointer chase
+    looped on forever. The guard must terminate and break the cycle to the
+    smallest id in it."""
+    store = DedupSegmentStore(spark, str(tmp_path / "store"))
+    out = str(tmp_path / "verdicts")
+    fn = make_dedup_batch_fn(store, out, threshold=0.5)
+    # batch 0: doc 5 becomes the stored representative
+    fn(
+        spark.createDataFrame([(5, _BASE_A + " end")],
+                              "doc_id BIGINT, text STRING"),
+        0,
+    )
+    # batch 1: doc 5 re-delivered verbatim + smaller-id near-dup doc 2
+    fn(
+        spark.createDataFrame(
+            [(2, _BASE_A + " alt"), (5, _BASE_A + " end")],
+            "doc_id BIGINT, text STRING",
+        ),
+        1,
+    )
+    verdicts = {
+        (r["batch_id"], r["doc_id"]): (r["is_duplicate"], r["duplicate_of"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert verdicts[(0, 5)] == (False, None)
+    # cycle {2, 5} broken deterministically to min id 2
+    assert verdicts[(1, 5)] == (True, 2), verdicts
+    assert verdicts[(1, 2)] == (False, None), verdicts
+
+
+def test_negative_doc_id_rejected_not_corrupted(spark, tmp_path):
+    """r8 ADVICE: sentinel rows live at doc_ids -1/-2/-3; a legal-BIGINT
+    negative doc_id used to silently corrupt the batch counts. It must be
+    rejected loudly instead."""
+    import pytest as _pytest
+
+    store = DedupSegmentStore(spark, str(tmp_path / "store"))
+    fn = make_dedup_batch_fn(store, str(tmp_path / "verdicts"), threshold=0.5)
+    with _pytest.raises(ValueError, match="doc_id .*-1.* < 0|doc_id -1"):
+        fn(
+            spark.createDataFrame(
+                [(-1, _BASE_A + " end"), (3, _BASE_B + " x")],
+                "doc_id BIGINT, text STRING",
+            ),
+            0,
+        )
