@@ -822,3 +822,91 @@ def perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cutoff",
         (F.col("unigram_ppl") <= F.col("cutoff")).alias("keep"),
     )
+
+
+@register("perplexity_prune_scaled", oracle=_ppl_prune_oracle())
+def perplexity_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB perplexity-prune path (r8 verdict item 1): the SAME
+    exact 75th-percentile cutoff as ``perplexity_prune`` — bit-identical
+    output, shared oracle — but the rank pick is a distributed two-pass
+    rank with NO window and NO global sort anywhere:
+
+      1. value histogram: one hash aggregate over (rounded) ppl values —
+         map-side combinable, collapses 10^10 docs to the distinct-value
+         set; materialized once (localCheckpoint — an aggregate leaf, so
+         checkpoint-stats ancestry stays bounded per SCALE.md).
+      2. coarse buckets: floor(ppl) integer buckets (ppl is a bounded
+         per-document statistic, so the bucket table stays ~10^2-10^3
+         rows at ANY corpus size). Cumulative counts come from a
+         broadcast range self-join over that tiny table — deliberately a
+         broadcast nested-loop over metadata-sized frames, NOT over data.
+      3. boundary bucket = first bucket whose cumulative count reaches
+         k = ceil(0.75 * n); only ITS distinct values (bounded by the
+         round(,4) grid within one integer bucket) are ranked, again via
+         a tiny broadcast range join. cutoff = min value v with
+         count(ppl <= v) >= k — exactly the rank-k multiset statistic,
+         so ties agree with the oracle's row_number pick by construction.
+
+    Every document-sized stage is a scan or a hash aggregate; the one-row
+    cutoff broadcasts into the final scan. A 1000-executor cluster never
+    funnels rows through a single task."""
+    from .text_retrieval import unigram_lm_score
+
+    lm = unigram_lm_score(spark, sf_dir).select("doc_id", "unigram_ppl")
+    hist = (
+        lm.groupBy("unigram_ppl")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    bh = hist.groupBy(
+        F.floor("unigram_ppl").cast("bigint").alias("b")
+    ).agg(F.sum("c").alias("bc"))
+    tot = bh.agg(F.sum("bc").alias("n_docs")).select(
+        F.ceil(F.lit(_PPL_Q) * F.col("n_docs")).cast("bigint").alias("k")
+    )
+    cum = (
+        bh.select(F.col("b"), F.col("bc"))
+        .join(
+            F.broadcast(
+                bh.select(F.col("b").alias("pb"), F.col("bc").alias("pc"))
+            ),
+            F.col("pb") <= F.col("b"),
+        )
+        .groupBy("b", "bc")
+        .agg(F.sum("pc").alias("cum"))
+    )
+    bnd = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(F.min_by(F.struct("b", "bc", "cum", "k"), "b").alias("s"))
+        .select(
+            F.col("s.b").alias("bb"),
+            (F.col("s.cum") - F.col("s.bc")).alias("below"),
+            F.col("s.k").alias("k"),
+        )
+    )
+    slice_ = hist.join(
+        F.broadcast(bnd),
+        F.floor("unigram_ppl").cast("bigint") == F.col("bb"),
+    )
+    cutoff = (
+        slice_.select(F.col("unigram_ppl").alias("v"), "below", "k")
+        .join(
+            F.broadcast(
+                slice_.select(
+                    F.col("unigram_ppl").alias("v2"), F.col("c").alias("c2")
+                )
+            ),
+            F.col("v2") <= F.col("v"),
+        )
+        .groupBy("v", "below", "k")
+        .agg(F.sum("c2").alias("wc"))
+        .filter(F.col("below") + F.col("wc") >= F.col("k"))
+        .agg(F.min("v").alias("cutoff"))
+    )
+    return lm.crossJoin(F.broadcast(cutoff)).select(
+        "doc_id",
+        "unigram_ppl",
+        "cutoff",
+        (F.col("unigram_ppl") <= F.col("cutoff")).alias("keep"),
+    )
