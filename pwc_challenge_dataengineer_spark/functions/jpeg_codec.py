@@ -1,0 +1,580 @@
+"""Baseline sequential JPEG (ITU-T T.81), pure stdlib — encoder + decoder.
+
+This closes the r8 "JPEG decode" gate the same way the PNG round did
+(functions/multimodal.py make_png/parse_png): synthesize spec-conformant
+bytes with an independent encoder, decode them with a full parser, and
+oracle the round trip analytically. JPEG is the dominant image payload in
+crawled multimodal corpora; the reference ingests media exports through
+its format registry (reference: src/etl/ingest), so a curation engine
+needs at least baseline decode. Nothing here is environment-gated: the
+entropy coding is Huffman (bit ops), the transform is an 8x8 IDCT
+(math.cos) — no codec library required. Only MP3/H.264 (psychoacoustic /
+motion-compensated codecs) remain honestly gated after this.
+
+Decoder scope — real baseline JPEG, not a toy matched to the encoder:
+  * marker walk: SOI, APPn/COM skip, DQT (multi-table segments), SOF0,
+    DHT (multi-table segments, arbitrary canonical code lengths), DRI,
+    SOS, RSTn, EOI; SOF2 (progressive) raises NotImplementedError.
+  * interleaved MCU scan for arbitrary sampling factors h,v in {1,2}
+    (4:4:4, 4:2:2, 4:2:0), per-component DC prediction, restart-interval
+    DC reset, byte unstuffing (FF 00), ZRL/EOB run semantics.
+  * dequantization in zigzag order, sparse 2D IDCT (zero coefficients
+    skipped — the standard fast-decoder short-circuit; any coefficient
+    pattern is handled), +128 level shift, [0,255] clamp, nearest-
+    neighbor chroma upsampling.
+  * returns YCbCr planes at full resolution (the decode itself); the
+    JFIF RGB transform is a fixed affine map callers apply as needed.
+
+Exactness for the oracle: the synthetic images put nonzero coefficients
+ONLY at (0,0) and (4,4). cos((2x+1)pi/4) = s(x)*sqrt(2)/2 with
+s = [+,-,-,+,+,-,-,+], so the (4,4) basis contributes exactly
+F44/8 * s(x)s(y) (C(4)=1) and the DC exactly F00/8 — with Q(0,0)=8
+and Q(4,4)=8 every true pixel value is the INTEGER 128 + a + s(x)s(y)*b.
+The float64 IDCT lands within 1e-9 of that integer, so rounding is
+deterministic and the DuckDB oracle can recompute every feature in
+closed form (no half-sample ties exist by construction).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# zigzag sequence index -> raster index (row*8 + col), T.81 Figure 5
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# IDCT basis: BASIS[u][x] = C(u) * cos((2x+1) u pi / 16), C(0)=1/sqrt(2)
+_BASIS = [
+    [
+        (1.0 / math.sqrt(2.0) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+# ----------------------------------------------------------- bit plumbing
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs FF 00, stops at any other marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller via sync()
+                raise _RestartPending()
+            else:
+                raise EOFError("marker inside entropy-coded segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume an RSTn marker at a restart boundary (byte-aligned).
+        A 1-padded final byte of 0xFF is stuffed (FF 00) by encoders —
+        skip that before expecting the marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0x00:
+            self.pos += 2
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected RSTn at restart interval")
+
+
+class _RestartPending(Exception):
+    pass
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.12: map received magnitude bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _bit_size(v: int) -> int:
+    return abs(v).bit_length()
+
+
+# --------------------------------------------------------------- huffman
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C canonical construction."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """MINCODE/MAXCODE/VALPTR decode tables (T.81 F.2.2.3)."""
+
+    def __init__(self, bits: list[int], huffval: list[int]) -> None:
+        self.huffval = huffval
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.bit()
+        length = 1
+        while code > self.maxcode[length]:
+            code = (code << 1) | br.bit()
+            length += 1
+            if length > 16:
+                raise ValueError("invalid Huffman code (no match in 16 bits)")
+        return self.huffval[self.valptr[length] + code - self.mincode[length]]
+
+
+def _table_for_symbols(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """Canonical table for exactly the symbols an encode emits: first
+    symbol at 7 bits, the rest at 8 (two code lengths, so decoders must
+    really walk the canonical construction; the code stays incomplete —
+    the all-ones max-length code is never assigned)."""
+    syms = sorted(set(symbols))
+    bits = [0] * 16
+    if len(syms) == 1:
+        bits[6] = 1
+    else:
+        bits[6] = 1
+        bits[7] = len(syms) - 1
+    return bits, syms
+
+
+# --------------------------------------------------------------- encoder
+
+
+def _encode_block(
+    bw: _BitWriter,
+    zz: list[int],
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Encode one 64-coeff block (zigzag order, quantized). Returns the
+    new DC predictor."""
+    diff = zz[0] - pred
+    size = _bit_size(diff)
+    code, length = dc_codes[size]
+    bw.put(code, length)
+    if size:
+        bw.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL: run of 16 zeros
+            bw.put(c, ln)
+            run -= 16
+        size = _bit_size(zz[k])
+        c, ln = ac_codes[(run << 4) | size]
+        bw.put(c, ln)
+        v = zz[k]
+        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.put(c, ln)
+    return zz[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _dht_body(tc: int, th: int, bits: list[int], huffval: list[int]) -> bytes:
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(huffval)
+
+
+# the synthetic-corpus geometry: 32x16, 4:2:0 -> 2 MCUs of 16x16,
+# 8 luma blocks + 2 Cb + 2 Cr; zigzag index of raster (4,4) = 36
+JPEG_W, JPEG_H = 32, 16
+_ZZ44 = ZIGZAG.index(4 * 8 + 4)
+_QY = [16] * 64
+_QY[0] = 8          # DC: dequant 8 -> flat contribution exactly a
+_QY[_ZZ44] = 8      # (4,4): C(4)=1, so dequant 8 -> exactly s(x)s(y)*b
+_QC = [16] * 64
+_QC[0] = 8
+
+#: sign of cos((2x+1)pi/4): the (4,4) basis checkerboard
+CHECKER = [1, -1, -1, 1, 1, -1, -1, 1]
+
+
+def coeffs_for(seed: int) -> tuple[list[int], list[int], list[int], list[int]]:
+    """Closed-form quantized coefficients: (a[0..7], b[0..7], c[0..1],
+    d[0..1]). |a|+|b| <= 78 so no pixel ever clamps; the DuckDB oracle
+    recomputes these same forms."""
+    a = [((seed * (k + 3) + 11 * k) % 97) - 48 for k in range(8)]
+    b = [((seed * (2 * k + 5) + 7 * k + 13) % 61) - 30 for k in range(8)]
+    c = [((seed * 5 + m * 17) % 81) - 40 for m in range(2)]
+    d = [((seed * 7 + m * 29) % 81) - 40 for m in range(2)]
+    return a, b, c, d
+
+
+def make_jpeg(seed: int, restart_interval: int = 0) -> bytes:
+    """Spec-conformant baseline JFIF file: 32x16 px, 4:2:0 sampling, two
+    interleaved MCUs (DC prediction crosses the MCU boundary), canonical
+    two-length Huffman tables carried in DHT, quant tables in DQT
+    (zigzag order), luma blocks with DC + one (4,4) AC coefficient
+    (entropy stream exercises ZRL twice per block, run/size codes, EOB,
+    negative-value bit encoding), flat DC-only chroma."""
+    a, b, c, d = coeffs_for(seed)
+
+    def luma_zz(k: int) -> list[int]:
+        zz = [0] * 64
+        zz[0] = a[k]
+        zz[_ZZ44] = b[k]
+        return zz
+
+    def chroma_zz(v: int) -> list[int]:
+        zz = [0] * 64
+        zz[0] = v
+        return zz
+
+    # Huffman alphabets actually used (DC diffs depend on where restart
+    # markers reset the predictors, so derive them from the real sequence)
+    def dc_sizes(vals: list[int], per_mcu: int) -> set[int]:
+        sizes, pred = set(), 0
+        for i, v in enumerate(vals):
+            mcu = i // per_mcu
+            if restart_interval and mcu and mcu % restart_interval == 0 \
+                    and i % per_mcu == 0:
+                pred = 0
+            sizes.add(_bit_size(v - pred))
+            pred = v
+        return sizes
+
+    dc_y_syms = sorted(dc_sizes(a, 4))
+    ac_y_syms = sorted(
+        {0xF0}
+        | {((_ZZ44 - 1 - 32) << 4) | _bit_size(x) for x in b if x}
+        | ({0x00} if _ZZ44 < 63 else set())
+        | ({0x00} if any(x == 0 for x in b) else set())
+    )
+    dc_c_syms = sorted(dc_sizes(c, 1) | dc_sizes(d, 1))
+    ac_c_syms = [0x00]
+    bits_dcy, hv_dcy = _table_for_symbols(dc_y_syms)
+    bits_acy, hv_acy = _table_for_symbols(ac_y_syms)
+    bits_dcc, hv_dcc = _table_for_symbols(dc_c_syms)
+    bits_acc, hv_acc = _table_for_symbols(ac_c_syms)
+    dcy = _canonical_codes(bits_dcy, hv_dcy)
+    acy = _canonical_codes(bits_acy, hv_acy)
+    dcc = _canonical_codes(bits_dcc, hv_dcc)
+    acc = _canonical_codes(bits_acc, hv_acc)
+
+    bw = _BitWriter()
+    pred_y = pred_cb = pred_cr = 0
+    rst_n = 0
+    for m in range(2):  # MCU loop, left to right
+        if restart_interval and m and m % restart_interval == 0:
+            # byte-align (1-pad), emit RSTn, reset DC predictors (T.81)
+            if bw.nbits:
+                bw.put((1 << (8 - bw.nbits)) - 1, 8 - bw.nbits)
+            bw.out += bytes([0xFF, 0xD0 + rst_n])
+            rst_n = (rst_n + 1) % 8
+            pred_y = pred_cb = pred_cr = 0
+        for k in range(4 * m, 4 * m + 4):  # luma blocks in MCU raster order
+            pred_y = _encode_block(bw, luma_zz(k), pred_y, dcy, acy)
+        pred_cb = _encode_block(bw, chroma_zz(c[m]), pred_cb, dcc, acc)
+        pred_cr = _encode_block(bw, chroma_zz(d[m]), pred_cr, dcc, acc)
+    entropy = bw.flush()
+
+    jfif = _seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(_QY)) + _seg(0xDB, bytes([0x01]) + bytes(_QC))
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, JPEG_H, JPEG_W, 3)
+        + bytes([1, 0x22, 0])   # Y: h=2 v=2, quant table 0
+        + bytes([2, 0x11, 1])   # Cb: h=1 v=1, quant table 1
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    dht = (
+        _seg(0xC4, _dht_body(0, 0, bits_dcy, hv_dcy))
+        + _seg(0xC4, _dht_body(1, 0, bits_acy, hv_acy))
+        + _seg(0xC4, _dht_body(0, 1, bits_dcc, hv_dcc))
+        + _seg(0xC4, _dht_body(1, 1, bits_acc, hv_acc))
+    )
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    sos = _seg(
+        0xDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8" + jfif + dqt + sof + dht + dri + sos + entropy
+        + b"\xff\xd9"
+    )
+
+
+# --------------------------------------------------------------- decoder
+
+
+def _idct_block(coef: list[int]) -> list[list[int]]:
+    """Sparse 2D IDCT: iterate only nonzero coefficients (the standard
+    fast-decoder short-circuit — handles ANY coefficient pattern), +128
+    level shift, clamp. coef is in RASTER order, dequantized."""
+    acc = [[0.0] * 8 for _ in range(8)]
+    for idx, f in enumerate(coef):
+        if not f:
+            continue
+        u, v = idx % 8, idx // 8  # raster: row v, col u
+        bu, bv = _BASIS[u], _BASIS[v]
+        fq = 0.25 * f
+        for y in range(8):
+            w = fq * bv[y]
+            row = acc[y]
+            for x in range(8):
+                row[x] += w * bu[x]
+    out = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            s = int(round(acc[y][x])) + 128
+            row.append(0 if s < 0 else 255 if s > 255 else s)
+        out.append(row)
+    return out
+
+
+def parse_jpeg(data: bytes):
+    """Baseline sequential decode. Returns (width, height, planes) with
+    planes = {"Y": rows, "Cb": rows, "Cr": rows}, each a top-down list of
+    full-resolution rows (chroma nearest-neighbor upsampled). Progressive
+    (SOF2) / arithmetic coding / 12-bit raise NotImplementedError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS (no image data)")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        length = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + length]
+        pos += length
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                huffval = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _HuffDecoder(bits, huffval)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("12-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x} — "
+                "progressive/arithmetic/lossless)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_tables = {}
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 0xF)
+            ss, se, _ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if ss != 0 or se != 63:
+                raise NotImplementedError("spectral selection (progressive)")
+            return _decode_scan(
+                data, pos, frame, scan_tables, qt, huff, restart_interval
+            )
+        # APPn / COM / others: skipped
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, scan_tables, qt, huff, restart_interval):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["pred"] = 0
+        c["blocks_w"] = mcus_x * c["h"]
+        c["rows"] = [
+            [0] * (mcus_x * c["h"] * 8) for _ in range(mcus_y * c["v"] * 8)
+        ]
+    br = _BitReader(data, pos)
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.sync_restart()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                td, ta = scan_tables[c["id"]]
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = _decode_block(br, dc_tab, ac_tab, c)
+                        coef = [0] * 64
+                        for k in range(64):
+                            coef[ZIGZAG[k]] = zz[k] * q[k]
+                        px = _idct_block(coef)
+                        oy = (my * c["v"] + by) * 8
+                        ox = (mx * c["h"] + bx) * 8
+                        rows = c["rows"]
+                        for yy in range(8):
+                            rows[oy + yy][ox : ox + 8] = px[yy]
+            n_mcu += 1
+    planes = {}
+    names = {1: "Y", 2: "Cb", 3: "Cr"}
+    for c in comps:
+        sx, sy = hmax // c["h"], vmax // c["v"]
+        name = names.get(c["id"], f"c{c['id']}")
+        if sx == 1 and sy == 1:
+            planes[name] = [row[:w] for row in c["rows"][:h]]
+        else:  # nearest-neighbor upsample to full resolution
+            planes[name] = [
+                [c["rows"][y // sy][x // sx] for x in range(w)]
+                for y in range(h)
+            ]
+    return w, h, planes
+
+
+def _decode_block(br, dc_tab, ac_tab, comp) -> list[int]:
+    zz = [0] * 64
+    size = dc_tab.decode(br)
+    diff = _extend(br.receive(size), size)
+    comp["pred"] += diff
+    zz[0] = comp["pred"]
+    k = 1
+    while k < 64:
+        rs = ac_tab.decode(br)
+        run, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(br.receive(size), size)
+        k += 1
+    return zz
+
+
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF fixed-point RGB transform (informative; features stay in the
+    YCbCr domain where the decode is integer-exact)."""
+    r = y + (91881 * (cr - 128) >> 16)
+    g = y - ((22554 * (cb - 128) + 46802 * (cr - 128)) >> 16)
+    b = y + (116130 * (cb - 128) >> 16)
+    clamp = lambda v: 0 if v < 0 else 255 if v > 255 else v  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)

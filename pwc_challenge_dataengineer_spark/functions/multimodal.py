@@ -20,7 +20,8 @@ UPDATE 2 (r8): PNG is no longer gated either — its compression is DEFLATE,
 which the stdlib zlib provides, so make_png/parse_png implement the full
 spec path (chunk walk + CRC validation, inflate, all five row unfilters
 including Paeth) with zero dependencies; oracle-verified end-to-end by the
-png_real_decode catalog query. Remaining honest gates: JPEG/MP3/H.264
+png_real_decode catalog query; baseline JPEG followed in r9
+(functions/jpeg_codec.py, jpeg_real_decode). Remaining honest gates: MP3/H.264
 (DCT/psychoacoustic codecs genuinely need codec libraries).
 """
 
@@ -199,7 +200,8 @@ def sample_frames(media: DataFrame) -> DataFrame:
 # BMP (raw BGR pixels, bottom-up rows, 4-byte row padding) and PCM WAV
 # (RIFF chunks + little-endian int16 samples). These upgrade the honest
 # NotImplementedError gate: true-pixel / true-sample decode IS implemented
-# for uncompressed containers; only compressed codecs (PNG/JPEG/MP3/H.264)
+# for uncompressed containers; only compressed codecs (MP3/H.264 — PNG and
+# baseline JPEG are now truly decoded, see below and jpeg_codec.py)
 # remain environment-gated.
 
 REAL_MEDIA_SCHEMA = T.StructType(
@@ -415,7 +417,8 @@ def extract_real_media_features(media: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------- PNG (r8)
 # PNG's only compression is DEFLATE, which the stdlib zlib provides — so
-# unlike JPEG/MP3/H.264 there is nothing environment-gated about it. The
+# unlike MP3/H.264 there is nothing environment-gated about it (and r9
+# showed the same for baseline JPEG — jpeg_codec.py). The
 # encoder and decoder below are independent implementations of the spec
 # (RFC 2083): the encoder deliberately writes row y with filter type
 # y % 5, so a successful decode proves all five unfilters (None/Sub/Up/
@@ -646,3 +649,102 @@ def extract_png_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, PNG_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------------ JPEG
+# Baseline sequential JPEG codec lives in functions/jpeg_codec.py (pure
+# stdlib — Huffman entropy decode, dequant, sparse IDCT, 4:2:0 upsample).
+# With it decoded, only MP3/H.264 remain environment-gated.
+
+JPEG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("img_width", T.IntegerType(), True),
+        T.StructField("img_height", T.IntegerType(), True),
+        T.StructField("y00", T.IntegerType(), True),
+        T.StructField("y_mid", T.IntegerType(), True),
+        T.StructField("y_right", T.IntegerType(), True),
+        T.StructField("y_sum", T.LongType(), True),
+        T.StructField("y_checker_sum", T.LongType(), True),
+        T.StructField("cb_sum", T.LongType(), True),
+        T.StructField("cr_sum", T.LongType(), True),
+    ]
+)
+
+
+def synthesize_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One real baseline JFIF file per row (two interleaved 4:2:0 MCUs,
+    canonical Huffman tables in DHT, ZRL runs, DC prediction) — Arrow-
+    batched mapInPandas, same shape as synthesize_png_media."""
+    import pandas as pd
+
+    from .jpeg_codec import make_jpeg
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it):
+        for pdf in it:
+            seeds = (pdf["media_id"] % 251).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "jpeg": [make_jpeg(int(s)) for s in seeds],
+                }
+            )
+
+    return src.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("jpeg", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def extract_jpeg_features(media: DataFrame) -> DataFrame:
+    """TRUE-pixel features from PARSED JPEG bytes (functions/jpeg_codec
+    parse_jpeg). ``y_checker_sum`` weights each luma pixel by the (4,4)
+    basis sign pattern s(x%8)s(y%8), isolating the AC coefficients — it
+    is only right if the Huffman AC path (two ZRLs + run/size + EOB per
+    block), the zigzag placement, and the IDCT are; ``y_sum`` isolates
+    the DC prediction chain; ``cb_sum``/``cr_sum`` are only right if
+    chroma decode + 2x2 nearest-neighbor upsampling are. All BIGINT-exact
+    (the synthetic coefficient pattern makes every true pixel an integer
+    — jpeg_codec module docstring)."""
+    import pandas as pd
+
+    from .jpeg_codec import CHECKER, parse_jpeg
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, jpg in zip(pdf["media_id"], pdf["jpeg"]):
+                w, h, pl = parse_jpeg(bytes(jpg))
+                ys, yc, cbs, crs = 0, 0, 0, 0
+                for y in range(h):
+                    ry, rcb, rcr = pl["Y"][y], pl["Cb"][y], pl["Cr"][y]
+                    sy = CHECKER[y % 8]
+                    for x in range(w):
+                        ys += ry[x]
+                        yc += sy * CHECKER[x % 8] * ry[x]
+                        cbs += rcb[x]
+                        crs += rcr[x]
+                rows.append(
+                    {
+                        "doc_id": mid,
+                        "img_width": w,
+                        "img_height": h,
+                        "y00": pl["Y"][0][0],
+                        "y_mid": pl["Y"][8][8],
+                        "y_right": pl["Y"][0][24],
+                        "y_sum": ys,
+                        "y_checker_sum": yc,
+                        "cb_sum": cbs,
+                        "cr_sum": crs,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, JPEG_FEATURES_SCHEMA)

@@ -1,0 +1,121 @@
+"""Baseline JPEG codec (functions/jpeg_codec.py): closed-form round trip,
+restart markers, byte unstuffing via a hand-assembled golden file, honest
+gates for non-baseline frames.
+
+The golden-byte test builds a grayscale 8x8 JPEG BY HAND from the T.81
+spec (canonical 1-bit Huffman codes, stuffed FF 00 in the entropy
+segment) — independent of the module's encoder, same evidence style as
+the avrolite/protoshim golden tests."""
+
+import struct
+
+import pytest
+
+from pwc_challenge_dataengineer_spark.functions.jpeg_codec import (
+    CHECKER,
+    JPEG_H,
+    JPEG_W,
+    coeffs_for,
+    make_jpeg,
+    parse_jpeg,
+    ycbcr_to_rgb,
+)
+
+
+def _expected_planes(seed: int):
+    a, b, c, d = coeffs_for(seed)
+    Y = [
+        [
+            128
+            + a[4 * (x // 16) + 2 * ((y % 16) // 8) + ((x % 16) // 8)]
+            + CHECKER[x % 8]
+            * CHECKER[y % 8]
+            * b[4 * (x // 16) + 2 * ((y % 16) // 8) + ((x % 16) // 8)]
+            for x in range(JPEG_W)
+        ]
+        for y in range(JPEG_H)
+    ]
+    Cb = [[128 + c[x // 16] for x in range(JPEG_W)] for _ in range(JPEG_H)]
+    Cr = [[128 + d[x // 16] for x in range(JPEG_W)] for _ in range(JPEG_H)]
+    return Y, Cb, Cr
+
+
+@pytest.mark.parametrize("seed", [0, 7, 97, 250])
+def test_round_trip_matches_closed_form(seed):
+    w, h, pl = parse_jpeg(make_jpeg(seed))
+    assert (w, h) == (JPEG_W, JPEG_H)
+    Y, Cb, Cr = _expected_planes(seed)
+    assert pl["Y"] == Y
+    assert pl["Cb"] == Cb
+    assert pl["Cr"] == Cr
+
+
+@pytest.mark.parametrize("seed", [3, 42, 199])
+def test_restart_markers_reset_dc_prediction(seed):
+    """restart_interval=1 puts an RSTn between the two MCUs: the decoder
+    must byte-align, consume the marker, and reset all DC predictors —
+    pixels must be identical to the no-restart encoding."""
+    data = make_jpeg(seed, restart_interval=1)
+    assert b"\xff\xdd" in data  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + n]) in data for n in range(8))
+    _, _, pl = parse_jpeg(data)
+    _, _, pl0 = parse_jpeg(make_jpeg(seed))
+    assert pl == pl0
+
+
+def test_golden_hand_assembled_grayscale_with_byte_stuffing():
+    """8x8 single-component file assembled byte-by-byte from T.81:
+    DC Huffman code '0' (length 1) -> size 8, value bits 11111111 = 255;
+    AC table's EOB code is '1' (second length-1 code), so the entropy
+    stream is 0 11111111 1 + 1-padding = 0x7F 0xFF -> the 0xFF MUST be
+    stuffed (FF 00). Decoded plane: DC 255, Q=1 -> IDCT flat
+    round(255/8) + 128 = 160 everywhere. Exercises unstuffing, canonical
+    table build from DHT, and _extend on an all-ones magnitude."""
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table 0: two length-1 codes; huffval order [8, 0] -> size 8 = '0'
+    dc_bits = bytes([2] + [0] * 15)
+    dht_dc = seg(0xC4, bytes([0x00]) + dc_bits + bytes([8, 0]))
+    # AC table 0: two length-1 codes; huffval [0xF0, 0x00] -> EOB = '1'
+    ac_bits = bytes([2] + [0] * 15)
+    dht_ac = seg(0xC4, bytes([0x10]) + ac_bits + bytes([0xF0, 0x00]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy: 0 | 11111111 | 1 | pad 111111 -> bytes 0x7F 0xFF(stuffed)
+    entropy = bytes([0x7F, 0xFF, 0x00])
+    data = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy
+        + b"\xff\xd9"
+    )
+    w, h, pl = parse_jpeg(data)
+    assert (w, h) == (8, 8)
+    assert pl["Y"] == [[160] * 8] * 8
+
+
+def test_non_baseline_and_garbage_raise():
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"\x89PNG\r\n\x1a\n")
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be an honest gate
+    data = bytearray(make_jpeg(5))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        parse_jpeg(bytes(data))
+
+
+def test_corrupt_entropy_detected():
+    """Truncating the entropy segment mid-MCU must fail loudly (marker or
+    EOF inside entropy), never return a silently-short image."""
+    data = make_jpeg(11)
+    with pytest.raises((EOFError, ValueError, IndexError)):
+        parse_jpeg(data[: len(data) - 40])
+
+
+def test_ycbcr_to_rgb_fixed_point_bounds():
+    assert ycbcr_to_rgb(128, 128, 128) == (128, 128, 128)
+    r, g, b = ycbcr_to_rgb(255, 0, 255)
+    assert all(0 <= v <= 255 for v in (r, g, b))
+    assert ycbcr_to_rgb(0, 128, 128) == (0, 0, 0)
