@@ -588,6 +588,8 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(22,2))
+               AS sum_price,
            CAST(MIN(o_orderdate) AS DATE) AS min_day,
            CAST(MAX(o_orderdate) AS DATE) AS max_day
     FROM orders
@@ -620,13 +622,20 @@ def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
         F.col("o_orderdate").cast("date").alias("o_orderdate"),
     )
-    orders.write.format("avrolite").mode("overwrite").save(out)
+    # snappy codec (r9): pure-Python block decode + CRC32 trailer, so the
+    # round trip now also proves the decimal logical type (bytes
+    # two's-complement) and the third required codec — DECIMAL sums are
+    # exact, still no float-order risk
+    (orders.write.format("avrolite").option("codec", "snappy")
+        .mode("overwrite").save(out))
     back = spark.read.format("avrolite").load(out)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum("o_orderkey").alias("sum_key"),
+        F.sum("o_totalprice").cast("decimal(22,2)").alias("sum_price"),
         F.min("o_orderdate").alias("min_day"),
         F.max("o_orderdate").alias("max_day"),
     )

@@ -159,11 +159,16 @@ def test_block_splits_cover_all_rows(spark, tmp_path, monkeypatch):
     assert sorted(seen) == list(range(5000))
 
 
-def test_unsupported_codec_and_union_raise(tmp_path):
-    with pytest.raises(NotImplementedError, match="codec 'snappy'"):
-        avrolite._decompressor("snappy")
-    with pytest.raises(NotImplementedError, match="unions"):
-        avrolite._avro_to_spark(["int", "string"], avrolite._Named())
+def test_remaining_gates_raise(tmp_path):
+    """r9 moved the snappy / decimal / multi-branch-union boundaries into
+    supported territory; what remains gated must still raise honestly."""
+    with pytest.raises(NotImplementedError, match="codec 'zstandard'"):
+        avrolite._decompressor("zstandard")
+    with pytest.raises(NotImplementedError, match="decimal over 'string'"):
+        avrolite._avro_to_spark(
+            {"type": "string", "logicalType": "decimal", "scale": 2},
+            avrolite._Named(),
+        )
 
 
 def test_read_avro_falls_back_jar_free(spark, tmp_path):
@@ -356,3 +361,120 @@ def test_avro_fallback_condition_is_specific():
     assert not _is_missing_avro_source(
         ValueError("avrolite: no .avro files under /data/orders_avro")
     )
+
+
+def test_decimal_round_trip_and_wire_format(spark, tmp_path):
+    """decimal logical type (r8 verdict item 3): DecimalType columns write
+    as bytes decimals (minimal two's-complement unscaled int) and read
+    back exactly; the wire bytes are checked against hand-computed
+    two's-complement so writer and reader can't just agree by accident."""
+    import decimal as dec
+    import io as _io
+
+    register_avrolite(spark)
+    path = str(tmp_path / "dec")
+    df = spark.sql(
+        """SELECT * FROM VALUES
+           (1, CAST(12345.67 AS DECIMAL(12,2))),
+           (2, CAST(-0.01 AS DECIMAL(12,2))),
+           (3, CAST(0 AS DECIMAL(12,2))),
+           (4, CAST(-9999999999.99 AS DECIMAL(12,2))) t(id, amt)"""
+    )
+    df.coalesce(1).write.format("avrolite").mode("overwrite").save(path)
+    back = spark.read.format("avrolite").load(path)
+    assert back.schema["amt"].dataType.simpleString() == "decimal(12,2)"
+    got = {r["id"]: r["amt"] for r in back.collect()}
+    assert got == {
+        1: dec.Decimal("12345.67"),
+        2: dec.Decimal("-0.01"),
+        3: dec.Decimal("0.00"),
+        4: dec.Decimal("-9999999999.99"),
+    }
+    # wire-level: encoder bytes for -0.01 must be the 1-byte
+    # two's-complement of -1 (0xFF), length-prefixed
+    enc = avrolite._encoder(
+        {"type": "bytes", "logicalType": "decimal",
+         "precision": 12, "scale": 2},
+        avrolite._Named(),
+    )
+    out = bytearray()
+    enc(out, dec.Decimal("-0.01"))
+    assert bytes(out) == b"\x02\xff"  # varint len 1, byte 0xFF
+    d = avrolite._decoder(
+        {"type": "bytes", "logicalType": "decimal",
+         "precision": 12, "scale": 2},
+        avrolite._Named(),
+    )
+    assert d(_io.BytesIO(b"\x02\xff")) == dec.Decimal("-0.01")
+
+
+def test_fixed_decimal_decode():
+    """fixed-backed decimals: the unscaled int is sign-extended across the
+    FULL fixed size (spec), e.g. 4-byte fixed holding -2 at scale 3."""
+    import decimal as dec
+    import io as _io
+
+    schema = {
+        "type": "fixed", "name": "amt4", "size": 4,
+        "logicalType": "decimal", "precision": 9, "scale": 3,
+    }
+    d = avrolite._decoder(schema, avrolite._Named())
+    assert d(_io.BytesIO(b"\xff\xff\xff\xfe")) == dec.Decimal("-0.002")
+    assert d(_io.BytesIO(b"\x00\x00\x30\x39")) == dec.Decimal("12.345")
+    t, _ = avrolite._avro_to_spark(schema, avrolite._Named())
+    assert t.simpleString() == "decimal(9,3)"
+
+
+def test_multi_branch_union_decodes_to_member_struct():
+    """non-null multi-branch unions (r8 verdict item 3) map to a struct of
+    memberN fields (spark-avro reader convention). Hand-encoded values:
+    branch index varint then the branch payload."""
+    import io as _io
+
+    schema = ["null", "long", "string"]
+    t, nullable = avrolite._avro_to_spark(schema, avrolite._Named())
+    assert nullable
+    assert t.simpleString() == "struct<member0:bigint,member1:string>"
+    d = avrolite._decoder(schema, avrolite._Named())
+    # index 0 -> null
+    assert d(_io.BytesIO(b"\x00")) is None
+    # index 1 (varint 02) -> long 7 (zigzag 0e)
+    assert d(_io.BytesIO(b"\x02\x0e")) == (7, None)
+    # index 2 (varint 04) -> string "hi" (len 2 -> 04)
+    assert d(_io.BytesIO(b"\x04\x04hi")) == (None, "hi")
+
+
+def test_snappy_codec_round_trip_and_golden_backref(spark, tmp_path):
+    """snappy codec, jar- and dependency-free: writer emits literal-only
+    snappy + CRC32 trailer (spec-valid), reader decodes the FULL format.
+    The back-reference path (which our writer never emits) is proven on a
+    hand-assembled stream, and CRC corruption is detected."""
+    register_avrolite(spark)
+    path = str(tmp_path / "snap")
+    df = spark.range(0, 5000).selectExpr("id", "concat('v', id) AS s")
+    (df.coalesce(2).write.format("avrolite")
+       .option("codec", "snappy").mode("overwrite").save(path))
+    back = spark.read.format("avrolite").load(path)
+    assert back.count() == 5000
+    assert {r["s"] for r in back.filter("id < 3").collect()} == {"v0", "v1", "v2"}
+    # container really says snappy
+    files = avrolite._avro_files(path)
+    meta, _, _ = avrolite._scan_blocks(files[0])
+    assert meta["avro.codec"] == b"snappy"
+
+    # golden back-reference: literal "abcd" then copy(len 4, offset 2)
+    # -> "abcdcdcd"; preamble varint 8
+    stream = bytes([8, (4 - 1) << 2]) + b"abcd" + bytes([(4 - 4) << 2 | 1, 2])
+    assert avrolite._snappy_decompress(stream) == b"abcdcdcd"
+    # overlapping copy: literal "ab" + copy(len 6, offset 2) -> "abababab"
+    stream2 = bytes([8, (2 - 1) << 2]) + b"ab" + bytes([(6 - 4) << 2 | 1, 2])
+    assert avrolite._snappy_decompress(stream2) == b"abababab"
+
+    import pytest as _pytest
+    import struct as _struct
+    import zlib as _zlib
+
+    good = avrolite._snappy_compress(b"payload")
+    block = good + _struct.pack(">I", (_zlib.crc32(b"payload") ^ 1) & 0xFFFFFFFF)
+    with _pytest.raises(ValueError, match="CRC"):
+        avrolite._decompressor("snappy")(block)
