@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -886,6 +887,138 @@ class AvroLiteDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return AvroLiteWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema):
+        return AvroLiteStreamReader(self.options)
+
+
+class AvroLiteStreamReader(DataSourceStreamReader):
+    """File-watch Avro stream: each micro-batch reads the .avro files
+    that appeared since the last trigger (the reference streams
+    file-watched event exports — spark_structured_streaming.py:185-264
+    family). Parity with Spark's own FileStreamSource semantics where the
+    Python stream API allows:
+
+      * discovery order is lexicographic file name — export directories
+        name files monotonically (timestamps/part numbers), which makes
+        the offset a simple prefix length. The offset also carries the
+        last consumed name, so a replay detects a reordered/vanished
+        prefix and fails loudly (failOnDataLoss analogue) instead of
+        silently skipping or double-reading.
+      * ``maxFilesPerTrigger`` caps each batch's advance.
+      * each file fans out through the SAME block-header split planner as
+        the batch reader (~32 MB splits) — a big late-arriving file is
+        read by many executors, not one task per file.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.tzname = options.get("timeZone", "UTC")
+        cap = options.get("maxFilesPerTrigger")
+        self.max_files = int(cap) if cap is not None else None
+        self.starting = options.get("startingOffsets", "earliest")
+
+    def _files(self) -> list[str]:
+        try:
+            return _avro_files(self.path)
+        except FileNotFoundError:
+            return []
+
+    @staticmethod
+    def _offset(files: list[str], n: int) -> dict:
+        return {
+            "n": n,
+            "last": os.path.basename(files[n - 1]) if n else "",
+        }
+
+    def initialOffset(self) -> dict:
+        files = self._files()
+        n = len(files) if self.starting == "latest" else 0
+        self._last_n = n  # seed the cap base for the first trigger
+        return self._offset(files, n)
+
+    def latestOffset(self) -> dict:
+        files = self._files()
+        n = len(files)
+        # NOTE: like kafkalike, the Python API's latestOffset has no
+        # start argument — the cap advances from the last planned end
+        # tracked via partitions(). The engine may call latestOffset on
+        # an instance that never saw initialOffset (observed: planning
+        # and execution readers are distinct), so when no base exists
+        # fall back to the configured start; the first post-restart
+        # trigger with no replayed batch may exceed the cap once.
+        if self.max_files is not None:
+            base = getattr(self, "_last_n", None)
+            if base is None:
+                base = len(files) if self.starting == "latest" else 0
+            n = min(n, base + self.max_files)
+        self._last_n = n
+        return self._offset(files, n)
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()
+        n0, n1 = int(start["n"]), int(end["n"])
+        # cap base never regresses below the consumed prefix (a stale
+        # fallback base could otherwise plan end < start after restart)
+        self._last_n = max(n0, n1, getattr(self, "_last_n", 0) or 0)
+        if n1 > len(files):
+            raise ValueError(
+                f"avrolite stream: offset says {n1} files but only "
+                f"{len(files)} present — files were removed (data loss)"
+            )
+        for k, want in ((n0, start), (n1, end)):
+            have = os.path.basename(files[k - 1]) if k else ""
+            if want.get("last", have) != have:
+                raise ValueError(
+                    "avrolite stream: file order changed under the "
+                    f"checkpoint (expected {want['last']!r} at position "
+                    f"{k}, found {have!r}) — new files must sort after "
+                    "consumed ones"
+                )
+        splits: list[_AvroSplit] = []
+        for f in files[n0:n1]:
+            meta, sync, blocks = _scan_blocks(f)
+            schema_json = meta["avro.schema"].decode("utf-8")
+            codec = meta.get("avro.codec", b"null").decode("utf-8")
+            cur_start, cur_end = None, None
+            for bstart, bend, _cnt in blocks:
+                if cur_start is None:
+                    cur_start, cur_end = bstart, bend
+                elif bend - cur_start <= SPLIT_BYTES:
+                    cur_end = bend
+                else:
+                    splits.append(_AvroSplit(
+                        f, cur_start, cur_end, schema_json, codec,
+                        sync.hex(), self.tzname,
+                    ))
+                    cur_start, cur_end = bstart, bend
+            if cur_start is not None:
+                splits.append(_AvroSplit(
+                    f, cur_start, cur_end, schema_json, codec,
+                    sync.hex(), self.tzname,
+                ))
+        if not splits:
+            # Spark requires >= 1 partition per batch; empty advance
+            # yields one empty split of the first consumed file — or, if
+            # nothing was ever consumed, a zero-range sentinel
+            if files:
+                splits.append(_AvroSplit(
+                    files[0], 0, 0, "\"null\"", "null", "00" * 16,
+                    self.tzname,
+                ))
+            else:
+                splits.append(_AvroSplit(
+                    "", 0, 0, "\"null\"", "null", "00" * 16, self.tzname
+                ))
+        return splits
+
+    def read(self, partition: _AvroSplit):
+        if partition.start >= partition.end:
+            return iter(())
+        return _read_split(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # consumed-prefix state lives in Spark's checkpoint WAL
 
 
 def register_avrolite(spark) -> None:

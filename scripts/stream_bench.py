@@ -341,6 +341,83 @@ def main() -> None:
             f"# kafkalike_ingest: {json.dumps(results['kafkalike_ingest'])}",
             flush=True,
         )
+
+        # --- avrolite file-watch stream ingest ------------------------------
+        # r9: the jar-free Avro stream source (file-watch over .avro
+        # exports, block-split fan-out per discovered file). Files are
+        # pre-staged and drained one per trigger via maxFilesPerTrigger —
+        # the same cadence contract as the other legs.
+        from pwc_challenge_dataengineer_spark.sources.avrolite import (
+            register_avrolite,
+        )
+
+        register_avrolite(spark)
+        avro_dir = os.path.join(tmp, "avro_exports")
+        os.makedirs(avro_dir, exist_ok=True)
+        n_files = N_CHUNKS
+        rows_per_file = 200
+        src_rows = txn.limit(n_files * rows_per_file).selectExpr(
+            "invoice_no", "customer_id", "quantity"
+        ).collect()
+        stage = os.path.join(tmp, "avro_stage")
+        for i in range(n_files):
+            chunk = src_rows[i * rows_per_file : (i + 1) * rows_per_file]
+            spark.createDataFrame(chunk).coalesce(1).write.format(
+                "avrolite"
+            ).mode("overwrite").save(stage)
+            part = [
+                f for f in os.listdir(stage) if f.endswith(".avro")
+            ][0]
+            os.replace(
+                os.path.join(stage, part),
+                os.path.join(avro_dir, f"export_{i:05d}.avro"),
+            )
+        avro_seen = [0]
+
+        def avro_batch(b, _bid):
+            avro_seen[0] += b.selectExpr(
+                "invoice_no", "quantity * 2 AS q2"
+            ).count()
+
+        t0 = time.time()
+        q = (
+            spark.readStream.format("avrolite")
+            .option("path", avro_dir)
+            .option("maxFilesPerTrigger", "1")
+            .load()
+            .writeStream.foreachBatch(avro_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ck_avro"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        total_rows = n_files * rows_per_file
+        deadline = time.time() + 600
+        while avro_seen[0] < total_rows and time.time() < deadline:
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+        wall = time.time() - t0
+        durs, rows = _progress_stats(q)
+        half = len(durs) // 2
+        p95_a = _percentile(durs[:half], 0.95) if half else 0.0
+        p95_b = _percentile(durs[half:], 0.95) if half else 0.0
+        results["avrolite_stream_ingest"] = {
+            "batches": len(durs),
+            "rows": rows,
+            "wall_sec": round(wall, 2),
+            "rows_per_sec": round(rows / wall, 1) if wall else None,
+            "batch_ms_p50": round(_percentile(durs, 0.50), 1),
+            "batch_ms_p95": round(_percentile(durs, 0.95), 1),
+            "batch_ms_max": round(max(durs), 1) if durs else 0,
+            "p95_second_half_over_first": round(
+                (p95_b / p95_a) if p95_a else 1.0, 3
+            ),
+        }
+        print(
+            "# avrolite_stream_ingest: "
+            f"{json.dumps(results['avrolite_stream_ingest'])}",
+            flush=True,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -478,3 +478,89 @@ def test_snappy_codec_round_trip_and_golden_backref(spark, tmp_path):
     block = good + _struct.pack(">I", (_zlib.crc32(b"payload") ^ 1) & 0xFFFFFFFF)
     with _pytest.raises(ValueError, match="CRC"):
         avrolite._decompressor("snappy")(block)
+
+
+def test_avro_stream_source_live(spark, tmp_path):
+    """File-watch Avro stream (r8 verdict item 5): files consumed in name
+    order, maxFilesPerTrigger honored, files appended MID-STREAM are
+    picked up, every row lands exactly once."""
+    import time
+
+    register_avrolite(spark)
+    src = str(tmp_path / "stream_src")
+    out = str(tmp_path / "out")
+
+    def write_file(tag, lo, hi):
+        import os as _os
+
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi)], "id BIGINT, s STRING"
+        )
+        staging = str(tmp_path / f"stage_{tag}")
+        df.coalesce(1).write.format("avrolite").mode("overwrite").save(staging)
+        _os.makedirs(src, exist_ok=True)
+        part = [f for f in _os.listdir(staging) if f.endswith(".avro")][0]
+        _os.replace(
+            _os.path.join(staging, part),
+            _os.path.join(src, f"export_{tag}.avro"),
+        )
+
+    write_file("00", 0, 10)
+    write_file("01", 10, 25)
+
+    sizes, total = [], [0]
+
+    def on_batch(df, bid):
+        rows = df.collect()
+        sizes.append(len(rows))
+        if rows:
+            df.sparkSession.createDataFrame(rows, df.schema).write.mode(
+                "append"
+            ).parquet(out)
+        total[0] += len(rows)
+
+    q = (
+        spark.readStream.format("avrolite")
+        .option("path", src)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    appended = False
+    while total[0] < 40 and time.time() < deadline:
+        if total[0] >= 25 and not appended:
+            write_file("02", 25, 40)  # arrives mid-stream
+            appended = True
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(40))
+    # maxFilesPerTrigger=1: the two initial files arrive in separate
+    # batches (10 then 15), never fused
+    nonempty = [s for s in sizes if s]
+    assert nonempty[0] == 10 and nonempty[1] == 15, sizes
+
+
+def test_avro_stream_detects_removed_file(spark, tmp_path):
+    """Offset carries (count, last-name): shrinking the directory under a
+    checkpoint must raise (data loss), not silently re-read."""
+    from pwc_challenge_dataengineer_spark.sources.avrolite import (
+        AvroLiteStreamReader,
+    )
+
+    register_avrolite(spark)
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame([(1, "a")], "id BIGINT, s STRING")
+    df.coalesce(1).write.format("avrolite").mode("overwrite").save(src)
+    r = AvroLiteStreamReader({"path": src})
+    end = r.latestOffset()
+    assert end["n"] == 1
+    with pytest.raises(ValueError, match="data loss|removed"):
+        r.partitions({"n": 2, "last": "zzz.avro"}, {"n": 2, "last": "zzz.avro"})
+    with pytest.raises(ValueError, match="order changed"):
+        r.partitions({"n": 0, "last": ""}, {"n": 1, "last": "other.avro"})
