@@ -70,6 +70,7 @@ _QUERY_MODULES = (
     "training_prep",
     "linkage_spatial",
     "recursive_sql",
+    "web_curation",
 )
 
 

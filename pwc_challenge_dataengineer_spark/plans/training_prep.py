@@ -910,3 +910,158 @@ def perplexity_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cutoff",
         (F.col("unigram_ppl") <= F.col("cutoff")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------- HTML (r9)
+# Boilerplate extraction — the step BEFORE every quality filter in a crawl
+# pipeline (trafilatura/jusText-style): segment the page, score each
+# segment by link density and visible-text length, keep the content
+# segments. The synthetic page is built from the documents table with the
+# same deterministic string expression on both engines, so the WHOLE
+# segment/strip/score/select pipeline is value-oracled (including an md5
+# of the extracted main text in segment order).
+
+_HB_MIN_LEN = 25  # keep segments with >= this much visible text ...
+# ... and link density <= 0.3, compared integer-exactly as 10*link <= 3*vis
+
+
+def _hb_html_spark(doc_id: F.Column, text: F.Column) -> F.Column:
+    half = F.floor(F.length(text) / F.lit(2.0)).cast("int")
+    return F.concat(
+        F.lit('<div class="b"><a href="/">Home</a> <a href="/p">Products'
+              '</a> <a href="/c">Contact</a></div>'),
+        F.lit('<div class="b"><h1>Doc '), doc_id.cast("string"),
+        F.lit('</h1> '),
+        F.expr("substr(text, 1, CAST(FLOOR(length(text)/2.0) AS INT))"),
+        F.lit('</div><div class="b"><a href="/ad">sponsor</a> '),
+        F.expr("repeat('ad word ', CAST(doc_id % 7 AS INT))"),
+        F.lit('</div><div class="b">'),
+        F.expr(
+            "substr(text, CAST(FLOOR(length(text)/2.0) AS INT) + 1)"
+        ),
+        F.lit('</div><div class="b"><a href="/terms">Terms</a> '
+              '<a href="/priv">Privacy</a> (c) corp</div>'),
+    )
+
+
+_HB_ORACLE = """
+    WITH h AS (
+        SELECT doc_id,
+               '<div class="b"><a href="/">Home</a> <a href="/p">Products</a> <a href="/c">Contact</a></div>'
+               || '<div class="b"><h1>Doc ' || doc_id || '</h1> '
+               || substr(text, 1, CAST(FLOOR(length(text)/2.0) AS INT))
+               || '</div><div class="b"><a href="/ad">sponsor</a> '
+               || repeat('ad word ', CAST(doc_id % 7 AS INT))
+               || '</div><div class="b">'
+               || substr(text, CAST(FLOOR(length(text)/2.0) AS INT) + 1)
+               || '</div><div class="b"><a href="/terms">Terms</a> <a href="/priv">Privacy</a> (c) corp</div>'
+               AS html
+        FROM documents
+    ),
+    blk0 AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(html, '</div>'), 1) AS pos,
+               unnest(string_split(html, '</div>')) AS block
+        FROM h
+    ),
+    blk AS (
+        SELECT doc_id, pos,
+               trim(regexp_replace(regexp_replace(block, '<[^>]*>', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS vis,
+               COALESCE(array_to_string(
+                   regexp_extract_all(block, '<a [^>]*>([^<]*)</a>', 1),
+                   ' '), '') AS links
+        FROM blk0 WHERE block LIKE '%<div%'
+    ),
+    scored AS (
+        SELECT doc_id, pos, vis,
+               CAST(length(vis) AS BIGINT) AS vis_len,
+               (10 * length(links) <= 3 * length(vis)
+                AND length(vis) >= 25) AS keep
+        FROM blk
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN vis_len ELSE 0 END) AS BIGINT)
+               AS main_len,
+           CAST(SUM(vis_len) AS BIGINT) AS total_len,
+           md5(COALESCE(string_agg(CASE WHEN keep THEN vis END, '|'
+                                   ORDER BY pos), '')) AS main_md5
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register("html_boilerplate_extract", oracle=_HB_ORACLE)
+def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal by link-density scoring (r8 verdict item 6):
+    per document, a deterministic synthetic page (nav + content + ad-aside
+    + content + footer, aside density varying with doc_id so the decision
+    boundary is exercised both ways) is segmented on block tags, each
+    segment is tag-stripped and scored by visible length and link density
+    (10*link_len <= 3*vis_len — the 0.3 threshold compared integer-exactly,
+    no DECIMAL-literal trap), and kept segments are re-joined in order
+    under an md5 pin. All shapes are exploded-row hash aggregates —
+    map-side combinable, no windows, no UDFs; at 100 TB the explode is
+    5 rows/doc and everything stays JVM-side codegen."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        _hb_html_spark(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    blk = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("html", "</div>")).alias("pos0", "block"),
+        )
+        .filter(F.col("block").contains("<div"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace("block", "<[^>]*>", " "), " +", " "
+                )
+            ).alias("vis"),
+            F.array_join(
+                F.expr(
+                    "regexp_extract_all(block, '<a [^>]*>([^<]*)</a>', 1)"
+                ),
+                " ",
+            ).alias("links"),
+        )
+    )
+    scored = blk.select(
+        "doc_id",
+        "pos",
+        "vis",
+        F.length("vis").cast("bigint").alias("vis_len"),
+        (
+            (F.lit(10) * F.length("links") <= F.lit(3) * F.length("vis"))
+            & (F.length("vis") >= _HB_MIN_LEN)
+        ).alias("keep"),
+    )
+    kept_vis = F.when(F.col("keep"), F.col("vis"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("vis_len")).otherwise(0))
+        .cast("bigint")
+        .alias("main_len"),
+        F.sum("vis_len").cast("bigint").alias("total_len"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("pos", F.col("vis").alias("v")),
+                            )
+                        )
+                    ),
+                    lambda x: x["v"],
+                ),
+                "|",
+            )
+        ).alias("main_md5"),
+    )
