@@ -562,6 +562,10 @@ def connected_components(
         .agg(F.sum("component_id").alias("s"))
         .collect()
     }
+    if not sums:
+        # empty edge set (every doc a singleton — e.g. upstream stages
+        # already removed all near-dups): no rows, nothing to iterate
+        return nxt
     if sums[1] == sums[0]:
         return nxt
     labels, prev_sum = nxt, sums[1]

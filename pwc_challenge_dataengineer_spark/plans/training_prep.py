@@ -824,6 +824,66 @@ def perplexity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_rank_cutoff(values: DataFrame, col: str, q: float) -> DataFrame:
+    """One-row frame (column ``cutoff``) holding the EXACT ceil(q*n)-th
+    smallest value of ``col`` — the distributed two-pass rank pick from
+    perplexity_prune_scaled, reusable by any chain stage: value histogram
+    (hash agg, checkpointed aggregate leaf) → coarse floor() buckets →
+    cumulative counts via a broadcast range join over the tiny bucket
+    table → within-boundary-bucket pick. No windows, no global sorts."""
+    hist = (
+        values.groupBy(col)
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    bh = hist.groupBy(
+        F.floor(col).cast("bigint").alias("b")
+    ).agg(F.sum("c").alias("bc"))
+    tot = bh.agg(F.sum("bc").alias("n_docs")).select(
+        F.ceil(F.lit(q) * F.col("n_docs")).cast("bigint").alias("k")
+    )
+    cum = (
+        bh.select(F.col("b"), F.col("bc"))
+        .join(
+            F.broadcast(
+                bh.select(F.col("b").alias("pb"), F.col("bc").alias("pc"))
+            ),
+            F.col("pb") <= F.col("b"),
+        )
+        .groupBy("b", "bc")
+        .agg(F.sum("pc").alias("cum"))
+    )
+    bnd = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(F.min_by(F.struct("b", "bc", "cum", "k"), "b").alias("s"))
+        .select(
+            F.col("s.b").alias("bb"),
+            (F.col("s.cum") - F.col("s.bc")).alias("below"),
+            F.col("s.k").alias("k"),
+        )
+    )
+    slice_ = hist.join(
+        F.broadcast(bnd),
+        F.floor(col).cast("bigint") == F.col("bb"),
+    )
+    return (
+        slice_.select(F.col(col).alias("v"), "below", "k")
+        .join(
+            F.broadcast(
+                slice_.select(
+                    F.col(col).alias("v2"), F.col("c").alias("c2")
+                )
+            ),
+            F.col("v2") <= F.col("v"),
+        )
+        .groupBy("v", "below", "k")
+        .agg(F.sum("c2").alias("wc"))
+        .filter(F.col("below") + F.col("wc") >= F.col("k"))
+        .agg(F.min("v").alias("cutoff"))
+    )
+
+
 @register("perplexity_prune_scaled", oracle=_ppl_prune_oracle())
 def perplexity_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB perplexity-prune path (r8 verdict item 1): the SAME
@@ -853,57 +913,7 @@ def perplexity_prune_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text_retrieval import unigram_lm_score
 
     lm = unigram_lm_score(spark, sf_dir).select("doc_id", "unigram_ppl")
-    hist = (
-        lm.groupBy("unigram_ppl")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint()
-    )
-    bh = hist.groupBy(
-        F.floor("unigram_ppl").cast("bigint").alias("b")
-    ).agg(F.sum("c").alias("bc"))
-    tot = bh.agg(F.sum("bc").alias("n_docs")).select(
-        F.ceil(F.lit(_PPL_Q) * F.col("n_docs")).cast("bigint").alias("k")
-    )
-    cum = (
-        bh.select(F.col("b"), F.col("bc"))
-        .join(
-            F.broadcast(
-                bh.select(F.col("b").alias("pb"), F.col("bc").alias("pc"))
-            ),
-            F.col("pb") <= F.col("b"),
-        )
-        .groupBy("b", "bc")
-        .agg(F.sum("pc").alias("cum"))
-    )
-    bnd = (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("cum") >= F.col("k"))
-        .agg(F.min_by(F.struct("b", "bc", "cum", "k"), "b").alias("s"))
-        .select(
-            F.col("s.b").alias("bb"),
-            (F.col("s.cum") - F.col("s.bc")).alias("below"),
-            F.col("s.k").alias("k"),
-        )
-    )
-    slice_ = hist.join(
-        F.broadcast(bnd),
-        F.floor("unigram_ppl").cast("bigint") == F.col("bb"),
-    )
-    cutoff = (
-        slice_.select(F.col("unigram_ppl").alias("v"), "below", "k")
-        .join(
-            F.broadcast(
-                slice_.select(
-                    F.col("unigram_ppl").alias("v2"), F.col("c").alias("c2")
-                )
-            ),
-            F.col("v2") <= F.col("v"),
-        )
-        .groupBy("v", "below", "k")
-        .agg(F.sum("c2").alias("wc"))
-        .filter(F.col("below") + F.col("wc") >= F.col("k"))
-        .agg(F.min("v").alias("cutoff"))
-    )
+    cutoff = _exact_rank_cutoff(lm, "unigram_ppl", _PPL_Q)
     return lm.crossJoin(F.broadcast(cutoff)).select(
         "doc_id",
         "unigram_ppl",
@@ -1064,4 +1074,206 @@ def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "|",
             )
         ).alias("main_md5"),
+    )
+
+
+# ------------------------------------------------------- composed chain (r9)
+
+_CHAIN_Q_MIN = 0.70  # chain-specific quality bar (the registered
+# quality_classifier_score keeps at sigmoid >= 0.5; a curation chain sets
+# its own operating point — 0.70 rejects the low tail in this corpus)
+
+
+def _chain_oracle() -> str:
+    from .catalog import ORACLES
+    from .sampling import _md5_bucket_sql
+    from .text_dedup import _SHINGLES_SQL
+
+    bucket = _md5_bucket_sql("v.cluster_id", 10)
+    return f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    qc AS ({ORACLES["quality_classifier_score"]}),
+    lm AS ({ORACLES["unigram_lm_score"]}),
+    base AS (
+        SELECT q.doc_id,
+               q.quality_score >= CAST({_CHAIN_Q_MIN} AS DOUBLE) AS q_keep,
+               l.unigram_ppl
+        FROM qc q JOIN lm l USING (doc_id)
+    ),
+    s1 AS (SELECT doc_id, unigram_ppl FROM base WHERE q_keep),
+    bands AS (
+        SELECT doc_id, band, shingle
+        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(substr(md5(shingle), band * 8 + 1, 8)) AS signature
+        FROM bands GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.signature = b.signature
+         AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT m.id_a, m.id_b
+        FROM common m
+        JOIN counts na ON na.doc_id = m.id_a
+        JOIN counts nb ON nb.doc_id = m.id_b
+        WHERE round(CAST(m.n_common AS DOUBLE)
+                    / (na.n + nb.n - m.n_common), 6) >= 0.5
+          AND m.id_a IN (SELECT doc_id FROM s1)
+          AND m.id_b IN (SELECT doc_id FROM s1)
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
+    ),
+    comp AS (SELECT id, MIN(comp) AS component_id FROM reach GROUP BY 1),
+    s2 AS (
+        SELECT s.doc_id, s.unigram_ppl
+        FROM s1 s LEFT JOIN comp c ON c.id = s.doc_id
+        WHERE c.id IS NULL OR c.component_id = s.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, unigram_ppl,
+               CAST(row_number() OVER (ORDER BY unigram_ppl, doc_id)
+                    AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM s2
+    ),
+    cut AS (
+        SELECT unigram_ppl AS cutoff FROM ranked
+        WHERE rn = CAST(ceil({_PPL_Q} * n) AS BIGINT)
+    ),
+    v AS (
+        SELECT b.doc_id,
+               CASE WHEN NOT b.q_keep THEN 'quality_rejected'
+                    WHEN c.component_id IS NOT NULL
+                         AND c.component_id <> b.doc_id THEN 'near_dup'
+                    WHEN b.unigram_ppl > cut.cutoff THEN 'ppl_pruned'
+                    ELSE 'kept' END AS stage,
+               COALESCE(c.component_id, b.doc_id) AS cluster_id
+        FROM base b
+        LEFT JOIN comp c ON c.id = b.doc_id
+        CROSS JOIN cut
+    )
+    SELECT v.doc_id, v.stage, v.cluster_id,
+           CASE WHEN v.stage = 'kept' THEN
+                CASE WHEN {bucket} < 8 THEN 'train'
+                     WHEN {bucket} = 8 THEN 'val'
+                     ELSE 'test' END
+           END AS split
+    FROM v
+    """
+
+
+@register("curation_chain_e2e", oracle=_chain_oracle())
+def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (r8 verdict item 7), in the order a
+    real pretraining pipeline runs it: quality classifier (chain bar
+    0.70) → MinHash near-dup dedup within the quality survivors
+    (connected components, min-id member survives) → perplexity prune
+    with the exact 75th-pct cutoff computed over the DEDUPED set via the
+    distributed two-pass rank → leakage-safe hash split keyed on the
+    dup-cluster id. One row per ORIGINAL document with
+    first-failing-stage attribution ('quality_rejected' / 'near_dup' /
+    'ppl_pruned' / 'kept') and the train/val/test assignment for kept
+    docs — the auditable funnel a pipeline reports, with every branch
+    exercised at both test SFs (dedup runs before ppl pruning precisely
+    because a duplicate's extra tokens skew its perplexity — measured
+    here: at 0.5 jaccard every near-dup pair straddled the cutoff when
+    pruning ran first).
+
+    Why registered as ONE query: the pieces are proven individually;
+    cross-stage plan interactions (stats ancestry over checkpointed
+    stages, semi-join pushdown into pair generation) are exactly where
+    this repo has found real Catalyst bugs, so the composed plan is
+    fingerprinted and value-oracled end to end. Scale shape: every stage
+    is the scale variant — hash-agg classifier features, banded LSH
+    pairs restricted by broadcast semi joins, label propagation over the
+    tiny duplicate-edge set, two-pass rank cutoff broadcast as one row;
+    no global sorts, no document-sized single-partition stage."""
+    from ..functions.dedup_fuzzy import (
+        connected_components,
+        minhash_lsh_near_dups,
+    )
+    from .sampling import _md5_bucket
+    from .text_retrieval import unigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    qc = quality_classifier_score(spark, sf_dir).select(
+        "doc_id",
+        (F.col("quality_score") >= F.lit(_CHAIN_Q_MIN)).alias("q_keep"),
+    )
+    lm = unigram_lm_score(spark, sf_dir).select("doc_id", "unigram_ppl")
+    base = qc.join(lm, "doc_id").localCheckpoint(eager=False)
+    s1 = base.filter("q_keep").select("doc_id", "unigram_ppl")
+    pairs = minhash_lsh_near_dups(
+        docs, "doc_id", "text", threshold=0.5, hint_small=True
+    )
+    pairs2 = pairs.join(
+        F.broadcast(s1.select(F.col("doc_id").alias("id_a"))),
+        "id_a",
+        "left_semi",
+    ).join(
+        F.broadcast(s1.select(F.col("doc_id").alias("id_b"))),
+        "id_b",
+        "left_semi",
+    )
+    comp = connected_components(
+        pairs2, edges_canonical=True, hint_small=True
+    ).select(F.col("node_id").alias("doc_id"), "component_id")
+    s2 = (
+        s1.join(F.broadcast(comp), "doc_id", "left")
+        .filter(
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        )
+        .select("doc_id", "unigram_ppl")
+    )
+    cutoff = _exact_rank_cutoff(s2, "unigram_ppl", _PPL_Q)
+    v = (
+        base.join(F.broadcast(comp), "doc_id", "left")
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            "doc_id",
+            F.when(~F.col("q_keep"), "quality_rejected")
+            .when(
+                F.col("component_id").isNotNull()
+                & (F.col("component_id") != F.col("doc_id")),
+                "near_dup",
+            )
+            .when(F.col("unigram_ppl") > F.col("cutoff"), "ppl_pruned")
+            .otherwise("kept")
+            .alias("stage"),
+            F.coalesce("component_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    bucket = _md5_bucket(F.col("cluster_id"), 10)
+    return v.select(
+        "doc_id",
+        "stage",
+        "cluster_id",
+        F.when(
+            F.col("stage") == "kept",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test"),
+        ).alias("split"),
     )
