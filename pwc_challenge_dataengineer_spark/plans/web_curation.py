@@ -58,7 +58,7 @@ _CANON_PARTS = """
 _CANON_SQL = """
     WITH parts AS (
         SELECT doc_id, raw_url, {canon_parts}
-        FROM raw
+        FROM wc_raw
     ),
     hp AS (
         SELECT *,
@@ -108,7 +108,7 @@ _QSORT_DUCK = (
 
 def _canon_oracle() -> str:
     return (
-        "WITH raw AS (SELECT doc_id, "
+        "WITH wc_raw AS (SELECT doc_id, "
         + _RAW_URL
         + " AS raw_url FROM documents), q AS ("
         + _CANON_SQL.format(canon_parts=_CANON_PARTS, qsort=_QSORT_DUCK)
@@ -128,7 +128,7 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source"
     )
     raw = docs.selectExpr("doc_id", f"{_RAW_URL} AS raw_url")
-    raw.createOrReplaceTempView("raw")
+    raw.createOrReplaceTempView("wc_raw")
     return spark.sql(
         _CANON_SQL.format(canon_parts=_CANON_PARTS, qsort=_QSORT_SPARK)
     )
@@ -139,7 +139,7 @@ _HOST_CAP = 20
 
 def _host_cap_oracle() -> str:
     return f"""
-    WITH raw AS (SELECT doc_id, {_RAW_URL} AS raw_url FROM documents),
+    WITH wc_raw AS (SELECT doc_id, {_RAW_URL} AS raw_url FROM documents),
     canon AS ({_CANON_SQL.format(canon_parts=_CANON_PARTS, qsort=_QSORT_DUCK)})
     SELECT doc_id, host,
            CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
@@ -168,7 +168,7 @@ def per_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source"
     )
     raw = docs.selectExpr("doc_id", f"{_RAW_URL} AS raw_url")
-    raw.createOrReplaceTempView("raw")
+    raw.createOrReplaceTempView("wc_raw")
     canon = spark.sql(
         _CANON_SQL.format(canon_parts=_CANON_PARTS, qsort=_QSORT_SPARK)
     )
