@@ -23,13 +23,13 @@ Scale posture:
 
 Supported: codecs null + deflate (raw RFC-1951 via stdlib zlib) + snappy
 (pure-Python decode of the public format; literal-only encode + CRC32
-trailer per the Avro spec), all primitives, records (nested), arrays,
-maps, enums, fixed, unions — [null, X] → nullable X, multi-branch
+trailer per the Avro spec) + bzip2 + xz (stdlib bz2/lzma), all
+primitives, records (nested), arrays, maps, enums, fixed, unions — [null, X] → nullable X, multi-branch
 non-null unions → memberN struct (the spark-avro reader convention) —
 and logical types date / timestamp-millis / timestamp-micros / decimal
 (bytes or fixed two's-complement → DecimalType; writer emits bytes
 decimals). Remaining honest gates: 16-bit-interval types nobody writes
-(duration), xz/zstandard codecs, writing multi-branch unions.
+(duration), the zstandard codec, writing multi-branch unions.
 """
 
 from __future__ import annotations
@@ -647,9 +647,18 @@ def _decompressor(codec: str):
             return raw
 
         return _ds
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress
+    if codec == "xz":
+        import lzma
+
+        # Avro xz blocks are raw .xz streams (format auto-detected)
+        return lzma.decompress
     raise NotImplementedError(
-        f"avrolite: codec {codec!r} (null/deflate/snappy are "
-        "jar-and-dependency-free)"
+        f"avrolite: codec {codec!r} (null/deflate/snappy/bzip2/xz are "
+        "jar-and-dependency-free; zstandard needs a non-stdlib library)"
     )
 
 
@@ -771,10 +780,10 @@ class AvroLiteWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: T.StructType, overwrite: bool):
         self.path = options["path"]
         self.codec = options.get("codec", "deflate")
-        if self.codec not in ("null", "deflate", "snappy"):
+        if self.codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
             raise NotImplementedError(
                 f"avrolite writer: codec {self.codec!r} "
-                "(null/deflate/snappy)"
+                "(null/deflate/snappy/bzip2/xz)"
             )
         self.overwrite = overwrite
         self.avro_schema = _spark_to_avro(schema, False, "spark_row")
@@ -820,6 +829,14 @@ class AvroLiteWriter(DataSourceWriter):
                     data = _snappy_compress(data) + struct.pack(
                         ">I", zlib.crc32(data) & 0xFFFFFFFF
                     )
+                elif self.codec == "bzip2":
+                    import bz2
+
+                    data = bz2.compress(data)
+                elif self.codec == "xz":
+                    import lzma
+
+                    data = lzma.compress(data)
                 head = bytearray()
                 _write_long(head, n)
                 _write_long(head, len(data))
