@@ -1,4 +1,4 @@
-"""Baseline sequential JPEG (ITU-T T.81), pure stdlib — encoder + decoder.
+"""Sequential + progressive JPEG (ITU-T T.81), pure stdlib — encoder + decoder.
 
 This closes the r8 "JPEG decode" gate the same way the PNG round did
 (functions/multimodal.py make_png/parse_png): synthesize spec-conformant
@@ -11,13 +11,19 @@ entropy coding is Huffman (bit ops), the transform is an 8x8 IDCT
 (math.cos) — no codec library required. Only MP3/H.264 (psychoacoustic /
 motion-compensated codecs) remain honestly gated after this.
 
-Decoder scope — real baseline JPEG, not a toy matched to the encoder:
-  * marker walk: SOI, APPn/COM skip, DQT (multi-table segments), SOF0,
-    DHT (multi-table segments, arbitrary canonical code lengths), DRI,
-    SOS, RSTn, EOI; SOF2 (progressive) raises NotImplementedError.
+Decoder scope — real JPEG, not a toy matched to the encoder:
+  * marker walk: SOI, APPn/COM skip, DQT (multi-table segments), SOF0/1
+    sequential AND SOF2 progressive (r9), DHT (multi-table segments,
+    arbitrary canonical code lengths), DRI, SOS (multi-scan), RSTn, EOI.
   * interleaved MCU scan for arbitrary sampling factors h,v in {1,2}
     (4:4:4, 4:2:2, 4:2:0), per-component DC prediction, restart-interval
     DC reset, byte unstuffing (FF 00), ZRL/EOB run semantics.
+  * progressive: per-scan decode into a shared coefficient store —
+    spectral-selection AC scans with EOBRUN (+extension bits), DC
+    successive approximation (Al>0 first scans + raw-bit refinement),
+    interleaved-DC/non-interleaved-AC unit ordering. AC
+    successive-approximation refinement (Ah>0, ss>0), arithmetic coding
+    and lossless/hierarchical frames raise NotImplementedError.
   * dequantization in zigzag order, sparse 2D IDCT (zero coefficients
     skipped — the standard fast-decoder short-circuit; any coefficient
     pattern is handled), +128 level shift, [0,255] clamp, nearest-
@@ -389,6 +395,149 @@ def make_jpeg(seed: int, restart_interval: int = 0) -> bytes:
     )
 
 
+def make_progressive_jpeg(seed: int) -> bytes:
+    """Spec-conformant PROGRESSIVE JFIF file (SOF2) carrying the SAME
+    image as make_jpeg(seed) — five scans:
+
+      1. DC first, interleaved, Al=1 (point-transformed diffs dc>>1)
+      2. DC refinement, interleaved, Ah=1/Al=0 (one raw bit per block)
+      3. AC first Y,  Ss=1..63: ZRL x2 + run/size + EOB0 per block
+      4. AC first Cb, Ss=1..63: one EOBn (r=1 + 1 extension bit) covers
+         both all-zero-band blocks
+      5. AC first Cr, same
+
+    Exercises the progressive machinery a crawled corpus actually needs:
+    multi-scan coefficient accumulation, interleaved-DC vs
+    non-interleaved-AC unit ordering, successive-approximation DC
+    reconstruction, EOBRUN with and without extension bits. Decoded
+    pixels are bit-identical to the baseline encoding by construction."""
+    a, b, c, d = coeffs_for(seed)
+
+    def diffs(vals):
+        out, pred = [], 0
+        for v in vals:
+            out.append(v - pred)
+            pred = v
+        return out
+
+    # scan 1 (interleaved DC first) visits Y blocks in MCU order then
+    # Cb, Cr per MCU — predictions are per component
+    dy = diffs([a[k] >> 1 for k in range(8)])
+    dcb = diffs([c[0] >> 1, c[1] >> 1])
+    dcr = diffs([d[0] >> 1, d[1] >> 1])
+    dc_y_syms = sorted({_bit_size(x) for x in dy})
+    dc_c_syms = sorted({_bit_size(x) for x in dcb + dcr})
+    ac_y_syms = sorted(
+        {0xF0}
+        | {((_ZZ44 - 1 - 32) << 4) | _bit_size(x) for x in b if x}
+        | {0x00}
+    )
+    ac_c_syms = [0x10]  # EOBn with r=1
+    bits_dcy, hv_dcy = _table_for_symbols(dc_y_syms)
+    bits_dcc, hv_dcc = _table_for_symbols(dc_c_syms)
+    bits_acy, hv_acy = _table_for_symbols(ac_y_syms)
+    bits_acc, hv_acc = _table_for_symbols(ac_c_syms)
+    dcy = _canonical_codes(bits_dcy, hv_dcy)
+    dcc = _canonical_codes(bits_dcc, hv_dcc)
+    acy = _canonical_codes(bits_acy, hv_acy)
+    acc = _canonical_codes(bits_acc, hv_acc)
+
+    def put_sym(bw, codes, sym):
+        code, ln = codes[sym]
+        bw.put(code, ln)
+
+    def put_amp(bw, v):
+        size = _bit_size(v)
+        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+    # scan 1: DC first (Al=1), interleaved
+    bw1 = _BitWriter()
+    py = pcb = pcr = 0
+    for m in range(2):
+        for k in range(4 * m, 4 * m + 4):
+            v = a[k] >> 1
+            put_sym(bw1, dcy, _bit_size(v - py))
+            put_amp(bw1, v - py) if v != py else None
+            py = v
+        v = c[m] >> 1
+        put_sym(bw1, dcc, _bit_size(v - pcb))
+        put_amp(bw1, v - pcb) if v != pcb else None
+        pcb = v
+        v = d[m] >> 1
+        put_sym(bw1, dcc, _bit_size(v - pcr))
+        put_amp(bw1, v - pcr) if v != pcr else None
+        pcr = v
+    scan1 = bw1.flush()
+
+    # scan 2: DC refinement (Ah=1, Al=0): raw low bit per block, same order
+    bw2 = _BitWriter()
+    for m in range(2):
+        for k in range(4 * m, 4 * m + 4):
+            bw2.put(a[k] & 1, 1)
+        bw2.put(c[m] & 1, 1)
+        bw2.put(d[m] & 1, 1)
+    scan2 = bw2.flush()
+
+    # scan 3: AC first, Y only, non-interleaved raster order
+    bw3 = _BitWriter()
+    for by in range(2):
+        for bx in range(4):
+            k = 4 * (bx // 2) + 2 * by + (bx % 2)
+            if b[k]:
+                put_sym(bw3, acy, 0xF0)
+                put_sym(bw3, acy, 0xF0)
+                put_sym(bw3, acy, ((_ZZ44 - 1 - 32) << 4) | _bit_size(b[k]))
+                put_amp(bw3, b[k])
+            put_sym(bw3, acy, 0x00)  # EOB0 (rest of band zero)
+    scan3 = bw3.flush()
+
+    # scans 4/5: chroma AC — a single EOBn (r=1, EOBRUN=2+bits) covers
+    # both blocks; extension bit 0
+    def chroma_ac_scan():
+        bw = _BitWriter()
+        put_sym(bw, acc, 0x10)
+        bw.put(0, 1)  # extension bit -> EOBRUN = 2
+        return bw.flush()
+
+    jfif = _seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0])
+                + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = (_seg(0xDB, bytes([0x00]) + bytes(_QY))
+           + _seg(0xDB, bytes([0x01]) + bytes(_QC)))
+    sof = _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, JPEG_H, JPEG_W, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    dht = (
+        _seg(0xC4, _dht_body(0, 0, bits_dcy, hv_dcy))
+        + _seg(0xC4, _dht_body(0, 1, bits_dcc, hv_dcc))
+        + _seg(0xC4, _dht_body(1, 0, bits_acy, hv_acy))
+        + _seg(0xC4, _dht_body(1, 1, bits_acc, hv_acc))
+    )
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for cid, tdta in comps:
+            body += bytes([cid, tdta])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    return (
+        b"\xff\xd8" + jfif + dqt + sof + dht
+        + sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1) + scan1
+        + sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 1, 0) + scan2
+        + sos([(1, 0x00)], 1, 63, 0, 0) + scan3
+        + sos([(2, 0x01)], 1, 63, 0, 0) + chroma_ac_scan()
+        + sos([(3, 0x01)], 1, 63, 0, 0) + chroma_ac_scan()
+        + b"\xff\xd9"
+    )
+
+
+def a_k_index(by: int, bx: int) -> int:
+    """Y-plane raster block (by,bx) -> the closed-form k index used by
+    coeffs_for (MCU-major: k = 4*mcu + 2*suby + subx)."""
+    return 4 * (bx // 2) + 2 * by + (bx % 2)
+
+
 # --------------------------------------------------------------- decoder
 
 
@@ -419,10 +568,21 @@ def _idct_block(coef: list[int]) -> list[list[int]]:
 
 
 def parse_jpeg(data: bytes):
-    """Baseline sequential decode. Returns (width, height, planes) with
-    planes = {"Y": rows, "Cb": rows, "Cr": rows}, each a top-down list of
-    full-resolution rows (chroma nearest-neighbor upsampled). Progressive
-    (SOF2) / arithmetic coding / 12-bit raise NotImplementedError."""
+    """Sequential (SOF0/1) AND progressive (SOF2) decode. Returns
+    (width, height, planes) with planes = {"Y": rows, "Cb": rows,
+    "Cr": rows}, each a top-down list of full-resolution rows (chroma
+    nearest-neighbor upsampled).
+
+    Architecture: every SOS scan decodes into a per-component COEFFICIENT
+    STORE (zigzag order, MCU-padded block grid); reconstruction (dequant,
+    de-zigzag, IDCT, upsample) runs once after EOI. A sequential file is
+    simply the one-scan special case, so both modes share every stage.
+    Progressive support: spectral-selection AC scans (EOBRUN with
+    extension bits, ZRL), DC successive approximation (first scan at
+    Al>0 + raw-bit refinement scans), interleaved DC / non-interleaved AC
+    ordering, restart intervals in any scan. Honest gates: AC
+    successive-approximation refinement (Ah>0 in an AC scan), arithmetic
+    coding, lossless/hierarchical, 12-bit."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG file (missing SOI)")
     pos = 2
@@ -430,13 +590,14 @@ def parse_jpeg(data: bytes):
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("EOI before SOS (no image data)")
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
         length = struct.unpack(">H", data[pos : pos + 2])[0]
@@ -459,7 +620,7 @@ def parse_jpeg(data: bytes):
                 huffval = list(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(bits, huffval)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
@@ -469,11 +630,15 @@ def parse_jpeg(data: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            _alloc_coef_store(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x} — "
-                "progressive/arithmetic/lossless)"
+                f"unsupported JPEG frame type 0x{marker:02x} "
+                "(arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -481,93 +646,193 @@ def parse_jpeg(data: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_tables = {}
+            scan_comps = []
+            by_id = {c["id"]: c for c in frame["comps"]}
             for i in range(ns):
                 cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
-                scan_tables[cs] = (td_ta >> 4, td_ta & 0xF)
-            ss, se, _ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
-            if ss != 0 or se != 63:
-                raise NotImplementedError("spectral selection (progressive)")
-            return _decode_scan(
-                data, pos, frame, scan_tables, qt, huff, restart_interval
+                scan_comps.append((by_id[cs], td_ta >> 4, td_ta & 0xF))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not frame["progressive"] and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("sequential scan with progressive params")
+            pos = _decode_scan(
+                data, pos, frame, scan_comps, huff,
+                restart_interval, ss, se, ah, al,
             )
+            saw_scan = True
         # APPn / COM / others: skipped
-    raise ValueError("no SOS marker found")
+    if not saw_scan:
+        raise ValueError("no SOS marker found" if frame else "no image data")
+    return _reconstruct(frame, qt)
 
 
-def _decode_scan(data, pos, frame, scan_tables, qt, huff, restart_interval):
-    w, h, comps = frame["w"], frame["h"], frame["comps"]
+def _alloc_coef_store(frame) -> None:
+    comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
+    frame["mcus_x"] = -(-frame["w"] // (8 * hmax))
+    frame["mcus_y"] = -(-frame["h"] // (8 * vmax))
+    frame["hmax"], frame["vmax"] = hmax, vmax
     for c in comps:
+        c["bw"] = frame["mcus_x"] * c["h"]  # MCU-padded block grid
+        c["bh"] = frame["mcus_y"] * c["v"]
+        # non-interleaved scans cover only the component's OWN grid
+        c["nbw"] = -(-(-(-frame["w"] * c["h"] // hmax) // 8))
+        c["nbh"] = -(-(-(-frame["h"] * c["v"] // vmax) // 8))
+        c["coef"] = [[0] * 64 for _ in range(c["bw"] * c["bh"])]
         c["pred"] = 0
-        c["blocks_w"] = mcus_x * c["h"]
-        c["rows"] = [
-            [0] * (mcus_x * c["h"] * 8) for _ in range(mcus_y * c["v"] * 8)
-        ]
+
+
+def _decode_scan(data, pos, frame, scan_comps, huff, restart_interval,
+                 ss, se, ah, al):
+    """Decode ONE entropy-coded scan into the coefficient store; returns
+    the byte position of the next marker after the scan's data."""
+    if ss > 0 and ah > 0:
+        raise NotImplementedError(
+            "AC successive-approximation refinement scan (Ah>0)"
+        )
+    for c, _td, _ta in scan_comps:
+        c["pred"] = 0
     br = _BitReader(data, pos)
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                br.sync_restart()
-                for c in comps:
-                    c["pred"] = 0
-            for c in comps:
-                td, ta = scan_tables[c["id"]]
-                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = _decode_block(br, dc_tab, ac_tab, c)
-                        coef = [0] * 64
-                        for k in range(64):
-                            coef[ZIGZAG[k]] = zz[k] * q[k]
-                        px = _idct_block(coef)
-                        oy = (my * c["v"] + by) * 8
-                        ox = (mx * c["h"] + bx) * 8
-                        rows = c["rows"]
-                        for yy in range(8):
-                            rows[oy + yy][ox : ox + 8] = px[yy]
-            n_mcu += 1
+    state = {"eobrun": 0}
+    interleaved = len(scan_comps) > 1
+
+    # --- unit decoders -------------------------------------------------
+    def dc_unit(c, td, blk):
+        dc_tab = huff[(0, td)]
+        if ah == 0:  # first (or sequential full) DC
+            size = dc_tab.decode(br)
+            diff = _extend(br.receive(size), size)
+            c["pred"] += diff
+            blk[0] = c["pred"] << al
+        else:  # refinement: one raw bit
+            if br.bit():
+                blk[0] |= 1 << al
+
+    def ac_sequential(c, ta, blk):
+        ac_tab = huff[(1, ta)]
+        k = 1
+        while k < 64:
+            rs = ac_tab.decode(br)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            blk[k] = _extend(br.receive(size), size)
+            k += 1
+
+    def ac_first(c, ta, blk):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        ac_tab = huff[(1, ta)]
+        k = ss
+        while k <= se:
+            rs = ac_tab.decode(br)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: run of (1<<run)+bits all-zero-band blocks,
+                # INCLUDING this one
+                state["eobrun"] = (1 << run) - 1
+                if run:
+                    state["eobrun"] += br.receive(run)
+                return
+            k += run
+            if k > se:
+                raise ValueError("AC run past spectral band end")
+            blk[k] = _extend(br.receive(size), size) << al
+            k += 1
+
+    # --- unit iteration ------------------------------------------------
+    n_unit = 0
+
+    def maybe_restart():
+        nonlocal n_unit
+        if restart_interval and n_unit and n_unit % restart_interval == 0:
+            br.sync_restart()
+            state["eobrun"] = 0
+            for c, _td, _ta in scan_comps:
+                c["pred"] = 0
+
+    if interleaved:  # DC (progressive) or full blocks (sequential) by MCU
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                maybe_restart()
+                for c, td, ta in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["coef"][
+                                (my * c["v"] + by) * c["bw"]
+                                + mx * c["h"] + bx
+                            ]
+                            if ss == 0:
+                                dc_unit(c, td, blk)
+                            if not frame["progressive"]:
+                                ac_sequential(c, ta, blk)
+                n_unit += 1
+    else:  # single component: raster over ITS grid (one block per unit)
+        c, td, ta = scan_comps[0]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                maybe_restart()
+                blk = c["coef"][by * c["bw"] + bx]
+                if ss == 0:
+                    dc_unit(c, td, blk)
+                    if not frame["progressive"]:
+                        ac_sequential(c, ta, blk)
+                else:
+                    ac_first(c, ta, blk)
+                n_unit += 1
+
+    # advance to the next marker (skip pad bits / stuffed bytes)
+    p = br.pos
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return p
+
+
+def _reconstruct(frame, qt):
+    w, h = frame["w"], frame["h"]
     planes = {}
     names = {1: "Y", 2: "Cb", 3: "Cr"}
-    for c in comps:
-        sx, sy = hmax // c["h"], vmax // c["v"]
+    for c in frame["comps"]:
+        q = qt[c["tq"]]
+        rows = [[0] * (c["bw"] * 8) for _ in range(c["bh"] * 8)]
+        for bi, zz in enumerate(c["coef"]):
+            coef = [0] * 64
+            for k in range(64):
+                if zz[k]:
+                    coef[ZIGZAG[k]] = zz[k] * q[k]
+            px = _idct_block(coef)
+            oy, ox = (bi // c["bw"]) * 8, (bi % c["bw"]) * 8
+            for yy in range(8):
+                rows[oy + yy][ox : ox + 8] = px[yy]
+        sx, sy = frame["hmax"] // c["h"], frame["vmax"] // c["v"]
         name = names.get(c["id"], f"c{c['id']}")
         if sx == 1 and sy == 1:
-            planes[name] = [row[:w] for row in c["rows"][:h]]
+            planes[name] = [row[:w] for row in rows[:h]]
         else:  # nearest-neighbor upsample to full resolution
             planes[name] = [
-                [c["rows"][y // sy][x // sx] for x in range(w)]
+                [rows[y // sy][x // sx] for x in range(w)]
                 for y in range(h)
             ]
     return w, h, planes
-
-
-def _decode_block(br, dc_tab, ac_tab, comp) -> list[int]:
-    zz = [0] * 64
-    size = dc_tab.decode(br)
-    diff = _extend(br.receive(size), size)
-    comp["pred"] += diff
-    zz[0] = comp["pred"]
-    k = 1
-    while k < 64:
-        rs = ac_tab.decode(br)
-        run, size = rs >> 4, rs & 0xF
-        if size == 0:
-            if run == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        zz[k] = _extend(br.receive(size), size)
-        k += 1
-    return zz
 
 
 def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:

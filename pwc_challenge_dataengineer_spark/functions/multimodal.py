@@ -748,3 +748,33 @@ def extract_jpeg_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, JPEG_FEATURES_SCHEMA)
+
+
+def synthesize_progressive_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One PROGRESSIVE (SOF2, five-scan) JFIF file per row — same image
+    content as synthesize_jpeg_media, different wire encoding."""
+    import pandas as pd
+
+    from .jpeg_codec import make_progressive_jpeg
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it):
+        for pdf in it:
+            seeds = (pdf["media_id"] % 251).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "jpeg": [make_progressive_jpeg(int(s)) for s in seeds],
+                }
+            )
+
+    return src.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("jpeg", T.BinaryType(), True),
+            ]
+        ),
+    )

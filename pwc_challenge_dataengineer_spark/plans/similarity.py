@@ -1121,9 +1121,7 @@ def png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_png_features(synthesize_png_media(docs, "doc_id"))
 
 
-@register(
-    "jpeg_real_decode",
-    oracle="""
+_JPEG_ORACLE = """
     WITH base AS (
         SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
     ),
@@ -1149,8 +1147,10 @@ def png_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(256*(256 + ((b.seed*7) % 81 - 40)
                          + ((b.seed*7 + 29) % 81 - 40)) AS BIGINT) AS cr_sum
     FROM base b JOIN ab ON b.doc_id = ab.doc_id
-    """,
-)
+    """
+
+
+@register("jpeg_real_decode", oracle=_JPEG_ORACLE)
 def jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE-pixel decode of baseline JPEG, pure stdlib — the r8 verdict's
     #2 ask, closing the dominant-crawl-format gate with the proven PNG
@@ -1175,6 +1175,29 @@ def jpeg_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return extract_jpeg_features(synthesize_jpeg_media(docs, "doc_id"))
+
+
+@register("jpeg_progressive_decode", oracle=_JPEG_ORACLE)
+def jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) true-pixel decode — the other JPEG wire
+    mode crawled corpora serve constantly (libjpeg's default web output
+    is progressive). Per document a five-scan file (interleaved DC first
+    scan at Al=1, raw-bit DC refinement, non-interleaved spectral AC
+    scans with EOB0 and EOBn+extension-bit runs) is decoded by the SAME
+    parse_jpeg through its multi-scan coefficient store, and the features
+    share jpeg_real_decode's closed-form oracle verbatim — the two wire
+    encodings must reconstruct bit-identical pixels, and both must match
+    the analytic form. Remaining honest JPEG gates: AC successive-
+    approximation refinement scans, arithmetic coding, lossless."""
+    from ..functions.multimodal import (
+        extract_jpeg_features,
+        synthesize_progressive_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_jpeg_features(
+        synthesize_progressive_jpeg_media(docs, "doc_id")
+    )
 
 
 _MRL_DIMS = (8, 16, 32)

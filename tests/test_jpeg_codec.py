@@ -98,11 +98,11 @@ def test_golden_hand_assembled_grayscale_with_byte_stuffing():
 def test_non_baseline_and_garbage_raise():
     with pytest.raises(ValueError, match="SOI"):
         parse_jpeg(b"\x89PNG\r\n\x1a\n")
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be an honest gate
+    # lossless (SOF3) stays an honest gate; SOF2 is now decoded for real
     data = bytearray(make_jpeg(5))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+    data[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless|frame type"):
         parse_jpeg(bytes(data))
 
 
@@ -119,3 +119,60 @@ def test_ycbcr_to_rgb_fixed_point_bounds():
     r, g, b = ycbcr_to_rgb(255, 0, 255)
     assert all(0 <= v <= 255 for v in (r, g, b))
     assert ycbcr_to_rgb(0, 128, 128) == (0, 0, 0)
+
+
+@pytest.mark.parametrize("seed", [0, 5, 42, 97, 250])
+def test_progressive_decodes_identical_to_baseline(seed):
+    """SOF2 five-scan file (interleaved DC first at Al=1, raw-bit DC
+    refinement, non-interleaved AC spectral scans with EOB0 and EOBn+ext)
+    must reconstruct the SAME pixels as the baseline encoding."""
+    from pwc_challenge_dataengineer_spark.functions.jpeg_codec import (
+        make_progressive_jpeg,
+    )
+
+    assert parse_jpeg(make_progressive_jpeg(seed)) == parse_jpeg(
+        make_jpeg(seed)
+    )
+
+
+def test_progressive_partial_scan_is_visibly_coarse():
+    """Progressive property: truncating after the DC scans (drop the AC
+    scans) must still decode — to the flat per-block DC image (that is
+    the point of progressive rendering). Verifies scans accumulate
+    independently rather than all-or-nothing."""
+    from pwc_challenge_dataengineer_spark.functions.jpeg_codec import (
+        CHECKER,
+        coeffs_for,
+        make_progressive_jpeg,
+    )
+
+    seed = 42
+    data = make_progressive_jpeg(seed)
+    # cut just before the THIRD SOS (the first AC scan), keep EOI
+    first = data.find(b"\xff\xda")
+    second = data.find(b"\xff\xda", first + 2)
+    third = data.find(b"\xff\xda", second + 2)
+    w, h, pl = parse_jpeg(data[:third] + b"\xff\xd9")
+    a, b, c, d = coeffs_for(seed)
+    for y in range(h):
+        for x in range(w):
+            k = 4 * (x // 16) + 2 * ((y % 16) // 8) + ((x % 16) // 8)
+            assert pl["Y"][y][x] == 128 + a[k]  # DC only, no checker term
+    assert pl["Cb"][0][0] == 128 + c[0]
+
+
+def test_ac_successive_approximation_refinement_gated():
+    from pwc_challenge_dataengineer_spark.functions.jpeg_codec import (
+        make_progressive_jpeg,
+    )
+
+    data = bytearray(make_progressive_jpeg(7))
+    # find the Y AC scan's SOS and set Ah=1 (refinement) -> honest raise
+    pos = -1
+    for _ in range(3):
+        pos = bytes(data).find(b"\xff\xda", pos + 2)
+    ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+    ahal_at = pos + 2 + ln - 1
+    data[ahal_at] = 0x10 | (data[ahal_at] & 0x0F)
+    with pytest.raises(NotImplementedError, match="successive-approximation"):
+        parse_jpeg(bytes(data))
