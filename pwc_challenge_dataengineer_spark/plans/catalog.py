@@ -71,6 +71,7 @@ _QUERY_MODULES = (
     "linkage_spatial",
     "recursive_sql",
     "web_curation",
+    "media_meta",
 )
 
 

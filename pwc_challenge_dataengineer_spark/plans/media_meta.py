@@ -1,0 +1,266 @@
+"""Media metadata extraction queries — GIF / MP3 / H.264, jar-free.
+
+Round-9 wave closing the remaining media-format gates at the level a
+corpus pipeline actually needs them:
+
+- ``gif_real_decode`` — TRUE-pixel decode of a COMPRESSED palette
+  format (LZW + 4-pass interlace + extension skip), same proof shape as
+  png/jpeg_real_decode: synthesize spec-conformant bytes per document,
+  decode with an independent parser, check integer-exact features
+  against an analytic DuckDB oracle.
+- ``mp3_metadata_scan`` — MPEG-1 Layer III frame-header walk (duration,
+  bitrate profile, CBR/VBR, tag overhead). Full sample decode stays
+  honestly gated; the metadata walk IS the crawl-pipeline operation.
+- ``h264_sps_parse`` — Annex-B NAL walk + SPS parse (dimensions with
+  crop arithmetic, profile/level, keyframe census, SEI sum through the
+  emulation-prevention de-escape). Slice pixel decode stays gated.
+
+Reference parity: the reference's format registry ingests media exports
+(image/audio/video legs); see also its media handling notes in
+/root/reference/README.md. All three stages here are Arrow-batched
+mapInPandas over partition-local batches — one row per item, no
+shuffle, the exact shape a PIL/ffmpeg deployment uses at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.gif_codec import make_gif, parse_gif
+from ..functions.h264_meta import make_h264, parse_h264
+from ..functions.mpeg_audio import make_mp3, parse_mp3
+from ..schemas import load_table
+from .catalog import register
+
+
+def _media_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % F.lit(251)).cast("long").alias("seed"),
+    )
+
+
+_GIF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("img_width", T.IntegerType(), True),
+        T.StructField("img_height", T.IntegerType(), True),
+        T.StructField("px0_r", T.IntegerType(), True),
+        T.StructField("px0_g", T.IntegerType(), True),
+        T.StructField("px0_b", T.IntegerType(), True),
+        T.StructField("img_sum", T.LongType(), True),
+        T.StructField("row3_sum", T.LongType(), True),
+    ]
+)
+
+
+@register(
+    "gif_real_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
+    ),
+    px AS (
+        SELECT b.doc_id, g.p,
+               (b.seed + (g.p % 8) * (1 + g.p // 8)) % 8 AS i
+        FROM base b, (SELECT unnest(range(0, 64)) AS p) g
+    ),
+    agg AS (
+        SELECT px.doc_id,
+               CAST(SUM((b.seed*3 + 5*px.i) % 256 + (b.seed*5 + 7*px.i) % 256
+                        + (b.seed*7 + 11*px.i) % 256) AS BIGINT) AS img_sum,
+               CAST(SUM(CASE WHEN px.p >= 24 AND px.p < 32 THEN
+                        (b.seed*3 + 5*px.i) % 256 + (b.seed*5 + 7*px.i) % 256
+                        + (b.seed*7 + 11*px.i) % 256 END) AS BIGINT) AS row3_sum
+        FROM px JOIN base b ON b.doc_id = px.doc_id
+        GROUP BY px.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(8 AS INT) AS img_width, CAST(8 AS INT) AS img_height,
+           CAST((b.seed*3 + 5*(b.seed % 8)) % 256 AS INT) AS px0_r,
+           CAST((b.seed*5 + 7*(b.seed % 8)) % 256 AS INT) AS px0_g,
+           CAST((b.seed*7 + 11*(b.seed % 8)) % 256 AS INT) AS px0_b,
+           agg.img_sum, agg.row3_sum
+    FROM base b JOIN agg ON b.doc_id = agg.doc_id
+    """,
+)
+def gif_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-pixel GIF decode, stdlib-only (functions/gif_codec.py): per
+    document a spec-conformant INTERLACED GIF89a (8-color global table,
+    GCE + comment extensions, variable-width LZW with a 4->5 bit code
+    crossing at 64 pixels) is decoded by the independent parse_gif and
+    features come from the PARSED palette+indices. ``row3_sum`` is row
+    y=3 — stored LAST by the 4-pass interlace, so its value is only
+    right if the de-interlace is; px0 pins the palette order; the LZW
+    protocol itself is pinned by a public golden byte vector in tests.
+    The pixel formula is row-dependent (idx = (seed + x*(1+y)) % 8) so
+    every row sums differently. BIGINT-exact, no float risk."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, seed in zip(pdf["doc_id"], pdf["seed"]):
+                w, h, pal, idx = parse_gif(make_gif(int(seed)))
+                r0, g0, b0 = pal[idx[0]]
+                tot = sum(sum(pal[i]) for i in idx)
+                row3 = sum(sum(pal[i]) for i in idx[3 * w : 4 * w])
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "img_width": w,
+                        "img_height": h,
+                        "px0_r": r0,
+                        "px0_g": g0,
+                        "px0_b": b0,
+                        "img_sum": tot,
+                        "row3_sum": row3,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _media_ids(spark, sf_dir).mapInPandas(batches, _GIF_SCHEMA)
+
+
+_MP3_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("total_samples", T.LongType(), True),
+        T.StructField("sum_bitrate_kbps", T.LongType(), True),
+        T.StructField("padded_frames", T.IntegerType(), True),
+        T.StructField("is_vbr", T.IntegerType(), True),
+        T.StructField("id3v2_size", T.IntegerType(), True),
+        T.StructField("has_id3v1", T.IntegerType(), True),
+    ]
+)
+
+
+@register(
+    "mp3_metadata_scan",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
+    ),
+    frames AS (
+        SELECT b.doc_id, b.seed, g.k,
+               CASE WHEN b.seed % 4 = 0 THEN 128
+                    ELSE CASE (b.seed + g.k) % 3
+                         WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END
+               END AS kbps,
+               (b.seed + g.k) % 2 AS pad
+        FROM base b, (SELECT unnest(range(0, 21)) AS k) g
+        WHERE g.k < 12 + b.seed % 9
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_frames,
+               CAST(COUNT(*) * 1152 AS BIGINT) AS total_samples,
+               CAST(SUM(kbps) AS BIGINT) AS sum_bitrate_kbps,
+               CAST(SUM(pad) AS INT) AS padded_frames
+        FROM frames GROUP BY doc_id
+    )
+    SELECT b.doc_id, agg.n_frames,
+           CAST(44100 AS INT) AS sample_rate,
+           agg.total_samples, agg.sum_bitrate_kbps, agg.padded_frames,
+           CAST(CASE WHEN b.seed % 4 = 0 THEN 0 ELSE 1 END AS INT) AS is_vbr,
+           CAST(17 + b.seed % 23 AS INT) AS id3v2_size,
+           CAST(1 AS INT) AS has_id3v1
+    FROM base b JOIN agg ON b.doc_id = agg.doc_id
+    """,
+)
+def mp3_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata walk (functions/mpeg_audio.py): per document a real
+    MPEG-1 Layer III byte stream (ID3v2.3 tag with syncsafe size, 12-20
+    frames with seed-driven bitrate/padding via the spec length formula,
+    ID3v1 trailer) is walked frame by frame by the independent
+    parse_mp3. CBR files (seed % 4 == 0) pin the VBR detector's false-
+    positive side; padding bits pin the length formula's +1 branch; the
+    oracle recomputes every stat from the shared closed form. Full
+    sample decode (Huffman + IMDCT + polyphase) stays honestly gated —
+    metadata is the pipeline-relevant operation."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, seed in zip(pdf["doc_id"], pdf["seed"]):
+                s = parse_mp3(make_mp3(int(seed)))
+                rows.append({"doc_id": did, **s})
+            yield pd.DataFrame(rows)
+
+    return _media_ids(spark, sf_dir).mapInPandas(batches, _MP3_SCHEMA)
+
+
+_H264_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("profile_idc", T.IntegerType(), True),
+        T.StructField("level_idc", T.IntegerType(), True),
+        T.StructField("vid_width", T.IntegerType(), True),
+        T.StructField("vid_height", T.IntegerType(), True),
+        T.StructField("max_ref_frames", T.IntegerType(), True),
+        T.StructField("n_idr", T.IntegerType(), True),
+        T.StructField("n_nonidr", T.IntegerType(), True),
+        T.StructField("sei_sum", T.LongType(), True),
+    ]
+)
+
+
+@register(
+    "h264_sps_parse",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
+    )
+    SELECT doc_id,
+           CAST(66 AS INT) AS profile_idc,
+           CAST(30 + (seed % 3) * 10 AS INT) AS level_idc,
+           CAST((2 + seed % 9) * 16 - 2 * (seed % 2) AS INT) AS vid_width,
+           CAST((2 + (seed // 3) % 7) * 16 - 2 * ((seed // 2) % 2) AS INT)
+               AS vid_height,
+           CAST(1 + seed % 4 AS INT) AS max_ref_frames,
+           CAST(1 + seed % 3 AS INT) AS n_idr,
+           CAST(3 + seed % 5 AS INT) AS n_nonidr,
+           CAST(6 + seed % 256 + (seed * 3) % 256 + (seed * 5) % 256
+                  + (seed + 1) % 256 + (seed + 2) % 256 AS BIGINT) AS sei_sum
+    FROM base
+    """,
+)
+def h264_sps_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 stream metadata (functions/h264_meta.py): per document an
+    Annex-B stream (SPS with Exp-Golomb geometry incl. frame cropping,
+    PPS, an SEI whose payload forces emulation-prevention bytes, and a
+    seed-driven IDR/non-IDR slice census over BOTH 3- and 4-byte start
+    codes) is walked by the independent parse_h264. ``vid_width``/
+    ``vid_height`` exercise the 4:2:0 crop-unit arithmetic; ``sei_sum``
+    is only right if the 00 00 03 de-escape is; the slice census is the
+    keyframe-rate stat a video corpus pipeline samples on. Slice pixel
+    decode (CAVLC/CABAC) stays honestly gated."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, seed in zip(pdf["doc_id"], pdf["seed"]):
+                s = parse_h264(make_h264(int(seed)))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "profile_idc": s["profile_idc"],
+                        "level_idc": s["level_idc"],
+                        "vid_width": s["vid_width"],
+                        "vid_height": s["vid_height"],
+                        "max_ref_frames": s["max_ref_frames"],
+                        "n_idr": s["n_idr"],
+                        "n_nonidr": s["n_nonidr"],
+                        "sei_sum": s["sei_sum"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _media_ids(spark, sf_dir).mapInPandas(batches, _H264_SCHEMA)

@@ -1,0 +1,139 @@
+"""Byte-level tests for the round-9 media-metadata codecs: GIF (full
+LZW + interlace decode), MP3 (frame-header walk) and H.264 (Annex-B NAL
+walk + SPS parse). No Spark session needed — the distributed plumbing is
+oracle-verified by the gif_real_decode / mp3_metadata_scan /
+h264_sps_parse catalog queries; these pin the format contracts,
+including against a PUBLIC golden GIF vector (so the LZW width/packing
+protocol matches real-world files, not merely this repo's own encoder).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pwc_challenge_dataengineer_spark.functions.gif_codec import (
+    gif_index,
+    gif_palette,
+    lzw_decode,
+    lzw_encode,
+    make_gif,
+    parse_gif,
+)
+from pwc_challenge_dataengineer_spark.functions.h264_meta import (
+    escape_rbsp,
+    h264_geometry,
+    make_h264,
+    parse_h264,
+    sei_payload,
+    unescape_rbsp,
+)
+from pwc_challenge_dataengineer_spark.functions.mpeg_audio import (
+    make_mp3,
+    mp3_frame_plan,
+    parse_mp3,
+)
+
+# The canonical "smallest GIF" (1x1, 2-color, widely published public
+# vector): decodes to a single pixel of palette index 0. Pins the LZW
+# bit-packing protocol (LSB-first, clear=4 / eoi=5 at width 3) against
+# an externally-authored file.
+_GOLDEN_GIF_1PX = bytes.fromhex(
+    "47494638396101000100800000000000ffffff"
+    "21f90401000000002c00000000010001000002024401003b"
+)
+
+
+def test_gif_golden_public_vector():
+    w, h, pal, idx = parse_gif(_GOLDEN_GIF_1PX)
+    assert (w, h) == (1, 1)
+    assert pal == [(0, 0, 0), (255, 255, 255)]
+    assert idx == [0]
+
+
+def test_gif_round_trip_interlace_and_palette():
+    for seed in range(0, 251, 13):
+        w, h, pal, idx = parse_gif(make_gif(seed))
+        assert (w, h) == (8, 8)
+        assert pal == [gif_palette(seed, i) for i in range(8)]
+        # logical (de-interlaced) order must match the generation form
+        assert idx == [gif_index(seed, p) for p in range(64)]
+
+
+def test_gif_rows_actually_differ():
+    # the pixel formula is row-dependent; a wrong de-interlace must
+    # change at least one row sum (guard against a degenerate oracle)
+    _w, _h, pal, idx = parse_gif(make_gif(17))
+    sums = [
+        sum(sum(pal[i]) for i in idx[y * 8 : (y + 1) * 8]) for y in range(8)
+    ]
+    assert len(set(sums)) > 1
+
+
+def test_lzw_width_crossings_and_kwkwk():
+    # long sequences force 4->5->6 bit growth; aaa... forces KwKwK
+    seq = [(i * i + 3 * i) % 8 for i in range(5000)]
+    assert lzw_decode(lzw_encode(seq, 3), 3, len(seq)) == seq
+    run = [5] * 100
+    assert lzw_decode(lzw_encode(run, 3), 3, 100) == run
+
+
+def test_gif_gates_and_corruption():
+    data = bytearray(make_gif(3))
+    data[:6] = b"GIF87a"
+    with pytest.raises(NotImplementedError):
+        parse_gif(bytes(data))
+    with pytest.raises(ValueError):
+        parse_gif(b"NOTGIF" + bytes(20))
+
+
+def test_mp3_walk_matches_plan():
+    for seed in (0, 1, 4, 7, 100, 250):
+        s = parse_mp3(make_mp3(seed))
+        plan = mp3_frame_plan(seed)
+        assert s["n_frames"] == len(plan)
+        assert s["sum_bitrate_kbps"] == sum(k for k, _ in plan)
+        assert s["padded_frames"] == sum(p for _, p in plan)
+        assert s["is_vbr"] == (0 if seed % 4 == 0 else 1)
+        assert s["id3v2_size"] == 17 + seed % 23
+        assert s["has_id3v1"] == 1
+
+
+def test_mp3_lost_sync_and_gates():
+    data = bytearray(make_mp3(5))
+    # corrupt the first frame's sync byte (after the ID3v2 tag)
+    tag_end = 10 + (17 + 5 % 23)
+    data[tag_end] = 0x00
+    with pytest.raises(ValueError, match="lost sync"):
+        parse_mp3(bytes(data))
+    # MPEG-2 version bits -> honest gate
+    data = bytearray(make_mp3(5))
+    data[tag_end + 1] = 0xF3  # version bits 10 = MPEG-2
+    with pytest.raises(NotImplementedError):
+        parse_mp3(bytes(data))
+
+
+def test_h264_sps_geometry_and_sei_escape():
+    for seed in (0, 1, 2, 5, 6, 123, 250):
+        s = parse_h264(make_h264(seed))
+        g = h264_geometry(seed)
+        assert s["vid_width"] == g["width"]
+        assert s["vid_height"] == g["height"]
+        assert s["n_idr"] == g["n_idr"]
+        assert s["n_nonidr"] == g["n_nonidr"]
+        assert s["sei_sum"] == sum(sei_payload(seed))
+
+
+def test_h264_emulation_prevention_on_wire():
+    # the SEI payload embeds 00 00 01 / 02 / 03 runs: the escaped wire
+    # bytes must differ from the raw payload, and the only 00 00 01 runs
+    # in the whole stream must be start codes (every NAL header follows)
+    raw = sei_payload(9)
+    assert escape_rbsp(raw) != raw
+    assert unescape_rbsp(escape_rbsp(raw)) == raw
+    data = make_h264(9)
+    i = data.find(b"\x00\x00\x01", 0)
+    types = set()
+    while i != -1:
+        types.add(data[i + 3] & 0x1F)
+        i = data.find(b"\x00\x00\x01", i + 3)
+    assert types <= {7, 8, 6, 5, 1, 0}  # 0 = the 4-byte start-code prefix
