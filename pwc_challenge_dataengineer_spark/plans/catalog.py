@@ -72,6 +72,7 @@ _QUERY_MODULES = (
     "recursive_sql",
     "web_curation",
     "media_meta",
+    "curation_extras",
 )
 
 
