@@ -532,6 +532,171 @@ def make_progressive_jpeg(seed: int) -> bytes:
     )
 
 
+def make_ac_refine_jpeg(seed: int) -> bytes:
+    """Spec-conformant progressive JFIF carrying the SAME image as
+    make_jpeg(seed), now through the third wire shape real encoders
+    default to: AC SUCCESSIVE APPROXIMATION. Eight scans:
+
+      1/2. DC first (Al=1, interleaved) + DC refinement — as in
+           make_progressive_jpeg
+      3. AC first Y,  Ss=1..63, Al=1: coefficient approximations
+         sign(b) * (|b| >> 1) — blocks with |b| == 1 vanish entirely
+      4. AC refinement Y, Ah=1/Al=0: correction bits for surviving
+         coefficients (EOB-mode tail corrections), and the |b| == 1
+         blocks come back as NEWLY NONZERO codes behind two ZRLs
+      5/6. AC first Cb / Cr at Al=1 (EOBn r=1 + extension bit)
+      7/8. AC refinement Cb / Cr (EOBn again; zero history, no bits)
+
+    Together the corpus of seeds exercises every G.1.2.3 decode path:
+    correction-only EOB blocks, newly-nonzero placement with
+    zero-HISTORY run counting across ZRLs, refinement EOBRUN with
+    extension bits, and the size==1 constraint. Pixels are bit-identical
+    to make_jpeg / make_progressive_jpeg by construction, so all three
+    wire encodings share one analytic oracle."""
+    a, b, c, d = coeffs_for(seed)
+
+    def diffs(vals):
+        out, pred = [], 0
+        for v in vals:
+            out.append(v - pred)
+            pred = v
+        return out
+
+    halves = [(1 if x > 0 else -1) * (abs(x) >> 1) for x in b]  # toward zero
+
+    dy = diffs([a[k] >> 1 for k in range(8)])
+    dcb = diffs([c[0] >> 1, c[1] >> 1])
+    dcr = diffs([d[0] >> 1, d[1] >> 1])
+    dc_y_syms = sorted({_bit_size(x) for x in dy})
+    dc_c_syms = sorted({_bit_size(x) for x in dcb + dcr})
+    run_sym = (_ZZ44 - 1 - 32) << 4  # run after two ZRLs
+    ac_y_syms = sorted(
+        {0xF0, 0x00}
+        | {run_sym | _bit_size(h) for h in halves if h}
+        | {run_sym | 1 for x in b if abs(x) == 1}
+    )
+    ac_c_syms = [0x10]
+    bits_dcy, hv_dcy = _table_for_symbols(dc_y_syms)
+    bits_dcc, hv_dcc = _table_for_symbols(dc_c_syms)
+    bits_acy, hv_acy = _table_for_symbols(ac_y_syms)
+    bits_acc, hv_acc = _table_for_symbols(ac_c_syms)
+    dcy = _canonical_codes(bits_dcy, hv_dcy)
+    dcc = _canonical_codes(bits_dcc, hv_dcc)
+    acy = _canonical_codes(bits_acy, hv_acy)
+    acc = _canonical_codes(bits_acc, hv_acc)
+
+    def put_sym(bw, codes, sym):
+        code, ln = codes[sym]
+        bw.put(code, ln)
+
+    def put_amp(bw, v):
+        size = _bit_size(v)
+        bw.put(v if v >= 0 else v + (1 << size) - 1, size)
+
+    # scans 1/2: DC first + refinement, identical to make_progressive_jpeg
+    bw1 = _BitWriter()
+    py = pcb = pcr = 0
+    for m in range(2):
+        for k in range(4 * m, 4 * m + 4):
+            v = a[k] >> 1
+            put_sym(bw1, dcy, _bit_size(v - py))
+            put_amp(bw1, v - py) if v != py else None
+            py = v
+        v = c[m] >> 1
+        put_sym(bw1, dcc, _bit_size(v - pcb))
+        put_amp(bw1, v - pcb) if v != pcb else None
+        pcb = v
+        v = d[m] >> 1
+        put_sym(bw1, dcc, _bit_size(v - pcr))
+        put_amp(bw1, v - pcr) if v != pcr else None
+        pcr = v
+    scan1 = bw1.flush()
+
+    bw2 = _BitWriter()
+    for m in range(2):
+        for k in range(4 * m, 4 * m + 4):
+            bw2.put(a[k] & 1, 1)
+        bw2.put(c[m] & 1, 1)
+        bw2.put(d[m] & 1, 1)
+    scan2 = bw2.flush()
+
+    # scan 3: AC first Y at Al=1 — the |b|==1 blocks send nothing yet
+    bw3 = _BitWriter()
+    for by in range(2):
+        for bx in range(4):
+            h = halves[a_k_index(by, bx)]
+            if h:
+                put_sym(bw3, acy, 0xF0)
+                put_sym(bw3, acy, 0xF0)
+                put_sym(bw3, acy, run_sym | _bit_size(h))
+                put_amp(bw3, h)
+            put_sym(bw3, acy, 0x00)
+    scan3 = bw3.flush()
+
+    # scan 4: AC refinement Y (Ah=1, Al=0)
+    bw4 = _BitWriter()
+    for by in range(2):
+        for bx in range(4):
+            v = b[a_k_index(by, bx)]
+            if abs(v) >= 2:
+                # history nonzero: EOB0 then ONE correction bit for it
+                put_sym(bw4, acy, 0x00)
+                bw4.put(abs(v) & 1, 1)
+            elif abs(v) == 1:
+                # newly nonzero behind 38 zero-history positions
+                put_sym(bw4, acy, 0xF0)
+                put_sym(bw4, acy, 0xF0)
+                put_sym(bw4, acy, run_sym | 1)
+                bw4.put(1 if v > 0 else 0, 1)  # sign bit
+                put_sym(bw4, acy, 0x00)  # rest of band: EOB, no history
+            else:
+                put_sym(bw4, acy, 0x00)
+    scan4 = bw4.flush()
+
+    # chroma scans: EOBn r=1 + one extension bit -> EOBRUN = 2; the
+    # refinement twin has zero history so carries no correction bits
+    def chroma_scan():
+        bw = _BitWriter()
+        put_sym(bw, acc, 0x10)
+        bw.put(0, 1)
+        return bw.flush()
+
+    jfif = _seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0])
+                + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = (_seg(0xDB, bytes([0x00]) + bytes(_QY))
+           + _seg(0xDB, bytes([0x01]) + bytes(_QC)))
+    sof = _seg(
+        0xC2,
+        struct.pack(">BHHB", 8, JPEG_H, JPEG_W, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    dht = (
+        _seg(0xC4, _dht_body(0, 0, bits_dcy, hv_dcy))
+        + _seg(0xC4, _dht_body(0, 1, bits_dcc, hv_dcc))
+        + _seg(0xC4, _dht_body(1, 0, bits_acy, hv_acy))
+        + _seg(0xC4, _dht_body(1, 1, bits_acc, hv_acc))
+    )
+
+    def sos(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for cid, tdta in comps:
+            body += bytes([cid, tdta])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    return (
+        b"\xff\xd8" + jfif + dqt + sof + dht
+        + sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1) + scan1
+        + sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 1, 0) + scan2
+        + sos([(1, 0x00)], 1, 63, 0, 1) + scan3
+        + sos([(1, 0x00)], 1, 63, 1, 0) + scan4
+        + sos([(2, 0x01)], 1, 63, 0, 1) + chroma_scan()
+        + sos([(3, 0x01)], 1, 63, 0, 1) + chroma_scan()
+        + sos([(2, 0x01)], 1, 63, 1, 0) + chroma_scan()
+        + sos([(3, 0x01)], 1, 63, 1, 0) + chroma_scan()
+        + b"\xff\xd9"
+    )
+
+
 def a_k_index(by: int, bx: int) -> int:
     """Y-plane raster block (by,bx) -> the closed-form k index used by
     coeffs_for (MCU-major: k = 4*mcu + 2*suby + subx)."""
@@ -689,10 +854,6 @@ def _decode_scan(data, pos, frame, scan_comps, huff, restart_interval,
                  ss, se, ah, al):
     """Decode ONE entropy-coded scan into the coefficient store; returns
     the byte position of the next marker after the scan's data."""
-    if ss > 0 and ah > 0:
-        raise NotImplementedError(
-            "AC successive-approximation refinement scan (Ah>0)"
-        )
     for c, _td, _ta in scan_comps:
         c["pred"] = 0
     br = _BitReader(data, pos)
@@ -753,6 +914,59 @@ def _decode_scan(data, pos, frame, scan_comps, huff, restart_interval,
             blk[k] = _extend(br.receive(size), size) << al
             k += 1
 
+    def ac_refine(c, ta, blk):
+        """AC successive-approximation refinement (T.81 G.1.2.3): one
+        correction bit per already-nonzero coefficient; run/size codes
+        (size always 1) place NEWLY nonzero coefficients at +-1<<al,
+        counting only zero-HISTORY positions in the run; EOBn switches
+        the rest of the band (and the next eobrun-1 blocks) to
+        correction-only mode."""
+        p1 = 1 << al
+
+        def correct_tail(k):
+            while k <= se:
+                if blk[k]:
+                    if br.bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                k += 1
+
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            correct_tail(ss)
+            return
+        ac_tab = huff[(1, ta)]
+        k = ss
+        while k <= se:
+            rs = ac_tab.decode(br)
+            run, size = rs >> 4, rs & 0xF
+            newval = 0
+            if size == 0:
+                if run != 15:  # EOBn: current block finishes in EOB mode
+                    state["eobrun"] = (1 << run) - 1
+                    if run:
+                        state["eobrun"] += br.receive(run)
+                    correct_tail(k)
+                    return
+                # ZRL: skip 16 zero-history positions, correcting along
+            elif size == 1:
+                newval = p1 if br.bit() else -p1
+            else:
+                raise ValueError("AC refinement size must be 1")
+            while k <= se:
+                if blk[k]:
+                    if br.bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if k > se:
+                raise ValueError("AC refinement run past band end")
+            if newval:
+                blk[k] = newval
+            k += 1
+
     # --- unit iteration ------------------------------------------------
     n_unit = 0
 
@@ -790,8 +1004,10 @@ def _decode_scan(data, pos, frame, scan_comps, huff, restart_interval,
                     dc_unit(c, td, blk)
                     if not frame["progressive"]:
                         ac_sequential(c, ta, blk)
-                else:
+                elif ah == 0:
                     ac_first(c, ta, blk)
+                else:
+                    ac_refine(c, ta, blk)
                 n_unit += 1
 
     # advance to the next marker (skip pad bits / stuffed bytes)

@@ -750,6 +750,37 @@ def extract_jpeg_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, JPEG_FEATURES_SCHEMA)
 
 
+def synthesize_ac_refine_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
+    """One AC-successive-approximation progressive JFIF per row (eight
+    scans incl. AC refinement) — same image content as
+    synthesize_jpeg_media, the third wire encoding."""
+    import pandas as pd
+
+    from .jpeg_codec import make_ac_refine_jpeg
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it):
+        for pdf in it:
+            seeds = (pdf["media_id"] % 251).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "jpeg": [make_ac_refine_jpeg(int(s)) for s in seeds],
+                }
+            )
+
+    return src.mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("jpeg", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
 def synthesize_progressive_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     """One PROGRESSIVE (SOF2, five-scan) JFIF file per row — same image
     content as synthesize_jpeg_media, different wire encoding."""

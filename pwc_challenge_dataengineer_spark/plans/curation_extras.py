@@ -119,7 +119,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos").alias("sim_to_centroid"),
         )
     )
-    withv = assign.join(emb, "vec_id")
+    # The three row-scaling joins below are PINNED to sort-merge: at 30x
+    # data Spark's size estimates flip them broadcast->SMJ anyway (seen in
+    # SCALE_STRESS_x30_r9wave3), so fingerprint the scale shape at every
+    # SF rather than letting the plan drift with the estimate.
+    withv = assign.join(emb.hint("merge"), "vec_id")
     a = withv.select(
         F.col("cluster_id"),
         F.col("vec_id").alias("a_id"),
@@ -131,14 +135,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("b_v"),
     )
     pruned = (
-        a.join(b, "cluster_id")
+        a.join(b.hint("merge"), "cluster_id")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(F.round(_cos(F.col("a_v"), F.col("b_v")), 6) > _SEM_TAU)
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("is_pruned", F.lit(1))
     )
-    return assign.join(pruned, "vec_id", "left").select(
+    return assign.join(pruned.hint("merge"), "vec_id", "left").select(
         "vec_id",
         "cluster_id",
         "sim_to_centroid",

@@ -1200,6 +1200,29 @@ def jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("jpeg_ac_refine_decode", oracle=_JPEG_ORACLE)
+def jpeg_ac_refine_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AC SUCCESSIVE-APPROXIMATION progressive JPEG decode — the wire
+    mode libjpeg's default progressive script actually emits (r9's
+    remaining JPEG gate, now closed). Per document an eight-scan file
+    (AC first at Al=1 where |coef|==1 blocks vanish entirely, then an
+    Ah=1 refinement scan with correction-bit EOB tails, newly-nonzero
+    placement behind two ZRLs with zero-HISTORY run counting, and
+    refinement EOBRUN over chroma) is decoded by the SAME parse_jpeg,
+    and features share jpeg_real_decode's closed-form oracle verbatim —
+    all three JPEG wire encodings must reconstruct bit-identical pixels.
+    Remaining honest JPEG gates: arithmetic coding, lossless."""
+    from ..functions.multimodal import (
+        extract_jpeg_features,
+        synthesize_ac_refine_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return extract_jpeg_features(
+        synthesize_ac_refine_jpeg_media(docs, "doc_id")
+    )
+
+
 _MRL_DIMS = (8, 16, 32)
 _MRL_STRIDE = 7  # deterministic pairing: vec i vs vec (i + 7) mod n
 

@@ -161,18 +161,54 @@ def test_progressive_partial_scan_is_visibly_coarse():
     assert pl["Cb"][0][0] == 128 + c[0]
 
 
-def test_ac_successive_approximation_refinement_gated():
+@pytest.mark.parametrize("seed", [0, 5, 42, 97, 151, 250])
+def test_ac_refine_decodes_identical_to_baseline(seed):
+    """Eight-scan AC-successive-approximation file (AC first at Al=1,
+    Ah=1 refinement with correction bits / newly-nonzero placement /
+    refinement EOBRUN) must reconstruct the SAME pixels as the baseline
+    and five-scan-progressive encodings."""
     from pwc_challenge_dataengineer_spark.functions.jpeg_codec import (
-        make_progressive_jpeg,
+        make_ac_refine_jpeg,
     )
 
-    data = bytearray(make_progressive_jpeg(7))
-    # find the Y AC scan's SOS and set Ah=1 (refinement) -> honest raise
+    assert parse_jpeg(make_ac_refine_jpeg(seed)) == parse_jpeg(
+        make_jpeg(seed)
+    )
+
+
+def _nth_sos(data: bytes, n: int) -> int:
     pos = -1
-    for _ in range(3):
-        pos = bytes(data).find(b"\xff\xda", pos + 2)
-    ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
-    ahal_at = pos + 2 + ln - 1
-    data[ahal_at] = 0x10 | (data[ahal_at] & 0x0F)
-    with pytest.raises(NotImplementedError, match="successive-approximation"):
-        parse_jpeg(bytes(data))
+    for _ in range(n):
+        pos = data.find(b"\xff\xda", pos + 2)
+    return pos
+
+
+def test_ac_refine_partial_scan_is_half_precision():
+    """Truncating before the Y AC refinement scan must decode to the
+    Al=1 approximation: every pixel's AC contribution is the coefficient
+    with its LOW BIT DROPPED toward zero (so the full-vs-partial delta
+    at a block's top-left pixel is exactly |b|&1 in b's sign), and
+    |b|==1 blocks contribute nothing at all yet."""
+    from pwc_challenge_dataengineer_spark.functions.jpeg_codec import (
+        make_ac_refine_jpeg,
+    )
+
+    checked_odd = checked_one = 0
+    for seed in range(0, 251, 7):
+        data = make_ac_refine_jpeg(seed)
+        cut = _nth_sos(data, 4)  # scans 1-3 only: DC full, Y AC at Al=1
+        _, _, part = parse_jpeg(data[:cut] + b"\xff\xd9")
+        _, _, full = parse_jpeg(data)
+        a, b, c, d = coeffs_for(seed)
+        for by in range(2):
+            for bx in range(4):
+                k = 4 * (bx // 2) + 2 * by + (bx % 2)
+                y, x = 8 * by, 8 * bx
+                delta = full["Y"][y][x] - part["Y"][y][x]
+                sign = 1 if b[k] > 0 else -1
+                assert delta == sign * (abs(b[k]) & 1)
+                if abs(b[k]) == 1:
+                    checked_one += 1
+                elif abs(b[k]) & 1:
+                    checked_odd += 1
+    assert checked_odd > 0 and checked_one > 0  # both refine paths hit
