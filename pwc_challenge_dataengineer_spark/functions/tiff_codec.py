@@ -1,0 +1,225 @@
+"""Pure-stdlib baseline TIFF 6.0 codec — encoder and independent decoder.
+
+The scanned-document leg of the media-format story: TIFF is what OCR /
+document-AI corpora arrive in, and BASELINE TIFF (IFD tag walk, strip
+layout, PackBits compression) needs no codec library. Writer and parser
+are independent implementations of the public TIFF 6.0 specification:
+
+- ``make_tiff`` writes an 8-bit RGB image in TWO strips, PackBits-
+  compressed, alternating little-endian (II) and big-endian (MM) headers
+  by seed parity — so the decoder's endian handling is on the hot path,
+  not just the II default;
+- ``parse_tiff`` validates the magic 42, walks the IFD (12-byte entries,
+  inline-vs-offset values by type size), requires the baseline RGB tag
+  set, decompresses PackBits per strip (literal runs, replicate runs,
+  -128 no-op), and returns top-down row-major RGB pixels.
+
+LZW-compressed, tiled, multi-IFD and 16-bit TIFFs raise
+NotImplementedError — stated, not silently mangled.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_TIFF_W, _TIFF_H = 6, 8
+
+
+def tiff_pixel(seed: int, p: int) -> tuple[int, int, int]:
+    """Pixel closed form shared with the DuckDB oracle (same family as
+    make_bmp/make_png so oracles stay comparable)."""
+    return (
+        (seed + 5 * p + 1) % 256,
+        (seed + 5 * p + 3) % 256,
+        (seed + 5 * p + 4) % 256,
+    )
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits: replicate runs for >=2 equal bytes, literal runs
+    otherwise (greedy, spec Appendix 9)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)  # -(run-1) as unsigned
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 1 < n and data[i + 1] == data[i])
+        ):
+            i += 1
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("PackBits: input exhausted")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # replicate next byte 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError("PackBits: output overrun")
+    return bytes(out)
+
+
+def make_tiff(seed: int, width: int = _TIFF_W, height: int = _TIFF_H) -> bytes:
+    """Two PackBits strips of 4 rows each; header endianness II/MM by
+    seed parity; IFD placed after the strip data."""
+    endian = "<" if seed % 2 == 0 else ">"
+    rows_per_strip = 4
+    strips = []
+    for s in range(2):
+        raw = bytearray()
+        for y in range(s * rows_per_strip, (s + 1) * rows_per_strip):
+            for x in range(width):
+                raw += bytes(tiff_pixel(seed, y * width + x))
+        strips.append(packbits_encode(bytes(raw)))
+
+    header_len = 8
+    strip_offsets = []
+    pos = header_len
+    for sdata in strips:
+        strip_offsets.append(pos)
+        pos += len(sdata)
+    if pos % 2:
+        pos += 1  # word-align the IFD
+    ifd_offset = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        # inline SHORT values are LEFT-justified in the 4-byte field
+        if typ == 3 and count == 1:
+            return struct.pack(endian + "HHIHH", tag, typ, count, value, 0)
+        return struct.pack(endian + "HHII", tag, typ, count, value)
+
+    # BitsPerSample (258) needs 3 SHORTs -> stored after the IFD
+    n_entries = 11
+    after_ifd = ifd_offset + 2 + n_entries * 12 + 4
+    bits_off = after_ifd
+    offsets_off = bits_off + 6
+    counts_off = offsets_off + 8
+
+    entries = [
+        entry(256, 3, 1, width),  # ImageWidth
+        entry(257, 3, 1, height),  # ImageLength
+        entry(258, 3, 3, bits_off),  # BitsPerSample -> offset
+        entry(259, 3, 1, 32773),  # Compression: PackBits
+        entry(262, 3, 1, 2),  # Photometric: RGB
+        entry(273, 4, 2, offsets_off),  # StripOffsets (LONGs)
+        entry(277, 3, 1, 3),  # SamplesPerPixel
+        entry(278, 3, 1, rows_per_strip),  # RowsPerStrip
+        entry(279, 4, 2, counts_off),  # StripByteCounts
+        entry(284, 3, 1, 1),  # PlanarConfig: chunky
+        entry(296, 3, 1, 2),  # ResolutionUnit (baseline filler)
+    ]
+    out = bytearray()
+    out += (b"II" if endian == "<" else b"MM") + struct.pack(
+        endian + "HI", 42, ifd_offset
+    )
+    for sdata in strips:
+        out += sdata
+    if len(out) % 2:
+        out += b"\x00"
+    out += struct.pack(endian + "H", n_entries)
+    for e in sorted(entries, key=lambda e: struct.unpack(endian + "H", e[:2])[0]):
+        out += e
+    out += struct.pack(endian + "I", 0)  # next IFD: none
+    out += struct.pack(endian + "HHH", 8, 8, 8)
+    for off in strip_offsets:
+        out += struct.pack(endian + "I", off)
+    for sdata in strips:
+        out += struct.pack(endian + "I", len(sdata))
+    return bytes(out)
+
+
+def parse_tiff(data: bytes):
+    """Baseline RGB TIFF decode: endian detect, IFD walk, PackBits
+    strips. Returns (width, height, pixels) top-down row-major RGB."""
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    magic, ifd_offset = struct.unpack_from(endian + "HI", data, 2)
+    if magic == 43:
+        raise NotImplementedError("BigTIFF")
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    n = struct.unpack_from(endian + "H", data, ifd_offset)[0]
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n):
+        tag, typ, count, value = struct.unpack_from(
+            endian + "HHII", data, ifd_offset + 2 + 12 * i
+        )
+        if typ == 3 and count == 1:  # inline SHORT sits in the high half on MM
+            value = struct.unpack_from(
+                endian + "H", data, ifd_offset + 2 + 12 * i + 8
+            )[0]
+        tags[tag] = (typ, count, value)
+    nxt = struct.unpack_from(
+        endian + "I", data, ifd_offset + 2 + 12 * n
+    )[0]
+    if nxt:
+        raise NotImplementedError("multi-IFD (multi-page) TIFF")
+
+    def values(tag: int) -> list[int]:
+        typ, count, value = tags[tag]
+        size = {3: 2, 4: 4}[typ]
+        if size * count <= 4:
+            return [value]
+        fmt = endian + ("H" if typ == 3 else "I")
+        return [
+            struct.unpack_from(fmt, data, value + size * i)[0]
+            for i in range(count)
+        ]
+
+    width = values(256)[0]
+    height = values(257)[0]
+    comp = values(259)[0]
+    if comp == 5:
+        raise NotImplementedError("LZW TIFF")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF")
+    if values(258) != [8, 8, 8] and values(258) != [8]:
+        raise NotImplementedError("non-8-bit TIFF")
+    if values(277)[0] != 3:
+        raise NotImplementedError("non-RGB sample count")
+    rows_per_strip = values(278)[0]
+    offsets = values(273)
+    counts = values(279)
+    raw = bytearray()
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rows_per_strip, height - s * rows_per_strip)
+        expected = rows * width * 3
+        chunk = data[off : off + cnt]
+        raw += (
+            packbits_decode(chunk, expected) if comp == 32773 else chunk
+        )
+    pixels = [
+        (raw[3 * p], raw[3 * p + 1], raw[3 * p + 2])
+        for p in range(width * height)
+    ]
+    return width, height, pixels

@@ -264,3 +264,169 @@ def h264_sps_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return _media_ids(spark, sf_dir).mapInPandas(batches, _H264_SCHEMA)
+
+
+# ------------------------------------------------------------------ WARC
+_WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_records", T.IntegerType(), True),
+        T.StructField("n_responses", T.IntegerType(), True),
+        T.StructField("n_requests", T.IntegerType(), True),
+        T.StructField("http_200", T.IntegerType(), True),
+        T.StructField("html_responses", T.IntegerType(), True),
+        T.StructField("total_payload_bytes", T.LongType(), True),
+        T.StructField("payload_checksum", T.LongType(), True),
+    ]
+)
+
+
+@register(
+    "warc_records_scan",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
+    ),
+    resp AS (
+        SELECT b.doc_id, b.seed, g.i,
+               CASE WHEN (b.seed + g.i) % 5 = 0 THEN 404 ELSE 200 END AS status,
+               CASE WHEN (b.seed + g.i) % 3 = 0 THEN 0 ELSE 1 END AS is_html,
+               50 + (b.seed * 7 + g.i * 13) % 100 AS body_len
+        FROM base b, (SELECT unnest(range(0, 7)) AS i) g
+        WHERE g.i < 3 + b.seed % 4
+    ),
+    bytes_ AS (
+        SELECT r.doc_id,
+               CAST(SUM((r.seed + r.i * 31 + g.j * 7) % 256) AS BIGINT) AS ck
+        FROM resp r, (SELECT unnest(range(0, 150)) AS j) g
+        WHERE g.j < r.body_len
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS INT) AS n_responses,
+               CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS INT)
+                   AS http_200,
+               CAST(SUM(is_html) AS INT) AS html_responses,
+               CAST(SUM(body_len) AS BIGINT) AS total_payload_bytes
+        FROM resp GROUP BY 1
+    )
+    SELECT a.doc_id,
+           CAST(1 + 2 * a.n_responses AS INT) AS n_records,
+           a.n_responses,
+           a.n_responses AS n_requests,
+           a.http_200, a.html_responses, a.total_payload_bytes,
+           b.ck AS payload_checksum
+    FROM agg a JOIN bytes_ b ON a.doc_id = b.doc_id
+    """,
+)
+def warc_records_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) record walk over the COMMON CRAWL wire layout:
+    per document a per-record-gzipped multistream WARC (warcinfo +
+    request/response pairs with full embedded HTTP/1.1 messages) is
+    built by functions/warc_codec.make_warc_gz and walked by the
+    independent parse_warc — gzip member concatenation, Content-Length
+    framing, case-insensitive WARC headers, CRLFCRLF terminators, HTTP
+    status/header parse separating header bytes from the true payload.
+    ``payload_checksum`` sums every PAYLOAD byte, so any framing error
+    that leaks HTTP headers into the body (or truncates it) flips the
+    hash. Per-record gzip members are what make WARC splittable at
+    100 TB: any byte range can start decoding at the next member
+    boundary, the same property avrolite exploits for Avro blocks."""
+    import pandas as pd
+
+    from ..functions.warc_codec import make_warc_gz, parse_warc
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, seed in zip(pdf["doc_id"], pdf["seed"]):
+                s = parse_warc(make_warc_gz(int(seed)))
+                rows.append({"doc_id": did, **s})
+            yield pd.DataFrame(rows)
+
+    return _media_ids(spark, sf_dir).mapInPandas(batches, _WARC_SCHEMA)
+
+
+# ------------------------------------------------------------------ TIFF
+_TIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("img_width", T.IntegerType(), True),
+        T.StructField("img_height", T.IntegerType(), True),
+        T.StructField("is_big_endian", T.IntegerType(), True),
+        T.StructField("px0_r", T.IntegerType(), True),
+        T.StructField("px0_g", T.IntegerType(), True),
+        T.StructField("px0_b", T.IntegerType(), True),
+        T.StructField("img_sum", T.LongType(), True),
+        T.StructField("strip2_sum", T.LongType(), True),
+    ]
+)
+
+
+@register(
+    "tiff_real_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
+    ),
+    px AS (
+        SELECT b.doc_id, g.p,
+               (b.seed + 5 * g.p + 1) % 256 + (b.seed + 5 * g.p + 3) % 256
+               + (b.seed + 5 * g.p + 4) % 256 AS s
+        FROM base b, (SELECT unnest(range(0, 48)) AS p) g
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(s) AS BIGINT) AS img_sum,
+               CAST(SUM(CASE WHEN p >= 24 THEN s END) AS BIGINT) AS strip2_sum
+        FROM px GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(6 AS INT) AS img_width, CAST(8 AS INT) AS img_height,
+           CAST(b.seed % 2 AS INT) AS is_big_endian,
+           CAST((b.seed + 1) % 256 AS INT) AS px0_r,
+           CAST((b.seed + 3) % 256 AS INT) AS px0_g,
+           CAST((b.seed + 4) % 256 AS INT) AS px0_b,
+           agg.img_sum, agg.strip2_sum
+    FROM base b JOIN agg ON b.doc_id = agg.doc_id
+    """,
+)
+def tiff_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF 6.0 true-pixel decode (functions/tiff_codec.py):
+    per document a two-strip PackBits-compressed RGB TIFF whose header
+    endianness ALTERNATES II/MM by seed parity is decoded by the
+    independent parse_tiff — endian detect, IFD tag walk (inline vs
+    offset values, left-justified inline SHORTs), strip assembly,
+    PackBits runs. ``strip2_sum`` (rows 4-7) is only right if the second
+    strip's offset/count round the IFD correctly; ``is_big_endian``
+    pins the MM branch onto half the corpus. LZW/tiled/multi-page/16-bit
+    TIFFs stay honestly gated."""
+    import pandas as pd
+
+    from ..functions.tiff_codec import make_tiff, parse_tiff
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, seed in zip(pdf["doc_id"], pdf["seed"]):
+                data = make_tiff(int(seed))
+                w, h, px = parse_tiff(data)
+                tot = sum(sum(t) for t in px)
+                s2 = sum(sum(t) for t in px[4 * w :])
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "img_width": w,
+                        "img_height": h,
+                        "is_big_endian": 1 if data[:2] == b"MM" else 0,
+                        "px0_r": px[0][0],
+                        "px0_g": px[0][1],
+                        "px0_b": px[0][2],
+                        "img_sum": tot,
+                        "strip2_sum": s2,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _media_ids(spark, sf_dir).mapInPandas(batches, _TIFF_SCHEMA)

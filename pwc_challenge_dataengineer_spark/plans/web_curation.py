@@ -185,3 +185,158 @@ def per_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 per_host_cap.__doc__ = per_host_cap.__doc__.format(cap=_HOST_CAP)
+
+
+# --------------------------------------------------------------- robots.txt
+# RFC 9309 (Robots Exclusion Protocol) evaluation: parse REAL robots.txt
+# text (user-agent sections, Allow/Disallow rules) and apply
+# longest-match-wins (allow wins ties) to every document URL. The Spark
+# side genuinely PARSES the text — posexplode lines, running-sum section
+# assignment, section-agent propagation, rule extraction — while the
+# oracle recomputes the expected verdicts analytically from the
+# generation closed form, so a parser bug anywhere (section filter,
+# rule path trim, longest-match ordering) flips the hash.
+
+
+@register(
+    "robots_url_filter",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               CAST(doc_id % 7 AS BIGINT) AS k,
+               doc_id % 5 AS m
+        FROM documents
+    )
+    SELECT doc_id,
+           'h' || CAST(k AS VARCHAR) AS host,
+           CASE m
+               WHEN 0 THEN '/private/ok' || CAST(k AS VARCHAR) || '/page'
+                           || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/pub/a' || CAST(doc_id AS VARCHAR)
+               WHEN 3 THEN '/tmp' || CAST(k AS VARCHAR) || '/y'
+                           || CAST(doc_id AS VARCHAR)
+               ELSE '/private/ok' || CAST(k AS VARCHAR)
+           END AS path,
+           CASE m
+               WHEN 0 THEN '/private/ok' || CAST(k AS VARCHAR)
+               WHEN 1 THEN '/private'
+               WHEN 2 THEN ''
+               WHEN 3 THEN '/tmp' || CAST(k AS VARCHAR)
+               ELSE '/private/ok' || CAST(k AS VARCHAR)
+           END AS matched_rule,
+           CAST(CASE WHEN m IN (0, 2, 4) THEN 1 ELSE 0 END AS INT)
+               AS rule_is_allow,
+           CAST(CASE WHEN m IN (0, 2, 4) THEN 1 ELSE 0 END AS INT)
+               AS allowed
+    FROM u
+    """,
+)
+def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots evaluation, parse included. Per host a real
+    robots.txt (a specialbot section that disallows everything — which
+    the '*' filter must SKIP — plus a '*' section with nested
+    Allow/Disallow prefixes) is parsed line by line: posexplode, section
+    ids via a running sum over User-agent lines, each section's agent
+    broadcast to its rules by a grouped max, then rules filtered to the
+    '*' section. URLs join the (tiny, broadcast) rules table on host with
+    a prefix-match condition, and the winner per URL is the LONGEST
+    matching rule, allow beating disallow on ties; no match = allowed.
+    Scale: rules tables are per-host small by nature (broadcast); the
+    URL side never shuffles except the host-key join."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 7).cast("long").alias("k")
+    )
+    robots = docs.select("k").distinct().select(
+        "k",
+        F.concat(F.lit("h"), F.col("k").cast("string")).alias("host"),
+        F.concat_ws(
+            "\n",
+            F.lit("User-agent: specialbot"),
+            F.lit("Disallow: /"),
+            F.lit(""),
+            F.lit("User-agent: *"),
+            F.lit("Disallow: /private"),
+            F.concat(F.lit("Allow: /private/ok"), F.col("k").cast("string")),
+            F.concat(F.lit("Disallow: /tmp"), F.col("k").cast("string")),
+        ).alias("robots_txt"),
+    )
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("ln", "line"),
+    )
+    is_ua = F.col("line").startswith("User-agent:")
+    sec_w = (
+        Window.partitionBy("host")
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sected = lines.withColumn(
+        "section", F.sum(is_ua.cast("int")).over(sec_w)
+    ).withColumn(
+        "agent_line",
+        F.when(is_ua, F.trim(F.substring_index(F.col("line"), ":", -1))),
+    )
+    agents = sected.groupBy("host", "section").agg(
+        F.max("agent_line").alias("agent")
+    )
+    rules = (
+        sected.filter(F.col("line").rlike("^(Allow|Disallow):"))
+        .join(agents, ["host", "section"])
+        .filter(F.col("agent") == "*")
+        .select(
+            "host",
+            F.trim(F.substring_index(F.col("line"), ":", -1)).alias(
+                "rule_path"
+            ),
+            F.col("line").startswith("Allow:").cast("int").alias(
+                "rule_is_allow"
+            ),
+        )
+    )
+    k_str = F.col("k").cast("string")
+    d_str = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), k_str).alias("host"),
+        F.when(m == 0, F.concat(F.lit("/private/ok"), k_str, F.lit("/page"), d_str))
+        .when(m == 1, F.concat(F.lit("/private/x"), d_str))
+        .when(m == 2, F.concat(F.lit("/pub/a"), d_str))
+        .when(m == 3, F.concat(F.lit("/tmp"), k_str, F.lit("/y"), d_str))
+        .otherwise(F.concat(F.lit("/private/ok"), k_str))
+        .alias("path"),
+    )
+    matched = urls.join(
+        F.broadcast(rules),
+        (urls["host"] == rules["host"])
+        & F.col("path").startswith(F.col("rule_path")),
+    ).select(
+        "doc_id",
+        urls["host"].alias("host"),
+        "path",
+        "rule_path",
+        "rule_is_allow",
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("rule_path").desc(), F.col("rule_is_allow").desc()
+    )
+    best = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "rule_path", "rule_is_allow")
+    )
+    return urls.join(best, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "path",
+        F.coalesce(F.col("rule_path"), F.lit("")).alias("matched_rule"),
+        F.coalesce(F.col("rule_is_allow"), F.lit(1)).cast("int").alias(
+            "rule_is_allow"
+        ),
+        F.coalesce(F.col("rule_is_allow"), F.lit(1)).cast("int").alias(
+            "allowed"
+        ),
+    )

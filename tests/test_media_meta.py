@@ -137,3 +137,79 @@ def test_h264_emulation_prevention_on_wire():
         types.add(data[i + 3] & 0x1F)
         i = data.find(b"\x00\x00\x01", i + 3)
     assert types <= {7, 8, 6, 5, 1, 0}  # 0 = the 4-byte start-code prefix
+
+
+# ---------------------------------------------------------------- WARC
+from pwc_challenge_dataengineer_spark.functions.warc_codec import (  # noqa: E402
+    make_warc,
+    make_warc_gz,
+    parse_warc,
+    warc_plan,
+)
+
+
+def test_warc_walk_matches_plan_plain_and_gzip():
+    for seed in (0, 1, 4, 9, 123, 250):
+        plan = warc_plan(seed)
+        for data in (make_warc(seed), make_warc_gz(seed)):
+            s = parse_warc(data)
+            assert s["n_records"] == 1 + 2 * len(plan)
+            assert s["n_responses"] == s["n_requests"] == len(plan)
+            assert s["http_200"] == sum(1 for p in plan if p["status"] == 200)
+            assert s["total_payload_bytes"] == sum(p["body_len"] for p in plan)
+
+
+def test_warc_gzip_is_per_record_multistream():
+    # Common Crawl layout: one gzip member per record, so any member
+    # boundary is an independent split point
+    gz = make_warc_gz(7)
+    n_members = gz.count(b"\x1f\x8b\x08")
+    assert n_members == 1 + 2 * len(warc_plan(7))
+
+
+def test_warc_framing_errors_detected():
+    data = bytearray(make_warc(3))
+    data[:8] = b"WARC/9.9"
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(bytes(data))
+    # corrupt a Content-Length so the CRLFCRLF terminator misaligns
+    data = make_warc(3)
+    i = data.index(b"Content-Length: ")
+    bad = data[: i + 16] + b"9" + data[i + 16 :]
+    with pytest.raises((ValueError, KeyError, IndexError)):
+        parse_warc(bad)
+
+
+# ---------------------------------------------------------------- TIFF
+from pwc_challenge_dataengineer_spark.functions.tiff_codec import (  # noqa: E402
+    make_tiff,
+    packbits_decode,
+    packbits_encode,
+    parse_tiff,
+    tiff_pixel,
+)
+
+
+def test_tiff_round_trip_both_endiannesses():
+    for seed in (0, 1, 2, 7, 42, 101, 250):  # even=II, odd=MM
+        w, h, px = parse_tiff(make_tiff(seed))
+        assert (w, h) == (6, 8)
+        assert px == [tiff_pixel(seed, p) for p in range(48)]
+
+
+def test_packbits_edge_runs():
+    for payload in (b"", b"a", b"aaaa", b"abc", bytes(300), b"ab" * 200):
+        assert packbits_decode(packbits_encode(payload), len(payload)) == payload
+
+
+def test_tiff_gates():
+    data = bytearray(make_tiff(4))
+    # flip compression tag 259 value to LZW (5): find via parse offsets —
+    # cheaper to just corrupt the byte-order mark variants instead
+    with pytest.raises(ValueError, match="byte-order"):
+        parse_tiff(b"XX" + bytes(data[2:]))
+    import struct
+    bad = bytearray(make_tiff(4))
+    struct.pack_into("<H", bad, 2, 43)  # BigTIFF magic
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        parse_tiff(bytes(bad))
