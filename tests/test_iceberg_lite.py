@@ -1,0 +1,89 @@
+"""Iceberg-lite table-layout tests: OCF metadata IO, snapshot commit
+semantics (EXISTING carry-forward, DELETED tombstones), manifest-level
+pruning, time travel, and the honest format gates. Spark only enters for
+the scan() data plane; everything else is driver-side metadata, as in
+real Iceberg engines."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+    _MANIFEST_LIST_SCHEMA,
+    _MANIFEST_SCHEMA,
+    active_files,
+    commit_snapshot,
+    read_ocf,
+    write_ocf,
+)
+
+
+def _touch(path: str, size: int = 8) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(b"x" * size)
+    return path
+
+
+def test_ocf_round_trip_nested_records(tmp_path):
+    p = str(tmp_path / "m.avro")
+    rows = [
+        (1, 5, ("/a.parquet", "PARQUET", ("en",), 100, 2048)),
+        (0, 5, ("/b.parquet", "PARQUET", ("de",), 50, 1024)),
+        (2, 6, ("/c.parquet", "PARQUET", ("zh",), 7, 99)),
+    ]
+    write_ocf(p, _MANIFEST_SCHEMA, rows)
+    assert read_ocf(p) == rows
+    lp = str(tmp_path / "l.avro")
+    write_ocf(lp, _MANIFEST_LIST_SCHEMA, [(p, os.path.getsize(p), 0, 5)])
+    assert read_ocf(lp)[0][0] == p
+
+
+def test_commit_carry_forward_and_tombstones(tmp_path):
+    loc = str(tmp_path / "tbl")
+    a = _touch(os.path.join(loc, "data", "a.parquet"))
+    b = _touch(os.path.join(loc, "data", "b.parquet"))
+    sid1 = commit_snapshot(loc, "lang", [(a, "en", 10), (b, "de", 20)])
+    assert sid1 == 1
+    assert sorted(p for p, _, _ in active_files(loc)) == sorted([a, b])
+    c = _touch(os.path.join(loc, "data", "c.parquet"))
+    sid2 = commit_snapshot(loc, "lang", [(c, "fr", 5)], deleted_paths=(b,))
+    assert sid2 == 2
+    # current snapshot: b tombstoned, a carried forward, c added
+    now = active_files(loc)
+    assert sorted(p for p, _, _ in now) == sorted([a, c])
+    assert {part for _, part, _ in now} == {"en", "fr"}
+    # time travel: snapshot 1 still sees a AND b
+    then = active_files(loc, snapshot_id=1)
+    assert sorted(p for p, _, _ in then) == sorted([a, b])
+    # the snapshot-2 manifest physically records all three statuses
+    entries = read_ocf(os.path.join(loc, "metadata", "manifest-2.avro"))
+    assert sorted(e[0] for e in entries) == [0, 1, 2]
+
+
+def test_unknown_snapshot_and_version_gate(tmp_path):
+    loc = str(tmp_path / "tbl")
+    a = _touch(os.path.join(loc, "data", "a.parquet"))
+    commit_snapshot(loc, "lang", [(a, "en", 1)])
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        active_files(loc, snapshot_id=99)
+    md_path = os.path.join(loc, "metadata", "v1.metadata.json")
+    md = json.load(open(md_path))
+    md["format-version"] = 2
+    json.dump(md, open(md_path, "w"))
+    with pytest.raises(NotImplementedError, match="format-version 1"):
+        active_files(loc)
+
+
+def test_metadata_versions_accumulate(tmp_path):
+    loc = str(tmp_path / "tbl")
+    a = _touch(os.path.join(loc, "data", "a.parquet"))
+    commit_snapshot(loc, "lang", [(a, "en", 1)])
+    b = _touch(os.path.join(loc, "data", "b.parquet"))
+    commit_snapshot(loc, "lang", [(b, "de", 1)])
+    files = sorted(os.listdir(os.path.join(loc, "metadata")))
+    assert "v1.metadata.json" in files and "v2.metadata.json" in files
+    assert "snap-1.avro" in files and "snap-2.avro" in files
