@@ -37,7 +37,16 @@ from pyspark.sql import DataFrame
 # Queries allowed to keep a known non-default shape, with the reason the
 # shape is correct. Additions require a justification string — the pytest
 # gate prints it, the judge reads it.
-GATE_ALLOWLIST: dict[str, str] = {}
+GATE_ALLOWLIST: dict[str, str] = {
+    "semdedup_prune": (
+        "the three row-scaling joins are PINNED sort-merge on purpose: at "
+        "30x data Spark's estimates flip them broadcast->SMJ anyway "
+        "(SCALE_STRESS_x30_r9wave3 caught the flip), so the hint makes the "
+        "audit-SF fingerprint equal the at-scale shape instead of letting "
+        "the plan drift with the size estimate; the K-row centroid join "
+        "stays an explicit broadcast"
+    ),
+}
 
 
 @dataclass
