@@ -116,3 +116,104 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, n_live, n_pruned = scan(spark, location, snapshot_id=1)
     assert n_live == 3 and n_pruned == 0, (n_live, n_pruned)
     return _agg(df)
+
+
+# -------------------------------------------------------------- Hudi-lite
+_HUDI_T1, _HUDI_T2 = "20240101000001", "20240101000002"
+
+
+def _build_hudi_table(spark: SparkSession, sf_dir: str) -> str:
+    """COW history: commit 1 writes en/de/es file groups; commit 2
+    REWRITES the en file group (docs with doc_id%10==0 get
+    source='updated') and adds an fr file group. The en directory then
+    physically holds TWO slices of one file group — a naive directory
+    read double-counts, which is exactly what slice selection must
+    prevent (asserted in the queries)."""
+    from ..sources.hudi_lite import commit
+
+    tag = hashlib.md5(("hudi:" + sf_dir).encode()).hexdigest()[:10]
+    location = f"/tmp/hudi_lite_{tag}"
+    shutil.rmtree(location, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def part(lang):
+        return docs.filter(F.col("lang") == lang)
+
+    commit(
+        location,
+        _HUDI_T1,
+        [(f"lang={lang}", f"fg-{lang}", part(lang)) for lang in ("en", "de", "es")],
+    )
+    updated_en = part("en").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("updated")).otherwise(
+            F.col("source")
+        ),
+    )
+    commit(
+        location,
+        _HUDI_T2,
+        [("lang=en", "fg-en", updated_en), ("lang=fr", "fg-fr", part("fr"))],
+    )
+    return location
+
+
+_HUDI_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {updated} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE lang IN ({langs})
+    GROUP BY lang
+"""
+
+
+def _hudi_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("source") == "updated").cast("long"))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "hudi_cow_snapshot",
+    oracle=_HUDI_ORACLE.format(
+        updated="lang = 'en' AND doc_id % 10 = 0",
+        langs="'en','de','es','fr'",
+    ),
+)
+def hudi_cow_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi COW snapshot read: the en file group was rewritten by commit
+    2, so its directory holds two file slices — the reader must take ONLY
+    the newest committed slice per file group (a naive recursive parquet
+    read would double-count en). The updated rows (source='updated') are
+    visible, the fr group exists, and the per-lang aggregate hash-matches
+    DuckDB recomputing the update rule from raw documents."""
+    from ..sources.hudi_lite import snapshot
+
+    location = _build_hudi_table(spark, sf_dir)
+    df, n_groups = snapshot(spark, location)
+    assert n_groups == 4, n_groups
+    return _hudi_agg(df)
+
+
+@register(
+    "hudi_time_travel",
+    oracle=_HUDI_ORACLE.format(updated="1 = 0", langs="'en','de','es'"),
+)
+def hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of read at commit 1: the en rewrite and the fr group from
+    commit 2 must BOTH be invisible (slice instants beyond the as-of
+    horizon are filtered even though their files sit in the same
+    directories) — n_updated is zero everywhere and only en/de/es
+    exist."""
+    from ..sources.hudi_lite import snapshot
+
+    location = _build_hudi_table(spark, sf_dir)
+    df, n_groups = snapshot(spark, location, as_of=_HUDI_T1)
+    assert n_groups == 3, n_groups
+    return _hudi_agg(df)
