@@ -217,3 +217,83 @@ def hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, n_groups = snapshot(spark, location, as_of=_HUDI_T1)
     assert n_groups == 3, n_groups
     return _hudi_agg(df)
+
+
+# ------------------------------------------------------ parquet footers
+@register(
+    "parquet_footer_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(0 AS BIGINT) AS null_count
+    FROM documents GROUP BY lang
+    """,
+)
+def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer statistics WITHOUT reading data pages: per-lang
+    files are written, then a tiny file-manifest DataFrame fans out over
+    mapInPandas and each executor decodes the Thrift-compact FileMetaData
+    tail (sources/parquet_meta.py — generic compact-protocol decoder, so
+    unknown writer fields skip cleanly) and emits row counts + INT64
+    min/max/null stats. The oracle recomputes the same numbers from the
+    DATA, so the footer walk, zigzag varints, field-id deltas and the
+    INT64 plain stats decode are all value-pinned against what the
+    (independent) parquet writer actually stored. This is the
+    metadata-plane primitive behind min/max file skipping: at 100 TB the
+    manifest is millions of rows and the probe is the same Arrow-batched
+    fan-out, two tail reads per file, zero data-page IO."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..sources.parquet_meta import int64_column_stats
+
+    tag = hashlib.md5(("pqmeta:" + sf_dir).encode()).hexdigest()[:10]
+    location = f"/tmp/pq_meta_{tag}"
+    shutil.rmtree(location, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    manifest = []
+    for lang in sorted(langs):
+        out = os.path.join(location, f"lang={lang}")
+        docs.filter(F.col("lang") == lang).coalesce(1).write.parquet(out)
+        part = next(
+            f for f in sorted(os.listdir(out)) if f.endswith(".parquet")
+        )
+        manifest.append((lang, os.path.join(out, part)))
+    files = spark.createDataFrame(manifest, "lang string, path string")
+
+    def probe(it):
+        for pdf in it:
+            rows = []
+            for lang, path in zip(pdf["lang"], pdf["path"]):
+                n, lo, hi, nulls = int64_column_stats(path, "doc_id")
+                _, clo, chi, cn = int64_column_stats(path, "n_chars")
+                rows.append(
+                    {
+                        "lang": lang,
+                        "n_rows": n,
+                        "min_doc_id": lo,
+                        "max_doc_id": hi,
+                        "min_chars": clo,
+                        "max_chars": chi,
+                        "null_count": nulls + cn,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), True),
+            T.StructField("min_doc_id", T.LongType(), True),
+            T.StructField("max_doc_id", T.LongType(), True),
+            T.StructField("min_chars", T.LongType(), True),
+            T.StructField("max_chars", T.LongType(), True),
+            T.StructField("null_count", T.LongType(), True),
+        ]
+    )
+    return files.mapInPandas(probe, schema)
