@@ -47,11 +47,13 @@ def _zigzag(n: int) -> int:
     return (n >> 1) ^ -(n & 1)
 
 
-def _read_value(buf: io.BytesIO, ttype: int):
-    if ttype == 1:
-        return True
-    if ttype == 2:
-        return False
+def _read_value(buf: io.BytesIO, ttype: int, in_collection: bool = False):
+    if ttype in (1, 2):
+        # in a FIELD header the bool value IS the type (1 true / 2 false);
+        # as a collection ELEMENT it is a standalone byte
+        if in_collection:
+            return buf.read(1)[0] == 1
+        return ttype == 1
     if ttype == 3:  # byte
         return struct.unpack("b", buf.read(1))[0]
     if ttype in (4, 5, 6):  # i16 / i32 / i64
@@ -66,16 +68,18 @@ def _read_value(buf: io.BytesIO, ttype: int):
         etype = head & 0x0F
         if size == 15:
             size = _varint(buf)
-        return [_read_value(buf, etype) for _ in range(size)]
+        return [_read_value(buf, etype, True) for _ in range(size)]
     if ttype == 11:  # map
         size = _varint(buf)
         if size == 0:
             return {}
         kv = buf.read(1)[0]
         kt, vt = kv >> 4, kv & 0x0F
-        return {
-            _read_value(buf, kt): _read_value(buf, vt) for _ in range(size)
-        }
+        out = {}
+        for _ in range(size):
+            k = _read_value(buf, kt, True)
+            out[k] = _read_value(buf, vt, True)
+        return out
     if ttype == 12:
         return _read_compact_struct(buf)
     raise ValueError(f"thrift compact: unknown type {ttype}")

@@ -72,3 +72,14 @@ def test_compact_protocol_long_form_field_ids():
     # 0x90 0x03 varint = 400 -> zigzag 200; 0x54 varint = 84 -> zigzag 42
     out = _read_compact_struct(io.BytesIO(payload))
     assert out == {200: 42}
+
+
+def test_compact_protocol_bools_in_collections():
+    # bools are header-encoded in FIELDS but byte-encoded as ELEMENTS
+    buf = io.BytesIO(bytes([0x31, 1, 0, 1]))  # list: size 3, elem type 1
+    from pwc_challenge_dataengineer_spark.sources.parquet_meta import (
+        _read_value,
+    )
+
+    assert _read_value(buf, 9) == [True, False, True]
+    assert buf.read() == b""  # every element byte consumed
