@@ -297,3 +297,79 @@ def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return files.mapInPandas(probe, schema)
+
+
+# ------------------------------------------------- Iceberg bucket[N]
+_BUCKET_N = 8
+_BUCKET_KEYS = (7, 101, 263)  # point-lookup keys, present at every SF
+
+
+@register(
+    "iceberg_bucket_pruning",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id IN {_BUCKET_KEYS}
+    """,
+)
+def iceberg_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg bucket[8] partition transform, spec murmur3: documents are
+    written into bucket files by murmur3_x86_32 of the 8-byte LE doc_id
+    (hash pinned in tests against the spec's own published vectors), and
+    a 3-key point lookup prunes every bucket the keys do NOT hash into —
+    the mechanism that turns key lookups on a bucketed 100 TB table into
+    O(keys) file reads instead of a full scan. The surviving files take
+    the residual doc_id IN (...) filter (pushed to the parquet scan), and
+    the oracle recomputes the answer from raw documents, so a wrong hash,
+    a wrong bucket assignment at WRITE time, or an over-eager prune all
+    change the result. Bucket assignment runs executor-side as an
+    Arrow-batched pandas_udf."""
+    from pyspark.sql import types as T
+
+    from ..sources.iceberg_lite import bucket_transform
+
+    tag = hashlib.md5(("icebucket:" + sf_dir).encode()).hexdigest()[:10]
+    location = f"/tmp/iceberg_bucket_{tag}"
+    shutil.rmtree(location, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def assign(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["bucket"] = pdf["doc_id"].map(
+                lambda v: bucket_transform(int(v), _BUCKET_N)
+            )
+            yield pdf
+
+    schema = T.StructType(
+        docs.schema.fields + [T.StructField("bucket", T.IntegerType(), False)]
+    )
+    bucketed = docs.mapInPandas(assign, schema).cache()
+    added = []
+    for b in range(_BUCKET_N):
+        out = os.path.join(location, "data", f"bucket={b}")
+        sub = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        n = sub.count()
+        if n == 0:
+            continue
+        sub.coalesce(1).write.parquet(out)
+        part = next(
+            f for f in sorted(os.listdir(out)) if f.endswith(".parquet")
+        )
+        added.append((os.path.join(out, part), str(b), n))
+    bucketed.unpersist()
+    commit_snapshot(location, "doc_id_bucket", added)
+    targets = {str(bucket_transform(k, _BUCKET_N)) for k in _BUCKET_KEYS}
+    df, n_live, n_pruned = scan(
+        spark, location, partition_pred=lambda part: part in targets
+    )
+    assert n_live == len(added) and n_pruned == n_live - len(targets), (
+        n_live,
+        n_pruned,
+        targets,
+    )
+    hits = df.filter(F.col("doc_id").isin(*_BUCKET_KEYS))
+    return hits.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -282,3 +282,46 @@ def scan(
     if not kept:
         raise ValueError("iceberg-lite scan pruned every file")
     return spark.read.parquet(*kept), len(files), len(files) - len(kept)
+
+
+# ----------------------------------------------------- bucket transform
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit — the hash the Iceberg spec mandates for
+    its bucket partition transform. Pinned in tests against the spec's
+    own published vectors (hash of int/long 34 = 2017239379, of string
+    "iceberg" = 1210000089)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4 :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_transform(value: int, n_buckets: int) -> int:
+    """Iceberg spec bucket[N] for int/long values: murmur3_x86_32 of the
+    8-byte little-endian two's-complement representation, then
+    (hash & Integer.MAX_VALUE) % N."""
+    h = murmur3_32(int(value).to_bytes(8, "little", signed=True))
+    return (h & 0x7FFFFFFF) % n_buckets

@@ -87,3 +87,19 @@ def test_metadata_versions_accumulate(tmp_path):
     files = sorted(os.listdir(os.path.join(loc, "metadata")))
     assert "v1.metadata.json" in files and "v2.metadata.json" in files
     assert "snap-1.avro" in files and "snap-2.avro" in files
+
+
+def test_murmur3_iceberg_spec_vectors():
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        bucket_transform,
+        murmur3_32,
+    )
+
+    # published in the Iceberg spec's appendix (hash requirements table)
+    assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_32(b"iceberg") == 1210000089
+    # bucket is (hash & Integer.MAX_VALUE) % N and must be stable
+    assert bucket_transform(34, 16) == bucket_transform(34, 16)
+    assert 0 <= bucket_transform(-7, 8) < 8  # negative longs legal
+    # tail handling: 1-3 trailing bytes exercise the partial block
+    assert murmur3_32(b"a") != murmur3_32(b"ab") != murmur3_32(b"abc")
