@@ -373,3 +373,90 @@ def iceberg_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# --------------------------------------------------------- ORC footers
+@register(
+    "orc_footer_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def orc_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC footer statistics WITHOUT reading stripes — the ORC twin of
+    parquet_footer_stats, with the extra pin ORC makes possible: integer
+    column SUMs live in the footer, so the oracle's SUM(doc_id)/
+    SUM(n_chars) verify the whole tail walk (postscript protobuf, codec
+    chunk framing, generic wire decode, sint64 zigzag stats) down to
+    every row's contribution, not just the extremes. Files are written
+    zlib-compressed by Spark's native ORC writer — an INDEPENDENT
+    implementation, so agreement pins this reader against the real
+    format, not a round trip. Executor-side mapInPandas over the file
+    manifest, two tail reads per file."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..sources.orc_meta import int_column_stats
+
+    tag = hashlib.md5(("orcmeta:" + sf_dir).encode()).hexdigest()[:10]
+    location = f"/tmp/orc_meta_{tag}"
+    shutil.rmtree(location, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    manifest = []
+    for lang in sorted(langs):
+        out = os.path.join(location, f"lang={lang}")
+        docs.filter(F.col("lang") == lang).coalesce(1).write.option(
+            "compression", "zlib"
+        ).orc(out)
+        part = next(
+            f for f in sorted(os.listdir(out)) if f.endswith(".orc")
+        )
+        manifest.append((lang, os.path.join(out, part)))
+    files = spark.createDataFrame(manifest, "lang string, path string")
+
+    def probe(it):
+        for pdf in it:
+            rows = []
+            for lang, path in zip(pdf["lang"], pdf["path"]):
+                # type-tree indexes: struct<doc_id=1,...,n_chars=5>
+                n, lo, hi, sm, _ = int_column_stats(path, 1)
+                _, clo, chi, csm, _ = int_column_stats(path, 5)
+                rows.append(
+                    {
+                        "lang": lang,
+                        "n_rows": n,
+                        "min_doc_id": lo,
+                        "max_doc_id": hi,
+                        "sum_doc_id": sm,
+                        "min_chars": clo,
+                        "max_chars": chi,
+                        "sum_chars": csm,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [T.StructField("lang", T.StringType(), False)]
+        + [
+            T.StructField(c, T.LongType(), True)
+            for c in (
+                "n_rows",
+                "min_doc_id",
+                "max_doc_id",
+                "sum_doc_id",
+                "min_chars",
+                "max_chars",
+                "sum_chars",
+            )
+        ]
+    )
+    return files.mapInPandas(probe, schema)
