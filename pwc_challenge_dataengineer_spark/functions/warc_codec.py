@@ -56,11 +56,12 @@ def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
     return bytes(out)
 
 
-def make_warc(seed: int) -> bytes:
-    """warcinfo + (request, response) pairs; every byte deterministic."""
-    out = bytearray()
+def make_warc_records(seed: int) -> list[bytes]:
+    """The individual records of make_warc (boundaries by construction,
+    so the gzip writer never has to re-scan payload bytes for them)."""
+    records = []
     info = b"software: spark-graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
-    out += _record(
+    records.append(_record(
         [
             ("WARC-Type", "warcinfo"),
             ("WARC-Record-ID", f"<urn:uuid:{seed:08d}-0000>"),
@@ -68,13 +69,13 @@ def make_warc(seed: int) -> bytes:
             ("Content-Type", "application/warc-fields"),
         ],
         info,
-    )
+    ))
     for i, p in enumerate(warc_plan(seed)):
         uri = f"http://site{seed % 97}.example/p{i}"
         req = (
             f"GET /p{i} HTTP/1.1\r\nHost: site{seed % 97}.example\r\n\r\n"
         ).encode()
-        out += _record(
+        records.append(_record(
             [
                 ("WARC-Type", "request"),
                 ("WARC-Record-ID", f"<urn:uuid:{seed:08d}-{2*i+1:04d}>"),
@@ -83,7 +84,7 @@ def make_warc(seed: int) -> bytes:
                 ("Content-Type", "application/http;msgtype=request"),
             ],
             req,
-        )
+        ))
         body = bytes(_body_byte(seed, i, j) for j in range(p["body_len"]))
         reason = "OK" if p["status"] == 200 else "Not Found"
         http = (
@@ -91,7 +92,7 @@ def make_warc(seed: int) -> bytes:
             f"Content-Type: {p['mime']}\r\n"
             f"Content-Length: {len(body)}\r\n\r\n"
         ).encode() + body
-        out += _record(
+        records.append(_record(
             [
                 ("WARC-Type", "response"),
                 ("WARC-Record-ID", f"<urn:uuid:{seed:08d}-{2*i+2:04d}>"),
@@ -100,21 +101,24 @@ def make_warc(seed: int) -> bytes:
                 ("Content-Type", "application/http;msgtype=response"),
             ],
             http,
-        )
-    return bytes(out)
+        ))
+    return records
+
+
+def make_warc(seed: int) -> bytes:
+    """warcinfo + (request, response) pairs; every byte deterministic."""
+    return b"".join(make_warc_records(seed))
 
 
 def make_warc_gz(seed: int) -> bytes:
-    """Per-record gzip members, concatenated — the Common Crawl layout."""
-    raw = make_warc(seed)
-    out = bytearray()
-    pos = 0
-    while pos < len(raw):
-        end = raw.find(b"\r\n\r\nWARC/1.0\r\n", pos)
-        end = len(raw) if end == -1 else end + 4
-        out += gzip.compress(raw[pos:end], compresslevel=1, mtime=0)
-        pos = end
-    return bytes(out)
+    """Per-record gzip members, concatenated — the Common Crawl layout.
+    Record boundaries come from construction (make_warc_records), never
+    from scanning payload bytes for a delimiter that could legitimately
+    occur inside a body."""
+    return b"".join(
+        gzip.compress(rec, compresslevel=1, mtime=0)
+        for rec in make_warc_records(seed)
+    )
 
 
 def parse_warc(data: bytes):

@@ -90,7 +90,8 @@ def file_slices(location: str, as_of: str | None = None):
         raise ValueError(f"unknown instant {horizon}")
     best: dict[tuple[str, str], tuple[str, str]] = {}
     for root, _dirs, files in os.walk(location):
-        if ".hoodie" in root:
+        rel = os.path.relpath(root, location)
+        if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
             continue
         partition = os.path.relpath(root, location)
         for f in files:
