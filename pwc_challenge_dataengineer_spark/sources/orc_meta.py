@@ -32,6 +32,49 @@ import zlib
 from .avrolite import _snappy_decompress
 
 
+def _lz4_block_decompress(data: bytes) -> bytes:
+    """LZ4 BLOCK format (public spec): token with nibble-encoded literal
+    and match lengths (15 -> 255-continued extension bytes), raw
+    literals, 2-byte little-endian match offset, minimum match length 4.
+    The last sequence is literals-only."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        token = data[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += data[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # final literals-only sequence
+        offset = int.from_bytes(data[i : i + 2], "little")
+        i += 2
+        if offset == 0:
+            raise ValueError("LZ4: zero match offset")
+        mlen = (token & 0x0F) + 4
+        if token & 0x0F == 15:
+            while True:
+                b = data[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("LZ4: match offset before output start")
+        for k in range(mlen):  # byte-wise: matches may overlap themselves
+            out.append(out[start + k])
+    return bytes(out)
+
+
 def _varint(buf: io.BytesIO) -> int:
     shift = out = 0
     while True:
@@ -92,9 +135,11 @@ def _decompress_stream(data: bytes, kind: int) -> bytes:
             out += zlib.decompress(chunk, -15)
         elif kind == 2:  # SNAPPY
             out += _snappy_decompress(chunk)
+        elif kind == 4:  # LZ4 (block format inside ORC chunks)
+            out += _lz4_block_decompress(chunk)
         else:
             raise NotImplementedError(
-                f"ORC compression kind {kind} (LZO/LZ4/ZSTD) not decoded here"
+                f"ORC compression kind {kind} (LZO/ZSTD) not decoded here"
             )
     return bytes(out)
 

@@ -23,7 +23,7 @@ def orc_files(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("orc"))
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = {}
-    for codec in ("zlib", "snappy", "none"):
+    for codec in ("zlib", "snappy", "none", "lz4"):
         d = os.path.join(base, codec)
         docs.coalesce(1).write.option("compression", codec).orc(d)
         out[codec] = glob.glob(d + "/*.orc")[0]
@@ -65,3 +65,19 @@ def test_generic_protobuf_decode_skips_unknown_fields():
     assert out[1] == [150]
     assert out[99] == [b"abc"]
     assert out[3] == [b"\x01\x02\x03\x04"]
+
+
+def test_lz4_block_edge_cases():
+    from pwc_challenge_dataengineer_spark.sources.orc_meta import (
+        _lz4_block_decompress,
+    )
+
+    # literals-only final sequence
+    assert _lz4_block_decompress(bytes([0x30]) + b"abc") == b"abc"
+    # overlapping match (offset 1 replicates the last byte, RLE-style)
+    blk = bytes([0x11]) + b"a" + bytes([0x01, 0x00])  # 1 literal, match 4+1 @1
+    assert _lz4_block_decompress(blk) == b"aaaaaa"
+    # extended literal length: 15 + 255 + 3 = 273 literals
+    lits = bytes(273)
+    blk = bytes([0xF0, 255, 3]) + lits
+    assert _lz4_block_decompress(blk) == lits
