@@ -412,10 +412,13 @@ def orc_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
     manifest = []
-    for lang in sorted(langs):
+    # rotate the codec per file so one oracle-verified run pins every
+    # supported chunk framing, including the RFC 8878 zstd decoder
+    codecs = ("zlib", "zstd", "snappy", "lz4", "none")
+    for i, lang in enumerate(sorted(langs)):
         out = os.path.join(location, f"lang={lang}")
         docs.filter(F.col("lang") == lang).coalesce(1).write.option(
-            "compression", "zlib"
+            "compression", codecs[i % len(codecs)]
         ).orc(out)
         part = next(
             f for f in sorted(os.listdir(out)) if f.endswith(".orc")

@@ -656,9 +656,16 @@ def _decompressor(codec: str):
 
         # Avro xz blocks are raw .xz streams (format auto-detected)
         return lzma.decompress
+    if codec == "zstandard":
+        # Avro zstandard blocks are plain zstd frames; decoded by the
+        # in-repo RFC 8878 implementation (read side only — the writer
+        # keeps zstandard gated, encode is a different animal)
+        from .zstd_lite import decompress as _zstd
+
+        return _zstd
     raise NotImplementedError(
-        f"avrolite: codec {codec!r} (null/deflate/snappy/bzip2/xz are "
-        "jar-and-dependency-free; zstandard needs a non-stdlib library)"
+        f"avrolite: codec {codec!r} (null/deflate/snappy/bzip2/xz/"
+        "zstandard readable jar- and dependency-free)"
     )
 
 

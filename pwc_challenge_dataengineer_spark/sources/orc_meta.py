@@ -137,9 +137,13 @@ def _decompress_stream(data: bytes, kind: int) -> bytes:
             out += _snappy_decompress(chunk)
         elif kind == 4:  # LZ4 (block format inside ORC chunks)
             out += _lz4_block_decompress(chunk)
+        elif kind == 5:  # ZSTD (full RFC 8878 frames)
+            from .zstd_lite import decompress as _zstd
+
+            out += _zstd(chunk)
         else:
             raise NotImplementedError(
-                f"ORC compression kind {kind} (LZO/ZSTD) not decoded here"
+                f"ORC compression kind {kind} (LZO) not decoded here"
             )
     return bytes(out)
 

@@ -161,9 +161,10 @@ def test_block_splits_cover_all_rows(spark, tmp_path, monkeypatch):
 
 def test_remaining_gates_raise(tmp_path):
     """r9 moved the snappy / decimal / multi-branch-union boundaries into
-    supported territory; what remains gated must still raise honestly."""
-    with pytest.raises(NotImplementedError, match="codec 'zstandard'"):
-        avrolite._decompressor("zstandard")
+    supported territory, then the zstandard READ gate fell too (zstd_lite,
+    RFC 8878); what remains gated must still raise honestly."""
+    with pytest.raises(NotImplementedError, match="codec 'lzo'"):
+        avrolite._decompressor("lzo")
     with pytest.raises(NotImplementedError, match="decimal over 'string'"):
         avrolite._avro_to_spark(
             {"type": "string", "logicalType": "decimal", "scale": 2},

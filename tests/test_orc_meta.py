@@ -50,7 +50,7 @@ def test_non_orc_and_unknown_codec(orc_files, tmp_path):
     with pytest.raises(ValueError):
         read_orc_tail(p)
     with pytest.raises(NotImplementedError, match="compression kind"):
-        _decompress_stream(b"\x04\x00\x00zz", 5)  # ZSTD chunk
+        _decompress_stream(b"\x04\x00\x00zz", 3)  # LZO chunk
 
 
 def test_generic_protobuf_decode_skips_unknown_fields():
