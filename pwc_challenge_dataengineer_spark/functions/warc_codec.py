@@ -122,11 +122,17 @@ def make_warc_gz(seed: int) -> bytes:
 
 
 def parse_warc(data: bytes):
-    """Record walk. Accepts plain or gzip-multistream input. Returns a
-    stats dict the oracle recomputes analytically. WARC/0.x files and
-    records with chunked HTTP bodies raise NotImplementedError."""
+    """Record walk. Accepts plain, gzip-multistream, or zstd-frame
+    (.warc.zst, decoded by the in-repo RFC 8878 implementation) input.
+    Returns a stats dict the oracle recomputes analytically. WARC/0.x
+    files and records with chunked HTTP bodies raise
+    NotImplementedError."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+    elif data[:4] == b"\x28\xb5\x2f\xfd":
+        from ..sources.zstd_lite import decompress as _zstd
+
+        data = _zstd(data)
     pos = 0
     stats = {
         "n_records": 0,

@@ -213,3 +213,12 @@ def test_tiff_gates():
     struct.pack_into("<H", bad, 2, 43)  # BigTIFF magic
     with pytest.raises(NotImplementedError, match="BigTIFF"):
         parse_tiff(bytes(bad))
+
+
+def test_warc_zstd_input():
+    # .warc.zst: whole-file zstd frames (pyarrow's libzstd as the
+    # independent compressor); stats must match the plain parse
+    pa = pytest.importorskip("pyarrow")
+    raw = make_warc(11)
+    z = pa.Codec("zstd").compress(raw).to_pybytes()
+    assert parse_warc(z) == parse_warc(raw)
