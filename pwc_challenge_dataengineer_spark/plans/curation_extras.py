@@ -223,8 +223,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots = raw.agg(F.sum("cnt_r").alias("t_r")).crossJoin(
         tgt.agg(F.coalesce(F.sum("cnt_t"), F.lit(0)).alias("t_t"))
     )
+    # both sides are <= B rows by CONSTRUCTION (bucket aggregates), but
+    # Spark estimates aggregate sizes from their inputs, so at 100x the
+    # 64-row tgt side flips broadcast->SMJ without the explicit hint
+    # (caught by SCALE_STRESS_x100_r9x100)
     ratio = (
-        raw.join(tgt, "bucket", "left")
+        raw.join(F.broadcast(tgt), "bucket", "left")
         .crossJoin(F.broadcast(tots))
         .select(
             "bucket",
