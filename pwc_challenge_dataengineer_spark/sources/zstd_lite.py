@@ -133,8 +133,6 @@ def _build_fse_table(probs: list[int], accuracy_log: int):
     out = []
     for i in range(size):
         s = table[i]
-        if i > high:  # -1 symbols at the top: one full-reset state each
-            pass
         x = nxt[s]
         nxt[s] += 1
         nb = accuracy_log - (x.bit_length() - 1)
@@ -144,43 +142,6 @@ def _build_fse_table(probs: list[int], accuracy_log: int):
 
 
 def _read_fse_header(data: bytes, pos: int, max_symbols: int):
-    """Parse a normalized-count header (read FORWARD, LSB-first).
-    Returns (probs, accuracy_log, next_byte_pos)."""
-    bitpos = pos * 8
-
-    def read(n: int) -> int:
-        nonlocal bitpos
-        v = 0
-        for i in range(n):
-            byte = data[(bitpos + i) >> 3]
-            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
-        bitpos += n
-        return v
-
-    accuracy_log = read(4) + 5
-    remaining = (1 << accuracy_log) + 1
-    probs: list[int] = []
-    while remaining > 1 and len(probs) < max_symbols:
-        nbits = remaining.bit_length()
-        lo_n = (1 << nbits) - 1 - remaining  # count of small codes
-        v = read(nbits - 1)
-        if v < ((1 << (nbits - 1)) - lo_n // 2) and v >= (
-            (1 << (nbits - 1)) - lo_n
-        ):
-            pass
-        # canonical low/high split: values below threshold use nbits-1
-        threshold = (1 << nbits) - 1 - remaining
-        low = (1 << (nbits - 1)) - 1 - threshold // 1
-        # Simpler canonical algorithm (per RFC): peek nbits, small values
-        # use nbits-1. Re-derive with explicit max:
-        max_v = remaining + 1  # values encode -1..remaining -> count max_v+1
-        # fall through below
-        probs.append(v)  # placeholder, fixed in _fse_probs_fix
-        break
-    raise RuntimeError("unreachable")
-
-
-def _read_fse_header2(data: bytes, pos: int, max_symbols: int):
     """Normalized-count header per RFC 8878 4.1.1: little-endian forward
     bitstream; each value is read with a variable width (the low range
     reuses one fewer bit), value - 1 = probability; probability 0 is
@@ -278,7 +239,7 @@ def _parse_huffman(data: bytes, pos: int):
         pos += (n + 1) >> 1
     else:  # FSE-compressed weights, two interleaved states
         comp = data[pos : pos + hbyte]
-        probs, al, hdr_end = _read_fse_header2(comp, 0, 256)
+        probs, al, hdr_end = _read_fse_header(comp, 0, 256)
         fse = _build_fse_table(probs, al)
         bb = _BackBits(comp[hdr_end:])
         s1 = bb.read(al)
@@ -405,7 +366,7 @@ def _seq_table(mode: int, block: bytes, pos: int, default, max_symbols: int,
     if mode == 1:  # RLE: one byte symbol, zero-bit table
         return block[pos], 0, pos + 1, ("rle",)
     if mode == 2:  # FSE-compressed
-        probs, al, nxt = _read_fse_header2(block, pos, max_symbols)
+        probs, al, nxt = _read_fse_header(block, pos, max_symbols)
         return _build_fse_table(probs, al), al, nxt, ("fse",)
     if prev is None:
         raise ValueError("zstd: repeat table mode with no previous table")
