@@ -800,10 +800,21 @@ def parse_jpeg(data: bytes):
                 "progressive": marker == 0xC2,
             }
             _alloc_coef_store(frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC3:  # SOF3: LOSSLESS sequential (predictive)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc != 1:
+                raise NotImplementedError("multi-component lossless JPEG")
+            if prec > 16:
+                raise ValueError("invalid lossless precision")
+            frame = {
+                "w": w, "h": h, "precision": prec,
+                "comps": [{"id": body[6]}],
+                "progressive": False, "lossless": True,
+            }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"unsupported JPEG frame type 0x{marker:02x} "
-                "(arithmetic/lossless/hierarchical)"
+                "(arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
@@ -820,6 +831,17 @@ def parse_jpeg(data: bytes):
             se = body[2 + 2 * ns]
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
+            if frame.get("lossless"):
+                # lossless scan header: Ss = predictor selector, Al = Pt
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart intervals in lossless JPEG"
+                    )
+                pos = _decode_lossless_scan(
+                    data, pos, frame, huff[(0, scan_comps[0][1])], ss, al
+                )
+                saw_scan = True
+                continue
             if not frame["progressive"] and (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError("sequential scan with progressive params")
             pos = _decode_scan(
@@ -830,6 +852,8 @@ def parse_jpeg(data: bytes):
         # APPn / COM / others: skipped
     if not saw_scan:
         raise ValueError("no SOS marker found" if frame else "no image data")
+    if frame.get("lossless"):
+        return frame["w"], frame["h"], {"Y": frame["rows"]}
     return _reconstruct(frame, qt)
 
 
@@ -1021,6 +1045,106 @@ def _decode_scan(data, pos, frame, scan_comps, huff, restart_interval,
             return p
         p += 1
     return p
+
+
+def _predict(rows, x, y, sel, first_pred):
+    """T.81 H.1 prediction with the spec boundary rules: first sample
+    uses 1 << (P-1-Pt); the rest of line 0 uses Ra; column 0 of later
+    lines uses Rb."""
+    if y == 0 and x == 0:
+        return first_pred
+    if y == 0:
+        return rows[0][x - 1]
+    if x == 0:
+        return rows[y - 1][0]
+    ra, rb, rc = rows[y][x - 1], rows[y - 1][x], rows[y - 1][x - 1]
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor selector {sel}")
+
+
+def _decode_lossless_scan(data, pos, frame, table, sel, pt):
+    """SOF3 scan: one Huffman-coded difference per sample, raster order,
+    modulo-65536 reconstruction (T.81 H.1.2.1)."""
+    w, h = frame["w"], frame["h"]
+    first_pred = 1 << (frame["precision"] - 1 - pt)
+    br = _BitReader(data, pos)
+    rows: list[list[int]] = []
+    for y in range(h):
+        row: list[int] = []
+        rows.append(row)
+        for x in range(w):
+            size = table.decode(br)
+            if size == 16:  # special: diff = 32768, no extra bits
+                diff = 32768
+            else:
+                diff = _extend(br.receive(size), size)
+            pred = _predict(rows, x, y, sel, first_pred)
+            row.append(((pred + diff) & 0xFFFF) << pt)
+    frame["rows"] = rows
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    return p
+
+
+LOSSLESS_W, LOSSLESS_H = 16, 8
+
+
+def lossless_px(seed: int, x: int, y: int) -> int:
+    """Closed-form sample shared with the DuckDB oracle."""
+    return (seed + 3 * x + 7 * y + (x * y) % 5) % 256
+
+
+def make_lossless_jpeg(seed: int) -> bytes:
+    """Spec-conformant LOSSLESS (SOF3) grayscale JPEG: one component,
+    8-bit, predictor selector rotating seed % 7 + 1 so the corpus covers
+    all seven T.81 H.1 predictors, Pt = 0. Differences use the DC-style
+    Huffman category + amplitude coding with the spec's boundary
+    predictions (128 for the first sample, Ra across line 0, Rb down
+    column 0)."""
+    sel = seed % 7 + 1
+    px = [
+        [lossless_px(seed, x, y) for x in range(LOSSLESS_W)]
+        for y in range(LOSSLESS_H)
+    ]
+    diffs: list[int] = []
+    for y in range(LOSSLESS_H):
+        for x in range(LOSSLESS_W):
+            pred = _predict(px, x, y, sel, 128)
+            diffs.append(px[y][x] - pred)
+    cats = sorted({_bit_size(d) for d in diffs})
+    bits, hv = _table_for_symbols(cats)
+    codes = _canonical_codes(bits, hv)
+    bw = _BitWriter()
+    for d in diffs:
+        size = _bit_size(d)
+        code, ln = codes[size]
+        bw.put(code, ln)
+        if size:
+            bw.put(d if d >= 0 else d + (1 << size) - 1, size)
+    sof = _seg(
+        0xC3,
+        struct.pack(">BHHB", 8, LOSSLESS_H, LOSSLESS_W, 1)
+        + bytes([1, 0x11, 0]),
+    )
+    dht = _seg(0xC4, _dht_body(0, 0, bits, hv))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, sel, 0, 0]))
+    return b"\xff\xd8" + sof + dht + sos + bw.flush() + b"\xff\xd9"
 
 
 def _reconstruct(frame, qt):

@@ -463,3 +463,74 @@ def orc_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return files.mapInPandas(probe, schema)
+
+
+# -------------------------------------------- Iceberg truncate transform
+_TRUNC_W = 4  # truncate[4] on the source column
+
+
+@register(
+    "iceberg_truncate_pruning",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE substr(source, 1, 4) = 'src1'
+    GROUP BY source
+    """,
+)
+def iceberg_truncate_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg truncate[W] partition transform (spec: left-truncate for
+    strings): documents are written into one file per truncate(source,4)
+    partition value, and a prefix query (source LIKE 'src1%') prunes
+    every other partition from the manifest WITHOUT opening any file,
+    with the residual predicate pushed to the surviving scan. The
+    sources are src0..src19, so truncate[4] is genuinely MANY-to-one:
+    'src1' AND 'src10'..'src19' all truncate to partition value 'src1' —
+    one partition holds eleven sources — and the oracle recomputes
+    membership from the raw strings, so a wrong truncate width or an
+    over-eager prune flips the hash."""
+    from ..sources.iceberg_lite import scan
+
+    tag = hashlib.md5(("icetrunc:" + sf_dir).encode()).hexdigest()[:10]
+    location = f"/tmp/iceberg_trunc_{tag}"
+    shutil.rmtree(location, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    truncs = sorted(
+        r["t"]
+        for r in docs.select(
+            F.substring("source", 1, _TRUNC_W).alias("t")
+        ).distinct().collect()
+    )
+    counts = {
+        r["t"]: r["n"]
+        for r in docs.groupBy(
+            F.substring("source", 1, _TRUNC_W).alias("t")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    added = []
+    for t in truncs:
+        out = os.path.join(location, "data", f"src_trunc={t}")
+        docs.filter(F.substring("source", 1, _TRUNC_W) == t).coalesce(
+            1
+        ).write.parquet(out)
+        part = next(
+            f for f in sorted(os.listdir(out)) if f.endswith(".parquet")
+        )
+        added.append((os.path.join(out, part), t, counts[t]))
+    commit_snapshot(location, "src_trunc", added)
+    df, n_live, n_pruned = scan(
+        spark, location, partition_pred=lambda t: t == "src1"
+    )
+    assert n_live == len(truncs) and n_pruned == n_live - 1, (
+        n_live,
+        n_pruned,
+    )
+    return (
+        df.filter(F.col("source").startswith("src1"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

@@ -1536,3 +1536,91 @@ def rank_agreement_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_pairs")
         ).alias("kendall_tau"),
     )
+
+
+@register(
+    "jpeg_lossless_decode",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
+    ),
+    px AS (
+        SELECT b.doc_id, g.x, g2.y,
+               (b.seed + 3*g.x + 7*g2.y + (g.x * g2.y) % 5) % 256 AS v
+        FROM base b, (SELECT unnest(range(0, 16)) AS x) g,
+             (SELECT unnest(range(0, 8)) AS y) g2
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(v) AS BIGINT) AS img_sum,
+               CAST(SUM(CASE WHEN y = 3 THEN v END) AS BIGINT) AS row3_sum
+        FROM px GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(16 AS INT) AS img_width, CAST(8 AS INT) AS img_height,
+           CAST(b.seed % 256 AS INT) AS px00,
+           CAST((b.seed + 94) % 256 AS INT) AS px_last,
+           agg.img_sum, agg.row3_sum
+    FROM base b JOIN agg ON b.doc_id = agg.doc_id
+    """,
+)
+def jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG (SOF3) true-sample decode — the wire mode
+    medical/DNG archives ship. Per document a spec-conformant one-
+    component predictive file whose T.81 H.1 predictor selector ROTATES
+    seed % 7 + 1 (the corpus covers all seven predictors) is decoded by
+    the SAME parse_jpeg through its lossless scan path: DC-style Huffman
+    category + amplitude differences, spec boundary predictions (128
+    first sample, Ra across line 0, Rb down column 0), modulo-65536
+    reconstruction. Samples are byte-exact by definition of the mode, so
+    every feature is integer closed-form. Remaining honest JPEG gate:
+    arithmetic coding (and hierarchical). Arrow-batched mapInPandas, one
+    row per document."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..functions.jpeg_codec import (
+        LOSSLESS_H,
+        LOSSLESS_W,
+        make_lossless_jpeg,
+        parse_jpeg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 251).cast("long").alias("seed"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("img_width", T.IntegerType(), True),
+            T.StructField("img_height", T.IntegerType(), True),
+            T.StructField("px00", T.IntegerType(), True),
+            T.StructField("px_last", T.IntegerType(), True),
+            T.StructField("img_sum", T.LongType(), True),
+            T.StructField("row3_sum", T.LongType(), True),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, seed in zip(pdf["doc_id"], pdf["seed"]):
+                w, h, planes = parse_jpeg(make_lossless_jpeg(int(seed)))
+                y = planes["Y"]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "img_width": w,
+                        "img_height": h,
+                        "px00": y[0][0],
+                        "px_last": y[LOSSLESS_H - 1][LOSSLESS_W - 1],
+                        "img_sum": sum(sum(r) for r in y),
+                        "row3_sum": sum(y[3]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(batches, schema)

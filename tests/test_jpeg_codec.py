@@ -98,12 +98,38 @@ def test_golden_hand_assembled_grayscale_with_byte_stuffing():
 def test_non_baseline_and_garbage_raise():
     with pytest.raises(ValueError, match="SOI"):
         parse_jpeg(b"\x89PNG\r\n\x1a\n")
-    # lossless (SOF3) stays an honest gate; SOF2 is now decoded for real
+    # SOF3 lossless is decoded for real now, but only single-component;
+    # relabeling a 3-component baseline file as SOF3 must raise honestly
     data = bytearray(make_jpeg(5))
     i = bytes(data).find(b"\xff\xc0")
     data[i + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="lossless|frame type"):
+    with pytest.raises(NotImplementedError, match="multi-component lossless"):
         parse_jpeg(bytes(data))
+    # hierarchical stays a gate
+    data = bytearray(make_jpeg(5))
+    data[i + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="frame type"):
+        parse_jpeg(bytes(data))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 42, 250])
+def test_lossless_round_trip_all_predictors(seed):
+    """SOF3 decode must reproduce the closed-form samples byte-exactly;
+    the seed sweep covers all seven T.81 H.1 predictor selectors and the
+    boundary predictions (128 / Ra / Rb)."""
+    from pwc_challenge_dataengineer_spark.functions.jpeg_codec import (
+        LOSSLESS_H,
+        LOSSLESS_W,
+        lossless_px,
+        make_lossless_jpeg,
+    )
+
+    w, h, planes = parse_jpeg(make_lossless_jpeg(seed))
+    assert (w, h) == (LOSSLESS_W, LOSSLESS_H)
+    assert planes["Y"] == [
+        [lossless_px(seed, x, y) for x in range(LOSSLESS_W)]
+        for y in range(LOSSLESS_H)
+    ]
 
 
 def test_corrupt_entropy_detected():
