@@ -260,3 +260,95 @@ def parse_gif(data: bytes):
     if indices is None:
         raise ValueError("GIF: no image data")
     return width, height, palette, indices
+
+
+def make_animated_gif(seed: int, width: int = _GIF_W, height: int = _GIF_H) -> bytes:
+    """Multi-frame GIF89a: NETSCAPE2.0 loop extension, then
+    3 + seed % 4 frames, each with its own Graphic Control Extension
+    (delay = (seed + 10*f) % 50 centiseconds) and non-interlaced LZW
+    image data whose pixels shift per frame (idx + f) % 8."""
+    n_frames = 3 + seed % 4
+    mcs = 3
+    out = bytearray(_GIF_SIG)
+    out += struct.pack("<HHBBB", width, height, 0b1_111_0_010, 0, 0)
+    for i in range(_GIF_NCOLORS):
+        out += bytes(gif_palette(seed, i))
+    # application extension: NETSCAPE2.0 infinite loop
+    out += b"\x21\xff\x0bNETSCAPE2.0" + bytes((3, 1, 0, 0, 0))
+    for f in range(n_frames):
+        delay = (seed + 10 * f) % 50
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        idx = [
+            (gif_index(seed, p) + f) % _GIF_NCOLORS
+            for p in range(width * height)
+        ]
+        out.append(mcs)
+        out += _sub_blocks(lzw_encode(idx, mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif_animation(data: bytes):
+    """Animation census + full per-frame decode: returns (width, height,
+    n_frames, total_delay_cs, loop_extension_present, frames) with
+    frames a list of logical-order index lists (all frames LZW-decoded —
+    a census that cannot decode its frames proves nothing). Frame
+    DISPOSAL/compositing is out of scope (census, not playback);
+    GIF87a and local color tables raise as in parse_gif."""
+    if data[:6] == b"GIF87a":
+        raise NotImplementedError("GIF87a")
+    if data[:6] != _GIF_SIG:
+        raise ValueError("not a GIF file")
+    width, height, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    n_frames = 0
+    total_delay = 0
+    loop_ext = False
+    frames: list[list[int]] = []
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control: extract the delay
+                blen = data[pos]
+                total_delay += int.from_bytes(
+                    data[pos + 2 : pos + 4], "little"
+                )
+                pos += 1 + blen
+            elif label == 0xFF and data[pos + 1 : pos + 12] == b"NETSCAPE2.0":
+                loop_ext = True
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+        left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if ipacked & 0x80:
+            raise NotImplementedError("local color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            n = data[pos]
+            lzw += data[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        stored = lzw_decode(bytes(lzw), mcs, iw * ih)
+        if ipacked & 0x40:
+            logical = [0] * (iw * ih)
+            for si, y in enumerate(_interlace_order(ih)):
+                logical[y * iw : (y + 1) * iw] = stored[si * iw : (si + 1) * iw]
+            frames.append(logical)
+        else:
+            frames.append(stored)
+        n_frames += 1
+    return width, height, n_frames, total_delay, loop_ext, frames

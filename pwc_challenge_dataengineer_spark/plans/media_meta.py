@@ -553,3 +553,88 @@ def media_sniff_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return _media_ids(spark, sf_dir).mapInPandas(batches, _SNIFF_SCHEMA)
+
+
+# ------------------------------------------------------- GIF animation
+_ANIM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("total_delay_cs", T.IntegerType(), True),
+        T.StructField("has_loop_ext", T.IntegerType(), True),
+        T.StructField("first_frame_sum", T.LongType(), True),
+        T.StructField("last_frame_sum", T.LongType(), True),
+    ]
+)
+
+
+@register(
+    "gif_animation_census",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, CAST(doc_id % 251 AS BIGINT) AS seed FROM documents
+    ),
+    delays AS (
+        SELECT b.doc_id,
+               CAST(SUM((b.seed + 10 * g.f) % 50) AS INT) AS total_delay_cs,
+               CAST(COUNT(*) AS INT) AS n_frames,
+               CAST(MAX(g.f) AS BIGINT) AS last_f
+        FROM base b, (SELECT unnest(range(0, 7)) AS f) g
+        WHERE g.f < 3 + b.seed % 4
+        GROUP BY 1
+    ),
+    px AS (
+        SELECT b.doc_id, g.p,
+               (b.seed + (g.p % 8) * (1 + g.p // 8)) % 8 AS i0
+        FROM base b, (SELECT unnest(range(0, 64)) AS p) g
+    ),
+    sums AS (
+        SELECT px.doc_id,
+               CAST(SUM(px.i0) AS BIGINT) AS first_sum,
+               CAST(SUM((px.i0 + d.last_f) % 8) AS BIGINT) AS last_sum
+        FROM px JOIN delays d ON d.doc_id = px.doc_id
+        GROUP BY 1
+    )
+    SELECT b.doc_id, d.n_frames, d.total_delay_cs,
+           CAST(1 AS INT) AS has_loop_ext,
+           s.first_sum AS first_frame_sum, s.last_sum AS last_frame_sum
+    FROM base b
+    JOIN delays d ON d.doc_id = b.doc_id
+    JOIN sums s ON s.doc_id = b.doc_id
+    """,
+)
+def gif_animation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED GIF census with full per-frame decode: per document a
+    multi-frame GIF89a (NETSCAPE2.0 loop extension, per-frame Graphic
+    Control delays, frame pixels shifting (idx+f) % 8) is walked by
+    functions/gif_codec.parse_gif_animation — frame count, summed delay
+    centiseconds, loop detection, and index checksums of the FIRST and
+    LAST frames, each LZW-decoded (a census that cannot decode its
+    frames proves nothing). The oracle recomputes everything from the
+    generation closed form, so a skipped frame, a mis-read delay or a
+    broken per-frame LZW restart flips the hash. Frame compositing/
+    disposal is out of scope (census, not playback — stated)."""
+    import pandas as pd
+
+    from ..functions.gif_codec import make_animated_gif, parse_gif_animation
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for did, seed in zip(pdf["doc_id"], pdf["seed"]):
+                w, h, nf, delay, loop, frames = parse_gif_animation(
+                    make_animated_gif(int(seed))
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": nf,
+                        "total_delay_cs": delay,
+                        "has_loop_ext": int(loop),
+                        "first_frame_sum": sum(frames[0]),
+                        "last_frame_sum": sum(frames[-1]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _media_ids(spark, sf_dir).mapInPandas(batches, _ANIM_SCHEMA)

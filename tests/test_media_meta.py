@@ -222,3 +222,24 @@ def test_warc_zstd_input():
     raw = make_warc(11)
     z = pa.Codec("zstd").compress(raw).to_pybytes()
     assert parse_warc(z) == parse_warc(raw)
+
+
+def test_gif_animation_census_and_frames():
+    from pwc_challenge_dataengineer_spark.functions.gif_codec import (
+        make_animated_gif,
+        parse_gif_animation,
+    )
+
+    for seed in (0, 1, 6, 123, 250):
+        w, h, nf, delay, loop, frames = parse_gif_animation(
+            make_animated_gif(seed)
+        )
+        assert (w, h) == (8, 8) and nf == 3 + seed % 4
+        assert delay == sum((seed + 10 * f) % 50 for f in range(nf))
+        assert loop is True
+        # every frame decodes, and frames genuinely differ
+        assert len({tuple(f) for f in frames}) == nf
+    # single-frame interlaced files parse through the census path too
+    w, h, nf, delay, loop, frames = parse_gif_animation(make_gif(9))
+    assert nf == 1 and loop is False
+    assert frames[0] == [gif_index(9, p) for p in range(64)]
