@@ -167,16 +167,18 @@ def parse_tiff(data: bytes):
     if magic != 42:
         raise ValueError("not a TIFF (bad magic)")
     n = struct.unpack_from(endian + "H", data, ifd_offset)[0]
-    tags: dict[int, tuple[int, int, int]] = {}
+    # (type, count, offset-field-as-LONG, raw field position): inline
+    # values (size*count <= 4) are re-read from the raw field bytes with
+    # the proper per-type format, so e.g. TWO inline SHORTs (typ=3,
+    # count=2 — legal for StripOffsets on a 2-strip file) decode as two
+    # values instead of one mangled 32-bit int, on both endians.
+    tags: dict[int, tuple[int, int, int, int]] = {}
     for i in range(n):
+        field_pos = ifd_offset + 2 + 12 * i
         tag, typ, count, value = struct.unpack_from(
-            endian + "HHII", data, ifd_offset + 2 + 12 * i
+            endian + "HHII", data, field_pos
         )
-        if typ == 3 and count == 1:  # inline SHORT sits in the high half on MM
-            value = struct.unpack_from(
-                endian + "H", data, ifd_offset + 2 + 12 * i + 8
-            )[0]
-        tags[tag] = (typ, count, value)
+        tags[tag] = (typ, count, value, field_pos + 8)
     nxt = struct.unpack_from(
         endian + "I", data, ifd_offset + 2 + 12 * n
     )[0]
@@ -184,13 +186,15 @@ def parse_tiff(data: bytes):
         raise NotImplementedError("multi-IFD (multi-page) TIFF")
 
     def values(tag: int) -> list[int]:
-        typ, count, value = tags[tag]
+        typ, count, value, field_off = tags[tag]
         size = {3: 2, 4: 4}[typ]
-        if size * count <= 4:
-            return [value]
-        fmt = endian + ("H" if typ == 3 else "I")
+        fmt = "H" if typ == 3 else "I"
+        if size * count <= 4:  # inline: decode the raw field bytes
+            return list(
+                struct.unpack_from(endian + fmt * count, data, field_off)
+            )
         return [
-            struct.unpack_from(fmt, data, value + size * i)[0]
+            struct.unpack_from(endian + fmt, data, value + size * i)[0]
             for i in range(count)
         ]
 

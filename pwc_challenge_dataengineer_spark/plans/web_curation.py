@@ -212,7 +212,8 @@ per_host_cap.__doc__ = per_host_cap.__doc__.format(cap=_HOST_CAP)
            CASE m
                WHEN 0 THEN '/private/ok' || CAST(k AS VARCHAR) || '/page'
                            || CAST(doc_id AS VARCHAR)
-               WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/video:' || CAST(k AS VARCHAR) || '/x'
+                           || CAST(doc_id AS VARCHAR)
                WHEN 2 THEN '/pub/a' || CAST(doc_id AS VARCHAR)
                WHEN 3 THEN '/tmp' || CAST(k AS VARCHAR) || '/y'
                            || CAST(doc_id AS VARCHAR)
@@ -220,7 +221,7 @@ per_host_cap.__doc__ = per_host_cap.__doc__.format(cap=_HOST_CAP)
            END AS path,
            CASE m
                WHEN 0 THEN '/private/ok' || CAST(k AS VARCHAR)
-               WHEN 1 THEN '/private'
+               WHEN 1 THEN '/video:' || CAST(k AS VARCHAR)
                WHEN 2 THEN ''
                WHEN 3 THEN '/tmp' || CAST(k AS VARCHAR)
                ELSE '/private/ok' || CAST(k AS VARCHAR)
@@ -261,6 +262,10 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Disallow: /private"),
             F.concat(F.lit("Allow: /private/ok"), F.col("k").cast("string")),
             F.concat(F.lit("Disallow: /tmp"), F.col("k").cast("string")),
+            # colon INSIDE a rule path (legal per RFC 9309) — pins the
+            # first-colon split: a last-colon split truncates this rule
+            # and every m=1 URL below mis-matches (ADVICE r9 fix)
+            F.concat(F.lit("Disallow: /video:"), F.col("k").cast("string")),
         ).alias("robots_txt"),
     )
     lines = robots.select(
@@ -277,7 +282,9 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "section", F.sum(is_ua.cast("int")).over(sec_w)
     ).withColumn(
         "agent_line",
-        F.when(is_ua, F.trim(F.substring_index(F.col("line"), ":", -1))),
+        # split on the FIRST colon (strip the field name), so values
+        # containing colons survive intact
+        F.when(is_ua, F.trim(F.regexp_replace("line", "^User-agent:", ""))),
     )
     agents = sected.groupBy("host", "section").agg(
         F.max("agent_line").alias("agent")
@@ -288,9 +295,11 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("agent") == "*")
         .select(
             "host",
-            F.trim(F.substring_index(F.col("line"), ":", -1)).alias(
-                "rule_path"
-            ),
+            # FIRST-colon split: '/video:123'-style paths are legal rule
+            # values, so only the leading field name is stripped
+            F.trim(
+                F.regexp_replace("line", "^(Allow|Disallow):", "")
+            ).alias("rule_path"),
             F.col("line").startswith("Allow:").cast("int").alias(
                 "rule_is_allow"
             ),
@@ -303,7 +312,7 @@ def robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.lit("h"), k_str).alias("host"),
         F.when(m == 0, F.concat(F.lit("/private/ok"), k_str, F.lit("/page"), d_str))
-        .when(m == 1, F.concat(F.lit("/private/x"), d_str))
+        .when(m == 1, F.concat(F.lit("/video:"), k_str, F.lit("/x"), d_str))
         .when(m == 2, F.concat(F.lit("/pub/a"), d_str))
         .when(m == 3, F.concat(F.lit("/tmp"), k_str, F.lit("/y"), d_str))
         .otherwise(F.concat(F.lit("/private/ok"), k_str))

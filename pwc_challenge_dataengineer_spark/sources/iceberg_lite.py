@@ -280,7 +280,13 @@ def scan(
         if partition_pred is None or partition_pred(part)
     ]
     if not kept:
-        raise ValueError("iceberg-lite scan pruned every file")
+        if not files:
+            raise ValueError("iceberg-lite scan: snapshot has no live files")
+        # all-pruned is a legitimate outcome (predicate matches no
+        # partition): return an EMPTY frame with the table schema, read
+        # from one live file's footer — a metadata-only read
+        empty = spark.read.parquet(files[0][0]).limit(0)
+        return empty, len(files), len(files)
     return spark.read.parquet(*kept), len(files), len(files) - len(kept)
 
 

@@ -96,13 +96,18 @@ class _BackBits:
         self.val = int.from_bytes(data, "little")
         self.pos = len(data) * 8 - 8 + data[-1].bit_length() - 1
 
-    def read(self, n: int) -> int:
+    def read(self, n: int, init: bool = False) -> int:
         if n == 0:
             return 0
         self.pos -= n
         if self.pos >= 0:
             return (self.val >> self.pos) & ((1 << n) - 1)
-        # past the start: zero-pad (legal only at the tail of FSE inits)
+        if not init:
+            # every non-init read (extra bits, state updates) must have
+            # its bits present — zero-padding here decodes corrupt or
+            # truncated frames to silently wrong bytes (ADVICE r9 fix)
+            raise ValueError("zstd: backward bitstream underflow")
+        # FSE state-init tail: zero-pad, the one legal short read
         v = (self.val << -self.pos) & ((1 << n) - 1) if self.pos > -n else 0
         return v
 
@@ -141,11 +146,14 @@ def _build_fse_table(probs: list[int], accuracy_log: int):
     return out
 
 
-def _read_fse_header(data: bytes, pos: int, max_symbols: int):
+def _read_fse_header(
+    data: bytes, pos: int, max_symbols: int, max_accuracy: int = 9
+):
     """Normalized-count header per RFC 8878 4.1.1: little-endian forward
     bitstream; each value is read with a variable width (the low range
     reuses one fewer bit), value - 1 = probability; probability 0 is
-    followed by 2-bit runs of extra zero counts."""
+    followed by 2-bit runs of extra zero counts. ``max_accuracy`` is the
+    RFC's PER-TABLE cap: LL/ML 9, OF 8, Huffman weights 6."""
     bitpos = pos * 8
 
     def peek(n: int) -> int:
@@ -162,8 +170,10 @@ def _read_fse_header(data: bytes, pos: int, max_symbols: int):
 
     accuracy_log = peek(4) + 5
     skip(4)
-    if accuracy_log > 9:
-        raise ValueError("zstd: accuracy log > 9")
+    if accuracy_log > max_accuracy:
+        raise ValueError(
+            f"zstd: accuracy log {accuracy_log} > table max {max_accuracy}"
+        )
     remaining = (1 << accuracy_log) + 1
     probs: list[int] = []
     while remaining > 1:
@@ -239,11 +249,11 @@ def _parse_huffman(data: bytes, pos: int):
         pos += (n + 1) >> 1
     else:  # FSE-compressed weights, two interleaved states
         comp = data[pos : pos + hbyte]
-        probs, al, hdr_end = _read_fse_header(comp, 0, 256)
+        probs, al, hdr_end = _read_fse_header(comp, 0, 256, max_accuracy=6)
         fse = _build_fse_table(probs, al)
         bb = _BackBits(comp[hdr_end:])
-        s1 = bb.read(al)
-        s2 = bb.read(al)
+        s1 = bb.read(al, init=True)
+        s2 = bb.read(al, init=True)
         weights = []
         while True:
             sym, nb, base = fse[s1]
@@ -357,7 +367,7 @@ def _decode_literals(block: bytes, pos: int, huff_state: dict):
 
 
 def _seq_table(mode: int, block: bytes, pos: int, default, max_symbols: int,
-               prev):
+               prev, max_accuracy: int = 9):
     """Resolve one of LL/OF/ML per its compression mode. Returns
     (fse_table_or_rle_symbol, accuracy_log_or_None, next_pos, state)."""
     if mode == 0:  # predefined
@@ -366,7 +376,9 @@ def _seq_table(mode: int, block: bytes, pos: int, default, max_symbols: int,
     if mode == 1:  # RLE: one byte symbol, zero-bit table
         return block[pos], 0, pos + 1, ("rle",)
     if mode == 2:  # FSE-compressed
-        probs, al, nxt = _read_fse_header(block, pos, max_symbols)
+        probs, al, nxt = _read_fse_header(
+            block, pos, max_symbols, max_accuracy
+        )
         return _build_fse_table(probs, al), al, nxt, ("fse",)
     if prev is None:
         raise ValueError("zstd: repeat table mode with no previous table")
@@ -404,6 +416,7 @@ def decompress(data: bytes) -> bytes:
         reps = [1, 4, 8]
         huff_state: dict = {}
         prev_tables: dict = {"ll": None, "of": None, "ml": None}
+        frame_start = len(out)  # match offsets may not cross frames
         while True:
             bh = int.from_bytes(data[pos : pos + 3], "little")
             pos += 3
@@ -417,7 +430,9 @@ def decompress(data: bytes) -> bytes:
             elif btype == 2:
                 block = data[pos : pos + bsize]
                 pos += bsize
-                _decode_block(block, out, reps, huff_state, prev_tables)
+                _decode_block(
+                    block, out, reps, huff_state, prev_tables, frame_start
+                )
             else:
                 raise ValueError("zstd: reserved block type")
             if last:
@@ -428,7 +443,8 @@ def decompress(data: bytes) -> bytes:
 
 
 def _decode_block(block: bytes, out: bytearray, reps: list[int],
-                  huff_state: dict, prev_tables: dict) -> None:
+                  huff_state: dict, prev_tables: dict,
+                  frame_start: int = 0) -> None:
     literals, pos = _decode_literals(block, 0, huff_state)
     b0 = block[pos]
     if b0 == 0:
@@ -446,21 +462,24 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
     modes = block[pos]
     pos += 1
     ll_t, ll_al, pos, ll_kind = _seq_table(
-        (modes >> 6) & 3, block, pos, _LL_DEFAULT, 36, prev_tables["ll"]
+        (modes >> 6) & 3, block, pos, _LL_DEFAULT, 36, prev_tables["ll"],
+        max_accuracy=9,
     )
     of_t, of_al, pos, of_kind = _seq_table(
-        (modes >> 4) & 3, block, pos, _OF_DEFAULT, 32, prev_tables["of"]
+        (modes >> 4) & 3, block, pos, _OF_DEFAULT, 32, prev_tables["of"],
+        max_accuracy=8,
     )
     ml_t, ml_al, pos, ml_kind = _seq_table(
-        (modes >> 2) & 3, block, pos, _ML_DEFAULT, 53, prev_tables["ml"]
+        (modes >> 2) & 3, block, pos, _ML_DEFAULT, 53, prev_tables["ml"],
+        max_accuracy=9,
     )
     prev_tables["ll"] = (ll_t, ll_al, ll_kind)
     prev_tables["of"] = (of_t, of_al, of_kind)
     prev_tables["ml"] = (ml_t, ml_al, ml_kind)
     bb = _BackBits(block[pos:])
-    ll_state = bb.read(ll_al) if ll_kind[0] == "fse" else 0
-    of_state = bb.read(of_al) if of_kind[0] == "fse" else 0
-    ml_state = bb.read(ml_al) if ml_kind[0] == "fse" else 0
+    ll_state = bb.read(ll_al, init=True) if ll_kind[0] == "fse" else 0
+    of_state = bb.read(of_al, init=True) if of_kind[0] == "fse" else 0
+    ml_state = bb.read(ml_al, init=True) if ml_kind[0] == "fse" else 0
 
     def sym(kind, table, state):
         return table if kind[0] == "rle" else table[state][0]
@@ -510,7 +529,10 @@ def _decode_block(block: bytes, out: bytearray, reps: list[int],
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
         start = len(out) - offset
-        if start < 0:
+        if start < frame_start:
+            # bound against the CURRENT frame's start, not the whole
+            # output buffer — a match may never reach into a prior
+            # frame's bytes (ADVICE r9 fix)
             raise ValueError("zstd: match before frame start")
         for k in range(ml):
             out.append(out[start + k])

@@ -103,3 +103,27 @@ def test_murmur3_iceberg_spec_vectors():
     assert 0 <= bucket_transform(-7, 8) < 8  # negative longs legal
     # tail handling: 1-3 trailing bytes exercise the partial block
     assert murmur3_32(b"a") != murmur3_32(b"ab") != murmur3_32(b"abc")
+
+
+def test_all_pruned_scan_returns_empty_frame(tmp_path, spark):
+    # ADVICE r9: a predicate matching no partition is a legitimate
+    # outcome -> empty DataFrame with the table schema, not a crash
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import scan
+
+    loc = str(tmp_path / "tbl")
+    out = os.path.join(loc, "data", "lang=en")
+    spark.createDataFrame(
+        [(1, "en", 10)], "doc_id long, lang string, n int"
+    ).coalesce(1).write.parquet(out)
+    pq = next(
+        os.path.join(out, f)
+        for f in sorted(os.listdir(out))
+        if f.endswith(".parquet")
+    )
+    commit_snapshot(loc, "lang", [(pq, "en", 1)])
+    df, n_live, n_pruned = scan(
+        spark, loc, partition_pred=lambda p: p == "zz"
+    )
+    assert (n_live, n_pruned) == (1, 1)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "lang", "n"]

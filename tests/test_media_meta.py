@@ -197,6 +197,61 @@ def test_tiff_round_trip_both_endiannesses():
         assert px == [tiff_pixel(seed, p) for p in range(48)]
 
 
+def test_tiff_inline_short_strip_arrays():
+    # ADVICE r9: two inline SHORTs (typ=3 count=2, 4 bytes — legal for
+    # StripOffsets/StripByteCounts on a 2-strip file) must decode as TWO
+    # values on both endians, not one mangled 32-bit int.
+    import struct as _s
+
+    def build(endian: str) -> tuple[bytes, list[tuple[int, int, int]]]:
+        width, height, rps = 2, 4, 2
+        px = [((7 * p + 1) % 256, (7 * p + 2) % 256, (7 * p + 3) % 256)
+              for p in range(width * height)]
+        raw = b"".join(bytes(t) for t in px)
+        strips = [raw[:12], raw[12:]]
+        offsets = [8, 20]
+
+        def short_pair(tag, v1, v2):
+            return _s.pack(endian + "HHIHH", tag, 3, 2, v1, v2)
+
+        def one(tag, typ, count, value):
+            if typ == 3 and count == 1:  # inline, left-justified
+                return _s.pack(endian + "HHIHH", tag, typ, count, value, 0)
+            return _s.pack(endian + "HHII", tag, typ, count, value)
+
+        ifd_offset = 8 + 24
+        n_entries = 10
+        bits_off = ifd_offset + 2 + n_entries * 12 + 4
+        entries = [
+            one(256, 3, 1, width),
+            one(257, 3, 1, height),
+            one(258, 3, 3, bits_off),
+            one(259, 3, 1, 1),  # uncompressed
+            one(262, 3, 1, 2),
+            short_pair(273, *offsets),   # StripOffsets: inline SHORTs
+            one(277, 3, 1, 3),
+            one(278, 3, 1, rps),
+            short_pair(279, 12, 12),     # StripByteCounts: inline SHORTs
+            one(284, 3, 1, 1),
+        ]
+        out = bytearray()
+        out += (b"II" if endian == "<" else b"MM")
+        out += _s.pack(endian + "HI", 42, ifd_offset)
+        out += strips[0] + strips[1]
+        out += _s.pack(endian + "H", n_entries)
+        for e in entries:
+            out += e
+        out += _s.pack(endian + "I", 0)
+        out += _s.pack(endian + "HHH", 8, 8, 8)
+        return bytes(out), px
+
+    for endian in ("<", ">"):
+        data, px = build(endian)
+        w, h, got = parse_tiff(data)
+        assert (w, h) == (2, 4)
+        assert got == px
+
+
 def test_packbits_edge_runs():
     for payload in (b"", b"a", b"aaaa", b"abc", bytes(300), b"ab" * 200):
         assert packbits_decode(packbits_encode(payload), len(payload)) == payload

@@ -92,3 +92,54 @@ def test_avro_zstandard_codec_readable():
     codec = pa.Codec("zstd")
     blob = codec.compress(b"avro block bytes").to_pybytes()
     assert _decompressor("zstandard")(blob) == b"avro block bytes"
+
+
+def _seq_frame(literals: bytes, seq_tail: bytes, fcs: int) -> bytes:
+    """Single-segment frame with one compressed block: raw literals
+    (<=31 bytes) followed by the given raw sequence-section bytes."""
+    assert len(literals) <= 31
+    block = bytes([len(literals) << 3]) + literals + seq_tail
+    bh = (len(block) << 3) | (2 << 1) | 1
+    return (
+        struct.pack("<I", 0xFD2FB528)
+        + bytes([0x20, fcs])
+        + struct.pack("<I", bh)[:3]
+        + block
+    )
+
+
+def test_match_bounded_to_frame_start():
+    # one sequence, all-RLE tables: ll=2 literals then a match at
+    # offset 4 (of_value 7 = (1<<2) + extra bits 0b11) — only 2 bytes
+    # exist in THIS frame, so the match must raise even when a prior
+    # frame's output sits in the buffer (ADVICE r9: frame-start bound)
+    tail = bytes([0x01, 0x54, 0x02, 0x02, 0x01, 0x07])
+    frame = _seq_frame(b"ab", tail, 6)
+    with pytest.raises(ValueError, match="frame start"):
+        decompress(frame)
+    prior = pa.Codec("zstd").compress(b"0123456789").to_pybytes()
+    with pytest.raises(ValueError, match="frame start"):
+        decompress(prior + frame)  # prior-frame bytes must NOT satisfy it
+
+
+def test_in_frame_match_still_decodes():
+    # same shape but 6 literals precede the match, so offset 4 is legal:
+    # "abcdef" + 4 bytes copied from offset 4 -> "abcdef" + "cdef"
+    tail = bytes([0x01, 0x54, 0x06, 0x02, 0x01, 0x07])
+    assert decompress(_seq_frame(b"abcdef", tail, 10)) == b"abcdefcdef"
+
+
+def test_bitstream_underflow_raises():
+    # the offset extra bits are missing (bitstream holds only the
+    # sentinel): zero-padding would decode silently wrong bytes
+    tail = bytes([0x01, 0x54, 0x02, 0x02, 0x01, 0x01])
+    with pytest.raises(ValueError, match="underflow"):
+        decompress(_seq_frame(b"ab", tail, 6))
+
+
+def test_offset_table_accuracy_cap():
+    # OF table declared with accuracy_log 9 (4-bit field = 4): legal for
+    # LL/ML but beyond the RFC's OF maximum of 8 -> must raise
+    tail = bytes([0x01, 0x64, 0x05, 0x04])
+    with pytest.raises(ValueError, match="table max 8"):
+        decompress(_seq_frame(b"", tail, 0))
