@@ -71,8 +71,12 @@ def commit(
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+        from .parquet_meta import read_footer
+
         stats.setdefault(partition, []).append(
-            {"fileId": file_id, "path": final, "numWrites": df.count()}
+            # write stats from the written file's FOOTER (field 3 =
+            # num_rows) — no second count() job over the input
+            {"fileId": file_id, "path": final, "numWrites": read_footer(final)[3]}
         )
     with open(os.path.join(hd, f"{instant}.commit"), "w") as fh:
         json.dump({"partitionToWriteStats": stats}, fh)
