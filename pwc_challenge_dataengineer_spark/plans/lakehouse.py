@@ -681,3 +681,151 @@ def iceberg_truncate_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# ------------------------------------------------- Iceberg format v2
+# Row-level deletes (the default write format of modern Iceberg
+# writers — the r9 verdict's top-ranked gap). The build commits three
+# snapshots with sequence numbers 1..3:
+#   seq 1: data files for all langs (multi-file partitions);
+#   seq 2: POSITIONAL delete files removing every row with
+#          doc_id % 7 == 3, as (file_path, pos) pairs derived from the
+#          committed files' actual parquet row positions;
+#   seq 3: an EQUALITY delete on source='src3' PLUS a re-added data
+#          file holding the en/src3 rows — the spec's strictly-less
+#          rule means the equality delete must NOT touch the data file
+#          committed in the same snapshot, so those rows survive.
+# The DuckDB oracle recomputes the surviving set from the raw rows
+# (base minus both delete predicates, union the re-added slice), so a
+# wrong position mapping, a mis-ordered sequence-number comparison, a
+# delete leaking across snapshots, or broken carry-forward of delete
+# entries all change the aggregate hash.
+
+
+def _build_v2_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.iceberg_lite import commit_snapshot_v2
+
+    def build(location: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        data1 = _write_partitioned(
+            docs,
+            "lang",
+            os.path.join(location, "data", "s1"),
+            salt=(F.col("doc_id") % 2),
+        )
+        commit_snapshot_v2(location, "lang", added=data1)  # seq 1
+        live = spark.read.parquet(*[p for p, _, _ in data1]).select(
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "doc_id",
+        )
+        posdir = os.path.join(location, "deletes", "pos")
+        (
+            live.filter(F.col("doc_id") % 7 == 3)
+            .select("file_path", "pos")
+            .repartition("file_path")
+            .write.parquet(posdir)
+        )
+        pos_files = [
+            os.path.join(posdir, f)
+            for f in sorted(os.listdir(posdir))
+            if f.endswith(".parquet")
+        ]
+        commit_snapshot_v2(  # seq 2
+            location,
+            "lang",
+            added_deletes=[(p, "", 1, None) for p in pos_files],
+        )
+        eqdir = os.path.join(location, "deletes", "eq")
+        spark.createDataFrame([("src3",)], "source string").write.parquet(
+            eqdir
+        )
+        eq_files = [
+            os.path.join(eqdir, f)
+            for f in sorted(os.listdir(eqdir))
+            if f.endswith(".parquet")
+        ]
+        readd = _write_partitioned(
+            docs.filter(
+                (F.col("source") == "src3") & (F.col("lang") == "en")
+            ),
+            "lang",
+            os.path.join(location, "data", "s3"),
+        )
+        commit_snapshot_v2(  # seq 3
+            location,
+            "lang",
+            added=readd,
+            added_deletes=[(p, "", 2, ("source",)) for p in eq_files],
+        )
+
+    return _fixture_dir("icev2", sf_dir, build)
+
+
+_V2_KEPT_SQL = """
+    SELECT * FROM documents
+    WHERE doc_id % 7 <> 3 AND source <> 'src3'
+    UNION ALL
+    SELECT * FROM documents WHERE source = 'src3' AND lang = 'en'
+"""
+
+
+@register(
+    "iceberg_v2_delete_scan",
+    oracle=f"""
+    WITH kept AS ({_V2_KEPT_SQL})
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM kept WHERE lang <> 'zh' GROUP BY lang
+    """,
+)
+def iceberg_v2_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-snapshot v2 merge-on-read scan with partition pruning:
+    zh data files are dropped at the manifest (never opened), positional
+    deletes anti-join on (file_path, row_index), the equality delete
+    anti-joins on source with the strictly-less sequence rule keeping
+    the re-added same-snapshot file intact. Both anti-joins broadcast
+    the delete side — at 100 TB the delete files stay the small side by
+    construction, and the data side remains one distributed parquet
+    scan."""
+    from ..sources.iceberg_lite import active_entries_v2, scan_v2
+
+    location = _build_v2_table(spark, sf_dir)
+    data = [
+        e
+        for e in active_entries_v2(location)
+        if e["content"] == 0
+    ]
+    n_zh = sum(1 for e in data if e["partition"] == "zh")
+    assert n_zh >= 2, [e["partition"] for e in data]  # multi-file
+    df, n_live, n_pruned = scan_v2(
+        spark, location, partition_pred=lambda lang: lang != "zh"
+    )
+    assert n_live == len(data) and n_pruned == n_zh, (n_live, n_pruned)
+    return _agg(df)
+
+
+@register(
+    "iceberg_v2_time_travel",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang
+    """,
+)
+def iceberg_v2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-2 time travel across DELETE snapshots: the positional
+    deletes (seq 2) are visible but the later equality delete and the
+    re-added file (seq 3) must not be — old manifests stay immutable
+    and carry the delete files with their original sequence numbers, so
+    the as-of read applies exactly the deletes that existed then."""
+    from ..sources.iceberg_lite import scan_v2
+
+    location = _build_v2_table(spark, sf_dir)
+    df, n_live, n_pruned = scan_v2(spark, location, snapshot_id=2)
+    assert n_pruned == 0, n_pruned
+    return _agg(df)

@@ -23,11 +23,12 @@ implements, per the public Iceberg spec (v1):
 
 Scale posture: manifest processing is the metadata plane — kilobytes per
 thousand files, driver-side by design in every Iceberg engine — while
-the data plane stays Spark's distributed parquet scan. Honest gaps
-(raised, not mangled): format-version 2 (positional/equality delete
-files, sequence numbers), non-identity partition transforms
-(bucket/truncate/days), schema evolution on read, and the full field-id
-metadata real external readers require for column resolution.
+the data plane stays Spark's distributed parquet scan. Format-version 2
+(positional/equality delete files, sequence numbers, merge-on-read) is
+implemented in the v2 section at the bottom of this module. Honest gaps
+(raised, not mangled): non-identity partition transforms beyond
+bucket/truncate (days/hours), schema evolution on read, and the full
+field-id metadata real external readers require for column resolution.
 
 Reference parity: the reference exposes lake-format export/ingest in its
 storage registry (see /root/reference/README.md data-lake sections);
@@ -331,3 +332,291 @@ def bucket_transform(value: int, n_buckets: int) -> int:
     (hash & Integer.MAX_VALUE) % N."""
     h = murmur3_32(int(value).to_bytes(8, "little", signed=True))
     return (h & 0x7FFFFFFF) % n_buckets
+
+
+# ------------------------------------------------------ format-version 2
+# Row-level deletes per the public Iceberg v2 spec: data files coexist
+# with POSITIONAL delete files (rows of (file_path, pos) naming exact
+# row positions in a data file) and EQUALITY delete files (rows of
+# equality-column values). Sequence numbers order them: a positional
+# delete applies to data files with data_sequence_number <= the
+# delete's; an equality delete applies STRICTLY BEFORE it (so a row
+# re-added in the same snapshot as an equality delete survives). The
+# scan is merge-on-read: surviving data files go to Spark's native
+# parquet reader with the _metadata.file_path/row_index columns, and
+# deletes apply as broadcast anti-joins — the same distributed shape a
+# production v2 reader uses (delete files are the small side by
+# construction). v1 tables (sections above) are untouched.
+
+_CONTENT_DATA, _CONTENT_POS_DELETE, _CONTENT_EQ_DELETE = 0, 1, 2
+
+_MANIFEST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_entry_v2",
+    "fields": [
+        {"name": "status", "type": "int"},  # 0 existing, 1 added, 2 deleted
+        {"name": "snapshot_id", "type": "long"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "content", "type": "int"},  # 0 data, 1 pos-del, 2 eq-del
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file_v2",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "partition_v2",
+                            "fields": [{"name": "value", "type": "string"}],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    # comma-joined equality column names ('' for others)
+                    {"name": "equality_ids", "type": "string"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _load_metadata_v2(location: str) -> dict | None:
+    p = _metadata_path(location)
+    if p is None:
+        return None
+    with open(p) as fh:
+        md = json.load(fh)
+    if md.get("format-version", 1) != 2:
+        raise ValueError(f"not an iceberg-lite v2 table at {location}")
+    return md
+
+
+def active_entries_v2(location: str, snapshot_id: int | None = None):
+    """Live entries at the snapshot, each as a dict with content kind,
+    path, partition value, ORIGINAL data sequence number, record count
+    and equality columns. DELETED tombstones are dropped; EXISTING
+    entries keep the sequence number of the snapshot that added them
+    (spec inheritance), which is what the apply rules compare."""
+    md = _load_metadata_v2(location)
+    if md is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {location}")
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    if sid not in snaps:
+        raise ValueError(f"unknown snapshot {sid} (have {sorted(snaps)})")
+    entries = []
+    for mrow in read_ocf(snaps[sid]["manifest-list"]):
+        for status, _snap, seq, content, data_file in read_ocf(mrow[0]):
+            if status == 2:  # DELETED
+                continue
+            path, _fmt, (part,), record_count, _size, eq_ids = data_file
+            entries.append(
+                {
+                    "content": content,
+                    "path": path,
+                    "partition": part,
+                    "seq": seq,
+                    "record_count": record_count,
+                    "equality_cols": tuple(
+                        c for c in eq_ids.split(",") if c
+                    ),
+                }
+            )
+    return entries
+
+
+def commit_snapshot_v2(
+    location: str,
+    partition_col: str,
+    added: list[tuple[str, str, int]] = (),
+    added_deletes: list[tuple[str, str, int, tuple[str, ...] | None]] = (),
+    deleted_paths: tuple[str, ...] = (),
+) -> int:
+    """Commit one v2 snapshot with sequence number = snapshot id.
+    ``added``: (path, partition_value, record_count) DATA files.
+    ``added_deletes``: (path, partition_value, content, equality_cols)
+    delete files (content 1 positional / 2 equality). Prior live entries
+    carry forward as EXISTING with their ORIGINAL sequence numbers."""
+    md = None
+    try:
+        md = _load_metadata_v2(location)
+    except FileNotFoundError:
+        pass
+    mdir = os.path.join(location, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    prior = (
+        active_entries_v2(location)
+        if md is not None and md["snapshots"]
+        else []
+    )
+    sid = (len(md["snapshots"]) + 1) if md else 1
+    entries = []
+    for e in prior:
+        status = 2 if e["path"] in deleted_paths else 0
+        entries.append(
+            (
+                status,
+                sid,
+                e["seq"],  # EXISTING keeps its original sequence number
+                e["content"],
+                (
+                    e["path"],
+                    "PARQUET",
+                    (e["partition"],),
+                    e["record_count"],
+                    os.path.getsize(e["path"]),
+                    ",".join(e["equality_cols"]),
+                ),
+            )
+        )
+    for path, part, cnt in added:
+        entries.append(
+            (
+                1,
+                sid,
+                sid,
+                _CONTENT_DATA,
+                (path, "PARQUET", (part,), cnt, os.path.getsize(path), ""),
+            )
+        )
+    for path, part, content, eq_cols in added_deletes:
+        entries.append(
+            (
+                1,
+                sid,
+                sid,
+                content,
+                (
+                    path,
+                    "PARQUET",
+                    (part,),
+                    0,
+                    os.path.getsize(path),
+                    ",".join(eq_cols or ()),
+                ),
+            )
+        )
+    manifest = os.path.join(mdir, f"manifest-{sid}.avro")
+    write_ocf(manifest, _MANIFEST_SCHEMA_V2, entries)
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_ocf(
+        mlist,
+        _MANIFEST_LIST_SCHEMA,
+        [(manifest, os.path.getsize(manifest), 0, sid)],
+    )
+    snapshots = (md["snapshots"] if md else []) + [
+        {"snapshot-id": sid, "sequence-number": sid, "manifest-list": mlist}
+    ]
+    new_md = {
+        "format-version": 2,
+        "location": location,
+        "partition-spec": [
+            {
+                "name": partition_col,
+                "transform": "identity",
+                "source-id": 1,
+                "field-id": 1000,
+            }
+        ],
+        "current-snapshot-id": sid,
+        "last-sequence-number": sid,
+        "snapshots": snapshots,
+    }
+    tmp = os.path.join(mdir, f"v{sid}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(new_md, fh)
+    os.replace(tmp, os.path.join(mdir, f"v{sid}.metadata.json"))
+    return sid
+
+
+def scan_v2(
+    spark,
+    location: str,
+    snapshot_id: int | None = None,
+    partition_pred=None,
+):
+    """Merge-on-read v2 snapshot scan. Data files whose partition value
+    fails ``partition_pred`` are pruned from the manifest without being
+    opened; survivors are read with Spark's parquet metadata columns and
+    row-level deletes apply distributed:
+
+    - POSITIONAL: anti-join on (file_path, row_index) for delete files
+      with sequence_number >= the data file's (``<=`` rule from the
+      data file's view);
+    - EQUALITY: anti-join on the equality columns for delete files with
+      sequence_number STRICTLY GREATER than the data file's — a data
+      file added in the same snapshot as the delete is NOT affected.
+
+    Delete frames are broadcast (they are the metadata-scale side);
+    the data side stays one distributed parquet scan. Returns
+    (DataFrame, n_live_data_files, n_pruned_data_files)."""
+    from pyspark.sql import functions as F
+
+    entries = active_entries_v2(location, snapshot_id)
+    data = [e for e in entries if e["content"] == _CONTENT_DATA]
+    pos_dels = [e for e in entries if e["content"] == _CONTENT_POS_DELETE]
+    eq_dels = [e for e in entries if e["content"] == _CONTENT_EQ_DELETE]
+    kept = [
+        e for e in data
+        if partition_pred is None or partition_pred(e["partition"])
+    ]
+    n_pruned = len(data) - len(kept)
+    if not kept:
+        if not data:
+            raise ValueError("iceberg-lite v2 scan: snapshot has no data")
+        empty = spark.read.parquet(data[0]["path"]).limit(0)
+        return empty, len(data), n_pruned
+    df = spark.read.parquet(*[e["path"] for e in kept]).withColumns(
+        {
+            "__file_path": F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+            "__row_pos": F.col("_metadata.row_index"),
+        }
+    )
+    seq_map = spark.createDataFrame(
+        [(e["path"], e["seq"]) for e in kept],
+        "__file_path string, __data_seq long",
+    )
+    df = df.join(F.broadcast(seq_map), "__file_path")
+    if pos_dels:
+        pos_df = None
+        for e in pos_dels:
+            one = spark.read.parquet(e["path"]).select(
+                F.col("file_path").alias("__del_path"),
+                F.col("pos").alias("__del_pos"),
+                F.lit(e["seq"]).alias("__del_seq"),
+            )
+            pos_df = one if pos_df is None else pos_df.unionByName(one)
+        df = df.join(
+            F.broadcast(pos_df),
+            (F.col("__file_path") == F.col("__del_path"))
+            & (F.col("__row_pos") == F.col("__del_pos"))
+            & (F.col("__del_seq") >= F.col("__data_seq")),
+            "left_anti",
+        )
+    for e in eq_dels:
+        cols = list(e["equality_cols"])
+        if not cols:
+            raise ValueError(f"equality delete {e['path']} without columns")
+        eq_rows = (
+            spark.read.parquet(e["path"])
+            .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+            .distinct()
+            .withColumn("__del_seq", F.lit(e["seq"]))
+        )
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & (F.col(c) == F.col(f"__eq_{c}"))
+        cond = cond & (F.col("__del_seq") > F.col("__data_seq"))
+        df = df.join(F.broadcast(eq_rows), cond, "left_anti")
+    return (
+        df.drop("__file_path", "__row_pos", "__data_seq"),
+        len(data),
+        n_pruned,
+    )

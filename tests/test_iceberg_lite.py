@@ -127,3 +127,81 @@ def test_all_pruned_scan_returns_empty_frame(tmp_path, spark):
     assert (n_live, n_pruned) == (1, 1)
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["doc_id", "lang", "n"]
+
+
+def test_v2_deletes_and_sequence_rules(tmp_path, spark):
+    """v2 row-level deletes: positional (<= rule), equality (strictly-
+    less rule — a same-snapshot re-add survives), carry-forward of
+    delete entries, and time travel across delete snapshots."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        active_entries_v2,
+        commit_snapshot_v2,
+        scan_v2,
+    )
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "tbl")
+
+    def write_one(subdir, rows):
+        out = os.path.join(loc, subdir)
+        spark.createDataFrame(
+            rows, "k long, v string"
+        ).coalesce(1).write.parquet(out)
+        return next(
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        )
+
+    # seq 1: one data file with rows k=0..4, v='a<k>'
+    d1 = write_one("d1", [(k, f"a{k}") for k in range(5)])
+    commit_snapshot_v2(loc, "p", added=[(d1, "x", 5)])
+    # seq 2: positional delete of pos 1 and 3 in d1
+    pout = os.path.join(loc, "pd")
+    spark.createDataFrame(
+        [(d1, 1), (d1, 3)], "file_path string, pos long"
+    ).coalesce(1).write.parquet(pout)
+    pd1 = next(
+        os.path.join(pout, f)
+        for f in sorted(os.listdir(pout))
+        if f.endswith(".parquet")
+    )
+    commit_snapshot_v2(loc, "p", added_deletes=[(pd1, "", 1, None)])
+    # seq 3: equality delete on v='a0' AND a re-added file with v='a0'
+    eout = os.path.join(loc, "eq")
+    spark.createDataFrame([("a0",)], "v string").coalesce(1).write.parquet(
+        eout
+    )
+    eq1 = next(
+        os.path.join(eout, f)
+        for f in sorted(os.listdir(eout))
+        if f.endswith(".parquet")
+    )
+    d2 = write_one("d2", [(99, "a0")])
+    commit_snapshot_v2(
+        loc, "p", added=[(d2, "x", 1)], added_deletes=[(eq1, "", 2, ("v",))]
+    )
+
+    # current snapshot: pos deletes drop k=1,3; eq delete drops the
+    # ORIGINAL a0 row (seq 1 < 3) but NOT the re-added one (seq 3 == 3)
+    df, n_live, n_pruned = scan_v2(spark, loc)
+    got = sorted((r["k"], r["v"]) for r in df.collect())
+    assert got == [(2, "a2"), (4, "a4"), (99, "a0")], got
+    assert (n_live, n_pruned) == (2, 0)
+
+    # time travel to seq 2: eq delete + re-add invisible, pos applied
+    df2, _, _ = scan_v2(spark, loc, snapshot_id=2)
+    got2 = sorted(r["k"] for r in df2.collect())
+    assert got2 == [0, 2, 4], got2
+
+    # carry-forward: current entries still carry the pos delete at its
+    # ORIGINAL sequence number
+    entries = active_entries_v2(loc)
+    pos = [e for e in entries if e["content"] == 1]
+    assert pos and pos[0]["seq"] == 2, entries
+
+    # partition pruning on a v2 scan prunes without opening
+    df3, n_live3, n_pruned3 = scan_v2(
+        spark, loc, partition_pred=lambda p: p == "nope"
+    )
+    assert df3.count() == 0 and (n_live3, n_pruned3) == (2, 2)
