@@ -829,3 +829,120 @@ def iceberg_v2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, n_live, n_pruned = scan_v2(spark, location, snapshot_id=2)
     assert n_pruned == 0, n_pruned
     return _agg(df)
+
+
+# --------------------------------------------------- Hudi merge-on-read
+# MOR is the streaming-ingest Hudi layout (r9 verdict gap #3): commit 1
+# writes parquet BASE file groups for en/de/es; commit 2 appends an
+# Avro LOG to the en group carrying upserts (doc_id%10==0 ->
+# source='updated') and deletes (`_hoodie_is_deleted` sentinel on
+# doc_id%20==3). The snapshot read must merge base+log key-latest-wins
+# within the file group; the DuckDB oracle recomputes the surviving
+# rows from the raw documents and the same closed-form rules, so a
+# missed log record, a wrong merge order, an ignored delete sentinel
+# or a log leaking into the wrong group all flip the hash.
+_MOR_T1, _MOR_T2 = "20240101000001", "20240101000002"
+
+
+def _build_mor_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.hudi_lite import commit_mor
+
+    def build(location: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+
+        def part(lang):
+            return docs.filter(F.col("lang") == lang)
+
+        commit_mor(
+            location,
+            _MOR_T1,
+            base_writes=[
+                (f"lang={lang}", f"fg-{lang}", part(lang))
+                for lang in ("en", "de", "es")
+            ],
+        )
+        en = part("en")
+        updates = (
+            en.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("source", F.lit("updated"))
+            .withColumn("_hoodie_is_deleted", F.lit(False))
+        )
+        deletes = en.filter(F.col("doc_id") % 20 == 3).withColumn(
+            "_hoodie_is_deleted", F.lit(True)
+        )
+        commit_mor(
+            location,
+            _MOR_T2,
+            log_writes=[
+                ("lang=en", "fg-en", updates.unionByName(deletes))
+            ],
+        )
+
+    return _fixture_dir("hudimor", sf_dir, build)
+
+
+@register(
+    "hudi_mor_snapshot",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' AND doc_id % 10 = 0
+                    THEN 'updated' ELSE source END AS source,
+               n_chars
+        FROM documents
+        WHERE lang IN ('en','de','es')
+          AND NOT (lang = 'en' AND doc_id % 20 = 3)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN source = 'updated' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY lang
+    """,
+)
+def hudi_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR snapshot read: the en file group's base parquet merges with
+    its Avro log (upserts win over base rows by instant order inside a
+    window partitioned by (file_group, key) — groups merge
+    independently, which is what keeps MOR reads parallel at 100 TB),
+    and rows whose latest version is a `_hoodie_is_deleted` tombstone
+    drop out. de/es groups have no logs and pass through untouched."""
+    from ..sources.hudi_lite import mor_snapshot
+
+    location = _build_mor_table(spark, sf_dir)
+    df, n_groups, n_logs = mor_snapshot(spark, location, key_col="doc_id")
+    assert (n_groups, n_logs) == (3, 1), (n_groups, n_logs)
+    return df.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("source") == "updated").cast("long"))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "hudi_incremental_read",
+    oracle="""
+    SELECT doc_id, lang, 'updated' AS source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE lang = 'en' AND doc_id % 10 = 0
+    """,
+)
+def hudi_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental query between commits: records changed in
+    (T1, T2] are exactly the en log's upserts and deletes; the query
+    returns their LATEST SURVIVING state — the updated rows, with the
+    tombstoned keys excluded — the feed a downstream incremental ETL
+    consumes instead of rescanning the table."""
+    from ..sources.hudi_lite import mor_incremental
+
+    location = _build_mor_table(spark, sf_dir)
+    df, n_sources = mor_incremental(
+        spark, location, key_col="doc_id", begin=_MOR_T1, end=_MOR_T2
+    )
+    assert n_sources == 1, n_sources
+    return df.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )

@@ -19,8 +19,10 @@ now Hudi's layout per the public spec/docs:
   the directory naively would DOUBLE-COUNT updated file groups — slice
   selection is the semantics, and the catalog queries pin it.
 
-Honest gaps (raised, not mangled): MERGE-ON-READ tables (log files +
-compaction), cleaning/clustering/rollback timeline actions, and Hudi's
+MERGE-ON-READ tables (Avro log files, key-latest merge, delete
+sentinel, incremental queries, compaction-style base rewrites) are
+implemented in the MOR section below. Honest gaps (raised, not
+mangled): cleaning/clustering/rollback timeline actions and Hudi's
 metadata-table indexes.
 
 Reference parity: the reference's storage registry exposes lake-format
@@ -124,3 +126,240 @@ def snapshot(spark, location: str, as_of: str | None = None):
     slices = file_slices(location, as_of)
     paths = [p for _, _, _, p in slices]
     return spark.read.parquet(*paths), len(slices)
+
+
+# ------------------------------------------------------- merge-on-read
+# MOR per the public Hudi docs: file groups hold a parquet BASE file
+# plus Avro LOG files of upserts written by later delta commits; a
+# snapshot read merges base + logs with key-latest-wins, honoring the
+# `_hoodie_is_deleted` sentinel column for deletes. Jar-free layout
+# notes: log payloads are standard Avro OCF containers written through
+# the in-repo avrolite DataSource (one directory
+# `.log_<fileId>_<instant>/part-*.avro` per delta commit per file
+# group) instead of HoodieLogFormat's custom block framing, and delta
+# commits complete with a `.deltacommit` timeline file — the same
+# two-phase inflight->completed story as COW commits. Slice selection:
+# the base file is the newest committed base at the as-of horizon;
+# its log files are those with base_instant < instant <= horizon.
+
+
+def _completed(location: str) -> set[str]:
+    hd = os.path.join(location, ".hoodie")
+    if not os.path.isdir(hd):
+        raise FileNotFoundError(f"no .hoodie timeline under {location}")
+    out = set()
+    for f in os.listdir(hd):
+        for suffix in (".commit", ".deltacommit"):
+            if f.endswith(suffix):
+                out.add(f[: -len(suffix)])
+    return out
+
+
+def commit_mor(
+    location: str,
+    instant: str,
+    base_writes: list[tuple[str, str, object]] = (),
+    log_writes: list[tuple[str, str, object]] = (),
+) -> None:
+    """One MOR delta commit: ``base_writes`` create/replace base file
+    slices exactly like COW; each ``log_writes`` (partition, file_id,
+    df) appends an Avro log for that FILE GROUP (rows must carry the
+    record key; an optional `_hoodie_is_deleted` boolean marks
+    deletes). The `.deltacommit` timeline file lands last."""
+    hd = os.path.join(location, ".hoodie")
+    os.makedirs(hd, exist_ok=True)
+    inflight = os.path.join(hd, f"{instant}.inflight")
+    open(inflight, "w").close()
+    stats: dict[str, list[dict]] = {}
+    for partition, file_id, df in base_writes:
+        pdir = os.path.join(location, partition)
+        tmp = os.path.join(pdir, f".tmp_{file_id}_{instant}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part_file = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        final = os.path.join(pdir, f"{file_id}_0-0_{instant}.parquet")
+        os.replace(os.path.join(tmp, part_file), final)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        from .parquet_meta import read_footer
+
+        stats.setdefault(partition, []).append(
+            {"fileId": file_id, "path": final,
+             "numWrites": read_footer(final)[3]}
+        )
+    for partition, file_id, df in log_writes:
+        from .avrolite import register_avrolite
+
+        register_avrolite(df.sparkSession)
+        ldir = os.path.join(location, partition, f".log_{file_id}_{instant}")
+        df.write.format("avrolite").mode("overwrite").save(ldir)
+        stats.setdefault(partition, []).append(
+            {"fileId": file_id, "logDir": ldir}
+        )
+    with open(os.path.join(hd, f"{instant}.deltacommit"), "w") as fh:
+        json.dump({"partitionToWriteStats": stats}, fh)
+    os.remove(inflight)
+
+
+def mor_file_slices(location: str, as_of: str | None = None):
+    """Latest readable MOR slice per file group:
+    (partition, file_id, base_instant, base_path, [(log_instant,
+    log_dir), ...]) — logs sorted by instant, only those newer than the
+    base and within the horizon."""
+    completed = _completed(location)
+    if not completed:
+        raise ValueError(f"empty Hudi timeline under {location}")
+    horizon = as_of if as_of is not None else max(completed)
+    if horizon not in completed:
+        raise ValueError(f"unknown instant {horizon}")
+    bases: dict[tuple[str, str], tuple[str, str]] = {}
+    logs: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    for root, _dirs, files in os.walk(location):
+        rel = os.path.relpath(root, location)
+        if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
+            continue
+        base = os.path.basename(root)
+        if base.startswith(".log_"):
+            stem = base[len(".log_"):]
+            try:
+                file_id, instant = stem.rsplit("_", 1)
+            except ValueError:
+                raise ValueError(f"non-Hudi log dir {base!r}") from None
+            if instant in completed and instant <= horizon:
+                partition = os.path.relpath(
+                    os.path.dirname(root), location
+                )
+                logs.setdefault((partition, file_id), []).append(
+                    (instant, root)
+                )
+            continue
+        partition = rel
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith("."):
+                continue
+            stem = f[: -len(".parquet")]
+            try:
+                file_id, _token, instant = stem.rsplit("_", 2)
+            except ValueError:
+                raise ValueError(f"non-Hudi data file name {f!r}") from None
+            if instant not in completed or instant > horizon:
+                continue
+            key = (partition, file_id)
+            if key not in bases or instant > bases[key][0]:
+                bases[key] = (instant, os.path.join(root, f))
+    out = []
+    for (partition, file_id), (bi, bpath) in sorted(bases.items()):
+        group_logs = sorted(
+            (li, ld)
+            for li, ld in logs.get((partition, file_id), [])
+            if li > bi
+        )
+        out.append((partition, file_id, bi, bpath, group_logs))
+    return out
+
+
+def mor_snapshot(spark, location: str, key_col: str,
+                 as_of: str | None = None):
+    """MOR snapshot (or as-of) read: per file group, base rows merge
+    with log rows KEY-LATEST-WINS (log instant beats base; later log
+    beats earlier), and rows whose winning version carries
+    `_hoodie_is_deleted` = true drop out. The merge window partitions
+    by (file_id, key): records of a file group only ever merge within
+    that group — the property that keeps MOR compaction and reads
+    embarrassingly parallel across groups at 100 TB. Returns
+    (DataFrame, n_file_groups, n_log_files)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .avrolite import register_avrolite
+
+    slices = mor_file_slices(location, as_of)
+    base_paths = {p: (fid, bi) for _, fid, bi, p, _ in slices}
+    base = spark.read.parquet(*base_paths)
+    file_info = spark.createDataFrame(
+        [(p, fid, bi) for p, (fid, bi) in base_paths.items()],
+        "__path string, __file_id string, __instant string",
+    )
+    base = (
+        base.withColumn(
+            "__path",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+        )
+        .join(F.broadcast(file_info), "__path")
+        .drop("__path")
+    )
+    if "_hoodie_is_deleted" not in base.columns:
+        base = base.withColumn("_hoodie_is_deleted", F.lit(False))
+    merged = base
+    n_logs = 0
+    need_register = True
+    for _, fid, _bi, _bp, group_logs in slices:
+        for li, ldir in group_logs:
+            if need_register:
+                register_avrolite(spark)
+                need_register = False
+            n_logs += 1
+            log_df = (
+                spark.read.format("avrolite")
+                .load(ldir)
+                .withColumn("__file_id", F.lit(fid))
+                .withColumn("__instant", F.lit(li))
+            )
+            if "_hoodie_is_deleted" not in log_df.columns:
+                log_df = log_df.withColumn(
+                    "_hoodie_is_deleted", F.lit(False)
+                )
+            merged = merged.unionByName(log_df, allowMissingColumns=True)
+    w = Window.partitionBy("__file_id", key_col).orderBy(
+        F.col("__instant").desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col("_hoodie_is_deleted"))
+        .drop("__rn", "__file_id", "__instant", "_hoodie_is_deleted")
+    )
+    return latest, len(slices), n_logs
+
+
+def mor_incremental(spark, location: str, key_col: str, begin: str,
+                    end: str | None = None):
+    """Incremental query: the LATEST surviving state of every record
+    changed by commits in (begin, end] — log upserts and new/rewritten
+    base slices — excluding records whose latest change is a delete.
+    Returns (DataFrame, n_changed_sources)."""
+    from pyspark.sql import functions as F
+
+    snap, _, _ = mor_snapshot(spark, location, key_col, as_of=end)
+    completed = _completed(location)
+    horizon = end if end is not None else max(completed)
+    changed = None
+    n_sources = 0
+    from .avrolite import register_avrolite
+
+    registered = False
+    for partition, fid, bi, bpath, group_logs in mor_file_slices(
+        location, horizon
+    ):
+        if bi > begin:
+            n_sources += 1
+            keys = spark.read.parquet(bpath).select(key_col)
+            changed = keys if changed is None else changed.union(keys)
+        for li, ldir in group_logs:
+            if li > begin:
+                if not registered:
+                    register_avrolite(spark)
+                    registered = True
+                n_sources += 1
+                keys = (
+                    spark.read.format("avrolite").load(ldir).select(key_col)
+                )
+                changed = keys if changed is None else changed.union(keys)
+    if changed is None:
+        return snap.limit(0), 0
+    return (
+        snap.join(changed.distinct(), key_col, "left_semi"),
+        n_sources,
+    )

@@ -70,3 +70,69 @@ def test_gates(spark, tiny, tmp_path):
         fh.write(b"")
     with pytest.raises(ValueError, match="non-Hudi"):
         file_slices(loc)
+
+
+def test_mor_merge_log_ordering_and_deletes(spark, tiny, tmp_path):
+    """MOR: two successive logs on one group — later log wins over
+    earlier log and base; delete sentinel removes; as-of before the
+    logs sees only the base; a later base REWRITE absorbs the logs."""
+    from pyspark.sql import functions as F
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        commit_mor,
+        mor_file_slices,
+        mor_incremental,
+        mor_snapshot,
+    )
+
+    loc = str(tmp_path / "mor")
+    t1, t2, t3, t4 = (f"2024010100000{i}" for i in (1, 2, 3, 4))
+    commit_mor(
+        loc, t1, base_writes=[("p=a", "fg1", tiny([(1, "x"), (2, "y")]))]
+    )
+    commit_mor(
+        loc, t2,
+        log_writes=[("p=a", "fg1", tiny([(1, "x2"), (3, "new")]))],
+    )
+    commit_mor(
+        loc, t3,
+        log_writes=[
+            (
+                "p=a",
+                "fg1",
+                tiny([(1, "x3")]).withColumn(
+                    "_hoodie_is_deleted", F.lit(False)
+                ).unionByName(
+                    tiny([(2, "dead")]).withColumn(
+                        "_hoodie_is_deleted", F.lit(True)
+                    )
+                ),
+            )
+        ],
+    )
+    df, n_groups, n_logs = mor_snapshot(spark, loc, key_col="id")
+    got = sorted((r["id"], r["v"]) for r in df.collect())
+    assert got == [(1, "x3"), (3, "new")], got  # t3 wins; 2 deleted
+    assert (n_groups, n_logs) == (1, 2)
+
+    # as-of t2: t3's update and delete invisible
+    df2, _, n_logs2 = mor_snapshot(spark, loc, key_col="id", as_of=t2)
+    got2 = sorted((r["id"], r["v"]) for r in df2.collect())
+    assert got2 == [(1, "x2"), (2, "y"), (3, "new")] and n_logs2 == 1
+
+    # incremental (t1, t3]: ids touched by the logs, latest state,
+    # tombstoned key 2 excluded
+    inc, n_src = mor_incremental(spark, loc, key_col="id", begin=t1, end=t3)
+    got_inc = sorted((r["id"], r["v"]) for r in inc.collect())
+    assert got_inc == [(1, "x3"), (3, "new")] and n_src == 2
+
+    # base rewrite (compaction-style) at t4 absorbs the logs: older
+    # logs no longer attach to the new base slice
+    commit_mor(
+        loc, t4, base_writes=[("p=a", "fg1", tiny([(1, "X"), (3, "N")]))]
+    )
+    slices = mor_file_slices(loc)
+    assert slices[0][2] == t4 and slices[0][4] == []
+    df4, _, n_logs4 = mor_snapshot(spark, loc, key_col="id")
+    got4 = sorted((r["id"], r["v"]) for r in df4.collect())
+    assert got4 == [(1, "X"), (3, "N")] and n_logs4 == 0
