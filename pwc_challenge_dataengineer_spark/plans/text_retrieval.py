@@ -1543,3 +1543,118 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return final
+
+
+_KN_D = 0.75  # fixed Kneser-Ney discount
+
+
+@register(
+    "kn_bigram_lm_score",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM d WHERE len(t) >= 2) q
+    ),
+    bi AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bcnt
+        FROM bg GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT w1, CAST(SUM(bcnt) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS nf
+        FROM bi GROUP BY 1
+    ),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS np FROM bi GROUP BY 1
+    ),
+    types AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bi),
+    scored AS (
+        SELECT g.doc_id,
+               -ln(greatest(CAST(b.bcnt AS DOUBLE) - {_KN_D}, 0.0)
+                       / CAST(h.h AS DOUBLE)
+                   + ({_KN_D} * CAST(h.nf AS DOUBLE)
+                          / CAST(h.h AS DOUBLE))
+                     * (CAST(c.np AS DOUBLE) / CAST(t.nt AS DOUBLE)))
+                   AS nll
+        FROM bg g
+        JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+        JOIN hist h ON g.w1 = h.w1
+        JOIN cont c ON g.w2 = c.w2
+        CROSS JOIN types t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(nll), 6) AS avg_nll,
+           round(exp(AVG(nll)), 4) AS kn_ppl
+    FROM scored GROUP BY 1
+    """,
+)
+def kn_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the published-standard
+    smoothing behind KenLM/CCNet-style perplexity filters, upgrading
+    bigram_lm_score's Laplace mix (r9 verdict item 6). Absolute
+    discount D=0.75 off every seen bigram, with the freed mass routed
+    through the CONTINUATION distribution: p(w2|w1) =
+    max(c(w1w2)-D,0)/c(w1.) + (D*N1+(w1,.)/c(w1.)) * N1+(.,w2)/N1+(..),
+    where N1+ counts distinct bigram TYPES — the "how many contexts has
+    this word completed" estimator that makes KN beat frequency
+    back-off. Scale shape identical to the Laplace model: the bigram,
+    history and continuation tables are vocab(^2)-bounded aggregates
+    with map-side combine, broadcast back onto the bigram stream; the
+    per-doc average is one shuffle on doc_id. Training and scoring stay
+    a single distributed job with no model object."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    )
+    bg = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    "             element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    bi = bg.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    hist = bi.groupBy("w1").agg(
+        F.sum("bcnt").alias("h"), F.count("*").alias("nf")
+    )
+    cont = bi.groupBy(F.col("w2")).agg(F.count("*").alias("np"))
+    types = bi.agg(F.count("*").alias("nt"))
+    dd = F.lit(_KN_D)
+    scored = (
+        bg.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(hist), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.greatest(
+                        F.col("bcnt").cast("double") - dd, F.lit(0.0)
+                    )
+                    / F.col("h").cast("double")
+                    + (dd * F.col("nf").cast("double")
+                       / F.col("h").cast("double"))
+                    * (F.col("np").cast("double")
+                       / F.col("nt").cast("double"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("nll")), 4).alias("kn_ppl"),
+    )
