@@ -1082,10 +1082,12 @@ def html_boilerplate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHAIN_Q_MIN = 0.70  # chain-specific quality bar (the registered
 # quality_classifier_score keeps at sigmoid >= 0.5; a curation chain sets
 # its own operating point — 0.70 rejects the low tail in this corpus)
+_CHAIN_BUDGET = 500  # per-source token budget for the final pack stage
 
 
 def _chain_oracle() -> str:
     from .catalog import ORACLES
+    from .curation_extras import _SEM_COS, _SEM_K, _SEM_TAU
     from .sampling import _md5_bucket_sql
     from .text_dedup import _SHINGLES_SQL
 
@@ -1150,27 +1152,89 @@ def _chain_oracle() -> str:
         FROM s1 s LEFT JOIN comp c ON c.id = s.doc_id
         WHERE c.id IS NULL OR c.component_id = s.doc_id
     ),
+    sem_e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sem_cent AS (
+        SELECT vec_id AS cent_id, v AS cvec FROM sem_e
+        WHERE vec_id < {_SEM_K}
+    ),
+    sem_in AS (
+        SELECT e.vec_id, e.v FROM sem_e e
+        JOIN s2 s ON s.doc_id = e.vec_id
+    ),
+    sem_sims AS (
+        SELECT sem_in.vec_id, sem_cent.cent_id,
+               round({_SEM_COS.format(a="sem_in.v", b="sem_cent.cvec")}, 6)
+                   AS cos
+        FROM sem_in, sem_cent
+    ),
+    sem_assign AS (
+        SELECT vec_id, cent_id AS sc FROM (
+            SELECT sem_sims.*, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+            FROM sem_sims)
+        WHERE rn = 1
+    ),
+    sem_pruned AS (
+        SELECT DISTINCT bb.vec_id
+        FROM sem_assign aa
+        JOIN sem_assign bb ON aa.sc = bb.sc AND aa.vec_id < bb.vec_id
+        JOIN sem_in ea ON ea.vec_id = aa.vec_id
+        JOIN sem_in eb ON eb.vec_id = bb.vec_id
+        WHERE round({_SEM_COS.format(a="ea.v", b="eb.v")}, 6) > {_SEM_TAU}
+    ),
+    s3 AS (
+        SELECT s.doc_id, s.unigram_ppl
+        FROM s2 s LEFT JOIN sem_pruned p ON p.vec_id = s.doc_id
+        WHERE p.vec_id IS NULL
+    ),
     ranked AS (
         SELECT doc_id, unigram_ppl,
                CAST(row_number() OVER (ORDER BY unigram_ppl, doc_id)
                     AS BIGINT) AS rn,
                CAST(COUNT(*) OVER () AS BIGINT) AS n
-        FROM s2
+        FROM s3
     ),
     cut AS (
         SELECT unigram_ppl AS cutoff FROM ranked
         WHERE rn = CAST(ceil({_PPL_Q} * n) AS BIGINT)
     ),
+    s4 AS (
+        SELECT s.doc_id FROM s3 s CROSS JOIN cut
+        WHERE s.unigram_ppl <= cut.cutoff
+    ),
+    bscored AS (
+        SELECT d.source, d.doc_id, d.n_chars,
+               CAST(len(list_filter(
+                   string_split_regex(lower(trim(d.text)), '\\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents d JOIN s4 ON s4.doc_id = d.doc_id
+    ),
+    bcum AS (
+        SELECT doc_id,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM bscored
+    ),
+    s5 AS (SELECT doc_id FROM bcum WHERE cum_tokens <= {_CHAIN_BUDGET}),
     v AS (
         SELECT b.doc_id,
                CASE WHEN NOT b.q_keep THEN 'quality_rejected'
                     WHEN c.component_id IS NOT NULL
                          AND c.component_id <> b.doc_id THEN 'near_dup'
+                    WHEN sp.vec_id IS NOT NULL THEN 'sem_dup'
                     WHEN b.unigram_ppl > cut.cutoff THEN 'ppl_pruned'
+                    WHEN s5.doc_id IS NULL THEN 'budget_cut'
                     ELSE 'kept' END AS stage,
                COALESCE(c.component_id, b.doc_id) AS cluster_id
         FROM base b
         LEFT JOIN comp c ON c.id = b.doc_id
+        LEFT JOIN sem_pruned sp ON sp.vec_id = b.doc_id
+        LEFT JOIN s5 ON s5.doc_id = b.doc_id
         CROSS JOIN cut
     )
     SELECT v.doc_id, v.stage, v.cluster_id,
@@ -1185,20 +1249,24 @@ def _chain_oracle() -> str:
 
 @register("curation_chain_e2e", oracle=_chain_oracle())
 def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPOSED curation pipeline (r8 verdict item 7), in the order a
-    real pretraining pipeline runs it: quality classifier (chain bar
-    0.70) → MinHash near-dup dedup within the quality survivors
-    (connected components, min-id member survives) → perplexity prune
-    with the exact 75th-pct cutoff computed over the DEDUPED set via the
-    distributed two-pass rank → leakage-safe hash split keyed on the
+    """The COMPOSED curation pipeline (r8 verdict item 7, extended per
+    the r9 brief with the two r9 stages), in the order a real
+    pretraining pipeline runs it: quality classifier (chain bar 0.70) →
+    MinHash near-dup dedup within the quality survivors (connected
+    components, min-id member survives) → SemDeDup semantic dedup over
+    the remaining docs' embeddings (within-cluster pairwise only, K-row
+    centroid broadcast) → perplexity prune with the exact 75th-pct
+    cutoff computed over the doubly-DEDUPED set via the distributed
+    two-pass rank → per-source token budget (cumulative window
+    PARTITIONED by source) → leakage-safe hash split keyed on the
     dup-cluster id. One row per ORIGINAL document with
     first-failing-stage attribution ('quality_rejected' / 'near_dup' /
-    'ppl_pruned' / 'kept') and the train/val/test assignment for kept
-    docs — the auditable funnel a pipeline reports, with every branch
-    exercised at both test SFs (dedup runs before ppl pruning precisely
-    because a duplicate's extra tokens skew its perplexity — measured
-    here: at 0.5 jaccard every near-dup pair straddled the cutoff when
-    pruning ran first).
+    'sem_dup' / 'ppl_pruned' / 'budget_cut' / 'kept') and the
+    train/val/test assignment for kept docs — the auditable funnel a
+    pipeline reports, with every branch exercised at both test SFs
+    (dedup runs before ppl pruning precisely because a duplicate's
+    extra tokens skew its perplexity — measured here: at 0.5 jaccard
+    every near-dup pair straddled the cutoff when pruning ran first).
 
     Why registered as ONE query: the pieces are proven individually;
     cross-stage plan interactions (stats ancestry over checkpointed
@@ -1209,6 +1277,8 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs restricted by broadcast semi joins, label propagation over the
     tiny duplicate-edge set, two-pass rank cutoff broadcast as one row;
     no global sorts, no document-sized single-partition stage."""
+    from pyspark.sql.window import Window
+
     from ..functions.dedup_fuzzy import (
         connected_components,
         minhash_lsh_near_dups,
@@ -1247,9 +1317,92 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "unigram_ppl")
     )
-    cutoff = _exact_rank_cutoff(s2, "unigram_ppl", _PPL_Q)
+    # --- r10 stage: SemDeDup over the minhash survivors (vec_id domain
+    # doubles as doc_id) — K-row centroid broadcast for assignment,
+    # pairwise only within clusters, joins pinned SMJ like the
+    # registered semdedup_prune so the plan shape holds across SFs
+    from ..functions.similarity import as_double_array
+    from .curation_extras import _SEM_K, _SEM_TAU, _cos
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
+    )
+    sem_in = emb.join(
+        s2.select(F.col("doc_id").alias("vec_id")).hint("merge"),
+        "vec_id",
+        "left_semi",
+    )
+    w_sem = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cent_id")
+    )
+    sem_assign = (
+        sem_in.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.round(_cos(F.col("v"), F.col("cvec")), 6).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_sem))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("sc"))
+    )
+    withv = sem_assign.join(sem_in.hint("merge"), "vec_id")
+    sem_a = withv.select(
+        "sc", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
+    )
+    sem_b = withv.select(
+        "sc", F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")
+    )
+    sem_pruned = (
+        sem_a.join(sem_b.hint("merge"), "sc")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(_cos(F.col("a_v"), F.col("b_v")), 6) > _SEM_TAU)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_sem", F.lit(1))
+    )
+    s3 = s2.join(sem_pruned.hint("merge"), "doc_id", "left_anti")
+    cutoff = _exact_rank_cutoff(s3, "unigram_ppl", _PPL_Q)
+    # --- r10 stage: per-source token budget over the ppl survivors
+    # (cumulative window PARTITIONED by source — never a global sort)
+    s4 = (
+        s3.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("unigram_ppl") <= F.col("cutoff"))
+        .select("doc_id")
+    )
+    bscored = docs.join(s4.hint("merge"), "doc_id").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
+                lambda t: t != "",
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w_b = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s5 = (
+        bscored.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w_b).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= _CHAIN_BUDGET)
+        .select("doc_id")
+        .withColumn("in_budget", F.lit(1))
+    )
     v = (
         base.join(F.broadcast(comp), "doc_id", "left")
+        .join(sem_pruned.hint("merge"), "doc_id", "left")
+        .join(F.broadcast(s5), "doc_id", "left")
         .crossJoin(F.broadcast(cutoff))
         .select(
             "doc_id",
@@ -1259,7 +1412,9 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("component_id") != F.col("doc_id")),
                 "near_dup",
             )
+            .when(F.col("is_sem").isNotNull(), "sem_dup")
             .when(F.col("unigram_ppl") > F.col("cutoff"), "ppl_pruned")
+            .when(F.col("in_budget").isNull(), "budget_cut")
             .otherwise("kept")
             .alias("stage"),
             F.coalesce("component_id", "doc_id").alias("cluster_id"),

@@ -211,11 +211,15 @@ def commit_snapshot(
     partition_col: str,
     added: list[tuple[str, str, int]],
     deleted_paths: tuple[str, ...] = (),
+    summary: dict | None = None,
 ) -> int:
     """Commit one snapshot: prior active files carry forward as EXISTING
     entries (minus ``deleted_paths``, which append as DELETED tombstone
     entries), ``added`` (path, partition_value, record_count) rows append
-    as ADDED. Writes manifest + manifest list + next metadata JSON."""
+    as ADDED. Writes manifest + manifest list + next metadata JSON.
+    ``summary`` key/values land on the snapshot entry (Iceberg's
+    snapshot summary map — e.g. a streaming batch id for exactly-once
+    sinks)."""
     md = _load_metadata(location)
     mdir = os.path.join(location, "metadata")
     os.makedirs(mdir, exist_ok=True)
@@ -239,9 +243,10 @@ def commit_snapshot(
         _MANIFEST_LIST_SCHEMA,
         [(manifest, os.path.getsize(manifest), 0, sid)],
     )
-    snapshots = (md["snapshots"] if md else []) + [
-        {"snapshot-id": sid, "manifest-list": mlist}
-    ]
+    snap_entry = {"snapshot-id": sid, "manifest-list": mlist}
+    if summary:
+        snap_entry["summary"] = dict(summary)
+    snapshots = (md["snapshots"] if md else []) + [snap_entry]
     new_md = {
         "format-version": 1,
         "location": location,

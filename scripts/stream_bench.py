@@ -418,6 +418,45 @@ def main() -> None:
             f"{json.dumps(results['avrolite_stream_ingest'])}",
             flush=True,
         )
+
+        # --- streaming iceberg-lite sink ------------------------------------
+        # r10: snapshot-per-batch lakehouse commits with exactly-once
+        # replay (batch id in the snapshot summary). Per batch: one
+        # distributed partitioned parquet write + a metadata-plane
+        # manifest commit — flatness proves the commit cost stays
+        # O(batch), not O(table), as snapshots accumulate to 50.
+        from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+            active_files,
+        )
+        from pwc_challenge_dataengineer_spark.streaming.lakehouse_sink import (
+            iceberg_batch_sink,
+        )
+
+        ice_loc = os.path.join(tmp, "ice_sink_tbl")
+
+        def iceberg_sink(df):
+            return (
+                df.writeStream.foreachBatch(
+                    iceberg_batch_sink(ice_loc, "lang")
+                )
+                .option(
+                    "checkpointLocation", os.path.join(tmp, "ck_icesink")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _run(
+            "iceberg_sink_commit",
+            file_stream(docs_dir, docs_schema),
+            iceberg_sink,
+            results,
+        )
+        n_committed = sum(n for _, _, n in active_files(ice_loc))
+        assert n_committed == results["iceberg_sink_commit"]["rows"], (
+            n_committed,
+            results["iceberg_sink_commit"]["rows"],
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
