@@ -946,3 +946,101 @@ def hudi_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+# --------------------------------------- table maintenance (compaction)
+# The ops half of the lakehouse story: a snapshot-per-batch streaming
+# sink (streaming/lakehouse_sink.py) accretes small files; bin-pack
+# compaction rewrites them and snapshot expiration reclaims the old
+# ones. Both queries verify DATA-IDENTITY against the raw documents —
+# compaction that loses or duplicates a single row flips the hash —
+# while the asserts pin the file-count and reachability mechanics.
+
+_ICE_FULL_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang
+"""
+
+
+def _build_maintained_table(spark: SparkSession, sf_dir: str, expire: bool):
+    from ..sources.iceberg_lite import (
+        active_files,
+        compact_data_files,
+        expire_snapshots,
+    )
+
+    kind = "iceexpire" if expire else "icecompact"
+
+    def build(location: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        entries = _write_partitioned(
+            docs,
+            "lang",
+            os.path.join(location, "data", "s1"),
+            salt=(F.col("doc_id") % 2),
+        )
+        commit_snapshot(location, "lang", entries)
+        pre = active_files(location)
+        assert len(pre) > len({p for _, p, _ in pre})  # small files exist
+        _sid, n_before, n_after = compact_data_files(spark, location, "lang")
+        assert n_after < n_before, (n_before, n_after)
+        post = active_files(location)
+        # bin-packed: one file per partition value
+        assert len(post) == len({p for _, p, _ in post}), post
+        # same total rows per the manifests (footer-derived counts)
+        assert sum(n for _, _, n in post) == sum(n for _, _, n in pre)
+        # REPLACE semantics: the pre-compaction snapshot still reads its
+        # own files — they stay on disk until expiration
+        old = active_files(location, snapshot_id=1)
+        assert all(os.path.exists(p) for p, _, _ in old)
+        if expire:
+            n_exp, n_removed = expire_snapshots(location, keep_last=1)
+            assert n_exp == 1 and n_removed == len(pre), (n_exp, n_removed)
+            # expired-only files are physically gone ...
+            assert not any(os.path.exists(p) for p, _, _ in pre)
+            # ... while every current-snapshot file survives
+            assert all(
+                os.path.exists(p) for p, _, _ in active_files(location)
+            )
+
+    return _fixture_dir(kind, sf_dir, build)
+
+
+@register("iceberg_compact_small_files", oracle=_ICE_FULL_ORACLE)
+def iceberg_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack compaction (Iceberg's rewrite-data-files): the table's
+    salted multi-file partitions rewrite into one file per partition
+    via ONE distributed repartition+partitionBy job, committed as a
+    REPLACE snapshot (old files tombstoned, not deleted). The oracle
+    recomputes the per-lang aggregate from raw documents, so a
+    compaction that drops, duplicates or cross-partitions a single row
+    fails the hash; the asserts pin file counts before/after and that
+    time travel to the pre-compaction snapshot still works."""
+    from ..sources.iceberg_lite import active_files
+
+    location = _build_maintained_table(spark, sf_dir, expire=False)
+    live = active_files(location)
+    df, n_live, n_pruned = scan(spark, location)
+    assert n_live == len(live) and n_pruned == 0
+    return _agg(df)
+
+
+@register("iceberg_expire_snapshots", oracle=_ICE_FULL_ORACLE)
+def iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiration after compaction: the pre-compaction
+    snapshot's metadata is dropped and the small files only IT
+    referenced are physically removed (reachability rule — files shared
+    with the kept snapshot would survive). Time travel to the expired
+    snapshot now raises; the current scan is byte-identical to the
+    oracle's recompute, proving expiry never touches reachable data."""
+    location = _build_maintained_table(spark, sf_dir, expire=True)
+    try:
+        scan(spark, location, snapshot_id=1)
+        raise AssertionError("expired snapshot still readable")
+    except ValueError:
+        pass  # unknown snapshot — expired as required
+    df, _, n_pruned = scan(spark, location)
+    assert n_pruned == 0
+    return _agg(df)

@@ -1155,13 +1155,18 @@ def _chain_oracle() -> str:
     sem_e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    sem_cent AS (
-        SELECT vec_id AS cent_id, v AS cvec FROM sem_e
-        WHERE vec_id < {_SEM_K}
-    ),
     sem_in AS (
         SELECT e.vec_id, e.v FROM sem_e e
         JOIN s2 s ON s.doc_id = e.vec_id
+    ),
+    sem_k AS (
+        SELECT greatest(CAST({_SEM_K} AS BIGINT),
+                        CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS k
+        FROM sem_in
+    ),
+    sem_cent AS (
+        SELECT vec_id AS cent_id, v AS cvec FROM sem_e, sem_k
+        WHERE vec_id < sem_k.k
     ),
     sem_sims AS (
         SELECT sem_in.vec_id, sem_cent.cent_id,
@@ -1309,6 +1314,11 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         pairs2, edges_canonical=True, hint_small=True
     ).select(F.col("node_id").alias("doc_id"), "component_id")
+    # materialize the dedup-survivor set ONCE: the SemDeDup stage below
+    # SELF-JOINS frames derived from s2, and without a checkpoint Spark
+    # re-executes the whole quality→LM→minhash→label-prop lineage on
+    # BOTH sides of the pair join — measured 105x wall at 30x data
+    # before this boundary existed (x30 stress, r10)
     s2 = (
         s1.join(F.broadcast(comp), "doc_id", "left")
         .filter(
@@ -1316,6 +1326,7 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("component_id") == F.col("doc_id"))
         )
         .select("doc_id", "unigram_ppl")
+        .localCheckpoint(eager=False)
     )
     # --- r10 stage: SemDeDup over the minhash survivors (vec_id domain
     # doubles as doc_id) — K-row centroid broadcast for assignment,
@@ -1327,13 +1338,28 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    cent = emb.filter(F.col("vec_id") < _SEM_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec")
-    )
     sem_in = emb.join(
         s2.select(F.col("doc_id").alias("vec_id")).hint("merge"),
         "vec_id",
         "left_semi",
+    ).localCheckpoint(eager=False)
+    # ADAPTIVE cluster count K = max(8, floor(sqrt(n))): balances the
+    # n*K assignment term against the n^2/K within-cluster pair term at
+    # ~n^1.5 (the SemDeDup paper's K-grows-with-n requirement). With
+    # fixed K=8 the x30 survivor set (50,911 vectors) generated ~162M
+    # SMJ pair rows and the chain went 105x at 30x data; sqrt-K caps
+    # cluster size at ~sqrt(n). The oracle computes the identical
+    # closed form, so this stays value-verified at every SF.
+    k_df = sem_in.agg(
+        F.greatest(
+            F.lit(_SEM_K).cast("long"),
+            F.floor(F.sqrt(F.count("*"))).cast("long"),
+        ).alias("k")
+    )
+    cent = (
+        emb.crossJoin(F.broadcast(k_df))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec"))
     )
     w_sem = Window.partitionBy("vec_id").orderBy(
         F.desc("cos"), F.asc("cent_id")
@@ -1363,8 +1389,11 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
         .withColumn("is_sem", F.lit(1))
+        # reused by s3 AND the final attribution join: one materialize
+        .localCheckpoint(eager=False)
     )
-    s3 = s2.join(sem_pruned.hint("merge"), "doc_id", "left_anti")
+    s3 = s2.join(sem_pruned.hint("merge"), "doc_id", "left_anti")\
+        .localCheckpoint(eager=False)  # feeds the rank cutoff AND s4
     cutoff = _exact_rank_cutoff(s3, "unigram_ppl", _PPL_Q)
     # --- r10 stage: per-source token budget over the ppl survivors
     # (cumulative window PARTITIONED by source — never a global sort)
@@ -1398,6 +1427,7 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _CHAIN_BUDGET)
         .select("doc_id")
         .withColumn("in_budget", F.lit(1))
+        .localCheckpoint(eager=False)
     )
     v = (
         base.join(F.broadcast(comp), "doc_id", "left")

@@ -173,6 +173,17 @@ def _metadata_path(location: str) -> str | None:
     return os.path.join(mdir, versions[-1][1]) if versions else None
 
 
+def _next_version(location: str) -> int:
+    """Next metadata-file version number: one past the newest v<N> file
+    (decoupled from snapshot ids — expiration shrinks the snapshot list
+    but version numbers only ever grow)."""
+    p = _metadata_path(location)
+    if p is None:
+        return 1
+    name = os.path.basename(p)
+    return int(name[1 : -len(".metadata.json")]) + 1
+
+
 def _load_metadata(location: str) -> dict | None:
     p = _metadata_path(location)
     if p is None:
@@ -226,7 +237,14 @@ def commit_snapshot(
     prior = (
         active_files(location) if md is not None and md["snapshots"] else []
     )
-    sid = (len(md["snapshots"]) + 1) if md else 1
+    # next id from the MAX live id (not the list length): snapshot
+    # expiration shrinks the list, and reusing an expired id would let
+    # time travel silently resolve to the wrong snapshot
+    sid = (
+        max(s["snapshot-id"] for s in md["snapshots"]) + 1
+        if md and md["snapshots"]
+        else 1
+    )
     entries = []
     for path, part, cnt in prior:
         status = 2 if path in deleted_paths else 0
@@ -261,7 +279,7 @@ def commit_snapshot(
         "current-snapshot-id": sid,
         "snapshots": snapshots,
     }
-    version = sid
+    version = _next_version(location)
     tmp = os.path.join(mdir, f"v{version}.metadata.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(new_md, fh)
@@ -459,7 +477,11 @@ def commit_snapshot_v2(
         if md is not None and md["snapshots"]
         else []
     )
-    sid = (len(md["snapshots"]) + 1) if md else 1
+    sid = (
+        max(s["snapshot-id"] for s in md["snapshots"]) + 1
+        if md and md["snapshots"]
+        else 1
+    )
     entries = []
     for e in prior:
         status = 2 if e["path"] in deleted_paths else 0
@@ -532,10 +554,11 @@ def commit_snapshot_v2(
         "last-sequence-number": sid,
         "snapshots": snapshots,
     }
-    tmp = os.path.join(mdir, f"v{sid}.metadata.json.tmp")
+    version = _next_version(location)
+    tmp = os.path.join(mdir, f"v{version}.metadata.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(new_md, fh)
-    os.replace(tmp, os.path.join(mdir, f"v{sid}.metadata.json"))
+    os.replace(tmp, os.path.join(mdir, f"v{version}.metadata.json"))
     return sid
 
 
@@ -625,3 +648,106 @@ def scan_v2(
         len(data),
         n_pruned,
     )
+
+
+# ------------------------------------------- table maintenance actions
+# The two operations that keep a streaming-fed lakehouse table healthy
+# at scale, per the public Iceberg maintenance model: BIN-PACK
+# COMPACTION (rewrite-data-files — the "small files problem" fix: a
+# snapshot-per-batch sink accretes thousands of small files whose
+# per-file open cost eventually dominates scans) and SNAPSHOT
+# EXPIRATION (drop old snapshots' metadata and physically delete the
+# files only they reference). Compaction is a REPLACE commit: data is
+# bit-identical, old snapshots keep reading the old files until they
+# expire — which is exactly what the catalog queries pin.
+
+
+def compact_data_files(spark, location: str, partition_col: str):
+    """Bin-pack all live data files: one distributed
+    ``repartition(col).write.partitionBy(col)`` rewrite job over the
+    whole table, committed as a snapshot whose prior files are DELETED
+    tombstones and whose rewritten files are ADDED. Returns
+    (snapshot_id, n_files_before, n_files_after)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from .parquet_meta import read_footer
+
+    files = active_files(location)
+    old_paths = tuple(p for p, _, _ in files)
+    if not old_paths:
+        raise ValueError("compact: no live data files")
+    dir_col = f"__dir_{partition_col}"
+    out = os.path.join(location, "data", f"compact-{_uuid.uuid4().hex[:8]}")
+    (
+        spark.read.parquet(*old_paths)
+        .withColumn(dir_col, F.col(partition_col))
+        .repartition(F.col(dir_col))
+        .write.mode("overwrite")
+        .partitionBy(dir_col)
+        .parquet(out)
+    )
+    entries = []
+    for d in sorted(os.listdir(out)):
+        if not d.startswith(dir_col + "="):
+            continue
+        value = d.split("=", 1)[1]
+        pdir = os.path.join(out, d)
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                path = os.path.join(pdir, f)
+                entries.append((path, value, read_footer(path)[3]))
+    sid = commit_snapshot(
+        location,
+        partition_col,
+        entries,
+        deleted_paths=old_paths,
+        summary={"operation": "replace"},
+    )
+    return sid, len(old_paths), len(entries)
+
+
+def expire_snapshots(location: str, keep_last: int = 1):
+    """Expire all but the newest ``keep_last`` snapshots: their manifest
+    lists and manifests are removed, and data files reachable ONLY from
+    expired snapshots are physically deleted (files still referenced by
+    a kept snapshot survive — the reachability rule that makes expiry
+    safe after compaction). Returns (n_expired, n_files_removed)."""
+    md = _load_metadata(location)
+    if md is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {location}")
+    snaps = md["snapshots"]
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    if keep_last >= len(snaps):
+        return 0, 0
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    reachable: set[str] = set()
+    for s in kept:
+        for p, _, _ in active_files(location, s["snapshot-id"]):
+            reachable.add(p)
+    expired_paths: set[str] = set()
+    for s in expired:
+        for p, _, _ in active_files(location, s["snapshot-id"]):
+            expired_paths.add(p)
+    removed = 0
+    for p in sorted(expired_paths - reachable):
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    for s in expired:
+        for mrow in read_ocf(s["manifest-list"]):
+            manifest = mrow[0]
+            if os.path.exists(manifest):
+                os.remove(manifest)
+        os.remove(s["manifest-list"])
+    new_md = dict(md)
+    new_md["snapshots"] = kept
+    mdir = os.path.join(location, "metadata")
+    version = _next_version(location)
+    tmp = os.path.join(mdir, f"v{version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(new_md, fh)
+    os.replace(tmp, os.path.join(mdir, f"v{version}.metadata.json"))
+    return len(expired), removed

@@ -205,3 +205,52 @@ def test_v2_deletes_and_sequence_rules(tmp_path, spark):
         spark, loc, partition_pred=lambda p: p == "nope"
     )
     assert df3.count() == 0 and (n_live3, n_pruned3) == (2, 2)
+
+
+def test_compaction_and_expiry(tmp_path, spark):
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        compact_data_files,
+        expire_snapshots,
+        scan,
+    )
+
+    loc = str(tmp_path / "tbl")
+
+    def write_one(subdir, rows):
+        out = os.path.join(loc, "data", subdir)
+        spark.createDataFrame(
+            rows, "k long, lang string"
+        ).coalesce(1).write.parquet(out)
+        return next(
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        )
+
+    # two small files per partition across two commits
+    a1 = write_one("a1", [(1, "en"), (2, "en")])
+    b1 = write_one("b1", [(3, "de")])
+    commit_snapshot(loc, "lang", [(a1, "en", 2), (b1, "de", 1)])
+    a2 = write_one("a2", [(4, "en")])
+    commit_snapshot(loc, "lang", [(a2, "en", 1)])
+
+    sid, before, after = compact_data_files(spark, loc, "lang")
+    assert before == 3 and after == 2  # one packed file per partition
+    df, n_live, _ = scan(spark, loc)
+    assert sorted(r["k"] for r in df.collect()) == [1, 2, 3, 4]
+    # old snapshot still reads the old files (replace, not delete)
+    old, n_old, _ = scan(spark, loc, snapshot_id=2)
+    assert sorted(r["k"] for r in old.collect()) == [1, 2, 3, 4]
+
+    n_exp, n_removed = expire_snapshots(loc, keep_last=1)
+    assert n_exp == 2 and n_removed == 3  # all three small files gone
+    assert not os.path.exists(a1) and not os.path.exists(a2)
+    # current data intact; expired snapshot unreadable
+    df2, _, _ = scan(spark, loc)
+    assert sorted(r["k"] for r in df2.collect()) == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        scan(spark, loc, snapshot_id=2)
+    # ids keep growing past expiry: no reuse of expired snapshot ids
+    c1 = write_one("c1", [(9, "fr")])
+    new_sid = commit_snapshot(loc, "lang", [(c1, "fr", 1)])
+    assert new_sid > sid
