@@ -46,6 +46,15 @@ GATE_ALLOWLIST: dict[str, str] = {
         "the plan drift with the size estimate; the K-row centroid join "
         "stays an explicit broadcast"
     ),
+    "curation_chain_e2e": (
+        "the r10 SemDeDup stage inside the chain pins its row-scaling "
+        "survivor semi-join sort-merge for the same reason as "
+        "semdedup_prune (the audit-SF fingerprint should equal the "
+        "at-scale shape); its pair join and centroid assignment follow "
+        "the registered operator's pinned pattern, and the x30 harness "
+        "shows the identical 15/11/1 shape at both scales "
+        "(SCALE_STRESS_x30_r10wave1)"
+    ),
 }
 
 
