@@ -14,12 +14,30 @@ storage blocks of every query before it — measured swings up to 9x on
 late-list queries (see scripts/scale_stress.py). Leftover persistent RDDs
 are dropped BETWEEN queries so each timing covers its own work only; a
 query's own checkpoints still count against it.
+
+A/B mode (r10 verdict task: per-query alternation immune to bursty host
+drift — two whole-run benches hours apart measure the HOST, not the code):
+
+  python bench.py --ab <git-ref> [--reps N]
+
+spawns TWO long-lived worker processes — one importing the package from
+HEAD (this tree), one from a detached worktree of <git-ref> — and runs
+each headline query back-to-back in LOCKSTEP (alternating which side
+leads per query, so neither side systematically pays cache-warming for
+the other). Host noise lands on both sides of each pair within seconds
+of each other, so the per-query HEAD/ref ratios and their geomean are
+meaningful even when absolute wall times swing 2x between sessions.
+With --reps N each side runs every query N times and the MIN is used
+(min is the standard noise-robust estimator for repeated timings).
+Emits the usual JSON line (HEAD numbers) plus an "ab" object with the
+ref's numbers, per-query ratios, and the geomean ratio.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -62,11 +80,19 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def _sf_dir() -> tuple[str, float]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    sf = (
+        float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        if "sf" in sf_dir
+        else -1.0
+    )
+    return sf_dir, sf
 
-    from pwc_challenge_dataengineer_spark.plans.catalog import QUERIES
+
+def _build_session_and_warm(sf_dir: str):
+    """Session + the full warmup suite (JIT, Python worker pool, dedup
+    plan family) so the first measured query pays only its own work."""
     from pwc_challenge_dataengineer_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -82,7 +108,10 @@ def main() -> None:
         nation.join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(F.count("*").alias("c"))
-        .withColumn("rn", F.row_number().over(Window.orderBy(F.col("c").desc(), "r_name")))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("c").desc(), "r_name")),
+        )
         .count()
     )
     # warm the text/array codegen paths (split/sequence/transform/md5/explode)
@@ -90,7 +119,9 @@ def main() -> None:
     (
         nation.select(F.explode(F.split(F.lower("n_name"), "")).alias("ch"))
         .select(F.md5(F.concat_ws(":", F.lit("w"), "ch")).alias("h"))
-        .groupBy("h").count().count()
+        .groupBy("h")
+        .count()
+        .count()
     )
 
     # Warm the WHOLE Python worker pool, not one worker: a single-partition
@@ -126,27 +157,39 @@ def main() -> None:
         "doc_id BIGINT, text STRING",
     )
     connected_components(
-        minhash_lsh_near_dups(tiny, "doc_id", "text", threshold=0.1, hint_small=True),
+        minhash_lsh_near_dups(
+            tiny, "doc_id", "text", threshold=0.1, hint_small=True
+        ),
         edges_canonical=True,
         hint_small=True,
     ).count()
+    return spark
 
+
+def _run_one(spark, sf_dir: str, name: str) -> tuple[float, int]:
+    """One isolated query timing: leftover cache/checkpoint blocks from
+    earlier queries dropped first (see isolation note in the module
+    docstring). NOTE: do NOT System.gc() here — an explicit full GC on
+    the 16g heap measurably poisons the next queries (dedup_components
+    went 3.0s -> 5-11s with it)."""
+    from pwc_challenge_dataengineer_spark.plans.catalog import QUERIES
+
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    fn = QUERIES[name]
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    n = df.count()  # materialize the full result without driver transfer
+    return round(time.time() - t0, 3), n
+
+
+def main() -> None:
+    sf_dir, sf = _sf_dir()
+    spark = _build_session_and_warm(sf_dir)
     times: dict[str, float] = {}
     for name in HEADLINE:
-        # drop leftover checkpoint/cache blocks from earlier queries (see
-        # isolation note in the module docstring) and clear cached plans.
-        # NOTE: do NOT System.gc() here — an explicit full GC on the 16g
-        # heap measurably poisons the next queries (dedup_components went
-        # 3.0s -> 5-11s with it; likely G1 full-GC side effects on code/
-        # metadata spaces), the opposite of the isolation it was meant to buy.
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # materialize the full result without driver transfer
-        times[name] = round(time.time() - t0, 3)
+        times[name], n = _run_one(spark, sf_dir, name)
         print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
@@ -163,5 +206,171 @@ def main() -> None:
     )
 
 
+# ------------------------------------------------------------ A/B mode
+
+
+def _worker(tree: str) -> None:
+    """Lockstep worker: import the engine from ``tree``, build + warm a
+    session, then serve query-timing requests line-by-line on stdin.
+    Protocol lines on stdout (everything Spark says goes to stderr):
+      READY                       after warmup
+      {"q": name, "sec": t, "rows": n}   per request
+    """
+    # the engine must come from `tree`, not from this script's dir
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path[:] = [
+        p for p in sys.path if os.path.abspath(p or ".") not in (here, tree)
+    ]
+    sys.path.insert(0, tree)
+    for mod in list(sys.modules):
+        if mod.startswith("pwc_challenge_dataengineer_spark"):
+            del sys.modules[mod]
+    sf_dir, _sf = _sf_dir()
+    spark = _build_session_and_warm(sf_dir)
+    print("READY", flush=True)
+    for line in sys.stdin:
+        name = line.strip()
+        if not name or name == "EXIT":
+            break
+        sec, rows = _run_one(spark, sf_dir, name)
+        print(json.dumps({"q": name, "sec": sec, "rows": rows}), flush=True)
+    spark.stop()
+
+
+class _Side:
+    def __init__(self, label: str, tree: str):
+        self.label = label
+        self.tree = tree
+        self.times: dict[str, float] = {}
+        self.rows: dict[str, int] = {}
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", tree],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            cwd=tree,
+            text=True,
+            bufsize=1,
+        )
+
+    def _read_line(self) -> str:
+        line = self.proc.stdout.readline()
+        if not line:
+            raise RuntimeError(
+                f"A/B worker {self.label} ({self.tree}) died "
+                f"(exit {self.proc.poll()})"
+            )
+        return line.strip()
+
+    def wait_ready(self) -> None:
+        while True:
+            if self._read_line() == "READY":
+                return
+
+    def run(self, name: str) -> float:
+        self.proc.stdin.write(name + "\n")
+        self.proc.stdin.flush()
+        rec = json.loads(self._read_line())
+        assert rec["q"] == name
+        sec = float(rec["sec"])
+        self.rows[name] = int(rec["rows"])
+        if name not in self.times or sec < self.times[name]:
+            self.times[name] = sec  # min across reps
+        return sec
+
+    def close(self) -> None:
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
+
+
+def _ab(ref: str, reps: int) -> None:
+    import math
+    import shutil
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.check_output(
+        ["git", "-C", here, "rev-parse", "--short", ref], text=True
+    ).strip()
+    ref_tree = f"/tmp/bench_ab_{sha}"
+    if not os.path.isdir(os.path.join(ref_tree, ".git")) and not os.path.isfile(
+        os.path.join(ref_tree, ".git")
+    ):
+        shutil.rmtree(ref_tree, ignore_errors=True)
+        subprocess.check_call(
+            ["git", "-C", here, "worktree", "add", "--force", "--detach",
+             ref_tree, ref],
+            stdout=sys.stderr,
+        )
+    sf_dir, sf = _sf_dir()
+    head = _Side("HEAD", here)
+    refs = _Side(f"ref:{sha}", ref_tree)
+    try:
+        head.wait_ready()
+        refs.wait_ready()
+        for i, name in enumerate(HEADLINE):
+            for _rep in range(reps):
+                # alternate the leader so neither side systematically
+                # benefits from the other having just warmed OS caches
+                order = (head, refs) if i % 2 == 0 else (refs, head)
+                for side in order:
+                    sec = side.run(name)
+                    print(
+                        f"# {name} [{side.label}]: {sec:.2f}s",
+                        file=sys.stderr,
+                    )
+    finally:
+        head.close()
+        refs.close()
+    ratios = {
+        q: round(head.times[q] / refs.times[q], 3)
+        for q in HEADLINE
+        if refs.times.get(q)
+    }
+    geomean = round(
+        math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
+    )
+    mismatched = [
+        q for q in HEADLINE if head.rows.get(q) != refs.rows.get(q)
+    ]
+    total = round(sum(head.times[q] for q in HEADLINE), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": head.times,
+                "sf": sf,
+                "ab": {
+                    "ref": ref,
+                    "ref_sha": sha,
+                    "reps": reps,
+                    "ref_total": round(
+                        sum(refs.times[q] for q in HEADLINE), 3
+                    ),
+                    "ref_queries": refs.times,
+                    "ratio_per_query": ratios,
+                    "geomean_ratio": geomean,
+                    "row_count_mismatches": mismatched,
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        _worker(sys.argv[2])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+        reps = (
+            int(sys.argv[sys.argv.index("--reps") + 1])
+            if "--reps" in sys.argv
+            else 1
+        )
+        _ab(sys.argv[2], reps)
+    else:
+        main()

@@ -25,6 +25,7 @@ import atexit
 import hashlib
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,23 +49,39 @@ _SNAP2_LANGS = ("fr", "zh")
 _RUN_NONCE = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
 _BUILT: dict[str, str] = {}
 _CLEANUP: list[str] = []
+# per-key build locks: the run nonce isolates PROCESSES, but two
+# in-process threads that miss the memo simultaneously would derive the
+# SAME location and rmtree+build it concurrently — serialize the
+# check-build-insert sequence per key (distinct keys still build in
+# parallel)
+_BUILT_GUARD = threading.Lock()
+_KEY_LOCKS: dict[str, threading.Lock] = {}
 
 
 def _fixture_dir(kind: str, sf_dir: str, build) -> str:
     key = f"{kind}:{sf_dir}"
-    if key in _BUILT:
-        return _BUILT[key]
-    tag = hashlib.md5(key.encode()).hexdigest()[:10]
-    location = f"/tmp/lakehouse_{kind}_{tag}_{_RUN_NONCE}"
-    shutil.rmtree(location, ignore_errors=True)
-    build(location)
-    if not _CLEANUP:
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _CLEANUP]
-        )
-    _CLEANUP.append(location)
-    _BUILT[key] = location
-    return location
+    with _BUILT_GUARD:
+        if key in _BUILT:
+            return _BUILT[key]
+        lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        if key in _BUILT:  # built by the thread that held the lock first
+            return _BUILT[key]
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        location = f"/tmp/lakehouse_{kind}_{tag}_{_RUN_NONCE}"
+        shutil.rmtree(location, ignore_errors=True)
+        build(location)
+        with _BUILT_GUARD:
+            if not _CLEANUP:
+                atexit.register(
+                    lambda: [
+                        shutil.rmtree(p, ignore_errors=True)
+                        for p in _CLEANUP
+                    ]
+                )
+            _CLEANUP.append(location)
+            _BUILT[key] = location
+        return location
 
 
 def _write_partitioned(

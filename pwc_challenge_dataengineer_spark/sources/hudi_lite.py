@@ -160,12 +160,22 @@ def commit_mor(
     instant: str,
     base_writes: list[tuple[str, str, object]] = (),
     log_writes: list[tuple[str, str, object]] = (),
+    key_col: str | None = None,
 ) -> None:
     """One MOR delta commit: ``base_writes`` create/replace base file
     slices exactly like COW; each ``log_writes`` (partition, file_id,
     df) appends an Avro log for that FILE GROUP (rows must carry the
     record key; an optional `_hoodie_is_deleted` boolean marks
-    deletes). The `.deltacommit` timeline file lands last."""
+    deletes). The `.deltacommit` timeline file lands last.
+
+    MERGE-ORDER DETERMINISM: a key may appear MORE THAN ONCE in one log
+    (upsert then delete in a single delta commit) only when rows carry
+    an explicit ``_hoodie_seq`` long — the intra-log sequence the
+    snapshot merge uses as the within-instant tiebreak (highest seq
+    wins; logs always beat the base at the same instant). When
+    ``key_col`` is given and a log lacks ``_hoodie_seq``, duplicate
+    keys are REJECTED at write time instead of letting the read pick a
+    winner nondeterministically."""
     hd = os.path.join(location, ".hoodie")
     os.makedirs(hd, exist_ok=True)
     inflight = os.path.join(hd, f"{instant}.inflight")
@@ -193,6 +203,16 @@ def commit_mor(
         from .avrolite import register_avrolite
 
         register_avrolite(df.sparkSession)
+        if key_col is not None and "_hoodie_seq" not in df.columns:
+            dup = (
+                df.groupBy(key_col).count().filter("count > 1").limit(1)
+            ).count()
+            if dup:
+                raise ValueError(
+                    f"log write {partition}/{file_id}@{instant}: duplicate "
+                    f"{key_col} without _hoodie_seq — merge order would be "
+                    "nondeterministic; add _hoodie_seq or split the commit"
+                )
         ldir = os.path.join(location, partition, f".log_{file_id}_{instant}")
         df.write.format("avrolite").mode("overwrite").save(ldir)
         stats.setdefault(partition, []).append(
@@ -251,10 +271,13 @@ def mor_file_slices(location: str, as_of: str | None = None):
                 bases[key] = (instant, os.path.join(root, f))
     out = []
     for (partition, file_id), (bi, bpath) in sorted(bases.items()):
+        # >= not >: a log written in the SAME commit as its base slice
+        # still belongs to that slice (the merge window's log-beats-base
+        # tiebreak resolves the within-instant order deterministically)
         group_logs = sorted(
             (li, ld)
             for li, ld in logs.get((partition, file_id), [])
-            if li > bi
+            if li >= bi
         )
         out.append((partition, file_id, bi, bpath, group_logs))
     return out
@@ -282,16 +305,27 @@ def mor_snapshot(spark, location: str, key_col: str,
         [(p, fid, bi) for p, (fid, bi) in base_paths.items()],
         "__path string, __file_id string, __instant string",
     )
+    from .iceberg_lite import decode_file_path
+
     base = (
         base.withColumn(
+            # pure percent-decode back to the plain path (space/%/
+            # unicode-safe — a regex scheme-strip alone misses the join
+            # for such locations and silently drops every base row)
             "__path",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            decode_file_path(F.col("_metadata.file_path")),
         )
         .join(F.broadcast(file_info), "__path")
         .drop("__path")
     )
     if "_hoodie_is_deleted" not in base.columns:
         base = base.withColumn("_hoodie_is_deleted", F.lit(False))
+    # deterministic within-instant merge order: log rows beat base rows
+    # committed at the same instant (__is_log), and within one log an
+    # explicit _hoodie_seq orders multiple versions of a key
+    base = base.withColumn("__is_log", F.lit(0))
+    if "_hoodie_seq" not in base.columns:
+        base = base.withColumn("_hoodie_seq", F.lit(0).cast("long"))
     merged = base
     n_logs = 0
     need_register = True
@@ -306,20 +340,30 @@ def mor_snapshot(spark, location: str, key_col: str,
                 .load(ldir)
                 .withColumn("__file_id", F.lit(fid))
                 .withColumn("__instant", F.lit(li))
+                .withColumn("__is_log", F.lit(1))
             )
             if "_hoodie_is_deleted" not in log_df.columns:
                 log_df = log_df.withColumn(
                     "_hoodie_is_deleted", F.lit(False)
                 )
+            if "_hoodie_seq" not in log_df.columns:
+                log_df = log_df.withColumn(
+                    "_hoodie_seq", F.lit(0).cast("long")
+                )
             merged = merged.unionByName(log_df, allowMissingColumns=True)
     w = Window.partitionBy("__file_id", key_col).orderBy(
-        F.col("__instant").desc()
+        F.col("__instant").desc(),
+        F.col("__is_log").desc(),  # same instant: log beats base
+        F.col("_hoodie_seq").desc(),  # same log: highest seq wins
     )
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .filter(~F.col("_hoodie_is_deleted"))
-        .drop("__rn", "__file_id", "__instant", "_hoodie_is_deleted")
+        .drop(
+            "__rn", "__file_id", "__instant", "_hoodie_is_deleted",
+            "__is_log", "_hoodie_seq",
+        )
     )
     return latest, len(slices), n_logs
 

@@ -217,6 +217,59 @@ def active_files(location: str, snapshot_id: int | None = None):
     return files
 
 
+_BATCH_ID_KEY = "streaming-batch-id"
+_BATCH_HWM_KEY = "streaming-batch-hwm"
+
+
+def _carry_batch_hwm(md, summary: dict | None) -> dict | None:
+    """Fold the streaming-batch HIGH-WATER MARK into ``summary``.
+
+    Replay-dedup must survive snapshot EXPIRATION and COMPACTION: a
+    sink that reads only per-snapshot ``streaming-batch-id`` summaries
+    loses them the moment maintenance drops those snapshots (expire) or
+    a replace commit becomes the newest one (compact) — a crash-replay
+    of an expired batch would then double-append. So EVERY commit
+    (data, delete, replace) carries ``streaming-batch-hwm`` = max batch
+    id ever committed forward from the prior snapshots, and the newest
+    snapshot always knows the full replay horizon no matter what
+    maintenance ran in between."""
+    hwm = None
+    for s in (md["snapshots"] if md else []):
+        sm = s.get("summary") or {}
+        for key in (_BATCH_ID_KEY, _BATCH_HWM_KEY):
+            v = sm.get(key)
+            if v is not None:
+                hwm = int(v) if hwm is None else max(hwm, int(v))
+    if summary and summary.get(_BATCH_ID_KEY) is not None:
+        b = int(summary[_BATCH_ID_KEY])
+        hwm = b if hwm is None else max(hwm, b)
+    if hwm is None:
+        return summary
+    out = dict(summary or {})
+    out[_BATCH_HWM_KEY] = str(hwm)
+    return out
+
+
+def committed_batch_hwm(location: str) -> int | None:
+    """Highest streaming batch id the table has EVER committed, reading
+    both live per-snapshot ids and the carried-forward HWM summary (so
+    the answer is stable across expire_snapshots / compaction)."""
+    try:
+        md = _load_metadata(location)
+    except FileNotFoundError:
+        return None
+    if md is None:
+        return None
+    hwm = None
+    for s in md["snapshots"]:
+        sm = s.get("summary") or {}
+        for key in (_BATCH_ID_KEY, _BATCH_HWM_KEY):
+            v = sm.get(key)
+            if v is not None:
+                hwm = int(v) if hwm is None else max(hwm, int(v))
+    return hwm
+
+
 def commit_snapshot(
     location: str,
     partition_col: str,
@@ -230,7 +283,8 @@ def commit_snapshot(
     as ADDED. Writes manifest + manifest list + next metadata JSON.
     ``summary`` key/values land on the snapshot entry (Iceberg's
     snapshot summary map — e.g. a streaming batch id for exactly-once
-    sinks)."""
+    sinks); the streaming-batch high-water mark is carried forward into
+    EVERY snapshot's summary (see ``_carry_batch_hwm``)."""
     md = _load_metadata(location)
     mdir = os.path.join(location, "metadata")
     os.makedirs(mdir, exist_ok=True)
@@ -262,6 +316,7 @@ def commit_snapshot(
         [(manifest, os.path.getsize(manifest), 0, sid)],
     )
     snap_entry = {"snapshot-id": sid, "manifest-list": mlist}
+    summary = _carry_batch_hwm(md, summary)
     if summary:
         snap_entry["summary"] = dict(summary)
     snapshots = (md["snapshots"] if md else []) + [snap_entry]
@@ -562,6 +617,25 @@ def commit_snapshot_v2(
     return sid
 
 
+def decode_file_path(col):
+    """Normalize ``_metadata.file_path`` back to the PLAIN local path.
+
+    Spark renders it as ``file:`` + the Hadoop URI form, which
+    percent-encodes URI-special ASCII (space -> %20, %% -> %25) but
+    leaves non-ASCII and '+' RAW (verified empirically on this Spark).
+    A bare regex strip of the scheme therefore misses the join against
+    driver-built plain paths whenever the table location carries a
+    space/%%/unicode — silently dropping every row. The exact inverse:
+    strip the scheme, protect literal '+' as %%2B (url_decode is
+    form-decoding and would turn raw '+' into space), then url_decode,
+    i.e. a pure percent-decode. Every '%%' in the URI form begins a
+    valid escape (raw '%%' was encoded to %%25), so the decode is total."""
+    from pyspark.sql import functions as F
+
+    stripped = F.regexp_replace(col, "^file:/+", "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+
+
 def scan_v2(
     spark,
     location: str,
@@ -601,9 +675,7 @@ def scan_v2(
         return empty, len(data), n_pruned
     df = spark.read.parquet(*[e["path"] for e in kept]).withColumns(
         {
-            "__file_path": F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ),
+            "__file_path": decode_file_path(F.col("_metadata.file_path")),
             "__row_pos": F.col("_metadata.row_index"),
         }
     )
@@ -640,7 +712,11 @@ def scan_v2(
         )
         cond = F.lit(True)
         for c in cols:
-            cond = cond & (F.col(c) == F.col(f"__eq_{c}"))
+            # null-SAFE equality: Iceberg equality-delete matching
+            # treats null == null as a match, so a delete row carrying
+            # NULL in an equality column must delete NULL data rows —
+            # a plain '==' can never match them
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
         cond = cond & (F.col("__del_seq") > F.col("__data_seq"))
         df = df.join(F.broadcast(eq_rows), cond, "left_anti")
     return (

@@ -30,7 +30,11 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..sources.iceberg_lite import _load_metadata, commit_snapshot
+from ..sources.iceberg_lite import (
+    _load_metadata,
+    commit_snapshot,
+    committed_batch_hwm,
+)
 
 _BATCH_KEY = "streaming-batch-id"
 
@@ -83,8 +87,17 @@ def iceberg_batch_sink(location: str, partition_col: str):
     after a checkpoint/commit race must not double-append)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in committed_batch_ids(location):
+        # Replay dedup consults BOTH the live per-snapshot batch ids
+        # and the carried-forward high-water mark: snapshot expiration
+        # / compaction may have dropped the snapshot that carried this
+        # batch's id, but every later commit (including compaction's
+        # replace) re-records the HWM in its own summary, and batch ids
+        # are monotonic, so id <= HWM means already committed.
+        hwm = committed_batch_hwm(location)
+        if hwm is not None and batch_id <= hwm:
             return  # replayed batch: already visible in the table
+        if batch_id in committed_batch_ids(location):
+            return
         out_dir = os.path.join(location, "data", f"batch-{batch_id}")
         entries = _write_batch(batch_df, partition_col, out_dir)
         commit_snapshot(

@@ -136,3 +136,109 @@ def test_mor_merge_log_ordering_and_deletes(spark, tiny, tmp_path):
     df4, _, n_logs4 = mor_snapshot(spark, loc, key_col="id")
     got4 = sorted((r["id"], r["v"]) for r in df4.collect())
     assert got4 == [(1, "X"), (3, "N")] and n_logs4 == 0
+
+
+def test_mor_merge_determinism_tiebreaks(spark, tiny, tmp_path):
+    """r10 ADVICE pin: within-instant merge order is deterministic —
+    a base write and a log write for the same group in ONE commit
+    resolve log-over-base, and two versions of a key in ONE log file
+    resolve by the explicit `_hoodie_seq` (upsert then delete)."""
+    from pyspark.sql import functions as F
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        commit_mor,
+        mor_snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1 = "20240101000001"
+    # ONE delta commit: base slice AND a log for the same file group —
+    # the log must beat the base at the same instant, always
+    commit_mor(
+        loc,
+        t1,
+        base_writes=[("p=a", "fg1", tiny([(1, "base"), (2, "keep")]))],
+        log_writes=[("p=a", "fg1", tiny([(1, "log")]))],
+    )
+    df, _, _ = mor_snapshot(spark, loc, key_col="id")
+    got = sorted((r["id"], r["v"]) for r in df.collect())
+    assert got == [(1, "log"), (2, "keep")], got
+
+    # ONE log carrying upsert (seq 1) then delete (seq 2) of key 2:
+    # the delete must win because its seq is higher
+    t2 = "20240101000002"
+    upsert = tiny([(2, "resurrect")]).select(
+        "*",
+        F.lit(False).alias("_hoodie_is_deleted"),
+        F.lit(1).cast("long").alias("_hoodie_seq"),
+    )
+    delete = tiny([(2, "tomb")]).select(
+        "*",
+        F.lit(True).alias("_hoodie_is_deleted"),
+        F.lit(2).cast("long").alias("_hoodie_seq"),
+    )
+    commit_mor(
+        loc, t2, log_writes=[("p=a", "fg1", upsert.unionByName(delete))]
+    )
+    df2, _, _ = mor_snapshot(spark, loc, key_col="id")
+    got2 = sorted((r["id"], r["v"]) for r in df2.collect())
+    assert got2 == [(1, "log")], got2  # key 2 deleted, deterministically
+
+    # seq order reversed -> the upsert wins instead
+    t3 = "20240101000003"
+    up3 = tiny([(2, "back")]).select(
+        "*",
+        F.lit(False).alias("_hoodie_is_deleted"),
+        F.lit(9).cast("long").alias("_hoodie_seq"),
+    )
+    del3 = tiny([(2, "tomb")]).select(
+        "*",
+        F.lit(True).alias("_hoodie_is_deleted"),
+        F.lit(3).cast("long").alias("_hoodie_seq"),
+    )
+    commit_mor(loc, t3, log_writes=[("p=a", "fg1", up3.unionByName(del3))])
+    df3, _, _ = mor_snapshot(spark, loc, key_col="id")
+    got3 = sorted((r["id"], r["v"]) for r in df3.collect())
+    assert got3 == [(1, "log"), (2, "back")], got3
+
+
+def test_mor_duplicate_keys_without_seq_rejected(spark, tiny, tmp_path):
+    """Writing the same key twice in one log WITHOUT `_hoodie_seq` is
+    rejected at write time when key_col is given (the read would
+    otherwise pick a winner nondeterministically)."""
+    import pytest as _pytest
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        commit_mor,
+    )
+
+    loc = str(tmp_path / "tbl")
+    dup = tiny([(1, "a"), (1, "b")])
+    with _pytest.raises(ValueError, match="duplicate id"):
+        commit_mor(
+            loc,
+            "20240101000001",
+            log_writes=[("p=a", "fg1", dup)],
+            key_col="id",
+        )
+
+
+def test_mor_snapshot_survives_nasty_table_location(spark, tiny, tmp_path):
+    """r10 ADVICE pin (hudi leg): the base-row file_path join must
+    survive a table location with space/%/unicode/+ — a missed join
+    would silently drop every base row."""
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        commit_mor,
+        mor_snapshot,
+    )
+
+    loc = str(tmp_path / "nasty dir %20 ü+x" / "tbl")
+    t1, t2 = "20240101000001", "20240101000002"
+    commit_mor(
+        loc, t1, base_writes=[("p=a", "fg1", tiny([(1, "x"), (2, "y")]))]
+    )
+    commit_mor(loc, t2, log_writes=[("p=a", "fg1", tiny([(2, "Y")]))])
+    df, n_groups, n_logs = mor_snapshot(spark, loc, key_col="id")
+    got = sorted((r["id"], r["v"]) for r in df.collect())
+    assert got == [(1, "x"), (2, "Y")], got
+    assert (n_groups, n_logs) == (1, 1)

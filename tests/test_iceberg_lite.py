@@ -254,3 +254,102 @@ def test_compaction_and_expiry(tmp_path, spark):
     c1 = write_one("c1", [(9, "fr")])
     new_sid = commit_snapshot(loc, "lang", [(c1, "fr", 1)])
     assert new_sid > sid
+
+
+def test_v2_scan_survives_nasty_table_location(tmp_path, spark):
+    """r10 ADVICE pin: Spark renders `_metadata.file_path` as a
+    percent-encoded URI (space -> %20, %% -> %%25; unicode and '+'
+    stay raw). A location containing those chars must NOT silently
+    drop rows via a missed file_path join — the decode must invert
+    Spark's encoding exactly, and positional deletes must still land
+    on the right (file, pos)."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        commit_snapshot_v2,
+        scan_v2,
+    )
+
+    loc = str(tmp_path / "nasty dir %20 ü+x" / "tbl")
+
+    def write_one(subdir, rows, schema="k long, v string"):
+        out = os.path.join(loc, subdir)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        return next(
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        )
+
+    d1 = write_one("d1", [(k, f"a{k}") for k in range(4)])
+    commit_snapshot_v2(loc, "p", added=[(d1, "x", 4)])
+    pd1 = write_one("pd", [(d1, 2)], "file_path string, pos long")
+    commit_snapshot_v2(loc, "p", added_deletes=[(pd1, "", 1, None)])
+    df, n_live, n_pruned = scan_v2(spark, loc)
+    got = sorted(r["k"] for r in df.collect())
+    # a broken join would either return [] (seq_map miss drops all
+    # rows) or [0,1,2,3] (delete anti-join misses) — both fail here
+    assert got == [0, 1, 3], got
+    assert (n_live, n_pruned) == (1, 0)
+
+
+def test_v2_equality_delete_null_matches_null(tmp_path, spark):
+    """r10 ADVICE pin: Iceberg equality-delete matching is null-safe —
+    a delete row carrying NULL in an equality column deletes data rows
+    whose column is NULL (plain '==' would never match them)."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        commit_snapshot_v2,
+        scan_v2,
+    )
+
+    loc = str(tmp_path / "tbl")
+
+    def write_one(subdir, rows, schema="k long, v string"):
+        out = os.path.join(loc, subdir)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        return next(
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        )
+
+    d1 = write_one("d1", [(1, "a"), (2, None), (3, "b")])
+    commit_snapshot_v2(loc, "p", added=[(d1, "x", 3)])
+    eq1 = write_one("eq", [(None,)], "v string")
+    commit_snapshot_v2(loc, "p", added_deletes=[(eq1, "", 2, ("v",))])
+    df, _, _ = scan_v2(spark, loc)
+    got = sorted(r["k"] for r in df.collect())
+    assert got == [1, 3], got  # the NULL row is gone
+
+
+def test_fixture_dir_builds_once_under_concurrency(monkeypatch):
+    """r10 ADVICE pin: two in-process threads that miss the memo
+    simultaneously must NOT both rmtree+build the same nonce-suffixed
+    location — the per-key lock serializes check-build-insert."""
+    import threading
+    import time
+
+    from pwc_challenge_dataengineer_spark.plans import lakehouse as lh
+
+    monkeypatch.setattr(lh, "_BUILT", {})
+    monkeypatch.setattr(lh, "_KEY_LOCKS", {})
+    calls = []
+
+    def slow_build(location):
+        calls.append(location)
+        time.sleep(0.2)  # widen the race window
+
+    results = []
+    barrier = threading.Barrier(4)
+
+    def worker():
+        barrier.wait()
+        results.append(
+            lh._fixture_dir("racekind", "/nonexistent-sf", slow_build)
+        )
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1, calls  # built exactly once
+    assert len(set(results)) == 1  # every thread got the same location

@@ -104,3 +104,52 @@ def test_mid_write_crash_leaves_no_half_visible_state(spark, tmp_path):
     sink(_mk_batch(spark, [(5, "en")]).withColumn("k", F.lit(5)), 99)
     df2, _, _ = scan(spark, loc)
     assert sorted(r["k"] for r in df2.collect()) == [1, 5]
+
+
+def test_replay_exactly_once_survives_expire_and_compaction(
+    spark, tmp_path
+):
+    """r10 ADVICE pin: replay dedup must survive table MAINTENANCE.
+    expire_snapshots drops the snapshots that carried old batch ids,
+    and compaction makes a 'replace' snapshot the newest — the
+    carried-forward high-water mark in every commit's summary keeps
+    the replay horizon intact, so a crash-replay of an expired batch
+    still skips."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        compact_data_files,
+        committed_batch_hwm,
+        expire_snapshots,
+    )
+
+    loc = str(tmp_path / "tbl")
+    sink = iceberg_batch_sink(loc, "lang")
+    sink(_mk_batch(spark, [(1, "en"), (2, "de")]), 0)
+    sink(_mk_batch(spark, [(3, "en")]), 1)
+    sink(_mk_batch(spark, [(4, "fr")]), 2)
+    assert committed_batch_hwm(loc) == 2
+
+    # compaction commits a replace snapshot (no batch id of its own) —
+    # the HWM must ride along in its summary
+    compact_data_files(spark, loc, "lang")
+    assert committed_batch_hwm(loc) == 2
+    # expire everything but the compaction snapshot: the per-batch
+    # summaries are GONE now
+    expire_snapshots(loc, keep_last=1)
+    assert committed_batch_ids(loc) == set()  # ids dropped with snaps
+    assert committed_batch_hwm(loc) == 2  # ...but the horizon survives
+
+    snaps_before = len(_load_metadata(loc)["snapshots"])
+    rows_before = sorted(r["k"] for r in scan(spark, loc)[0].collect())
+    # crash-replay of every expired batch: must all skip
+    for bid in (0, 1, 2):
+        sink(_mk_batch(spark, [(99, "en")]), bid)
+    assert len(_load_metadata(loc)["snapshots"]) == snaps_before
+    assert (
+        sorted(r["k"] for r in scan(spark, loc)[0].collect()) == rows_before
+    )
+    # a genuinely NEW batch still commits, and advances the HWM
+    sink(_mk_batch(spark, [(5, "zh")]), 3)
+    assert committed_batch_hwm(loc) == 3
+    assert sorted(
+        r["k"] for r in scan(spark, loc)[0].collect()
+    ) == rows_before + [5]
