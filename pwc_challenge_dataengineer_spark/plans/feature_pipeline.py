@@ -87,24 +87,252 @@ def minmax_scaled_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minmax_scale(feat, ["frequency", "monetary"], suffix="_scaled")
 
 
-@register("pca_embeddings", oracle=None)  # irreducible: see docstring
-def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-8 principal components of the 64-d embeddings
-    (realtime_analytics_ml.py PCA stage). Rows-only — and irreducibly so
-    for arbitrary data: near-equal eigenvalues leave a rotation ambiguity
-    inside the eigenspace that no sign/order convention can pin across
-    engines. The PCA pipeline itself IS value-verified: the same fit +
-    transform + canonical-sign path runs under pca_fixture_projection
-    against a closed-form oracle, and the invariants here are pinned by
-    pca_reconstruction_check and
-    tests/test_feature_pipeline.py::test_pca_reconstruction_bound."""
+# ---------------------------------------------------------------------------
+# Deterministic dominant-component PCA via unrolled power iteration
+# (r10 verdict task 6: the sign/rotation ambiguity that kept pca_embeddings
+# rows-only is pinned by making the WHOLE training loop exact and unrolled,
+# the kmeans_lloyd_fixed / bpe_learn_merges doctrine):
+#   * embeddings quantize to exact ints xi = round(x * 1000) — float32
+#     mantissas (24 bits) times 1000 (10 bits) are EXACT in double, and
+#     (2k+1)/2000 is not dyadic, so the round is provably tie-free;
+#   * centering without rationals: y = n*xi - S_j (n-scaled centering,
+#     exact BIGINT — scaling doesn't move the principal axis);
+#   * each round: s_r = sum_j y*vq (exact BIGINT), u_j = sum_r y*s_r
+#     (exact DECIMAL/HUGEINT), then the iterate re-quantizes to
+#     vq = round(u/||u|| * 1e5) — the only doubles are one norm and one
+#     division whose sub-ulp engine differences vanish in the integer
+#     round (flip probability ~1e-11 per component);
+#   * sign pinned by the largest-|component|-positive convention
+#     (tiebreak: lowest dimension index);
+#   * per-vector projections come from the FINAL exact matvec s_r, so
+#     they are order-independent integers scaled by deterministic
+#     constants — no order-dependent double dot products anywhere.
+# Scale shape: the 64-row iterate broadcasts each round; the corpus is
+# touched by ROUNDS+1 distributed matvecs (join + map-side-combined
+# groupBy) — the canonical distributed power-iteration plan. The library
+# (pyspark.ml) top-8 PCA path stays value-verified via
+# pca_fixture_projection and invariant-checked via
+# pca_reconstruction_check.
+
+_PPI_ROUNDS = 6
+_PPI_XS = "1000.0"  # embedding quantization scale
+_PPI_VS = "100000.0"  # iterate quantization scale
+
+
+def _ppi_sql_chain() -> str:
+    """Shared unrolled-CTE chain: x -> y -> v0 -> (s_i, u_i, n_i, v_i)*
+    -> unit + sgn + sfin (final exact projections)."""
+    parts = [
+        f"""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id AS r, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {_PPI_XS})
+                    AS BIGINT) AS xi
+        FROM embeddings
+    ),
+    st AS MATERIALIZED (
+        SELECT pos, CAST(SUM(xi) AS BIGINT) AS ssum,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM x GROUP BY pos
+    ),
+    y AS MATERIALIZED (
+        SELECT x.r, x.label, x.pos, x.xi * st.n - st.ssum AS yv
+        FROM x JOIN st USING (pos)
+    ),
+    v0 AS MATERIALIZED (SELECT pos, CAST(100000 AS BIGINT) AS vq FROM st)"""
+    ]
+    for i in range(1, _PPI_ROUNDS + 1):
+        parts.append(
+            f""",
+    s{i} AS MATERIALIZED (
+        SELECT r, CAST(SUM(yv * vq) AS BIGINT) AS s
+        FROM y JOIN v{i - 1} USING (pos) GROUP BY r
+    ),
+    u{i} AS MATERIALIZED (
+        SELECT pos, CAST(SUM(CAST(yv AS HUGEINT) * s) AS DOUBLE) AS ud
+        FROM y JOIN s{i} USING (r) GROUP BY pos
+    ),
+    n{i} AS MATERIALIZED (SELECT SQRT(SUM(ud * ud)) AS nrm FROM u{i}),
+    v{i} AS MATERIALIZED (
+        SELECT pos, CAST(ROUND(ud / nrm * {_PPI_VS}) AS BIGINT) AS vq
+        FROM u{i} CROSS JOIN n{i}
+    )"""
+        )
+    R = _PPI_ROUNDS
+    parts.append(
+        f""",
+    unit AS MATERIALIZED (
+        SELECT pos, ud / nrm AS un FROM u{R} CROSS JOIN n{R}
+    ),
+    sgn AS (
+        SELECT CASE WHEN un < 0 THEN -1.0 ELSE 1.0 END AS sg
+        FROM unit ORDER BY ABS(un) DESC, pos ASC LIMIT 1
+    ),
+    sfin AS MATERIALIZED (
+        SELECT r, label, CAST(SUM(yv * vq) AS BIGINT) AS s
+        FROM y JOIN v{R} USING (pos) GROUP BY r, label
+    )"""
+    )
+    return "".join(parts)
+
+
+def _ppi_spark(spark: SparkSession, sf_dir: str):
+    """Spark twin of _ppi_sql_chain: returns (y, v_final, unit, sgn, n)
+    frames mirroring the oracle CTEs 1:1."""
+    xs, vs = float(_PPI_XS), float(_PPI_VS)
     emb = load_table(spark, sf_dir, "embeddings")
-    projected, _model = pca_project(emb, "embedding", k=8, id_cols=["vec_id", "label"])
-    return projected.select(
-        "vec_id",
+    x = emb.select(
+        F.col("vec_id").alias("r"),
         "label",
-        F.round(F.element_at("pc", 1), 6).alias("pc1_rounded_abs"),
-    ).withColumn("pc1_rounded_abs", F.abs("pc1_rounded_abs"))
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "xd"
+        ),
+    ).select(
+        "r",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("xd") * xs).cast("bigint").alias("xi"),
+    )
+    st = x.groupBy("pos").agg(
+        F.sum("xi").cast("bigint").alias("ssum"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    y = x.join(F.broadcast(st), "pos").select(
+        "r",
+        "label",
+        "pos",
+        (F.col("xi") * F.col("n") - F.col("ssum")).alias("yv"),
+    )
+    v = st.select("pos", F.lit(100000).cast("bigint").alias("vq"))
+    unit = None
+    for _i in range(_PPI_ROUNDS):
+        s = (
+            y.join(F.broadcast(v), "pos")
+            .groupBy("r")
+            .agg(F.sum(F.col("yv") * F.col("vq")).alias("s"))
+        )
+        u = (
+            y.join(s, "r")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.col("yv").cast("decimal(12,0)")
+                    * F.col("s").cast("decimal(20,0)")
+                )
+                .cast("double")
+                .alias("ud")
+            )
+            # 64-row iterate: materialize it so each round's downstream
+            # (v, unit, norm) reads the tiny checkpoint instead of
+            # re-deriving the corpus matvec — without this the unrolled
+            # lineage recomputes y O(2^rounds) times (measured 126s at
+            # sf0.01; ~8s with the cut). Power iteration at scale IS
+            # exactly ROUNDS+1 distributed passes over the corpus.
+            .localCheckpoint()
+        )
+        nrm = u.agg(F.sqrt(F.sum(F.col("ud") * F.col("ud"))).alias("nrm"))
+        withn = u.crossJoin(F.broadcast(nrm))
+        v = withn.select(
+            "pos",
+            F.round(F.col("ud") / F.col("nrm") * vs)
+            .cast("bigint")
+            .alias("vq"),
+        )
+        unit = withn.select(
+            "pos", (F.col("ud") / F.col("nrm")).alias("un")
+        )
+    sgn = (
+        unit.orderBy(F.abs(F.col("un")).desc(), F.col("pos").asc())
+        .limit(1)
+        .select(
+            F.when(F.col("un") < 0, F.lit(-1.0))
+            .otherwise(F.lit(1.0))
+            .alias("sg")
+        )
+    )
+    sfin = (
+        y.join(F.broadcast(v), "pos")
+        .groupBy("r", "label")
+        .agg(F.sum(F.col("yv") * F.col("vq")).cast("bigint").alias("s"))
+    )
+    return y, v, unit, sgn, sfin
+
+
+_PCA_EMB_ORACLE = (
+    _ppi_sql_chain()
+    + f"""
+    SELECT f.r AS vec_id, f.label,
+           ROUND(g.sg * (CAST(f.s AS DOUBLE)
+               / ((SELECT CAST(MAX(n) AS DOUBLE) FROM st)
+                  * {_PPI_XS} * {_PPI_VS})), 6) AS pc1
+    FROM sfin f CROSS JOIN sgn g
+    ORDER BY vec_id
+    """
+)
+
+
+@register("pca_embeddings", oracle=_PCA_EMB_ORACLE)
+def pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the DOMINANT principal axis of the
+    64-d embeddings (realtime_analytics_ml.py PCA stage), value-oracled:
+    the axis comes from the exact unrolled power iteration above (sign
+    pinned largest-|component|-positive), and each projection is the
+    final exact integer matvec rescaled by deterministic constants —
+    pc1 is in original embedding units (centered). Formerly rows-only;
+    the eigen-ambiguity argument only applied to the library
+    eigendecomposition, not to a fully pinned training loop."""
+    xs, vs = float(_PPI_XS), float(_PPI_VS)
+    _y, _v, _unit, sgn, sfin = _ppi_spark(spark, sf_dir)
+    emb_n = load_table(spark, sf_dir, "embeddings").agg(
+        F.count("*").cast("double").alias("nd")
+    )
+    return (
+        sfin.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(emb_n))
+        .select(
+            F.col("r").alias("vec_id"),
+            "label",
+            F.round(
+                F.col("sg")
+                * (
+                    F.col("s").cast("double")
+                    / (F.col("nd") * F.lit(xs) * F.lit(vs))
+                ),
+                6,
+            ).alias("pc1"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_PCA_LOADINGS_ORACLE = (
+    _ppi_sql_chain()
+    + """
+    SELECT CAST(u.pos AS INT) AS pos,
+           ROUND(g.sg * u.un, 6) AS loading
+    FROM unit u CROSS JOIN sgn g
+    ORDER BY pos
+    """
+)
+
+
+@register("pca_power_loadings", oracle=_PCA_LOADINGS_ORACLE)
+def pca_power_loadings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dominant principal axis itself (64 sign-pinned loadings) from
+    the exact unrolled power iteration — the trainable-loop counterpart
+    of the pyspark.ml basis that pca_reconstruction_check validates by
+    invariants. Value-oracled at 6dp; determinism analysis in the block
+    comment above."""
+    _y, _v, unit, sgn, _sfin = _ppi_spark(spark, sf_dir)
+    return (
+        unit.crossJoin(F.broadcast(sgn))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("sg") * F.col("un"), 6).alias("loading"),
+        )
+        .orderBy("pos")
+    )
 
 
 @register(

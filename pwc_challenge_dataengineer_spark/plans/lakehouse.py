@@ -1061,3 +1061,233 @@ def iceberg_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, _, n_pruned = scan(spark, location)
     assert n_pruned == 0
     return _agg(df)
+
+
+# ------------------------------------------ schema evolution (field-id)
+# The honestly-gated edge from COVERAGE.md closed (r10 verdict task 4):
+# column rename + add between snapshots, resolved by FIELD ID across the
+# table's eras at scan time. Fixture: era 1 (even doc_ids) writes under
+# schema 0 where the text column is named `body`; the schema then
+# evolves (rename body -> text, SAME field id; add `quality`, NEW id)
+# and era 2 (odd doc_ids) writes under schema 1. A name-based reader
+# would surface NULL text for every era-1 row — sum_text_len in the
+# oracle catches exactly that — and NULL quality for era-1 rows is the
+# CORRECT result (column added after their write).
+
+
+def _build_evolved_table(spark: SparkSession, sf_dir: str) -> str:
+    from ..sources.iceberg_lite import set_schema
+
+    def build(location: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        set_schema(
+            location,
+            [
+                {"id": 1, "name": "doc_id"},
+                {"id": 2, "name": "lang"},
+                {"id": 3, "name": "body"},
+                {"id": 4, "name": "n_chars"},
+            ],
+        )
+        era1 = _write_partitioned(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                "doc_id", "lang", F.col("text").alias("body"), "n_chars"
+            ),
+            "lang",
+            os.path.join(location, "data", "e1"),
+        )
+        commit_snapshot(location, "lang", era1)
+        set_schema(
+            location,
+            [
+                {"id": 1, "name": "doc_id"},
+                {"id": 2, "name": "lang"},
+                {"id": 3, "name": "text"},  # rename keeps id 3
+                {"id": 4, "name": "n_chars"},
+                {"id": 5, "name": "quality"},  # added: new id
+            ],
+        )
+        era2 = _write_partitioned(
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id",
+                "lang",
+                "text",
+                "n_chars",
+                (F.col("n_chars") % 7).cast("long").alias("quality"),
+            ),
+            "lang",
+            os.path.join(location, "data", "e2"),
+        )
+        commit_snapshot(location, "lang", era2)
+
+    return _fixture_dir("iceberg_evolved", sf_dir, build)
+
+
+_ICE_EVOLVE_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_quality,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7 END)
+               AS BIGINT) AS sum_quality
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@register("iceberg_schema_evolution_scan", oracle=_ICE_EVOLVE_ORACLE)
+def iceberg_schema_evolution_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scan across a column rename + add: era-1 files store the text
+    under the OLD name `body`, era-2 files under `text` plus the added
+    `quality` — field-id resolution unifies both eras; sum_text_len
+    proves renamed data survived (a name-based read nulls it), and
+    quality aggregates prove added-column semantics (NULL before the
+    add, real values after). Per-era schema groups are each ONE
+    distributed parquet scan; the union is column-pruned by Catalyst."""
+    from ..sources.iceberg_lite import scan_evolved
+
+    location = _build_evolved_table(spark, sf_dir)
+    df, n_groups, n_pruned = scan_evolved(spark, location)
+    assert n_groups == 2 and n_pruned == 0, (n_groups, n_pruned)
+    return df.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.length("text")).cast("long").alias("sum_text_len"),
+        F.count("quality").cast("long").alias("n_quality"),
+        F.sum("quality").cast("long").alias("sum_quality"),
+    )
+
+
+# ------------------------------------- Hudi MOR compaction + cleaning
+# The MOR lifecycle's ops half (r10 verdict task 5), symmetric with the
+# Iceberg compaction/expiry pair above: compaction absorbs the en
+# group's log into a new base slice at T3 (merged data IDENTICAL by
+# construction — the oracle recomputes it from raw documents, so a
+# compaction that loses/duplicates/mis-merges one row flips the hash),
+# and the cleaner reclaims the slices only pre-compaction horizons
+# could reach, with reads past the clean horizon failing loudly.
+_MOR_T3, _MOR_T4 = "20240101000003", "20240101000004"
+
+_HUDI_MOR_ORACLE = """
+    WITH kept AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'en' AND doc_id % 10 = 0
+                    THEN 'updated' ELSE source END AS source,
+               n_chars
+        FROM documents
+        WHERE lang IN ('en','de','es')
+          AND NOT (lang = 'en' AND doc_id % 20 = 3)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN source = 'updated' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY lang
+"""
+
+
+def _build_mor_maintained(spark: SparkSession, sf_dir: str, clean: bool):
+    from ..sources.hudi_lite import clean_slices, commit_mor, compact_logs
+
+    kind = "hudimor_clean" if clean else "hudimor_compact"
+
+    def build(location: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+
+        def part(lang):
+            return docs.filter(F.col("lang") == lang)
+
+        commit_mor(
+            location,
+            _MOR_T1,
+            base_writes=[
+                (f"lang={lang}", f"fg-{lang}", part(lang))
+                for lang in ("en", "de", "es")
+            ],
+        )
+        en = part("en")
+        updates = (
+            en.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("source", F.lit("updated"))
+            .withColumn("_hoodie_is_deleted", F.lit(False))
+        )
+        deletes = en.filter(F.col("doc_id") % 20 == 3).withColumn(
+            "_hoodie_is_deleted", F.lit(True)
+        )
+        commit_mor(
+            location,
+            _MOR_T2,
+            log_writes=[("lang=en", "fg-en", updates.unionByName(deletes))],
+        )
+        n_groups, n_logs = compact_logs(
+            spark, location, key_col="doc_id", instant=_MOR_T3
+        )
+        assert (n_groups, n_logs) == (1, 1), (n_groups, n_logs)
+        if clean:
+            n_files, n_logdirs = clean_slices(
+                location, _MOR_T4, keep_last=1
+            )
+            # the en group's pre-compaction base + its absorbed log dir
+            # are the only slices no retained horizon reaches
+            assert (n_files, n_logdirs) == (1, 1), (n_files, n_logdirs)
+
+    return _fixture_dir(kind, sf_dir, build)
+
+
+@register("hudi_compact_logs", oracle=_HUDI_MOR_ORACLE)
+def hudi_compact_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR compaction: the en group's Avro log is absorbed into a new
+    base slice at T3 (ONE distributed job across all compacted groups),
+    after which the snapshot read touches ZERO log files yet returns
+    byte-identical data — and time travel to the pre-compaction instant
+    still merges the (still-present) log, proving compaction is a
+    rewrite, not a semantic change."""
+    from ..sources.hudi_lite import mor_snapshot
+
+    location = _build_mor_maintained(spark, sf_dir, clean=False)
+    df, n_groups, n_logs = mor_snapshot(spark, location, key_col="doc_id")
+    assert (n_groups, n_logs) == (3, 0), (n_groups, n_logs)
+    # pre-compaction horizon: the log still attaches
+    _df2, _, n_logs_t2 = mor_snapshot(
+        spark, location, key_col="doc_id", as_of=_MOR_T2
+    )
+    assert n_logs_t2 == 1, n_logs_t2
+    return df.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("source") == "updated").cast("long"))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register("hudi_clean_slices", oracle=_HUDI_MOR_ORACLE)
+def hudi_clean_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning after compaction: slices only the pre-compaction
+    horizons could reach (the en group's old base + absorbed log dir)
+    are physically reclaimed under the reachability rule; the current
+    snapshot stays byte-identical to the oracle's recompute, and as-of
+    reads older than the clean horizon raise instead of resolving
+    against missing files."""
+    from ..sources.hudi_lite import mor_snapshot
+
+    location = _build_mor_maintained(spark, sf_dir, clean=True)
+    df, n_groups, n_logs = mor_snapshot(spark, location, key_col="doc_id")
+    assert (n_groups, n_logs) == (3, 0), (n_groups, n_logs)
+    try:
+        mor_snapshot(spark, location, key_col="doc_id", as_of=_MOR_T2)
+        raise AssertionError("read past the clean horizon succeeded")
+    except ValueError:
+        pass  # loud failure — the cleaned slices are gone
+    return df.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("source") == "updated").cast("long"))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

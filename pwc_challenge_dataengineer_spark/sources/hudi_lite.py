@@ -47,39 +47,138 @@ def _timeline(location: str) -> list[str]:
     )
 
 
+def _check_clean_horizon(location: str, horizon: str) -> None:
+    """As-of reads older than the newest `.clean` action's earliest
+    retained instant fail LOUDLY — their file slices may be physically
+    gone (silently-wrong reads are the failure mode this guards)."""
+    er = _clean_horizon(location)
+    if er is not None and horizon < er:
+        raise ValueError(
+            f"instant {horizon} is older than the clean horizon {er}: "
+            "its file slices may have been reclaimed"
+        )
+
+
+def _write_base_slices(
+    location: str,
+    instant: str,
+    writes: list[tuple[str, str, object]],
+) -> dict[str, list[dict]]:
+    """Write ALL base file slices of one commit as ONE distributed Spark
+    job (r10 verdict: the per-group ``coalesce(1)`` driver loop was the
+    last non-distributed write path in the package — N file groups were
+    N sequential single-task jobs). Every input frame is tagged with its
+    integer index in ``writes`` (an int directory value needs no
+    partition-value escaping), unioned, and shuffled by that tag so each
+    file group is written by its own task inside one
+    ``repartition().write.partitionBy()`` job; the single part-file per
+    group then renames to Hudi's ``<fileId>_0-0_<instant>.parquet`` slice
+    name. One-file-per-slice is format-inherent; one JOB for all slices
+    is the scale shape (mirrors plans/lakehouse.py's de-fixtured builds).
+    Returns Hudi write stats keyed by partition, row counts decoded from
+    the written parquet FOOTERS — no second count() job over the input.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .parquet_meta import read_footer
+
+    if not writes:
+        return {}
+    tagged = None
+    for i, (_partition, _file_id, df) in enumerate(writes):
+        t = df.withColumn("__hudi_w", F.lit(i))
+        # strict unionByName: one commit writes one table schema (column
+        # order may differ per frame; missing columns are an error)
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return _write_tagged_slices(
+        location, instant, tagged, [(p, fid) for p, fid, _ in writes]
+    )
+
+
+def _write_tagged_slices(
+    location: str,
+    instant: str,
+    tagged,
+    names: list[tuple[str, str]],
+) -> dict[str, list[dict]]:
+    """Core one-job slice writer: ``tagged`` carries an integer
+    ``__hudi_w`` column indexing into ``names`` = [(partition,
+    file_id)]. Used by commits (index = position in the writes list)
+    and by compaction (index assigned per file group from ONE merged
+    frame, so N groups never fan out into N recomputations)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from .parquet_meta import read_footer
+
+    stats: dict[str, list[dict]] = {}
+    staging = os.path.join(location, f".staging_{instant}")
+    (
+        tagged.repartition(F.col("__hudi_w"))
+        .write.mode("overwrite")
+        .partitionBy("__hudi_w")
+        .parquet(staging)
+    )
+    for i, (partition, file_id) in enumerate(names):
+        pdir = os.path.join(location, partition)
+        os.makedirs(pdir, exist_ok=True)
+        final = os.path.join(pdir, f"{file_id}_0-0_{instant}.parquet")
+        wdir = os.path.join(staging, f"__hudi_w={i}")
+        if os.path.isdir(wdir):
+            part_file = next(
+                f
+                for f in sorted(os.listdir(wdir))
+                if f.endswith(".parquet")
+            )
+            os.replace(os.path.join(wdir, part_file), final)
+        else:
+            # empty group: partitionBy wrote no directory for this tag —
+            # emit the empty slice (schema-only parquet; e.g. compaction
+            # of a group whose log deleted every row) as one tiny job
+            tmp = os.path.join(pdir, f".tmp_{file_id}_{instant}")
+            (
+                tagged.filter(F.col("__hudi_w") == i)
+                .drop("__hudi_w")
+                .limit(0)
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            pf = next(
+                f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+            )
+            os.replace(os.path.join(tmp, pf), final)
+            shutil.rmtree(tmp, ignore_errors=True)
+        stats.setdefault(partition, []).append(
+            {
+                "fileId": file_id,
+                "path": final,
+                "numWrites": read_footer(final)[3],
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return stats
+
+
 def commit(
     location: str,
     instant: str,
     writes: list[tuple[str, str, object]],
 ) -> None:
     """Write one COW commit: each (partition, file_id, df) becomes a new
-    file slice ``<file_id>_0-0_<instant>.parquet``; the instant completes
-    only when the ``.commit`` timeline file lands (written last, after an
-    ``.inflight`` marker, mirroring Hudi's two-phase timeline)."""
+    file slice ``<file_id>_0-0_<instant>.parquet`` — all slices written
+    by ONE distributed job (see ``_write_base_slices``); the instant
+    completes only when the ``.commit`` timeline file lands (written
+    last, after an ``.inflight`` marker, mirroring Hudi's two-phase
+    timeline)."""
     hd = os.path.join(location, ".hoodie")
     os.makedirs(hd, exist_ok=True)
     inflight = os.path.join(hd, f"{instant}.inflight")
     open(inflight, "w").close()
-    stats: dict[str, list[dict]] = {}
-    for partition, file_id, df in writes:
-        pdir = os.path.join(location, partition)
-        tmp = os.path.join(pdir, f".tmp_{file_id}_{instant}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part_file = next(
-            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
-        )
-        final = os.path.join(pdir, f"{file_id}_0-0_{instant}.parquet")
-        os.replace(os.path.join(tmp, part_file), final)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        from .parquet_meta import read_footer
-
-        stats.setdefault(partition, []).append(
-            # write stats from the written file's FOOTER (field 3 =
-            # num_rows) — no second count() job over the input
-            {"fileId": file_id, "path": final, "numWrites": read_footer(final)[3]}
-        )
+    stats = _write_base_slices(location, instant, writes)
     with open(os.path.join(hd, f"{instant}.commit"), "w") as fh:
         json.dump({"partitionToWriteStats": stats}, fh)
     os.remove(inflight)
@@ -94,6 +193,7 @@ def file_slices(location: str, as_of: str | None = None):
     horizon = as_of if as_of is not None else max(completed)
     if horizon not in completed:
         raise ValueError(f"unknown instant {horizon}")
+    _check_clean_horizon(location, horizon)
     best: dict[tuple[str, str], tuple[str, str]] = {}
     for root, _dirs, files in os.walk(location):
         rel = os.path.relpath(root, location)
@@ -180,25 +280,9 @@ def commit_mor(
     os.makedirs(hd, exist_ok=True)
     inflight = os.path.join(hd, f"{instant}.inflight")
     open(inflight, "w").close()
-    stats: dict[str, list[dict]] = {}
-    for partition, file_id, df in base_writes:
-        pdir = os.path.join(location, partition)
-        tmp = os.path.join(pdir, f".tmp_{file_id}_{instant}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part_file = next(
-            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
-        )
-        final = os.path.join(pdir, f"{file_id}_0-0_{instant}.parquet")
-        os.replace(os.path.join(tmp, part_file), final)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        from .parquet_meta import read_footer
-
-        stats.setdefault(partition, []).append(
-            {"fileId": file_id, "path": final,
-             "numWrites": read_footer(final)[3]}
-        )
+    # base slices: ONE distributed job for all file groups (the log
+    # writes below already go through the distributed avrolite sink)
+    stats = _write_base_slices(location, instant, list(base_writes))
     for partition, file_id, df in log_writes:
         from .avrolite import register_avrolite
 
@@ -234,6 +318,7 @@ def mor_file_slices(location: str, as_of: str | None = None):
     horizon = as_of if as_of is not None else max(completed)
     if horizon not in completed:
         raise ValueError(f"unknown instant {horizon}")
+    _check_clean_horizon(location, horizon)
     bases: dict[tuple[str, str], tuple[str, str]] = {}
     logs: dict[tuple[str, str], list[tuple[str, str]]] = {}
     for root, _dirs, files in os.walk(location):
@@ -293,6 +378,16 @@ def mor_snapshot(spark, location: str, key_col: str,
     that group — the property that keeps MOR compaction and reads
     embarrassingly parallel across groups at 100 TB. Returns
     (DataFrame, n_file_groups, n_log_files)."""
+    latest, slices, n_logs = _mor_merged(spark, location, key_col, as_of)
+    return latest.drop("__file_id"), len(slices), n_logs
+
+
+def _mor_merged(spark, location: str, key_col: str,
+                as_of: str | None = None):
+    """Shared merge core for snapshot reads AND compaction: returns the
+    surviving latest-version rows WITH their ``__file_id`` retained
+    (compaction rewrites per group), plus the slice list and log count.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -361,11 +456,11 @@ def mor_snapshot(spark, location: str, key_col: str,
         .filter(F.col("__rn") == 1)
         .filter(~F.col("_hoodie_is_deleted"))
         .drop(
-            "__rn", "__file_id", "__instant", "_hoodie_is_deleted",
+            "__rn", "__instant", "_hoodie_is_deleted",
             "__is_log", "_hoodie_seq",
         )
     )
-    return latest, len(slices), n_logs
+    return latest, slices, n_logs
 
 
 def mor_incremental(spark, location: str, key_col: str, begin: str,
@@ -407,3 +502,132 @@ def mor_incremental(spark, location: str, key_col: str, begin: str,
         snap.join(changed.distinct(), key_col, "left_semi"),
         n_sources,
     )
+
+
+# ---------------------------------------- table maintenance (MOR ops)
+# Completes the MOR lifecycle symmetric with iceberg_lite's r10 work
+# (r10 verdict task 5): COMPACTION absorbs a file group's Avro logs
+# into a new base slice (a `.commit` instant — compaction commits are
+# full commits in Hudi's timeline model), and the CLEANER reclaims file
+# slices no retained instant can reach, with the same reachability
+# safety rule as iceberg_lite.expire_snapshots. Time travel to
+# pre-compaction instants keeps working until the cleaner takes the old
+# slices; reads older than the clean horizon fail LOUDLY, never
+# silently wrong.
+
+
+def compact_logs(spark, location: str, key_col: str, instant: str):
+    """Compact every file slice that carries log files: the merged
+    latest state of each such group (same window semantics as
+    ``mor_snapshot``) is rewritten as a NEW base slice at ``instant``,
+    all groups in ONE distributed job (`_write_tagged_slices` over the
+    single merged frame — N groups never become N jobs). Groups without
+    logs keep their base slice untouched. Returns
+    (n_groups_compacted, n_logs_absorbed)."""
+    from pyspark.sql import functions as F
+
+    completed = _completed(location)
+    if instant in completed:
+        raise ValueError(f"instant {instant} already committed")
+    if completed and instant <= max(completed):
+        raise ValueError(
+            f"compaction instant {instant} must follow {max(completed)}"
+        )
+    merged, slices, _n_logs = _mor_merged(spark, location, key_col)
+    todo = [(p, fid) for p, fid, _bi, _bp, logs in slices if logs]
+    n_logs = sum(len(logs) for _p, _f, _b, _bp, logs in slices if logs)
+    if not todo:
+        return 0, 0
+    hd = os.path.join(location, ".hoodie")
+    inflight = os.path.join(hd, f"{instant}.inflight")
+    open(inflight, "w").close()
+    fid_to_idx = {fid: i for i, (_p, fid) in enumerate(todo)}
+    idx_expr = F.create_map(
+        *[
+            x
+            for fid, i in fid_to_idx.items()
+            for x in (F.lit(fid), F.lit(i))
+        ]
+    )
+    tagged = (
+        merged.withColumn("__hudi_w", idx_expr[F.col("__file_id")])
+        .filter(F.col("__hudi_w").isNotNull())
+        .drop("__file_id")
+    )
+    stats = _write_tagged_slices(location, instant, tagged, todo)
+    with open(os.path.join(hd, f"{instant}.commit"), "w") as fh:
+        json.dump(
+            {"partitionToWriteStats": stats, "operation": "compact"}, fh
+        )
+    os.remove(inflight)
+    return len(todo), n_logs
+
+
+def _clean_horizon(location: str) -> str | None:
+    """Earliest instant still readable, per the newest `.clean` action
+    (None = never cleaned)."""
+    hd = os.path.join(location, ".hoodie")
+    if not os.path.isdir(hd):
+        return None
+    horizon = None
+    for f in os.listdir(hd):
+        if f.endswith(".clean"):
+            with open(os.path.join(hd, f)) as fh:
+                er = json.load(fh)["earliestRetained"]
+            if horizon is None or er > horizon:
+                horizon = er
+    return horizon
+
+
+def clean_slices(location: str, instant: str, keep_last: int = 1):
+    """Reclaim file slices unreachable from the last ``keep_last``
+    completed instants: a base file or log dir survives iff SOME
+    retained as-of read still selects it (the reachability rule that
+    makes cleaning safe after compaction — slices shared with a
+    retained horizon are never touched). Writes a `.clean` timeline
+    action recording the earliest retained instant; as-of reads older
+    than that now raise instead of silently resolving against missing
+    files. Returns (n_files_removed, n_log_dirs_removed)."""
+    import shutil
+
+    completed = sorted(_completed(location))
+    if keep_last < 1:
+        raise ValueError("clean_slices: keep_last must be >= 1")
+    if keep_last >= len(completed):
+        return 0, 0
+    retained = completed[-keep_last:]
+    reachable: set[str] = set()
+    for t in retained:
+        for _p, _fid, _bi, bpath, logs in mor_file_slices(location, t):
+            reachable.add(bpath)
+            for _li, ldir in logs:
+                reachable.add(ldir)
+    n_files = n_logdirs = 0
+    for root, dirs, files in os.walk(location):
+        rel = os.path.relpath(root, location)
+        if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
+            continue
+        base = os.path.basename(root)
+        if base.startswith(".log_"):
+            if root not in reachable:
+                shutil.rmtree(root, ignore_errors=True)
+                n_logdirs += 1
+            dirs[:] = []
+            continue
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("."):
+                p = os.path.join(root, f)
+                if p not in reachable:
+                    os.remove(p)
+                    n_files += 1
+    hd = os.path.join(location, ".hoodie")
+    with open(os.path.join(hd, f"{instant}.clean"), "w") as fh:
+        json.dump(
+            {
+                "earliestRetained": retained[0],
+                "removedFiles": n_files,
+                "removedLogDirs": n_logdirs,
+            },
+            fh,
+        )
+    return n_files, n_logdirs

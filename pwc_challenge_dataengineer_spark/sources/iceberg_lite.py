@@ -319,6 +319,11 @@ def commit_snapshot(
     summary = _carry_batch_hwm(md, summary)
     if summary:
         snap_entry["summary"] = dict(summary)
+    if md and md.get("schemas") is not None:
+        # files added by this snapshot were written under the CURRENT
+        # schema — the snapshot records its id so evolved scans resolve
+        # every file's columns by FIELD ID, not by name
+        snap_entry["schema-id"] = md["current-schema-id"]
     snapshots = (md["snapshots"] if md else []) + [snap_entry]
     new_md = {
         "format-version": 1,
@@ -334,6 +339,9 @@ def commit_snapshot(
         "current-snapshot-id": sid,
         "snapshots": snapshots,
     }
+    if md and md.get("schemas") is not None:
+        new_md["schemas"] = md["schemas"]
+        new_md["current-schema-id"] = md["current-schema-id"]
     version = _next_version(location)
     tmp = os.path.join(mdir, f"v{version}.metadata.json.tmp")
     with open(tmp, "w") as fh:
@@ -724,6 +732,144 @@ def scan_v2(
         len(data),
         n_pruned,
     )
+
+
+# --------------------------------------------- schema evolution (v1)
+# Iceberg resolves columns by FIELD ID, never by name: a file written
+# before `RENAME COLUMN a TO b` stores the data under the old name, and
+# a correct reader still surfaces it as `b` because both names map to
+# the same field id. Real Iceberg embeds field ids in every parquet
+# file's schema metadata; the lite layer gets the same resolution by
+# recording which SCHEMA each snapshot wrote under (snapshot entry's
+# "schema-id") and translating old names -> current names per file
+# group at scan time. A name-based reader returns NULLs for every
+# renamed column on pre-rename files — the failure mode the catalog
+# query's oracle pins. Reference parity: the schema-evolution surface of
+# /root/reference/src/streaming/schema_evolution_manager.py applied to
+# the lakehouse layer.
+
+
+def set_schema(location: str, fields: list[dict]) -> int:
+    """Set (or evolve) the table schema: ``fields`` is a list of
+    ``{"id": int, "name": str}`` — renames keep the id, adds introduce a
+    new id, drops omit the id. Writes the next metadata version with the
+    new schema appended to ``schemas`` and made current; snapshots are
+    untouched (schema evolution is metadata-only, as in Iceberg).
+    Returns the new schema id."""
+    ids = [f["id"] for f in fields]
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"duplicate field ids in {fields}")
+    md = _load_metadata(location)
+    if md is None:
+        md = {
+            "format-version": 1,
+            "location": location,
+            "current-snapshot-id": None,
+            "snapshots": [],
+        }
+    schemas = list(md.get("schemas") or [])
+    new_id = (
+        max(s["schema-id"] for s in schemas) + 1 if schemas else 0
+    )
+    schemas.append(
+        {"schema-id": new_id, "fields": [dict(f) for f in fields]}
+    )
+    md["schemas"] = schemas
+    md["current-schema-id"] = new_id
+    mdir = os.path.join(location, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    version = _next_version(location)
+    tmp = os.path.join(mdir, f"v{version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(md, fh)
+    os.replace(tmp, os.path.join(mdir, f"v{version}.metadata.json"))
+    return new_id
+
+
+def _files_by_schema(md, location: str, snapshot_id: int):
+    """Group the ACTIVE data files of ``snapshot_id`` by the schema id
+    they were WRITTEN under (the adding snapshot's schema-id)."""
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"unknown snapshot {snapshot_id} (have {sorted(snaps)})"
+        )
+    added_schema: dict[str, int] = {}
+    for s in md["snapshots"]:
+        sch = s.get("schema-id", md["current-schema-id"])
+        for mrow in read_ocf(s["manifest-list"]):
+            for status, _snap, data_file in read_ocf(mrow[0]):
+                if status == 1:  # ADDED here
+                    added_schema[data_file[0]] = sch
+    groups: dict[int, list[tuple[str, str, int]]] = {}
+    for path, part, cnt in active_files(location, snapshot_id):
+        groups.setdefault(added_schema[path], []).append(
+            (path, part, cnt)
+        )
+    return groups
+
+
+def scan_evolved(
+    spark,
+    location: str,
+    snapshot_id: int | None = None,
+    partition_pred=None,
+):
+    """Snapshot scan across SCHEMA EVOLUTION: every live data file's
+    columns resolve by field id against the scanned snapshot's schema —
+    renamed columns carry data across the rename, columns added later
+    read as NULL from older files, dropped columns disappear. Partition
+    pruning applies before any file opens, as in ``scan``. Returns
+    (DataFrame, n_schema_groups, n_pruned)."""
+    from pyspark.sql import functions as F
+
+    md = _load_metadata(location)
+    if md is None:
+        raise FileNotFoundError(f"no Iceberg metadata under {location}")
+    if md.get("schemas") is None:
+        raise ValueError("table has no schema metadata; use scan()")
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    target_schema_id = snaps[sid].get("schema-id", md["current-schema-id"])
+    schemas = {s["schema-id"]: s["fields"] for s in md["schemas"]}
+    target = schemas[target_schema_id]
+    target_by_id = {f["id"]: f["name"] for f in target}
+    out = None
+    n_groups = 0
+    n_pruned = 0
+    for sch_id, files in sorted(_files_by_schema(md, location, sid).items()):
+        writer_by_id = {f["id"]: f["name"] for f in schemas[sch_id]}
+        kept = [
+            (p, part, cnt)
+            for p, part, cnt in files
+            if partition_pred is None or partition_pred(part)
+        ]
+        n_pruned += len(files) - len(kept)
+        if not kept:
+            continue
+        n_groups += 1
+        df = spark.read.parquet(*[p for p, _, _ in kept])
+        # field-id resolution: writer name -> target name where the id
+        # survives; ids absent from the target schema are dropped
+        cols = [
+            F.col(writer_by_id[fid]).alias(target_by_id[fid])
+            for fid in writer_by_id
+            if fid in target_by_id
+        ]
+        out_part = df.select(*cols)
+        out = (
+            out_part
+            if out is None
+            else out.unionByName(out_part, allowMissingColumns=True)
+        )
+    if out is None:
+        raise ValueError("scan_evolved: no live data files after pruning")
+    # columns added after a group's write era surface as NULL via the
+    # union; normalize to the target schema's field order
+    for f in target:
+        if f["name"] not in out.columns:
+            out = out.withColumn(f["name"], F.lit(None))
+    return out.select(*[f["name"] for f in target]), n_groups, n_pruned
 
 
 # ------------------------------------------- table maintenance actions

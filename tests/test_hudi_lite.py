@@ -242,3 +242,57 @@ def test_mor_snapshot_survives_nasty_table_location(spark, tiny, tmp_path):
     got = sorted((r["id"], r["v"]) for r in df.collect())
     assert got == [(1, "x"), (2, "Y")], got
     assert (n_groups, n_logs) == (1, 1)
+
+
+def test_mor_compaction_and_cleaning_lifecycle(spark, tiny, tmp_path):
+    """compact_logs absorbs logs into new base slices (data identical,
+    zero logs after; pre-compaction time travel intact), clean_slices
+    reclaims only unreachable slices and reads past the clean horizon
+    fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        clean_slices,
+        commit_mor,
+        compact_logs,
+        mor_snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3, t4 = (f"2024010100000{i}" for i in (1, 2, 3, 4))
+    commit_mor(
+        loc,
+        t1,
+        base_writes=[
+            ("p=a", "fg1", tiny([(1, "x"), (2, "y")])),
+            ("p=b", "fg2", tiny([(3, "z")])),
+        ],
+    )
+    upd = tiny([(1, "X")]).withColumn("_hoodie_is_deleted", F.lit(False))
+    dele = tiny([(2, "tomb")]).withColumn(
+        "_hoodie_is_deleted", F.lit(True)
+    )
+    commit_mor(loc, t2, log_writes=[("p=a", "fg1", upd.unionByName(dele))])
+
+    n_groups, n_logs = compact_logs(spark, loc, key_col="id", instant=t3)
+    assert (n_groups, n_logs) == (1, 1)
+    df, ng, nl = mor_snapshot(spark, loc, key_col="id")
+    assert nl == 0 and ng == 2
+    got = sorted((r["id"], r["v"]) for r in df.collect())
+    assert got == [(1, "X"), (3, "z")], got
+    # pre-compaction horizon still merges the (uncleaned) log
+    df2, _, nl2 = mor_snapshot(spark, loc, key_col="id", as_of=t2)
+    assert nl2 == 1
+    assert sorted((r["id"], r["v"]) for r in df2.collect()) == got
+
+    # duplicate/old compaction instants rejected
+    with _pytest.raises(ValueError, match="must follow|already"):
+        compact_logs(spark, loc, key_col="id", instant=t2)
+
+    n_files, n_logdirs = clean_slices(loc, t4, keep_last=1)
+    assert (n_files, n_logdirs) == (1, 1)  # fg1 old base + its log dir
+    df3, _, _ = mor_snapshot(spark, loc, key_col="id")
+    assert sorted((r["id"], r["v"]) for r in df3.collect()) == got
+    with _pytest.raises(ValueError, match="clean horizon"):
+        mor_snapshot(spark, loc, key_col="id", as_of=t2)

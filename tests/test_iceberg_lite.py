@@ -353,3 +353,56 @@ def test_fixture_dir_builds_once_under_concurrency(monkeypatch):
         t.join()
     assert len(calls) == 1, calls  # built exactly once
     assert len(set(results)) == 1  # every thread got the same location
+
+
+def test_schema_evolution_field_id_resolution(tmp_path, spark):
+    """Field-id resolution across rename+add: renamed column carries
+    data from pre-rename files; added column reads NULL from them;
+    as-of reads to a pre-evolution snapshot surface the OLD names."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        scan_evolved,
+        set_schema,
+    )
+
+    loc = str(tmp_path / "tbl")
+
+    def write_one(subdir, rows, schema):
+        out = os.path.join(loc, subdir)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        return next(
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        )
+
+    set_schema(
+        loc,
+        [{"id": 1, "name": "k"}, {"id": 2, "name": "body"}],
+    )
+    a = write_one("a", [(1, "old1"), (2, "old2")], "k long, body string")
+    commit_snapshot(loc, "p", [(a, "x", 2)])
+    set_schema(
+        loc,
+        [
+            {"id": 1, "name": "k"},
+            {"id": 2, "name": "text"},  # rename keeps id 2
+            {"id": 3, "name": "score"},  # added
+        ],
+    )
+    b = write_one(
+        "b", [(3, "new3", 30)], "k long, text string, score long"
+    )
+    sid2 = commit_snapshot(loc, "p", [(b, "x", 1)])
+
+    df, n_groups, n_pruned = scan_evolved(spark, loc)
+    got = sorted(
+        (r["k"], r["text"], r["score"]) for r in df.collect()
+    )
+    # a name-based read would yield text=NULL for k=1,2 — pinned here
+    assert got == [(1, "old1", None), (2, "old2", None), (3, "new3", 30)]
+    assert (n_groups, n_pruned) == (2, 0)
+
+    # as-of the pre-evolution snapshot: old schema, old names
+    old_df, n_old, _ = scan_evolved(spark, loc, snapshot_id=sid2 - 1)
+    assert old_df.columns == ["k", "body"]
+    assert sorted(r["body"] for r in old_df.collect()) == ["old1", "old2"]
