@@ -1096,37 +1096,37 @@ def _chain_oracle() -> str:
     WITH RECURSIVE {_SHINGLES_SQL},
     qc AS ({ORACLES["quality_classifier_score"]}),
     lm AS ({ORACLES["unigram_lm_score"]}),
-    base AS (
+    base AS MATERIALIZED (
         SELECT q.doc_id,
                q.quality_score >= CAST({_CHAIN_Q_MIN} AS DOUBLE) AS q_keep,
                l.unigram_ppl
         FROM qc q JOIN lm l USING (doc_id)
     ),
-    s1 AS (SELECT doc_id, unigram_ppl FROM base WHERE q_keep),
-    bands AS (
+    s1 AS MATERIALIZED (SELECT doc_id, unigram_ppl FROM base WHERE q_keep),
+    bands AS MATERIALIZED (
         SELECT doc_id, band, shingle
         FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)
     ),
-    sig AS (
+    sig AS MATERIALIZED (
         SELECT doc_id, band,
                MIN(substr(md5(shingle), band * 8 + 1, 8)) AS signature
         FROM bands GROUP BY 1, 2
     ),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM sig a JOIN sig b
           ON a.band = b.band AND a.signature = b.signature
          AND a.doc_id < b.doc_id
     ),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-    common AS (
+    counts AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS MATERIALIZED (
         SELECT c.id_a, c.id_b, COUNT(*) AS n_common
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
         GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT m.id_a, m.id_b
         FROM common m
         JOIN counts na ON na.doc_id = m.id_a
@@ -1136,7 +1136,7 @@ def _chain_oracle() -> str:
           AND m.id_a IN (SELECT doc_id FROM s1)
           AND m.id_b IN (SELECT doc_id FROM s1)
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION SELECT id_b, id_a FROM pairs
     ),
@@ -1146,42 +1146,42 @@ def _chain_oracle() -> str:
         UNION
         SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.id
     ),
-    comp AS (SELECT id, MIN(comp) AS component_id FROM reach GROUP BY 1),
-    s2 AS (
+    comp AS MATERIALIZED (SELECT id, MIN(comp) AS component_id FROM reach GROUP BY 1),
+    s2 AS MATERIALIZED (
         SELECT s.doc_id, s.unigram_ppl
         FROM s1 s LEFT JOIN comp c ON c.id = s.doc_id
         WHERE c.id IS NULL OR c.component_id = s.doc_id
     ),
-    sem_e AS (
+    sem_e AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    sem_in AS (
+    sem_in AS MATERIALIZED (
         SELECT e.vec_id, e.v FROM sem_e e
         JOIN s2 s ON s.doc_id = e.vec_id
     ),
-    sem_k AS (
+    sem_k AS MATERIALIZED (
         SELECT greatest(CAST({_SEM_K} AS BIGINT),
                         CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS k
         FROM sem_in
     ),
-    sem_cent AS (
+    sem_cent AS MATERIALIZED (
         SELECT vec_id AS cent_id, v AS cvec FROM sem_e, sem_k
         WHERE vec_id < sem_k.k
     ),
-    sem_sims AS (
+    sem_sims AS MATERIALIZED (
         SELECT sem_in.vec_id, sem_cent.cent_id,
                round({_SEM_COS.format(a="sem_in.v", b="sem_cent.cvec")}, 6)
                    AS cos
         FROM sem_in, sem_cent
     ),
-    sem_assign AS (
+    sem_assign AS MATERIALIZED (
         SELECT vec_id, cent_id AS sc FROM (
             SELECT sem_sims.*, row_number() OVER (
                 PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
             FROM sem_sims)
         WHERE rn = 1
     ),
-    sem_pruned AS (
+    sem_pruned AS MATERIALIZED (
         SELECT DISTINCT bb.vec_id
         FROM sem_assign aa
         JOIN sem_assign bb ON aa.sc = bb.sc AND aa.vec_id < bb.vec_id
@@ -1189,34 +1189,59 @@ def _chain_oracle() -> str:
         JOIN sem_in eb ON eb.vec_id = bb.vec_id
         WHERE round({_SEM_COS.format(a="ea.v", b="eb.v")}, 6) > {_SEM_TAU}
     ),
-    s3 AS (
+    s3 AS MATERIALIZED (
         SELECT s.doc_id, s.unigram_ppl
         FROM s2 s LEFT JOIN sem_pruned p ON p.vec_id = s.doc_id
         WHERE p.vec_id IS NULL
     ),
-    ranked AS (
+    ranked AS MATERIALIZED (
         SELECT doc_id, unigram_ppl,
                CAST(row_number() OVER (ORDER BY unigram_ppl, doc_id)
                     AS BIGINT) AS rn,
                CAST(COUNT(*) OVER () AS BIGINT) AS n
         FROM s3
     ),
-    cut AS (
+    cut AS MATERIALIZED (
         SELECT unigram_ppl AS cutoff FROM ranked
         WHERE rn = CAST(ceil({_PPL_Q} * n) AS BIGINT)
     ),
-    s4 AS (
+    s4 AS MATERIALIZED (
         SELECT s.doc_id FROM s3 s CROSS JOIN cut
         WHERE s.unigram_ppl <= cut.cutoff
     ),
-    bscored AS (
+    kn AS MATERIALIZED ({ORACLES["kn_bigram_lm_score"]}),
+    knb AS MATERIALIZED (
+        SELECT s4.doc_id, d.lang, k.avg_nll
+        FROM s4 JOIN documents d USING (doc_id)
+        LEFT JOIN kn k ON k.doc_id = s4.doc_id
+    ),
+    knt AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (avg_nll IS NULL), avg_nll, doc_id
+               ) AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM knb
+    ),
+    knbuck AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN rn <= floor((n + 2) / 3) THEN 'head'
+                    WHEN rn <= floor((2 * n + 2) / 3) THEN 'middle'
+                    ELSE 'tail' END AS kn_bucket
+        FROM knt
+    ),
+    s4k AS MATERIALIZED (
+        SELECT doc_id FROM knbuck WHERE kn_bucket <> 'tail'
+    ),
+    bscored AS MATERIALIZED (
         SELECT d.source, d.doc_id, d.n_chars,
                CAST(len(list_filter(
                    string_split_regex(lower(trim(d.text)), '\\s+'),
                    t -> t <> '')) AS BIGINT) AS n_tokens
-        FROM documents d JOIN s4 ON s4.doc_id = d.doc_id
+        FROM documents d JOIN s4k ON s4k.doc_id = d.doc_id
     ),
-    bcum AS (
+    bcum AS MATERIALIZED (
         SELECT doc_id,
                CAST(SUM(n_tokens) OVER (
                    PARTITION BY source
@@ -1225,20 +1250,22 @@ def _chain_oracle() -> str:
                ) AS BIGINT) AS cum_tokens
         FROM bscored
     ),
-    s5 AS (SELECT doc_id FROM bcum WHERE cum_tokens <= {_CHAIN_BUDGET}),
-    v AS (
+    s5 AS MATERIALIZED (SELECT doc_id FROM bcum WHERE cum_tokens <= {_CHAIN_BUDGET}),
+    v AS MATERIALIZED (
         SELECT b.doc_id,
                CASE WHEN NOT b.q_keep THEN 'quality_rejected'
                     WHEN c.component_id IS NOT NULL
                          AND c.component_id <> b.doc_id THEN 'near_dup'
                     WHEN sp.vec_id IS NOT NULL THEN 'sem_dup'
                     WHEN b.unigram_ppl > cut.cutoff THEN 'ppl_pruned'
+                    WHEN kb.kn_bucket = 'tail' THEN 'kn_tail'
                     WHEN s5.doc_id IS NULL THEN 'budget_cut'
                     ELSE 'kept' END AS stage,
                COALESCE(c.component_id, b.doc_id) AS cluster_id
         FROM base b
         LEFT JOIN comp c ON c.id = b.doc_id
         LEFT JOIN sem_pruned sp ON sp.vec_id = b.doc_id
+        LEFT JOIN knbuck kb ON kb.doc_id = b.doc_id
         LEFT JOIN s5 ON s5.doc_id = b.doc_id
         CROSS JOIN cut
     )
@@ -1254,6 +1281,10 @@ def _chain_oracle() -> str:
 
 @register("curation_chain_e2e", oracle=_chain_oracle())
 def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _chain_frames(spark, sf_dir)["final"]
+
+
+def _chain_frames(spark: SparkSession, sf_dir: str) -> dict:
     """The COMPOSED curation pipeline (r8 verdict item 7, extended per
     the r9 brief with the two r9 stages), in the order a real
     pretraining pipeline runs it: quality classifier (chain bar 0.70) →
@@ -1262,11 +1293,13 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the remaining docs' embeddings (within-cluster pairwise only, K-row
     centroid broadcast) → perplexity prune with the exact 75th-pct
     cutoff computed over the doubly-DEDUPED set via the distributed
-    two-pass rank → per-source token budget (cumulative window
-    PARTITIONED by source) → leakage-safe hash split keyed on the
-    dup-cluster id. One row per ORIGINAL document with
-    first-failing-stage attribution ('quality_rejected' / 'near_dup' /
-    'sem_dup' / 'ppl_pruned' / 'budget_cut' / 'kept') and the
+    two-pass rank → CCNet-style per-language Kneser-Ney perplexity
+    terciles dropping each language's tail third (r11) → per-source
+    token budget (cumulative window PARTITIONED by source) →
+    leakage-safe hash split keyed on the dup-cluster id. One row per
+    ORIGINAL document with first-failing-stage attribution
+    ('quality_rejected' / 'near_dup' / 'sem_dup' / 'ppl_pruned' /
+    'kn_tail' / 'budget_cut' / 'kept') and the
     train/val/test assignment for kept docs — the auditable funnel a
     pipeline reports, with every branch exercised at both test SFs
     (dedup runs before ppl pruning precisely because a duplicate's
@@ -1395,14 +1428,59 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = s2.join(sem_pruned.hint("merge"), "doc_id", "left_anti")\
         .localCheckpoint(eager=False)  # feeds the rank cutoff AND s4
     cutoff = _exact_rank_cutoff(s3, "unigram_ppl", _PPL_Q)
-    # --- r10 stage: per-source token budget over the ppl survivors
-    # (cumulative window PARTITIONED by source — never a global sort)
     s4 = (
         s3.crossJoin(F.broadcast(cutoff))
         .filter(F.col("unigram_ppl") <= F.col("cutoff"))
         .select("doc_id")
     )
-    bscored = docs.join(s4.hint("merge"), "doc_id").select(
+    # --- r11 stage: CCNet-style PER-LANGUAGE perplexity terciles on the
+    # Kneser-Ney bigram LM (the published CCNet shape: rank each
+    # language's documents by LM score, keep head+middle, drop the tail
+    # third). Exact integer tercile bounds (floor((n+2)/3) = ceil(n/3))
+    # and a (null-last, avg_nll, doc_id) order key keep both engines
+    # bit-identical; unscorable docs (<2 tokens, no bigrams) rank last
+    # and land in the tail, the conservative CCNet treatment. Scale:
+    # the KN tables are vocab-bounded broadcasts; the tercile itself is
+    # one window partitioned BY LANGUAGE — never a global sort.
+    from .text_retrieval import kn_bigram_lm_score
+
+    kn = kn_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_nll")
+    w_kn = Window.partitionBy("lang").orderBy(
+        F.col("avg_nll").isNull().cast("int").asc(),
+        F.col("avg_nll").asc(),
+        F.col("doc_id").asc(),
+    )
+    knbuck = (
+        s4.join(docs.select("doc_id", "lang").hint("merge"), "doc_id")
+        .join(kn.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w_kn).cast("long").alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("lang"))
+            .cast("long")
+            .alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("rn") <= F.floor((F.col("n") + 2) / 3), "head"
+            )
+            .when(
+                F.col("rn") <= F.floor((2 * F.col("n") + 2) / 3),
+                "middle",
+            )
+            .otherwise("tail")
+            .alias("kn_bucket"),
+        )
+        # consumed by the budget stage AND the attribution join
+        .localCheckpoint(eager=False)
+    )
+    s4k = knbuck.filter(F.col("kn_bucket") != "tail").select("doc_id")
+    # --- r10 stage: per-source token budget over the tercile survivors
+    # (cumulative window PARTITIONED by source — never a global sort)
+    bscored = docs.join(s4k.hint("merge"), "doc_id").select(
         "source",
         "doc_id",
         "n_chars",
@@ -1432,6 +1510,7 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         base.join(F.broadcast(comp), "doc_id", "left")
         .join(sem_pruned.hint("merge"), "doc_id", "left")
+        .join(knbuck.hint("merge"), "doc_id", "left")
         .join(F.broadcast(s5), "doc_id", "left")
         .crossJoin(F.broadcast(cutoff))
         .select(
@@ -1444,6 +1523,7 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .when(F.col("is_sem").isNotNull(), "sem_dup")
             .when(F.col("unigram_ppl") > F.col("cutoff"), "ppl_pruned")
+            .when(F.col("kn_bucket") == "tail", "kn_tail")
             .when(F.col("in_budget").isNull(), "budget_cut")
             .otherwise("kept")
             .alias("stage"),
@@ -1451,7 +1531,7 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bucket = _md5_bucket(F.col("cluster_id"), 10)
-    return v.select(
+    final = v.select(
         "doc_id",
         "stage",
         "cluster_id",
@@ -1462,3 +1542,16 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test"),
         ).alias("split"),
     )
+    # stage boundaries exposed for the stage-level scale stress
+    # (scripts/chain_stage_stress.py): counting them IN ORDER yields
+    # incremental per-stage wall times because the lazy localCheckpoints
+    # materialize at the first action and are reused by later stages
+    return {
+        "s1_quality": s1,
+        "s2_minhash": s2,
+        "s3_semdedup": s3,
+        "s4_ppl_cutoff": s4,
+        "s4k_kn_terciles": s4k,
+        "s5_budget": s5,
+        "final": final,
+    }
