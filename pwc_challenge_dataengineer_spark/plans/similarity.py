@@ -776,7 +776,7 @@ def _mmr_oracle() -> str:
     argmax of lambda*relevance - (1-lambda)*max-sim-to-selected, on
     6dp-rounded similarities with id tiebreaks throughout."""
     sql = f"""
-    WITH cand AS (
+    WITH cand AS MATERIALIZED (
         SELECT neighbor_id AS cid, cosine_sim AS rel FROM (
             SELECT c.vec_id AS neighbor_id,
                    round({_COS_SQL}, 6) AS cosine_sim,
@@ -786,7 +786,7 @@ def _mmr_oracle() -> str:
             WHERE q.vec_id = 0 AND c.vec_id <> 0
         ) WHERE rnk <= {_MMR_CAND}
     ),
-    psim AS (
+    psim AS MATERIALIZED (
         SELECT a.vec_id AS ca, b.vec_id AS cb,
                round({_COS_SQL.replace("q.", "a.").replace("c.", "b.")}, 6)
                    AS sim
@@ -795,14 +795,14 @@ def _mmr_oracle() -> str:
           AND b.vec_id IN (SELECT cid FROM cand)
           AND a.vec_id <> b.vec_id
     ),
-    s1 AS (
+    s1 AS MATERIALIZED (
         SELECT cid, rel, 1 AS step, rel AS mmr
         FROM cand ORDER BY rel DESC, cid LIMIT 1
     )"""
     for t in range(2, _MMR_OUT + 1):
         p = t - 1
         sql += f""",
-    sc{t} AS (
+    sc{t} AS MATERIALIZED (
         SELECT c.cid, c.rel,
                round({_MMR_LAM} * c.rel - {round(1 - _MMR_LAM, 10)}
                      * MAX(p.sim), 6) AS score
@@ -812,11 +812,11 @@ def _mmr_oracle() -> str:
         WHERE c.cid NOT IN (SELECT cid FROM s{p})
         GROUP BY c.cid, c.rel
     ),
-    pick{t} AS (
+    pick{t} AS MATERIALIZED (
         SELECT cid, rel, {t} AS step, score AS mmr
         FROM sc{t} ORDER BY score DESC, cid LIMIT 1
     ),
-    s{t} AS (SELECT * FROM s{p} UNION ALL SELECT * FROM pick{t})"""
+    s{t} AS MATERIALIZED (SELECT * FROM s{p} UNION ALL SELECT * FROM pick{t})"""
     sql += f"""
     SELECT CAST(step AS INT) AS rank, cid AS neighbor_id,
            rel AS relevance, mmr AS mmr_score

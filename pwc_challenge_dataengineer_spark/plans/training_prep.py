@@ -1284,7 +1284,7 @@ def curation_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chain_frames(spark, sf_dir)["final"]
 
 
-def _chain_frames(spark: SparkSession, sf_dir: str) -> dict:
+def _chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dict:
     """The COMPOSED curation pipeline (r8 verdict item 7, extended per
     the r9 brief with the two r9 stages), in the order a real
     pretraining pipeline runs it: quality classifier (chain bar 0.70) →
@@ -1332,6 +1332,8 @@ def _chain_frames(spark: SparkSession, sf_dir: str) -> dict:
     lm = unigram_lm_score(spark, sf_dir).select("doc_id", "unigram_ppl")
     base = qc.join(lm, "doc_id").localCheckpoint(eager=False)
     s1 = base.filter("q_keep").select("doc_id", "unigram_ppl")
+    if probe:
+        probe("s1_quality", s1)
     pairs = minhash_lsh_near_dups(
         docs, "doc_id", "text", threshold=0.5, hint_small=True
     )
@@ -1361,6 +1363,8 @@ def _chain_frames(spark: SparkSession, sf_dir: str) -> dict:
         .select("doc_id", "unigram_ppl")
         .localCheckpoint(eager=False)
     )
+    if probe:
+        probe("s2_minhash", s2)
     # --- r10 stage: SemDeDup over the minhash survivors (vec_id domain
     # doubles as doc_id) — K-row centroid broadcast for assignment,
     # pairwise only within clusters, joins pinned SMJ like the
@@ -1427,12 +1431,16 @@ def _chain_frames(spark: SparkSession, sf_dir: str) -> dict:
     )
     s3 = s2.join(sem_pruned.hint("merge"), "doc_id", "left_anti")\
         .localCheckpoint(eager=False)  # feeds the rank cutoff AND s4
+    if probe:
+        probe("s3_semdedup", s3)
     cutoff = _exact_rank_cutoff(s3, "unigram_ppl", _PPL_Q)
     s4 = (
         s3.crossJoin(F.broadcast(cutoff))
         .filter(F.col("unigram_ppl") <= F.col("cutoff"))
         .select("doc_id")
     )
+    if probe:
+        probe("s4_ppl_cutoff", s4)
     # --- r11 stage: CCNet-style PER-LANGUAGE perplexity terciles on the
     # Kneser-Ney bigram LM (the published CCNet shape: rank each
     # language's documents by LM score, keep head+middle, drop the tail
@@ -1478,6 +1486,8 @@ def _chain_frames(spark: SparkSession, sf_dir: str) -> dict:
         .localCheckpoint(eager=False)
     )
     s4k = knbuck.filter(F.col("kn_bucket") != "tail").select("doc_id")
+    if probe:
+        probe("s4k_kn_terciles", s4k)
     # --- r10 stage: per-source token budget over the tercile survivors
     # (cumulative window PARTITIONED by source — never a global sort)
     bscored = docs.join(s4k.hint("merge"), "doc_id").select(
@@ -1507,6 +1517,8 @@ def _chain_frames(spark: SparkSession, sf_dir: str) -> dict:
         .withColumn("in_budget", F.lit(1))
         .localCheckpoint(eager=False)
     )
+    if probe:
+        probe("s5_budget", s5)
     v = (
         base.join(F.broadcast(comp), "doc_id", "left")
         .join(sem_pruned.hint("merge"), "doc_id", "left")
