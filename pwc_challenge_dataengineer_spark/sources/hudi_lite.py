@@ -19,11 +19,14 @@ now Hudi's layout per the public spec/docs:
   the directory naively would DOUBLE-COUNT updated file groups — slice
   selection is the semantics, and the catalog queries pin it.
 
-MERGE-ON-READ tables (Avro log files, key-latest merge, delete
-sentinel, incremental queries, compaction-style base rewrites) are
-implemented in the MOR section below. Honest gaps (raised, not
-mangled): cleaning/clustering/rollback timeline actions and Hudi's
-metadata-table indexes.
+MERGE-ON-READ tables (Avro log files, key-latest merge with
+deterministic within-instant order, delete sentinel, incremental
+queries) are implemented in the MOR section below; the maintenance
+section adds log COMPACTION (`.commit` instants absorbing logs into new
+base slices, one distributed job for all groups) and the CLEANER
+(reachability-safe slice reclamation with a loud `.clean` horizon
+guard). Honest gaps (raised, not mangled): clustering/rollback timeline
+actions and Hudi's metadata-table indexes.
 
 Reference parity: the reference's storage registry exposes lake-format
 ingest/export (see /root/reference/README.md data-lake sections); this

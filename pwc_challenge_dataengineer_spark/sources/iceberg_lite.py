@@ -25,10 +25,13 @@ Scale posture: manifest processing is the metadata plane — kilobytes per
 thousand files, driver-side by design in every Iceberg engine — while
 the data plane stays Spark's distributed parquet scan. Format-version 2
 (positional/equality delete files, sequence numbers, merge-on-read) is
-implemented in the v2 section at the bottom of this module. Honest gaps
-(raised, not mangled): non-identity partition transforms beyond
-bucket/truncate (days/hours), schema evolution on read, and the full
-field-id metadata real external readers require for column resolution.
+implemented in the v2 section at the bottom of this module; SCHEMA
+EVOLUTION on read (field-id column resolution across rename/add/drop,
+per-snapshot schema ids — see ``set_schema`` / ``scan_evolved``) closed
+the r10 gate. Honest gaps (raised, not mangled): non-identity partition
+transforms beyond bucket/truncate (days/hours), and embedding field ids
+in the parquet files themselves for EXTERNAL readers (the lite layer
+resolves them from table metadata instead).
 
 Reference parity: the reference exposes lake-format export/ingest in its
 storage registry (see /root/reference/README.md data-lake sections);
