@@ -28,8 +28,9 @@ the data plane stays Spark's distributed parquet scan. Format-version 2
 implemented in the v2 section at the bottom of this module; SCHEMA
 EVOLUTION on read (field-id column resolution across rename/add/drop,
 per-snapshot schema ids — see ``set_schema`` / ``scan_evolved``) closed
-the r10 gate. Honest gaps (raised, not mangled): non-identity partition
-transforms beyond bucket/truncate (days/hours), and embedding field ids
+the r10 gate; non-identity transforms cover bucket/truncate AND
+days/hours (plans/lakehouse.py time-transform queries). Honest gap
+(raised, not mangled): embedding field ids
 in the parquet files themselves for EXTERNAL readers (the lite layer
 resolves them from table metadata instead).
 
