@@ -1427,3 +1427,86 @@ def iceberg_hours_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") < F.lit(hi_ts).cast("timestamp"))
     )
     return _time_prune_agg(hits)
+
+
+# ---------------------------------------------- Hudi clustering action
+_CLUST_T1, _CLUST_T2 = "20240102000001", "20240102000002"
+
+
+@register(
+    "hudi_cluster_table",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents WHERE lang IN ('en','de','es')
+    GROUP BY lang
+    """,
+)
+def hudi_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CLUSTERING (replacecommit): each lang partition's two
+    parity-split file groups rewrite into two RANGE-CONTIGUOUS groups on
+    n_chars (one distributed job for all six new groups). Asserted
+    mechanics: the snapshot reads exactly the six new clus* groups
+    (replaced groups invisible), the per-group n_chars ranges are
+    DISJOINT within every partition (the data-locality property
+    clustering exists for), and time travel to the pre-clustering
+    instant still reads the original parity groups. Data identity is the
+    oracle's job — a clustering that loses/duplicates/cross-partitions
+    one row flips the hash."""
+    from ..sources.hudi_lite import cluster_cow, commit, file_slices
+
+    def build(location: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        writes = []
+        for lang in ("en", "de", "es"):
+            part = docs.filter(F.col("lang") == lang)
+            writes.append(
+                (f"lang={lang}", f"fg-{lang}-ev",
+                 part.filter(F.col("doc_id") % 2 == 0))
+            )
+            writes.append(
+                (f"lang={lang}", f"fg-{lang}-od",
+                 part.filter(F.col("doc_id") % 2 == 1))
+            )
+        commit(location, _CLUST_T1, writes)
+        n_new, n_replaced = cluster_cow(
+            spark, location, "n_chars", _CLUST_T2, groups_per_partition=2
+        )
+        assert (n_new, n_replaced) == (6, 6), (n_new, n_replaced)
+
+    location = _fixture_dir("hudiclust", sf_dir, build)
+    slices = file_slices(location)
+    assert len(slices) == 6 and all(
+        fid.startswith("clus") for _p, fid, _i, _path in slices
+    ), slices
+    # pre-clustering time travel: the original parity groups
+    old = file_slices(location, as_of=_CLUST_T1)
+    assert len(old) == 6 and all(
+        fid.startswith("fg-") for _p, fid, _i, _path in old
+    ), old
+    # range-contiguity: within each partition the two new groups hold
+    # DISJOINT n_chars ranges (computed distributed via _metadata)
+    df = spark.read.parquet(*[p for _, _, _, p in slices])
+    ranges = {
+        (r["lang"], r["f"]): (r["mn"], r["mx"])
+        for r in df.withColumn("f", F.col("_metadata.file_path"))
+        .groupBy("lang", "f")
+        .agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+        .collect()
+    }
+    by_lang: dict = {}
+    for (lang, _f), (mn, mx) in ranges.items():
+        by_lang.setdefault(lang, []).append((mn, mx))
+    for lang, rs in by_lang.items():
+        rs = sorted(rs)
+        for (_, mx0), (mn1, _) in zip(rs, rs[1:]):
+            assert mx0 < mn1, (lang, rs)
+    return df.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

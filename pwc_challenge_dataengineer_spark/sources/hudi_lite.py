@@ -25,8 +25,9 @@ queries) are implemented in the MOR section below; the maintenance
 section adds log COMPACTION (`.commit` instants absorbing logs into new
 base slices, one distributed job for all groups) and the CLEANER
 (reachability-safe slice reclamation with a loud `.clean` horizon
-guard). Honest gaps (raised, not mangled): clustering/rollback timeline
-actions and Hudi's metadata-table indexes.
+guard) and CLUSTERING (`.replacecommit` rewriting file groups into
+range-contiguous new groups). Honest gaps (raised, not mangled):
+rollback timeline actions and Hudi's metadata-table indexes.
 
 Reference parity: the reference's storage registry exposes lake-format
 ingest/export (see /root/reference/README.md data-lake sections); this
@@ -43,11 +44,38 @@ def _timeline(location: str) -> list[str]:
     hd = os.path.join(location, ".hoodie")
     if not os.path.isdir(hd):
         raise FileNotFoundError(f"no .hoodie timeline under {location}")
-    return sorted(
-        f[: -len(".commit")]
-        for f in os.listdir(hd)
-        if f.endswith(".commit")
-    )
+    out = set()
+    for f in os.listdir(hd):
+        for suffix in (".commit", ".replacecommit"):
+            if f.endswith(suffix):
+                out.add(f[: -len(suffix)])
+    return sorted(out)
+
+
+def _replaced_groups(location: str, horizon: str) -> dict:
+    """(partition, file_id) -> replacing instant, for every completed
+    `.replacecommit` whose instant is <= horizon. A replaced file group
+    is INVISIBLE at/after its replacing instant (clustering semantics:
+    the new range-clustered groups supersede it); time travel BEFORE the
+    replace still selects it."""
+    hd = os.path.join(location, ".hoodie")
+    out: dict = {}
+    if not os.path.isdir(hd):
+        return out
+    for f in sorted(os.listdir(hd)):
+        if not f.endswith(".replacecommit"):
+            continue
+        instant = f[: -len(".replacecommit")]
+        if instant > horizon:
+            continue
+        with open(os.path.join(hd, f)) as fh:
+            meta = json.load(fh)
+        for partition, fids in meta.get("replacedFileIds", {}).items():
+            for fid in fids:
+                key = (partition, fid)
+                if key not in out or instant < out[key]:
+                    out[key] = instant
+    return out
 
 
 def _check_clean_horizon(location: str, horizon: str) -> None:
@@ -216,9 +244,11 @@ def file_slices(location: str, as_of: str | None = None):
             key = (partition, file_id)
             if key not in best or instant > best[key][0]:
                 best[key] = (instant, os.path.join(root, f))
+    replaced = _replaced_groups(location, horizon)
     return [
         (part, fid, instant, path)
         for (part, fid), (instant, path) in sorted(best.items())
+        if (part, fid) not in replaced
     ]
 
 
@@ -252,7 +282,7 @@ def _completed(location: str) -> set[str]:
         raise FileNotFoundError(f"no .hoodie timeline under {location}")
     out = set()
     for f in os.listdir(hd):
-        for suffix in (".commit", ".deltacommit"):
+        for suffix in (".commit", ".deltacommit", ".replacecommit"):
             if f.endswith(suffix):
                 out.add(f[: -len(suffix)])
     return out
@@ -357,8 +387,11 @@ def mor_file_slices(location: str, as_of: str | None = None):
             key = (partition, file_id)
             if key not in bases or instant > bases[key][0]:
                 bases[key] = (instant, os.path.join(root, f))
+    replaced = _replaced_groups(location, horizon)
     out = []
     for (partition, file_id), (bi, bpath) in sorted(bases.items()):
+        if (partition, file_id) in replaced:
+            continue  # superseded by a clustering replacecommit
         # >= not >: a log written in the SAME commit as its base slice
         # still belongs to that slice (the merge window's log-beats-base
         # tiebreak resolves the within-instant order deterministically)
@@ -634,3 +667,90 @@ def clean_slices(location: str, instant: str, keep_last: int = 1):
             fh,
         )
     return n_files, n_logdirs
+
+
+def cluster_cow(
+    spark,
+    location: str,
+    sort_col: str,
+    instant: str,
+    groups_per_partition: int = 2,
+):
+    """CLUSTERING (Hudi's replacecommit action): rewrite every
+    partition's file groups into ``groups_per_partition`` NEW file
+    groups that are RANGE-CONTIGUOUS on ``sort_col`` — the data-locality
+    rewrite that turns range queries on the clustering key into
+    O(groups touched) instead of O(table). Deterministic range bounds:
+    each partition's [min, max] of ``sort_col`` splits into equal-width
+    integer strides (two tiny agg jobs — per-partition bounds are
+    partition-cardinality-sized, the same boundedness note as the codec
+    planner). All new groups are written by ONE distributed
+    ``_write_tagged_slices`` job; the ``.replacecommit`` timeline file
+    lists the replaced groups, which stay readable for time travel
+    BEFORE the clustering instant until the cleaner takes them.
+    Returns (n_new_groups, n_replaced_groups)."""
+    from pyspark.sql import functions as F
+
+    completed = _completed(location)
+    if instant in completed:
+        raise ValueError(f"instant {instant} already committed")
+    if completed and instant <= max(completed):
+        raise ValueError(
+            f"clustering instant {instant} must follow {max(completed)}"
+        )
+    slices = file_slices(location)
+    parts: dict[str, list[tuple[str, str]]] = {}
+    for partition, fid, _inst, path in slices:
+        parts.setdefault(partition, []).append((fid, path))
+    hd = os.path.join(location, ".hoodie")
+    inflight = os.path.join(hd, f"{instant}.inflight")
+    open(inflight, "w").close()
+    n = groups_per_partition
+    tagged = None
+    names: list[tuple[str, str]] = []
+    part_order = sorted(parts)
+    for pi, partition in enumerate(part_order):
+        pdf = spark.read.parquet(
+            *[p for _fid, p in parts[partition]]
+        ).withColumn("__hudi_part_i", F.lit(pi))
+        tagged = pdf if tagged is None else tagged.unionByName(pdf)
+        for g in range(n):
+            names.append((partition, f"clus{g}-{instant}"))
+    bounds = {
+        r["__hudi_part_i"]: (r["mn"], r["mx"])
+        for r in tagged.groupBy("__hudi_part_i")
+        .agg(
+            F.min(sort_col).cast("long").alias("mn"),
+            F.max(sort_col).cast("long").alias("mx"),
+        )
+        .collect()
+    }
+    gexpr = F.lit(0)
+    for pi, (mn, mx) in bounds.items():
+        step = max(1, (int(mx) - int(mn)) // n + 1)
+        gidx = F.least(
+            F.lit(n - 1),
+            F.floor((F.col(sort_col).cast("long") - F.lit(int(mn))) / step),
+        )
+        gexpr = F.when(F.col("__hudi_part_i") == pi, gidx).otherwise(gexpr)
+    tagged = tagged.withColumn(
+        "__hudi_w",
+        (F.col("__hudi_part_i") * n + gexpr).cast("int"),
+    ).drop("__hudi_part_i")
+    stats = _write_tagged_slices(location, instant, tagged, names)
+    replaced = {
+        partition: [fid for fid, _p in parts[partition]]
+        for partition in part_order
+    }
+    with open(os.path.join(hd, f"{instant}.replacecommit"), "w") as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": stats,
+                "replacedFileIds": replaced,
+                "operation": "cluster",
+                "clusteringSortColumn": sort_col,
+            },
+            fh,
+        )
+    os.remove(inflight)
+    return len(names), sum(len(v) for v in replaced.values())

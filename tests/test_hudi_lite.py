@@ -296,3 +296,59 @@ def test_mor_compaction_and_cleaning_lifecycle(spark, tiny, tmp_path):
     assert sorted((r["id"], r["v"]) for r in df3.collect()) == got
     with _pytest.raises(ValueError, match="clean horizon"):
         mor_snapshot(spark, loc, key_col="id", as_of=t2)
+
+
+def test_clustering_replacecommit_lifecycle(spark, tiny, tmp_path):
+    """cluster_cow rewrites file groups into range-contiguous new groups
+    under a .replacecommit; replaced groups invisible at/after the
+    instant, visible to earlier time travel; cleaner reclaims them."""
+    import pytest as _pytest
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        clean_slices,
+        cluster_cow,
+        commit,
+        file_slices,
+        snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3 = (f"2024010100000{i}" for i in (1, 2, 3))
+    commit(
+        loc,
+        t1,
+        [
+            ("p=a", "fg1", tiny([(1, "a"), (9, "i"), (3, "c")])),
+            ("p=a", "fg2", tiny([(7, "g"), (2, "b")])),
+        ],
+    )
+    n_new, n_replaced = cluster_cow(
+        spark, loc, "id", t2, groups_per_partition=2
+    )
+    assert (n_new, n_replaced) == (2, 2)
+    slices = file_slices(loc)
+    assert [fid for _p, fid, _i, _path in slices] == [
+        f"clus0-{t2}", f"clus1-{t2}"
+    ]
+    df, n = snapshot(spark, loc)
+    assert n == 2
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3, 7, 9]
+    # range contiguity on id: stride = (9-1)//2+1 = 5 -> [1,5] / [6,10]
+    g0 = spark.read.parquet(slices[0][3])
+    g1 = spark.read.parquet(slices[1][3])
+    assert sorted(r["id"] for r in g0.collect()) == [1, 2, 3]
+    assert sorted(r["id"] for r in g1.collect()) == [7, 9]
+    # pre-clustering horizon sees the ORIGINAL groups
+    old, n_old = snapshot(spark, loc, as_of=t1)
+    assert n_old == 2
+    assert sorted(r["id"] for r in old.collect()) == [1, 2, 3, 7, 9]
+    # duplicate/old instants rejected
+    with _pytest.raises(ValueError, match="must follow|already"):
+        cluster_cow(spark, loc, "id", t1)
+    # cleaner reclaims the replaced groups; older reads fail loudly
+    n_files, _n_logs = clean_slices(loc, t3, keep_last=1)
+    assert n_files == 2
+    df2, _ = snapshot(spark, loc)
+    assert sorted(r["id"] for r in df2.collect()) == [1, 2, 3, 7, 9]
+    with _pytest.raises(ValueError, match="clean horizon"):
+        snapshot(spark, loc, as_of=t1)
