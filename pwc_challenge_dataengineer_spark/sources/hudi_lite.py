@@ -226,9 +226,12 @@ def file_slices(location: str, as_of: str | None = None):
         raise ValueError(f"unknown instant {horizon}")
     _check_clean_horizon(location, horizon)
     best: dict[tuple[str, str], tuple[str, str]] = {}
-    for root, _dirs, files in os.walk(location):
+    for root, dirs, files in os.walk(location):
         rel = os.path.relpath(root, location)
         if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
+            continue
+        if os.path.basename(root).startswith((".staging_", ".tmp_")):
+            dirs[:] = []  # concurrent writer's in-flight area: not data
             continue
         partition = os.path.relpath(root, location)
         for f in files:
@@ -354,11 +357,14 @@ def mor_file_slices(location: str, as_of: str | None = None):
     _check_clean_horizon(location, horizon)
     bases: dict[tuple[str, str], tuple[str, str]] = {}
     logs: dict[tuple[str, str], list[tuple[str, str]]] = {}
-    for root, _dirs, files in os.walk(location):
+    for root, dirs, files in os.walk(location):
         rel = os.path.relpath(root, location)
         if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
             continue
         base = os.path.basename(root)
+        if base.startswith((".staging_", ".tmp_")):
+            dirs[:] = []  # concurrent writer's in-flight area: not data
+            continue
         if base.startswith(".log_"):
             stem = base[len(".log_"):]
             try:
@@ -415,26 +421,30 @@ def mor_snapshot(spark, location: str, key_col: str,
     embarrassingly parallel across groups at 100 TB. Returns
     (DataFrame, n_file_groups, n_log_files)."""
     latest, slices, n_logs = _mor_merged(spark, location, key_col, as_of)
-    return latest.drop("__file_id"), len(slices), n_logs
+    return latest.drop("__partition", "__file_id"), len(slices), n_logs
 
 
 def _mor_merged(spark, location: str, key_col: str,
                 as_of: str | None = None):
     """Shared merge core for snapshot reads AND compaction: returns the
-    surviving latest-version rows WITH their ``__file_id`` retained
-    (compaction rewrites per group), plus the slice list and log count.
-    """
+    surviving latest-version rows WITH their ``__partition`` and
+    ``__file_id`` retained (compaction rewrites per FILE GROUP =
+    (partition, file_id) — file ids are only per-partition unique, so
+    both the merge window and the compaction write map must carry the
+    partition or two partitions' same-named groups would merge into
+    one), plus the slice list and log count."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from .avrolite import register_avrolite
 
     slices = mor_file_slices(location, as_of)
-    base_paths = {p: (fid, bi) for _, fid, bi, p, _ in slices}
+    base_paths = {p: (part, fid, bi) for part, fid, bi, p, _ in slices}
     base = spark.read.parquet(*base_paths)
     file_info = spark.createDataFrame(
-        [(p, fid, bi) for p, (fid, bi) in base_paths.items()],
-        "__path string, __file_id string, __instant string",
+        [(p, part, fid, bi) for p, (part, fid, bi) in base_paths.items()],
+        "__path string, __partition string, __file_id string, "
+        "__instant string",
     )
     from .iceberg_lite import decode_file_path
 
@@ -460,7 +470,7 @@ def _mor_merged(spark, location: str, key_col: str,
     merged = base
     n_logs = 0
     need_register = True
-    for _, fid, _bi, _bp, group_logs in slices:
+    for part, fid, _bi, _bp, group_logs in slices:
         for li, ldir in group_logs:
             if need_register:
                 register_avrolite(spark)
@@ -469,6 +479,7 @@ def _mor_merged(spark, location: str, key_col: str,
             log_df = (
                 spark.read.format("avrolite")
                 .load(ldir)
+                .withColumn("__partition", F.lit(part))
                 .withColumn("__file_id", F.lit(fid))
                 .withColumn("__instant", F.lit(li))
                 .withColumn("__is_log", F.lit(1))
@@ -482,7 +493,7 @@ def _mor_merged(spark, location: str, key_col: str,
                     "_hoodie_seq", F.lit(0).cast("long")
                 )
             merged = merged.unionByName(log_df, allowMissingColumns=True)
-    w = Window.partitionBy("__file_id", key_col).orderBy(
+    w = Window.partitionBy("__partition", "__file_id", key_col).orderBy(
         F.col("__instant").desc(),
         F.col("__is_log").desc(),  # same instant: log beats base
         F.col("_hoodie_seq").desc(),  # same log: highest seq wins
@@ -577,18 +588,26 @@ def compact_logs(spark, location: str, key_col: str, instant: str):
     hd = os.path.join(location, ".hoodie")
     inflight = os.path.join(hd, f"{instant}.inflight")
     open(inflight, "w").close()
-    fid_to_idx = {fid: i for i, (_p, fid) in enumerate(todo)}
+    # key the write-tag map on the FULL file-group identity (partition,
+    # file_id): fids are caller-chosen and only per-partition unique —
+    # a fid-only map would tag two partitions' groups to one slice,
+    # absorbing one partition's rows and erasing the other's
+    grp_to_idx = {(p, fid): i for i, (p, fid) in enumerate(todo)}
+    if len(grp_to_idx) != len(todo):
+        raise ValueError("compact_logs: duplicate (partition, file_id)")
+    sep = "\x1f"
     idx_expr = F.create_map(
         *[
             x
-            for fid, i in fid_to_idx.items()
-            for x in (F.lit(fid), F.lit(i))
+            for (p, fid), i in grp_to_idx.items()
+            for x in (F.lit(p + sep + fid), F.lit(i))
         ]
     )
+    grp_key = F.concat_ws(sep, F.col("__partition"), F.col("__file_id"))
     tagged = (
-        merged.withColumn("__hudi_w", idx_expr[F.col("__file_id")])
+        merged.withColumn("__hudi_w", idx_expr[grp_key])
         .filter(F.col("__hudi_w").isNotNull())
-        .drop("__file_id")
+        .drop("__partition", "__file_id")
     )
     stats = _write_tagged_slices(location, instant, tagged, todo)
     with open(os.path.join(hd, f"{instant}.commit"), "w") as fh:
@@ -644,6 +663,12 @@ def clean_slices(location: str, instant: str, keep_last: int = 1):
         if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
             continue
         base = os.path.basename(root)
+        if base.startswith((".staging_", ".tmp_")):
+            # a CONCURRENT writer's in-flight staging area: its part
+            # files don't start with '.' (only the directory does) —
+            # deleting them would erase a commit/compaction mid-rename
+            dirs[:] = []
+            continue
         if base.startswith(".log_"):
             if root not in reachable:
                 shutil.rmtree(root, ignore_errors=True)
@@ -727,12 +752,25 @@ def cluster_cow(
     }
     gexpr = F.lit(0)
     for pi, (mn, mx) in bounds.items():
-        step = max(1, (int(mx) - int(mn)) // n + 1)
-        gidx = F.least(
-            F.lit(n - 1),
-            F.floor((F.col(sort_col).cast("long") - F.lit(int(mn))) / step),
-        )
-        gexpr = F.when(F.col("__hudi_part_i") == pi, gidx).otherwise(gexpr)
+        if mn is None:
+            # partition where every sort_col is NULL: min/max agg saw
+            # no values — all rows go to group 0
+            gidx = F.lit(0)
+        else:
+            step = max(1, (int(mx) - int(mn)) // n + 1)
+            gidx = F.least(
+                F.lit(n - 1),
+                F.floor(
+                    (F.col(sort_col).cast("long") - F.lit(int(mn))) / step
+                ),
+            )
+        # NULL sort_col rows cluster deterministically into group 0
+        # (real Hudi clusters nulls like any value; a NULL group index
+        # would route them to a staging partition the slice renamer
+        # never picks up — silent row loss)
+        gexpr = F.when(
+            F.col("__hudi_part_i") == pi, F.coalesce(gidx, F.lit(0))
+        ).otherwise(gexpr)
     tagged = tagged.withColumn(
         "__hudi_w",
         (F.col("__hudi_part_i") * n + gexpr).cast("int"),

@@ -257,13 +257,14 @@ def _carry_batch_hwm(md, summary: dict | None) -> dict | None:
 def committed_batch_hwm(location: str) -> int | None:
     """Highest streaming batch id the table has EVER committed, reading
     both live per-snapshot ids and the carried-forward HWM summary (so
-    the answer is stable across expire_snapshots / compaction)."""
-    try:
-        md = _load_metadata(location)
-    except FileNotFoundError:
+    the answer is stable across expire_snapshots / compaction).
+    Version-agnostic: the replay horizon is a summary-plane read that
+    works the same for v1 and v2 tables."""
+    p = _metadata_path(location)
+    if p is None:
         return None
-    if md is None:
-        return None
+    with open(p) as fh:
+        md = json.load(fh)
     hwm = None
     for s in md["snapshots"]:
         sm = s.get("summary") or {}
@@ -346,6 +347,24 @@ def commit_snapshot(
     if md and md.get("schemas") is not None:
         new_md["schemas"] = md["schemas"]
         new_md["current-schema-id"] = md["current-schema-id"]
+        # persist every live file's WRITER schema id at the metadata
+        # level: once expire_snapshots drops the snapshot that ADDED a
+        # still-live file, no surviving ADDED manifest row records its
+        # schema — without this map, evolved scans of expired tables
+        # would crash (or misresolve) on carried status-0 files
+        prev_fs = md.get("file-schemas") or {}
+        walk = _added_schema_walk(md)
+        fs: dict[str, int] = {}
+        for path, _part, _cnt in prior:
+            if path in deleted_paths:
+                continue
+            sch = prev_fs.get(path, walk.get(path))
+            if sch is None:  # legacy file with no surviving ADDED row
+                sch = _oldest_schema_id(md)
+            fs[path] = sch
+        for path, _part, _cnt in added:
+            fs[path] = md["current-schema-id"]
+        new_md["file-schemas"] = fs
     version = _next_version(location)
     tmp = os.path.join(mdir, f"v{version}.metadata.json.tmp")
     with open(tmp, "w") as fh:
@@ -526,12 +545,17 @@ def commit_snapshot_v2(
     added: list[tuple[str, str, int]] = (),
     added_deletes: list[tuple[str, str, int, tuple[str, ...] | None]] = (),
     deleted_paths: tuple[str, ...] = (),
+    summary: dict | None = None,
 ) -> int:
     """Commit one v2 snapshot with sequence number = snapshot id.
     ``added``: (path, partition_value, record_count) DATA files.
     ``added_deletes``: (path, partition_value, content, equality_cols)
     delete files (content 1 positional / 2 equality). Prior live entries
-    carry forward as EXISTING with their ORIGINAL sequence numbers."""
+    carry forward as EXISTING with their ORIGINAL sequence numbers.
+    Like v1 commits, EVERY v2 snapshot carries the streaming-batch
+    high-water mark forward (``_carry_batch_hwm``) — a v2 delete/replace
+    commit becoming the newest snapshot must not drop the replay
+    horizon, or a crash-replay could double-append."""
     md = None
     try:
         md = _load_metadata_v2(location)
@@ -603,9 +627,15 @@ def commit_snapshot_v2(
         _MANIFEST_LIST_SCHEMA,
         [(manifest, os.path.getsize(manifest), 0, sid)],
     )
-    snapshots = (md["snapshots"] if md else []) + [
-        {"snapshot-id": sid, "sequence-number": sid, "manifest-list": mlist}
-    ]
+    snap_entry = {
+        "snapshot-id": sid,
+        "sequence-number": sid,
+        "manifest-list": mlist,
+    }
+    summary = _carry_batch_hwm(md, summary)
+    if summary:
+        snap_entry["summary"] = dict(summary)
+    snapshots = (md["snapshots"] if md else []) + [snap_entry]
     new_md = {
         "format-version": 2,
         "location": location,
@@ -790,26 +820,55 @@ def set_schema(location: str, fields: list[dict]) -> int:
     return new_id
 
 
-def _files_by_schema(md, location: str, snapshot_id: int):
-    """Group the ACTIVE data files of ``snapshot_id`` by the schema id
-    they were WRITTEN under (the adding snapshot's schema-id)."""
-    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
-    if snapshot_id not in snaps:
-        raise ValueError(
-            f"unknown snapshot {snapshot_id} (have {sorted(snaps)})"
-        )
-    added_schema: dict[str, int] = {}
+def _added_schema_walk(md) -> dict[str, int]:
+    """{file_path: writer schema-id} from the surviving snapshots'
+    status=1 ADDED manifest rows. Exact only for files whose adding
+    snapshot is still in metadata — expire_snapshots can drop it while
+    the file lives on as a carried status-0 entry (see the
+    ``file-schemas`` metadata map, the persistent record)."""
+    out: dict[str, int] = {}
     for s in md["snapshots"]:
         sch = s.get("schema-id", md["current-schema-id"])
         for mrow in read_ocf(s["manifest-list"]):
             for status, _snap, data_file in read_ocf(mrow[0]):
                 if status == 1:  # ADDED here
-                    added_schema[data_file[0]] = sch
+                    out[data_file[0]] = sch
+    return out
+
+
+def _oldest_schema_id(md) -> int:
+    """Best-available writer-schema bound for a legacy file with no
+    surviving ADDED row and no file-schemas entry: it predates the
+    oldest retained snapshot, so that snapshot's schema era is the
+    closest recorded one."""
+    if md["snapshots"]:
+        return md["snapshots"][0].get("schema-id", md["current-schema-id"])
+    return md["current-schema-id"]
+
+
+def _files_by_schema(md, location: str, snapshot_id: int):
+    """Group the ACTIVE data files of ``snapshot_id`` by the schema id
+    they were WRITTEN under: exact resolution from surviving ADDED
+    manifest rows, then the persisted ``file-schemas`` metadata map
+    (which survives snapshot expiration), then the oldest retained
+    snapshot's schema as the documented legacy fallback — never a
+    KeyError crash on expired tables."""
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    if snapshot_id not in snaps:
+        raise ValueError(
+            f"unknown snapshot {snapshot_id} (have {sorted(snaps)})"
+        )
+    added_schema = _added_schema_walk(md)
+    fs = md.get("file-schemas") or {}
     groups: dict[int, list[tuple[str, str, int]]] = {}
     for path, part, cnt in active_files(location, snapshot_id):
-        groups.setdefault(added_schema[path], []).append(
-            (path, part, cnt)
-        )
+        if path in added_schema:
+            sch = added_schema[path]
+        elif path in fs:
+            sch = fs[path]
+        else:
+            sch = _oldest_schema_id(md)
+        groups.setdefault(sch, []).append((path, part, cnt))
     return groups
 
 
@@ -970,6 +1029,12 @@ def expire_snapshots(location: str, keep_last: int = 1):
         os.remove(s["manifest-list"])
     new_md = dict(md)
     new_md["snapshots"] = kept
+    if md.get("file-schemas"):
+        # file-schemas is the record that keeps evolved scans exact
+        # AFTER this expiry drops ADDED rows; prune only dead paths
+        new_md["file-schemas"] = {
+            p: s for p, s in md["file-schemas"].items() if p in reachable
+        }
     mdir = os.path.join(location, "metadata")
     version = _next_version(location)
     tmp = os.path.join(mdir, f"v{version}.metadata.json.tmp")

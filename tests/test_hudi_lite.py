@@ -352,3 +352,131 @@ def test_clustering_replacecommit_lifecycle(spark, tiny, tmp_path):
     assert sorted(r["id"] for r in df2.collect()) == [1, 2, 3, 7, 9]
     with _pytest.raises(ValueError, match="clean horizon"):
         snapshot(spark, loc, as_of=t1)
+
+
+def test_cluster_null_sort_col_rows_survive(spark, tiny, tmp_path):
+    """r11 ADVICE pin (medium): rows whose clustering key is NULL must
+    survive cluster_cow — a NULL group index would route them to a
+    staging partition the slice renamer never renames, silently losing
+    them. NULLs cluster deterministically into group 0; an all-NULL
+    partition (min/max agg sees no values) also survives."""
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        cluster_cow,
+        commit,
+        snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2 = "20240101000001", "20240101000002"
+    commit(
+        loc,
+        t1,
+        [
+            ("p=a", "fg1", tiny([(1, "a"), (None, "nul1"), (9, "i")])),
+            # partition where EVERY sort_col value is NULL
+            ("p=b", "fg2", tiny([(None, "nul2"), (None, "nul3")])),
+        ],
+    )
+    n_new, n_replaced = cluster_cow(
+        spark, loc, "id", t2, groups_per_partition=2
+    )
+    assert (n_new, n_replaced) == (4, 2)
+    df, _n = snapshot(spark, loc)
+    got = sorted(
+        [(r["id"], r["v"]) for r in df.collect()],
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [
+        (1, "a"), (9, "i"), (None, "nul1"), (None, "nul2"), (None, "nul3")
+    ], got
+
+
+def test_compact_logs_same_file_id_across_partitions(spark, tiny, tmp_path):
+    """r11 ADVICE pin (medium): file ids are only per-partition unique.
+    Compaction keyed on fid alone would tag BOTH partitions' groups to
+    one slice — one partition absorbing the other's rows and the other
+    physically erased at the new horizon. The write map keys on
+    (partition, file_id)."""
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        commit_mor,
+        compact_logs,
+        mor_snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3 = (f"2024010100000{i}" for i in (1, 2, 3))
+    # SAME fid "fg1" in two partitions, disjoint keys
+    commit_mor(
+        loc,
+        t1,
+        base_writes=[
+            ("p=a", "fg1", tiny([(1, "a1"), (2, "a2")])),
+            ("p=b", "fg1", tiny([(11, "b1"), (12, "b2")])),
+        ],
+    )
+    commit_mor(
+        loc,
+        t2,
+        log_writes=[
+            ("p=a", "fg1", tiny([(1, "A1")])),
+            ("p=b", "fg1", tiny([(11, "B1")])),
+        ],
+    )
+    n_groups, n_logs = compact_logs(spark, loc, key_col="id", instant=t3)
+    assert (n_groups, n_logs) == (2, 2)
+    df, ng, nl = mor_snapshot(spark, loc, key_col="id")
+    assert (ng, nl) == (2, 0)
+    got = sorted((r["id"], r["v"]) for r in df.collect())
+    assert got == [(1, "A1"), (2, "a2"), (11, "B1"), (12, "b2")], got
+    # each partition's compacted slice holds ONLY its own rows
+    import os as _os
+
+    for part, lo, hi in (("p=a", 1, 2), ("p=b", 11, 12)):
+        files = [
+            f
+            for f in _os.listdir(_os.path.join(loc, part))
+            if f.endswith(".parquet") and f"_{t3}." in f
+        ]
+        assert len(files) == 1, files
+        rows = spark.read.parquet(
+            _os.path.join(loc, part, files[0])
+        ).collect()
+        assert sorted(r["id"] for r in rows) == [lo, hi]
+
+
+def test_clean_skips_concurrent_staging_dirs(spark, tiny, tmp_path):
+    """r11 ADVICE pin (low): the cleaner must not delete part-files
+    inside a concurrent writer's .staging_/.tmp_ directories (their
+    files don't start with '.', only the directory does); slice walkers
+    must also not trip over them."""
+    import os as _os
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        clean_slices,
+        commit,
+        file_slices,
+        snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3 = (f"2024010100000{i}" for i in (1, 2, 3))
+    commit(loc, t1, [("p=a", "fg1", tiny([(1, "x")]))])
+    commit(loc, t2, [("p=a", "fg1", tiny([(1, "X")]))])
+    # simulate an in-flight writer: staged part file, no .commit yet
+    staged = _os.path.join(
+        loc, f".staging_{t3}", "__hudi_w=0", "part-00000.parquet"
+    )
+    _os.makedirs(_os.path.dirname(staged))
+    with open(staged, "wb") as fh:
+        fh.write(b"in-flight")
+    tmp_staged = _os.path.join(loc, "p=a", f".tmp_fg9_{t3}", "part-0.parquet")
+    _os.makedirs(_os.path.dirname(tmp_staged))
+    with open(tmp_staged, "wb") as fh:
+        fh.write(b"in-flight")
+    # readers ignore the staging area entirely
+    assert len(file_slices(loc)) == 1
+    n_files, n_logdirs = clean_slices(loc, t3, keep_last=1)
+    assert (n_files, n_logdirs) == (1, 0)  # only the t1 slice reclaimed
+    assert _os.path.exists(staged) and _os.path.exists(tmp_staged)
+    df, _ = snapshot(spark, loc)
+    assert [r["v"] for r in df.collect()] == ["X"]

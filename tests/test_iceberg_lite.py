@@ -406,3 +406,76 @@ def test_schema_evolution_field_id_resolution(tmp_path, spark):
     old_df, n_old, _ = scan_evolved(spark, loc, snapshot_id=sid2 - 1)
     assert old_df.columns == ["k", "body"]
     assert sorted(r["body"] for r in old_df.collect()) == ["old1", "old2"]
+
+
+def test_evolved_scan_survives_snapshot_expiry(tmp_path, spark):
+    """r11 ADVICE pin (low): after expire_snapshots drops the snapshot
+    that ADDED a still-live file, no surviving ADDED manifest row
+    records its writer schema — the persisted file-schemas metadata map
+    keeps scan_evolved's field-id resolution exact instead of
+    KeyError-crashing."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        expire_snapshots,
+        scan_evolved,
+        set_schema,
+    )
+
+    loc = str(tmp_path / "tbl")
+
+    def write_one(subdir, rows, schema):
+        out = os.path.join(loc, subdir)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(out)
+        return next(
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        )
+
+    set_schema(loc, [{"id": 1, "name": "k"}, {"id": 2, "name": "body"}])
+    a = write_one("a", [(1, "old1"), (2, "old2")], "k long, body string")
+    commit_snapshot(loc, "p", [(a, "x", 2)])
+    set_schema(
+        loc,
+        [
+            {"id": 1, "name": "k"},
+            {"id": 2, "name": "text"},  # rename keeps id 2
+            {"id": 3, "name": "score"},  # added
+        ],
+    )
+    b = write_one("b", [(3, "new3", 30)], "k long, text string, score long")
+    commit_snapshot(loc, "p", [(b, "x", 1)])
+
+    n_expired, n_removed = expire_snapshots(loc, keep_last=1)
+    assert n_expired == 1 and n_removed == 0  # file a carried, still live
+    df, n_groups, _ = scan_evolved(spark, loc)
+    got = sorted((r["k"], r["text"], r["score"]) for r in df.collect())
+    assert got == [(1, "old1", None), (2, "old2", None), (3, "new3", 30)]
+    assert n_groups == 2
+
+
+def test_v2_commit_carries_batch_hwm(tmp_path, spark):
+    """r11 ADVICE pin (low): a v2 delete/replace commit becoming the
+    newest snapshot must carry the streaming-batch high-water mark
+    forward, like every v1 commit — or a crash-replay after maintenance
+    could double-append."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        _metadata_path,
+        commit_snapshot_v2,
+        committed_batch_hwm,
+    )
+
+    loc = str(tmp_path / "tbl")
+    d1 = _touch(os.path.join(loc, "data", "d1.parquet"))
+    commit_snapshot_v2(
+        loc, "p", added=[(d1, "x", 1)], summary={"streaming-batch-id": "7"}
+    )
+    assert committed_batch_hwm(loc) == 7
+    # a later v2 commit WITHOUT a batch id (e.g. a delete commit) must
+    # still carry the horizon in ITS OWN summary — maintenance that
+    # later drops the batch-7 snapshot then cannot lose the horizon
+    commit_snapshot_v2(loc, "p", deleted_paths=(d1,))
+    with open(_metadata_path(loc)) as fh:
+        md = json.load(fh)
+    newest = md["snapshots"][-1]
+    assert newest["summary"]["streaming-batch-hwm"] == "7"
+    assert committed_batch_hwm(loc) == 7
