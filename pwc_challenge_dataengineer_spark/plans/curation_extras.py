@@ -39,8 +39,9 @@ from ..functions.similarity import as_double_array, l2_norm
 from ..schemas import load_table
 from .catalog import register
 
-_SEM_K = 8  # fixed centroid count (vec_id < K); at 100 TB use n/1000
+_SEM_K = 8  # minimum centroid count; grows as floor(sqrt(n))
 _SEM_TAU = 0.30  # within-cluster near-dup cosine threshold
+_SEM_B = 128  # max members per pair-join shard (caps pair work at n*B)
 
 
 def _cos(a, b):
@@ -55,115 +56,314 @@ _SEM_COS = """
 """
 
 
-@register(
-    "semdedup_prune",
-    oracle=f"""
-    WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    kk AS (
-        SELECT greatest(CAST({_SEM_K} AS BIGINT),
-                        CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS k
-        FROM e
-    ),
-    cent AS (
-        SELECT vec_id AS cent_id, v AS cvec FROM e, kk
-        WHERE vec_id < kk.k
-    ),
-    sims AS (
-        SELECT e.vec_id, cent.cent_id,
-               round({_SEM_COS.format(a="e.v", b="cent.cvec")}, 6) AS cos
-        FROM e, cent
-    ),
-    assign AS (
-        SELECT vec_id, cent_id AS cluster_id, cos AS sim_to_centroid
-        FROM (SELECT sims.*, row_number() OVER (
-                  PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-              FROM sims)
-        WHERE rn = 1
-    ),
-    pruned AS (
-        SELECT DISTINCT bb.vec_id
-        FROM assign aa
-        JOIN assign bb ON aa.cluster_id = bb.cluster_id
-                      AND aa.vec_id < bb.vec_id
-        JOIN e ea ON ea.vec_id = aa.vec_id
-        JOIN e eb ON eb.vec_id = bb.vec_id
-        WHERE round({_SEM_COS.format(a="ea.v", b="eb.v")}, 6) > {_SEM_TAU}
+def _sem_shard(vec_col, csz_col):
+    """Deterministic pair-join shard within a cluster: first 16 bits of
+    md5(vec_id) mod ceil(cluster_size / _SEM_B). Content-free and
+    engine-portable (same md5-bucket form as shard_assignment_order);
+    clusters at or under _SEM_B collapse to a single shard 0."""
+    n_shards = F.ceil(
+        csz_col.cast("double") / F.lit(float(_SEM_B))
+    ).cast("long")
+    return (
+        F.conv(
+            F.substring(F.md5(vec_col.cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % n_shards
     )
-    SELECT a.vec_id, a.cluster_id, a.sim_to_centroid,
-           CAST(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_pruned
-    FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id
-    """,
-)
-def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup with a deterministic keep rule: assign every vector to
-    its nearest centroid (cosine, 6dp-rounded, centroid-id tiebreak),
-    then prune any vector that has a SMALLER-id neighbor in the SAME
-    cluster above the threshold. Scale shape is the paper's point — and
-    the centroid count must GROW with n for it to hold: K =
-    max(8, floor(sqrt(n))) balances the n*K assignment term against the
-    n^2/K within-cluster pair term at ~n^1.5. r10 measurement: with the
-    r9 FIXED K=8, fully evaluating the pair join at 30x data (60k
-    vectors) took 951 s vs 11 s at base — 83x, quadratic in practice;
-    the r9 stress runs' count() action had let Spark skip far less of
-    the work than assumed, so the cost was latent. sqrt-K measured
-    14.5x at 30x on the same data. Centroids stay the deterministic
-    lowest-K vec_ids; the oracle computes the identical closed form, so
-    the operator remains value-verified at every SF. No global sort, no
-    driver-side model."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
-    )
-    k_df = emb.agg(
+
+
+def _sem_assign_prune(emb_all, sem_in):
+    """Shared SemDeDup core (registered query + curation chain): returns
+    (assign, pruned) where assign = (vec_id, cluster_id,
+    sim_to_centroid) and pruned = vec_ids with a smaller-id same-shard
+    cluster neighbor above _SEM_TAU. Three bounded stages:
+
+    1. TWO-LEVEL ASSIGNMENT (r12): nearest-centroid search goes through
+       ceil(sqrt(K)) COARSE centroids (the lowest-id centroids, IVF
+       coarse-quantizer style) — each vector picks its nearest coarse
+       group (n*sqrt(K) work), then its nearest centroid WITHIN that
+       group (n*K/sqrt(K) expected) — 2*n*K^0.5 total vs brute-force
+       n*K. With K = sqrt(n) that cuts the assignment exponent from
+       n^1.5 to n^1.25: the r11 x100 chain stress measured the
+       brute-force assignment dominating SemDeDup's 118 s stage wall.
+       Approximation is the IVF one (the true nearest centroid may sit
+       in a different coarse group); the oracle mirrors the exact same
+       closed form, so results stay value-verified.
+    2. PRECOMPUTED NORMS: each side carries its l2 norm as a column, so
+       per-pair cosine is one fold (dot) instead of three — measured
+       2.7x on the assignment crossJoin, BIT-IDENTICAL results (the
+       factored norm is the same expression subtree).
+    3. SHARD CAP (r12): clusters above _SEM_B members split into
+       ceil(size/_SEM_B) md5(vec_id) hash shards and pairs only form
+       within a shard — pair work <= n*_SEM_B REGARDLESS of cluster
+       skew (inflated near-dup corpora concentrate into giant
+       clusters), at the documented cost of missing cross-shard pairs
+       inside oversized clusters.
+
+    All row-scaling joins pinned sort-merge (size estimates flip them
+    at 30x otherwise — SCALE_STRESS_x30_r9wave3); the assignment output
+    is localCheckpointed once (reused by the size aggregate, the pair
+    join and the caller's final join)."""
+    embn = emb_all.withColumn("nrm", l2_norm(F.col("v")))
+    inn = sem_in.withColumn("nrm", l2_norm(F.col("v")))
+    k_df = sem_in.agg(
         F.greatest(
             F.lit(_SEM_K).cast("long"),
             F.floor(F.sqrt(F.count("*"))).cast("long"),
         ).alias("k")
     )
+    c_df = k_df.select(
+        F.ceil(F.sqrt(F.col("k").cast("double"))).cast("long").alias("c")
+    )
     cent = (
-        emb.crossJoin(F.broadcast(k_df))
+        embn.crossJoin(F.broadcast(k_df))
         .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec"))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
     )
-    sims = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cent_id",
-        F.round(_cos(F.col("v"), F.col("cvec")), 6).alias("cos"),
+    coarse = (
+        embn.crossJoin(F.broadcast(c_df))
+        .filter(F.col("vec_id") < F.col("c"))
+        .select(
+            F.col("vec_id").alias("coarse_id"),
+            F.col("v").alias("covec"),
+            F.col("nrm").alias("conrm"),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+
+    def cosn(av, bv, an, bn):
+        return F.round(
+            F.aggregate(
+                F.zip_with(av, bv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (an * bn),
+            6,
+        )
+
+    # centroid -> coarse group (K x sqrt(K) rows: metadata-scale)
+    w_c2c = Window.partitionBy("cent_id").orderBy(
+        F.desc("cos"), F.asc("coarse_id")
+    )
+    c2c = (
+        cent.crossJoin(F.broadcast(coarse))
+        .select(
+            "cent_id",
+            "coarse_id",
+            cosn(
+                F.col("cvec"), F.col("covec"), F.col("cnrm"), F.col("conrm")
+            ).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_c2c))
+        .filter(F.col("rn") == 1)
+        .select("cent_id", "coarse_id")
+    )
+    cent_g = cent.join(F.broadcast(c2c), "cent_id")  # K rows
+    # vector -> coarse group (n x sqrt(K))
+    w_v2c = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("coarse_id")
+    )
+    v2c = (
+        inn.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id",
+            "coarse_id",
+            cosn(
+                F.col("v"), F.col("covec"), F.col("nrm"), F.col("conrm")
+            ).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_v2c))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "coarse_id")
+    )
+    # vector -> nearest centroid within its coarse group
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cent_id")
+    )
     assign = (
-        sims.withColumn("rn", F.row_number().over(w))
+        inn.join(v2c.hint("merge"), "vec_id")
+        .join(F.broadcast(cent_g), "coarse_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            cosn(
+                F.col("v"), F.col("cvec"), F.col("nrm"), F.col("cnrm")
+            ).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_asg))
         .filter(F.col("rn") == 1)
         .select(
             "vec_id",
             F.col("cent_id").alias("cluster_id"),
             F.col("cos").alias("sim_to_centroid"),
         )
+        .localCheckpoint(eager=False)
     )
-    # The three row-scaling joins below are PINNED to sort-merge: at 30x
-    # data Spark's size estimates flip them broadcast->SMJ anyway (seen in
-    # SCALE_STRESS_x30_r9wave3), so fingerprint the scale shape at every
-    # SF rather than letting the plan drift with the estimate.
-    withv = assign.join(emb.hint("merge"), "vec_id")
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("csz")
+    )
+    sharded = assign.join(F.broadcast(sizes), "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        _sem_shard(F.col("vec_id"), F.col("csz")).alias("shard"),
+    )
+    withv = sharded.join(inn.hint("merge"), "vec_id")
     a = withv.select(
         F.col("cluster_id"),
+        F.col("shard"),
         F.col("vec_id").alias("a_id"),
         F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_n"),
     )
     b = withv.select(
         F.col("cluster_id"),
+        F.col("shard"),
         F.col("vec_id").alias("b_id"),
         F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_n"),
     )
     pruned = (
-        a.join(b.hint("merge"), "cluster_id")
+        a.join(b.hint("merge"), ["cluster_id", "shard"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(_cos(F.col("a_v"), F.col("b_v")), 6) > _SEM_TAU)
+        .filter(
+            cosn(F.col("a_v"), F.col("b_v"), F.col("a_n"), F.col("b_n"))
+            > _SEM_TAU
+        )
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
-        .withColumn("is_pruned", F.lit(1))
     )
+    return assign, pruned
+
+
+def _sem_cte_sql(in_rel: str, all_rel: str, p: str) -> str:
+    """DuckDB CTE block mirroring ``_sem_assign_prune``'s closed form:
+    produces ``{p}assign`` (vec_id, cluster_id, sim_to_centroid) and
+    ``{p}pruned`` (vec_id) from ``in_rel``(vec_id, v) with centroids
+    drawn from ``all_rel``(vec_id, v). Every multi-referenced CTE is
+    MATERIALIZED (DuckDB inlines CTEs by default and the unrolled
+    references blow up exponentially otherwise)."""
+    cosf = _SEM_COS.format
+    return f"""
+    {p}kk AS MATERIALIZED (
+        SELECT greatest(CAST({_SEM_K} AS BIGINT),
+                        CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS k
+        FROM {in_rel}
+    ),
+    {p}cc AS MATERIALIZED (
+        SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS c
+        FROM {p}kk
+    ),
+    {p}cent AS MATERIALIZED (
+        SELECT vec_id AS cent_id, v AS cvec FROM {all_rel}, {p}kk
+        WHERE vec_id < {p}kk.k
+    ),
+    {p}coarse AS MATERIALIZED (
+        SELECT vec_id AS coarse_id, v AS covec FROM {all_rel}, {p}cc
+        WHERE vec_id < {p}cc.c
+    ),
+    {p}c2c AS MATERIALIZED (
+        SELECT cent_id, coarse_id FROM (
+            SELECT c.cent_id, g.coarse_id,
+                   row_number() OVER (
+                       PARTITION BY c.cent_id
+                       ORDER BY round({cosf(a="c.cvec", b="g.covec")}, 6)
+                                DESC, g.coarse_id) AS rn
+            FROM {p}cent c, {p}coarse g)
+        WHERE rn = 1
+    ),
+    {p}v2c AS MATERIALIZED (
+        SELECT vec_id, coarse_id FROM (
+            SELECT e.vec_id, g.coarse_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosf(a="e.v", b="g.covec")}, 6)
+                                DESC, g.coarse_id) AS rn
+            FROM {in_rel} e, {p}coarse g)
+        WHERE rn = 1
+    ),
+    {p}assign AS MATERIALIZED (
+        SELECT vec_id, cent_id AS cluster_id, cos AS sim_to_centroid
+        FROM (
+            SELECT e.vec_id, cand.cent_id,
+                   round({cosf(a="e.v", b="cand.cvec")}, 6) AS cos,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({cosf(a="e.v", b="cand.cvec")}, 6)
+                                DESC, cand.cent_id) AS rn
+            FROM {in_rel} e
+            JOIN {p}v2c vc ON vc.vec_id = e.vec_id
+            JOIN {p}c2c cg ON cg.coarse_id = vc.coarse_id
+            JOIN {p}cent cand ON cand.cent_id = cg.cent_id)
+        WHERE rn = 1
+    ),
+    {p}sizes AS MATERIALIZED (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csz
+        FROM {p}assign GROUP BY 1
+    ),
+    {p}sharded AS MATERIALIZED (
+        SELECT a.vec_id, a.cluster_id,
+               ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4))::BIGINT
+                 % CAST(ceil(CAST(s.csz AS DOUBLE) / {_SEM_B}) AS BIGINT)
+                 AS shard
+        FROM {p}assign a JOIN {p}sizes s USING (cluster_id)
+    ),
+    {p}pruned AS MATERIALIZED (
+        SELECT DISTINCT bb.vec_id
+        FROM {p}sharded aa
+        JOIN {p}sharded bb ON aa.cluster_id = bb.cluster_id
+                          AND aa.shard = bb.shard
+                          AND aa.vec_id < bb.vec_id
+        JOIN {in_rel} ea ON ea.vec_id = aa.vec_id
+        JOIN {in_rel} eb ON eb.vec_id = bb.vec_id
+        WHERE round({cosf(a="ea.v", b="eb.v")}, 6) > {_SEM_TAU}
+    )"""
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {_sem_cte_sql("e", "e", "")}
+    SELECT a.vec_id, a.cluster_id, a.sim_to_centroid,
+           CAST(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END AS INT)
+               AS is_pruned
+    FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a deterministic keep rule: assign every vector to
+    its nearest centroid (two-level IVF-style search, cosine 6dp-rounded,
+    id tiebreaks), then prune any vector that has a SMALLER-id neighbor
+    in the SAME cluster AND the same hash shard above the threshold.
+    Scale shape is the paper's point, and all three terms are bounded —
+    see ``_sem_assign_prune`` for the mechanics and measurements:
+
+    - assignment: K = max(8, floor(sqrt(n))) centroids searched through
+      ceil(sqrt(K)) coarse groups -> 2*n*sqrt(K) ~ n^1.25 work (r12;
+      brute-force n*K ~ n^1.5 dominated the r11 x100 chain stress at
+      118 s of the 169 s chain wall);
+    - per-pair cosine: one fold, norms precomputed (bit-identical,
+      measured 2.7x);
+    - pair join: clusters above _SEM_B members hash-shard, capping pair
+      work at n*_SEM_B regardless of cluster skew (r12; with sqrt-K
+      alone, inflated near-dup corpora concentrate into giant clusters
+      and the pair join went quadratic in practice).
+
+    Centroids stay the deterministic lowest-K vec_ids; the oracle
+    computes the identical closed form (coarse groups, two-level argmax,
+    sizes -> ceil(csz/B) -> md5 shard), so the operator remains
+    value-verified at every SF. No global sort, no driver-side model."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    assign, pruned = _sem_assign_prune(emb, emb)
+    pruned = pruned.withColumn("is_pruned", F.lit(1))
     return assign.join(pruned.hint("merge"), "vec_id", "left").select(
         "vec_id",
         "cluster_id",

@@ -1322,8 +1322,14 @@ def _build_time_transform_table(
             part = F.datediff(
                 F.to_date("ts"), F.lit("1970-01-01").cast("date")
             )
-        else:  # hours since epoch (UTC session timezone)
+        elif granularity == "hour":  # hours since epoch (UTC session tz)
             part = F.floor(F.unix_timestamp("ts") / 3600)
+        else:  # month/year over the DERIVED mts column (see _MTS_SPARK)
+            events = events.withColumn("mts", F.expr(_MTS_SPARK))
+            if granularity == "month":
+                part = (F.year("mts") - 1970) * 12 + F.month("mts") - 1
+            else:
+                part = F.year("mts") - 1970
         added = _write_partitioned(
             events.withColumn("tpart", part.cast("long")),
             "tpart",
@@ -1426,6 +1432,210 @@ def iceberg_hours_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") >= F.lit(lo_ts).cast("timestamp"))
         & (F.col("ts") < F.lit(hi_ts).cast("timestamp"))
     )
+    return _time_prune_agg(hits)
+
+
+# ------------------------- Iceberg month[ts] / year[ts] transforms (r12)
+# Completes the temporal transform family (days/hours landed r11). The
+# raw events table spans a single month, so these two queries partition
+# a DERIVED timestamp mts that deterministically spreads events over 30
+# calendar months (2024-01 .. 2026-06): mts = make_timestamp(2024 + m//12,
+# 1 + m%12, 1 + day(ts)%28, hour(ts), minute(ts), 0) with m = event_id%30
+# — pure integer calendar arithmetic, identical in Spark and DuckDB (day
+# clamped to 1..28 so no month-end clamping divergence). Partition values
+# follow the spec: months/years SINCE EPOCH of mts.
+
+_MTS_SPARK = (
+    "make_timestamp(2024 + (event_id % 30) div 12, "
+    "1 + cast((event_id % 30) % 12 as int), "
+    "1 + cast(day(ts) % 28 as int), hour(ts), minute(ts), 0)"
+)
+_MTS_DUCK = (
+    "make_timestamp(2024 + (event_id % 30) // 12, "
+    "1 + (event_id % 30) % 12, "
+    "1 + day(ts) % 28, hour(ts), minute(ts), 0.0)"
+)
+_MONTH_LO, _MONTH_HI = "2024-05-01", "2024-08-01"  # [lo, hi): 3 months
+_YEAR_LO, _YEAR_HI = "2025-01-01", "2026-01-01"  # [lo, hi): 1 year
+
+_MTS_PRUNE_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_type, user_id, event_id, {_MTS_DUCK} AS mts
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM ev WHERE {{pred}}
+    GROUP BY event_type
+"""
+
+
+def _mts_prune_query(spark, sf_dir, granularity, targets, lo_ts, hi_ts):
+    """Shared month/year scan: manifest-level partition prune (counts
+    asserted per-file against the live listing), residual mts range
+    filter pushed to the surviving parquet scans, exact aggregate."""
+    location = _build_time_transform_table(spark, sf_dir, granularity)
+    from ..sources.iceberg_lite import active_files
+
+    live = active_files(location)
+    n_target_files = sum(1 for _, p, _ in live if p in targets)
+    df, n_live, n_pruned = scan(
+        spark, location, partition_pred=lambda part: part in targets
+    )
+    assert n_live == len(live) and n_pruned == n_live - n_target_files, (
+        n_live, n_pruned, n_target_files,
+    )
+    assert 0 < n_target_files < n_live, (n_target_files, n_live)
+    hits = df.filter(
+        (F.col("mts") >= F.lit(lo_ts).cast("timestamp"))
+        & (F.col("mts") < F.lit(hi_ts).cast("timestamp"))
+    )
+    return _time_prune_agg(hits)
+
+
+@register(
+    "iceberg_month_pruning",
+    oracle=_MTS_PRUNE_ORACLE.format(
+        pred=(
+            f"mts >= TIMESTAMP '{_MONTH_LO}' AND "
+            f"mts < TIMESTAMP '{_MONTH_HI}'"
+        )
+    ),
+)
+def iceberg_month_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """month[mts] partition transform: a 3-month range query opens ONLY
+    those month partitions' files (prune count asserted per-file); the
+    residual mts range filter pushes to the surviving scans."""
+    targets = {
+        str((2024 - 1970) * 12 + mo - 1) for mo in (5, 6, 7)  # May-Jul 24
+    }
+    return _mts_prune_query(
+        spark, sf_dir, "month", targets, _MONTH_LO, _MONTH_HI
+    )
+
+
+@register(
+    "iceberg_year_pruning",
+    oracle=_MTS_PRUNE_ORACLE.format(
+        pred=(
+            f"mts >= TIMESTAMP '{_YEAR_LO}' AND "
+            f"mts < TIMESTAMP '{_YEAR_HI}'"
+        )
+    ),
+)
+def iceberg_year_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year[mts] partition transform: a one-year query opens only the
+    2025 partition's files (prune count asserted); same residual-
+    pushdown + exact-aggregate scheme as the month variant."""
+    targets = {str(2025 - 1970)}
+    return _mts_prune_query(spark, sf_dir, "year", targets, _YEAR_LO, _YEAR_HI)
+
+
+# --------------------- Iceberg manifest column-bounds skipping (r12)
+_METRICS_CHUNKS = 4
+
+
+def _build_metrics_table(spark: SparkSession, sf_dir: str) -> str:
+    """Iceberg table over events, identity-partitioned by event_type,
+    where each partition's files are RANGE-CHUNKED on event_id (chunk =
+    event_id // step, step = max_id // 4 + 1) and every ADDED manifest
+    entry records the file's event_id [lower, upper] decoded from the
+    parquet FOOTER (two tail reads — data pages never touched). The
+    chunking guarantees disjoint per-file ranges, so a range predicate
+    has files to skip at every SF; real tables get the same shape from
+    time-ordered ingest."""
+
+    def build(location: str) -> None:
+        from ..sources.parquet_meta import int64_column_stats
+
+        events = load_table(spark, sf_dir, "events")
+        mx = int(events.agg(F.max("event_id")).first()[0])
+        step = mx // _METRICS_CHUNKS + 1
+        out = os.path.join(location, "data")
+        (
+            events.withColumn("__dir_et", F.col("event_type"))
+            .withColumn(
+                "__chunk",
+                F.floor(F.col("event_id") / F.lit(step)).cast("long"),
+            )
+            .repartition(F.col("__dir_et"), F.col("__chunk"))
+            .write.mode("overwrite")
+            .partitionBy("__dir_et", "__chunk")
+            .parquet(out)
+        )
+        added: list[tuple[str, str, int]] = []
+        bounds: dict[str, dict] = {}
+        for etd in sorted(os.listdir(out)):
+            if not etd.startswith("__dir_et="):
+                continue
+            val = etd.split("=", 1)[1]
+            for chd in sorted(os.listdir(os.path.join(out, etd))):
+                if not chd.startswith("__chunk="):
+                    continue
+                pdir = os.path.join(out, etd, chd)
+                for f in sorted(os.listdir(pdir)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    path = os.path.join(pdir, f)
+                    n_rows, lo, hi, _nulls = int64_column_stats(
+                        path, "event_id"
+                    )
+                    added.append((path, val, n_rows))
+                    bounds[path] = {"event_id": [lo, hi]}
+        commit_snapshot(location, "event_type", added, added_bounds=bounds)
+
+    return _fixture_dir("icemetrics", sf_dir, build)
+
+
+@register(
+    "iceberg_metrics_skipping",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    WHERE event_id >= (SELECT MAX(event_id) FROM events) // {_METRICS_CHUNKS} + 1
+      AND event_id < 2 * ((SELECT MAX(event_id) FROM events) // {_METRICS_CHUNKS} + 1)
+    GROUP BY event_type
+    """,
+)
+def iceberg_metrics_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest COLUMN-BOUNDS file skipping (r12 — the Iceberg
+    scan-planning primitive beyond partition pruning): manifest entries
+    carry per-file event_id [lower, upper] recorded at commit time from
+    the parquet footers, and a range query `step <= event_id < 2*step`
+    skips every file whose bounds cannot intersect WITHOUT opening it.
+    The skip count is asserted against the WRITE layout (files under
+    the __chunk=1 directories) — an independent source of truth from
+    the footer-derived bounds, so an over- or under-eager skip fails
+    loudly; the DuckDB oracle over raw events pins the values. Residual
+    predicate pushes to the surviving scans; partition pruning is
+    deliberately off (partition_pred=None) so the query isolates the
+    metrics plane."""
+    from ..sources.iceberg_lite import _active_entries_v1, scan_metrics
+
+    location = _build_metrics_table(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    mx = int(events.agg(F.max("event_id")).first()[0])
+    step = mx // _METRICS_CHUNKS + 1
+    lo, hi = step, 2 * step
+    live = _active_entries_v1(location)
+    n_chunk1 = sum(
+        1 for path, _p, _c, _b in live if f"{os.sep}__chunk=1{os.sep}" in path
+    )
+    df, n_live, n_part_pruned, n_skipped = scan_metrics(
+        spark, location, "event_id", lo, hi
+    )
+    assert n_live == len(live) and n_part_pruned == 0, (n_live, n_part_pruned)
+    assert n_skipped == n_live - n_chunk1 and n_skipped > 0, (
+        n_skipped, n_live, n_chunk1,
+    )
+    hits = df.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
     return _time_prune_agg(hits)
 
 

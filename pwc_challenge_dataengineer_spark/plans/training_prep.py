@@ -1087,7 +1087,7 @@ _CHAIN_BUDGET = 500  # per-source token budget for the final pack stage
 
 def _chain_oracle() -> str:
     from .catalog import ORACLES
-    from .curation_extras import _SEM_COS, _SEM_K, _SEM_TAU
+    from .curation_extras import _sem_cte_sql
     from .sampling import _md5_bucket_sql
     from .text_dedup import _SHINGLES_SQL
 
@@ -1159,36 +1159,7 @@ def _chain_oracle() -> str:
         SELECT e.vec_id, e.v FROM sem_e e
         JOIN s2 s ON s.doc_id = e.vec_id
     ),
-    sem_k AS MATERIALIZED (
-        SELECT greatest(CAST({_SEM_K} AS BIGINT),
-                        CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS k
-        FROM sem_in
-    ),
-    sem_cent AS MATERIALIZED (
-        SELECT vec_id AS cent_id, v AS cvec FROM sem_e, sem_k
-        WHERE vec_id < sem_k.k
-    ),
-    sem_sims AS MATERIALIZED (
-        SELECT sem_in.vec_id, sem_cent.cent_id,
-               round({_SEM_COS.format(a="sem_in.v", b="sem_cent.cvec")}, 6)
-                   AS cos
-        FROM sem_in, sem_cent
-    ),
-    sem_assign AS MATERIALIZED (
-        SELECT vec_id, cent_id AS sc FROM (
-            SELECT sem_sims.*, row_number() OVER (
-                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-            FROM sem_sims)
-        WHERE rn = 1
-    ),
-    sem_pruned AS MATERIALIZED (
-        SELECT DISTINCT bb.vec_id
-        FROM sem_assign aa
-        JOIN sem_assign bb ON aa.sc = bb.sc AND aa.vec_id < bb.vec_id
-        JOIN sem_in ea ON ea.vec_id = aa.vec_id
-        JOIN sem_in eb ON eb.vec_id = bb.vec_id
-        WHERE round({_SEM_COS.format(a="ea.v", b="eb.v")}, 6) > {_SEM_TAU}
-    ),
+    {_sem_cte_sql("sem_in", "sem_e", "sem_")},
     s3 AS MATERIALIZED (
         SELECT s.doc_id, s.unigram_ppl
         FROM s2 s LEFT JOIN sem_pruned p ON p.vec_id = s.doc_id
@@ -1370,7 +1341,7 @@ def _chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dict:
     # pairwise only within clusters, joins pinned SMJ like the
     # registered semdedup_prune so the plan shape holds across SFs
     from ..functions.similarity import as_double_array
-    from .curation_extras import _SEM_K, _SEM_TAU, _cos
+    from .curation_extras import _sem_assign_prune
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
@@ -1380,51 +1351,17 @@ def _chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dict:
         "vec_id",
         "left_semi",
     ).localCheckpoint(eager=False)
-    # ADAPTIVE cluster count K = max(8, floor(sqrt(n))): balances the
-    # n*K assignment term against the n^2/K within-cluster pair term at
-    # ~n^1.5 (the SemDeDup paper's K-grows-with-n requirement). With
-    # fixed K=8 the x30 survivor set (50,911 vectors) generated ~162M
-    # SMJ pair rows and the chain went 105x at 30x data; sqrt-K caps
-    # cluster size at ~sqrt(n). The oracle computes the identical
-    # closed form, so this stays value-verified at every SF.
-    k_df = sem_in.agg(
-        F.greatest(
-            F.lit(_SEM_K).cast("long"),
-            F.floor(F.sqrt(F.count("*"))).cast("long"),
-        ).alias("k")
-    )
-    cent = (
-        emb.crossJoin(F.broadcast(k_df))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cvec"))
-    )
-    w_sem = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos"), F.asc("cent_id")
-    )
-    sem_assign = (
-        sem_in.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "cent_id",
-            F.round(_cos(F.col("v"), F.col("cvec")), 6).alias("cos"),
-        )
-        .withColumn("rn", F.row_number().over(w_sem))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("sc"))
-    )
-    withv = sem_assign.join(sem_in.hint("merge"), "vec_id")
-    sem_a = withv.select(
-        "sc", F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
-    )
-    sem_b = withv.select(
-        "sc", F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")
-    )
+    # r12: the full bounded SemDeDup core is shared with the registered
+    # semdedup_prune — two-level (IVF-style) centroid assignment at
+    # ~n^1.25, precomputed norms, and the _SEM_B hash-shard cap on the
+    # within-cluster pair join (see _sem_assign_prune's docstring for
+    # mechanics + measurements; the r11 x100 chain stress had the
+    # brute-force assignment + unbounded pair skew at 118 s of the
+    # 169 s chain wall). The oracle mirrors the identical closed form
+    # via the shared _sem_cte_sql template.
+    _sem_assign, sem_pruned_raw = _sem_assign_prune(emb, sem_in)
     sem_pruned = (
-        sem_a.join(sem_b.hint("merge"), "sc")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(_cos(F.col("a_v"), F.col("b_v")), 6) > _SEM_TAU)
-        .select(F.col("b_id").alias("doc_id"))
-        .distinct()
+        sem_pruned_raw.select(F.col("vec_id").alias("doc_id"))
         .withColumn("is_sem", F.lit(1))
         # reused by s3 AND the final attribution join: one materialize
         .localCheckpoint(eager=False)

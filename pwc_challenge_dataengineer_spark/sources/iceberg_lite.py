@@ -147,6 +147,10 @@ _MANIFEST_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # JSON {col: [lower, upper]} — the lite rendering of
+                    # the spec's lower_bounds/upper_bounds maps ('' =
+                    # no metrics recorded; such files are never skipped)
+                    {"name": "bounds", "type": "string"},
                 ],
             },
         },
@@ -199,10 +203,12 @@ def _load_metadata(location: str) -> dict | None:
     return md
 
 
-def active_files(location: str, snapshot_id: int | None = None):
-    """(file_path, partition_value, record_count) of every live data file
-    at the given snapshot (default: current), via manifest-list ->
-    manifest walk with DELETED entries dropped."""
+def _active_entries_v1(location: str, snapshot_id: int | None = None):
+    """(file_path, partition_value, record_count, bounds_dict) of every
+    live data file at the given snapshot (default: current), via
+    manifest-list -> manifest walk with DELETED entries dropped.
+    ``bounds_dict`` is {column: [lower, upper]} or {} when the writer
+    recorded no metrics."""
     md = _load_metadata(location)
     if md is None:
         raise FileNotFoundError(f"no Iceberg metadata under {location}")
@@ -216,9 +222,20 @@ def active_files(location: str, snapshot_id: int | None = None):
         for status, _snap, data_file in read_ocf(manifest_path):
             if status == 2:  # DELETED
                 continue
-            file_path, _fmt, (part,), record_count, _size = data_file
-            files.append((file_path, part, record_count))
+            file_path, _fmt, (part,), record_count, _size, bj = data_file
+            files.append(
+                (file_path, part, record_count, json.loads(bj) if bj else {})
+            )
     return files
+
+
+def active_files(location: str, snapshot_id: int | None = None):
+    """(file_path, partition_value, record_count) of every live data file
+    at the given snapshot (default: current)."""
+    return [
+        (p, part, cnt)
+        for p, part, cnt, _b in _active_entries_v1(location, snapshot_id)
+    ]
 
 
 _BATCH_ID_KEY = "streaming-batch-id"
@@ -281,6 +298,7 @@ def commit_snapshot(
     added: list[tuple[str, str, int]],
     deleted_paths: tuple[str, ...] = (),
     summary: dict | None = None,
+    added_bounds: dict[str, dict] | None = None,
 ) -> int:
     """Commit one snapshot: prior active files carry forward as EXISTING
     entries (minus ``deleted_paths``, which append as DELETED tombstone
@@ -289,12 +307,19 @@ def commit_snapshot(
     ``summary`` key/values land on the snapshot entry (Iceberg's
     snapshot summary map — e.g. a streaming batch id for exactly-once
     sinks); the streaming-batch high-water mark is carried forward into
-    EVERY snapshot's summary (see ``_carry_batch_hwm``)."""
+    EVERY snapshot's summary (see ``_carry_batch_hwm``).
+    ``added_bounds``: optional {path: {column: [lower, upper]}} column
+    metrics for ADDED files (the spec's lower_bounds/upper_bounds),
+    recorded into the manifest entry so scans can skip files on range
+    predicates without opening them (``scan_metrics``); EXISTING
+    entries carry their recorded bounds forward."""
     md = _load_metadata(location)
     mdir = os.path.join(location, "metadata")
     os.makedirs(mdir, exist_ok=True)
     prior = (
-        active_files(location) if md is not None and md["snapshots"] else []
+        _active_entries_v1(location)
+        if md is not None and md["snapshots"]
+        else []
     )
     # next id from the MAX live id (not the list length): snapshot
     # expiration shrinks the list, and reusing an expired id would let
@@ -305,13 +330,18 @@ def commit_snapshot(
         else 1
     )
     entries = []
-    for path, part, cnt in prior:
+    for path, part, cnt, bounds in prior:
         status = 2 if path in deleted_paths else 0
         size = os.path.getsize(path)
-        entries.append((status, sid, (path, "PARQUET", (part,), cnt, size)))
+        bj = json.dumps(bounds) if bounds else ""
+        entries.append(
+            (status, sid, (path, "PARQUET", (part,), cnt, size, bj))
+        )
     for path, part, cnt in added:
         size = os.path.getsize(path)
-        entries.append((1, sid, (path, "PARQUET", (part,), cnt, size)))
+        b = (added_bounds or {}).get(path)
+        bj = json.dumps(b) if b else ""
+        entries.append((1, sid, (path, "PARQUET", (part,), cnt, size, bj)))
     manifest = os.path.join(mdir, f"manifest-{sid}.avro")
     write_ocf(manifest, _MANIFEST_SCHEMA, entries)
     mlist = os.path.join(mdir, f"snap-{sid}.avro")
@@ -355,7 +385,7 @@ def commit_snapshot(
         prev_fs = md.get("file-schemas") or {}
         walk = _added_schema_walk(md)
         fs: dict[str, int] = {}
-        for path, _part, _cnt in prior:
+        for path, _part, _cnt, _b in prior:
             if path in deleted_paths:
                 continue
             sch = prev_fs.get(path, walk.get(path))
@@ -398,6 +428,56 @@ def scan(
         empty = spark.read.parquet(files[0][0]).limit(0)
         return empty, len(files), len(files)
     return spark.read.parquet(*kept), len(files), len(files) - len(kept)
+
+
+def scan_metrics(
+    spark,
+    location: str,
+    column: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+    partition_pred=None,
+):
+    """Snapshot scan with MANIFEST COLUMN-BOUNDS file skipping — the
+    Iceberg scan-planning primitive beyond partition pruning: each
+    manifest entry records the file's per-column [lower, upper] bounds
+    (written at commit time from the parquet FOOTER, two tail reads, no
+    data pages), and a range predicate ``lo <= column < hi`` drops every
+    file whose bounds cannot intersect WITHOUT opening it. Files with no
+    recorded bounds for ``column`` are conservatively read (no stats =
+    no skip — never silently wrong). The RESIDUAL predicate still
+    applies on the survivors (bounds are file-level, not row-level), so
+    callers filter the returned frame as usual. Partition pruning
+    composes in front, as in ``scan``. Returns
+    (DataFrame, n_live, n_part_pruned, n_metric_skipped)."""
+    entries = _active_entries_v1(location, snapshot_id)
+    kept_part = [
+        e
+        for e in entries
+        if partition_pred is None or partition_pred(e[1])
+    ]
+    n_part_pruned = len(entries) - len(kept_part)
+    opened: list[str] = []
+    n_skipped = 0
+    for path, _part, _cnt, bounds in kept_part:
+        b = bounds.get(column)
+        # bounds are INCLUSIVE [min, max]; predicate is [lo, hi)
+        if b is not None and (b[1] < lo or b[0] >= hi):
+            n_skipped += 1
+        else:
+            opened.append(path)
+    if not opened:
+        if not entries:
+            raise ValueError("iceberg-lite scan: snapshot has no live files")
+        empty = spark.read.parquet(entries[0][0]).limit(0)
+        return empty, len(entries), n_part_pruned, n_skipped
+    return (
+        spark.read.parquet(*opened),
+        len(entries),
+        n_part_pruned,
+        n_skipped,
+    )
 
 
 # ----------------------------------------------------- bucket transform

@@ -58,6 +58,21 @@ def main() -> int:
     print(f"catalog: {n_catalog} queries ({n_oracled} value-oracled, "
           f"{n_catalog - n_oracled} rows-only)")
 
+    # 0. rows-only class is CLOSED at 2 (r11 verdict task 8): the two
+    # permanent library-nondeterminism witnesses (kmeans_segments,
+    # ann_ivf_topk — both with value-oracled companions, documented in
+    # COVERAGE.md). Any NEW query without an oracle_sql entry reopens
+    # the weaker rows-only checking class and must fail the close.
+    ROWS_ONLY_ALLOWED = {"kmeans_segments", "ann_ivf_topk"}
+    rows_only = names - set(entry.oracle_sql())
+    if not rows_only <= ROWS_ONLY_ALLOWED:
+        problems.append(
+            f"rows-only class grew past the allowed pair: "
+            f"{sorted(rows_only - ROWS_ONLY_ALLOWED)}"
+        )
+    else:
+        print(f"rows-only gate: {sorted(rows_only)} (allowed pair)")
+
     captures = sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_local_r*.txt")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),

@@ -31,9 +31,10 @@ def _touch(path: str, size: int = 8) -> str:
 def test_ocf_round_trip_nested_records(tmp_path):
     p = str(tmp_path / "m.avro")
     rows = [
-        (1, 5, ("/a.parquet", "PARQUET", ("en",), 100, 2048)),
-        (0, 5, ("/b.parquet", "PARQUET", ("de",), 50, 1024)),
-        (2, 6, ("/c.parquet", "PARQUET", ("zh",), 7, 99)),
+        (1, 5, ("/a.parquet", "PARQUET", ("en",), 100, 2048,
+                '{"doc_id": [0, 99]}')),
+        (0, 5, ("/b.parquet", "PARQUET", ("de",), 50, 1024, "")),
+        (2, 6, ("/c.parquet", "PARQUET", ("zh",), 7, 99, "")),
     ]
     write_ocf(p, _MANIFEST_SCHEMA, rows)
     assert read_ocf(p) == rows
@@ -479,3 +480,54 @@ def test_v2_commit_carries_batch_hwm(tmp_path, spark):
     newest = md["snapshots"][-1]
     assert newest["summary"]["streaming-batch-hwm"] == "7"
     assert committed_batch_hwm(loc) == 7
+
+
+def test_metrics_bounds_skip_and_carry_forward(tmp_path, spark):
+    """r12: manifest column-bounds skipping — a range predicate skips
+    files whose recorded [lower, upper] cannot intersect WITHOUT opening
+    them; files with NO recorded bounds are conservatively read; and
+    EXISTING entries carry their bounds across later commits."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        scan_metrics,
+    )
+
+    loc = str(tmp_path / "tbl")
+
+    def write_one(name, ids):
+        out = os.path.join(loc, "data", name)
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in ids], "id long, v string"
+        ).coalesce(1).write.parquet(out)
+        return next(
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".parquet")
+        )
+
+    lo_file = write_one("a", [0, 5, 9])       # bounds [0, 9]
+    hi_file = write_one("b", [100, 150])      # bounds [100, 150]
+    nb_file = write_one("c", [1000])          # committed WITHOUT bounds
+    commit_snapshot(
+        loc,
+        "p",
+        [(lo_file, "x", 3), (hi_file, "x", 2), (nb_file, "x", 1)],
+        added_bounds={
+            lo_file: {"id": [0, 9]},
+            hi_file: {"id": [100, 150]},
+        },
+    )
+    # range [0, 50): hi_file skipped on bounds; nb_file opened (no stats)
+    df, n_live, n_part, n_skip = scan_metrics(spark, loc, "id", 0, 50)
+    assert (n_live, n_part, n_skip) == (3, 0, 1)
+    assert sorted(r["id"] for r in df.collect()) == [0, 5, 9, 1000]
+    # boundary semantics: bounds inclusive, predicate [lo, hi)
+    _, _, _, n_skip2 = scan_metrics(spark, loc, "id", 9, 100)  # touches lo
+    assert n_skip2 == 1  # hi_file's [100,150] fails hi-exclusive 100
+    # a second commit carries the bounds on EXISTING entries
+    d_file = write_one("d", [7])
+    commit_snapshot(loc, "p", [(d_file, "x", 1)])
+    df3, n_live3, _, n_skip3 = scan_metrics(spark, loc, "id", 200, 900)
+    assert (n_live3, n_skip3) == (4, 2)  # a, b skipped via carried bounds
+    # c and d carry no bounds -> both conservatively opened; residual
+    # filtering is the caller's job (bounds are file-level)
+    assert sorted(r["id"] for r in df3.collect()) == [7, 1000]
