@@ -26,8 +26,11 @@ section adds log COMPACTION (`.commit` instants absorbing logs into new
 base slices, one distributed job for all groups) and the CLEANER
 (reachability-safe slice reclamation with a loud `.clean` horizon
 guard) and CLUSTERING (`.replacecommit` rewriting file groups into
-range-contiguous new groups). Honest gaps (raised, not mangled):
-rollback timeline actions and Hudi's metadata-table indexes.
+range-contiguous new groups); the metadata FILES INDEX (r12, see the
+section below) gives snapshot/time-travel reads a listing-free plan
+path — Hudi's metadata-table `files` partition semantics. Honest gaps
+(raised, not mangled): rollback timeline actions and the metadata
+table's column-stats/bloom index partitions.
 
 Reference parity: the reference's storage registry exposes lake-format
 ingest/export (see /root/reference/README.md data-lake sections); this
@@ -38,6 +41,127 @@ from __future__ import annotations
 
 import json
 import os
+
+
+# --------------------------------------------- metadata files index
+# Lite rendering of Hudi's METADATA TABLE `files` partition (the
+# listing-free read path — directory listing is the canonical Hudi
+# scale killer: a snapshot read over a million-file table must not
+# os.walk object storage). Every commit/deltacommit/replacecommit
+# writes `.hoodie/metadata/files-<instant>.json` = the COMPLETE
+# {partition: {bases: [...], logs: [...]}} listing at that instant,
+# built INCREMENTALLY from the previous index + the commit's own write
+# stats (the writer never lists either). Snapshot/time-travel reads
+# resolve file slices from the index of their horizon instant and fall
+# back to the walk only for pre-index tables; the cleaner rewrites the
+# newest index after reclaiming files so later commits don't carry
+# deleted entries forward.
+
+
+def _index_path(location: str, instant: str) -> str:
+    return os.path.join(
+        location, ".hoodie", "metadata", f"files-{instant}.json"
+    )
+
+
+def _load_files_index(location: str, instant: str) -> dict | None:
+    p = _index_path(location, instant)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_files_index(
+    location: str,
+    instant: str,
+    new_bases: dict[str, list[str]] | None = None,
+    new_logs: dict[str, list[str]] | None = None,
+) -> None:
+    """Write the files index for ``instant``: previous index (newest
+    files-*.json older than this instant) plus this commit's additions,
+    all names partition-RELATIVE. No directory walk — additions come
+    from the writer's own stats."""
+    mdir = os.path.join(location, ".hoodie", "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    prev_instants = sorted(
+        f[len("files-"):-len(".json")]
+        for f in os.listdir(mdir)
+        if f.startswith("files-") and f.endswith(".json")
+    )
+    prev_instants = [t for t in prev_instants if t < instant]
+    merged: dict = {}
+    if prev_instants:
+        prev = _load_files_index(location, prev_instants[-1]) or {}
+        merged = {
+            part: {"bases": list(v["bases"]), "logs": list(v["logs"])}
+            for part, v in prev.items()
+        }
+    for part, names in (new_bases or {}).items():
+        slot = merged.setdefault(part, {"bases": [], "logs": []})
+        for n in names:
+            if n not in slot["bases"]:
+                slot["bases"].append(n)
+    for part, names in (new_logs or {}).items():
+        slot = merged.setdefault(part, {"bases": [], "logs": []})
+        for n in names:
+            if n not in slot["logs"]:
+                slot["logs"].append(n)
+    tmp = _index_path(location, instant) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh)
+    os.replace(tmp, _index_path(location, instant))
+
+
+def _index_from_stats(stats: dict[str, list[dict]]):
+    """(new_bases, new_logs) partition-relative names from a commit's
+    partitionToWriteStats."""
+    bases: dict[str, list[str]] = {}
+    logs: dict[str, list[str]] = {}
+    for part, entries in stats.items():
+        for e in entries:
+            if "path" in e:
+                bases.setdefault(part, []).append(
+                    os.path.basename(e["path"])
+                )
+            if "logDir" in e:
+                logs.setdefault(part, []).append(
+                    os.path.basename(e["logDir"])
+                )
+    return bases, logs
+
+
+def _prune_files_index(location: str, removed: set[str]) -> None:
+    """Cleaner hook: drop reclaimed files/log dirs (absolute paths) from
+    the NEWEST index so later commits stop carrying them forward."""
+    mdir = os.path.join(location, ".hoodie", "metadata")
+    if not os.path.isdir(mdir):
+        return
+    idx_files = sorted(
+        f
+        for f in os.listdir(mdir)
+        if f.startswith("files-") and f.endswith(".json")
+    )
+    if not idx_files:
+        return
+    newest = os.path.join(mdir, idx_files[-1])
+    with open(newest) as fh:
+        idx = json.load(fh)
+    for part, slot in idx.items():
+        slot["bases"] = [
+            n
+            for n in slot["bases"]
+            if os.path.join(location, part, n) not in removed
+        ]
+        slot["logs"] = [
+            n
+            for n in slot["logs"]
+            if os.path.join(location, part, n) not in removed
+        ]
+    tmp = newest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(idx, fh)
+    os.replace(tmp, newest)
 
 
 def _timeline(location: str) -> list[str]:
@@ -210,14 +334,58 @@ def commit(
     inflight = os.path.join(hd, f"{instant}.inflight")
     open(inflight, "w").close()
     stats = _write_base_slices(location, instant, writes)
+    _write_files_index(location, instant, *_index_from_stats(stats))
     with open(os.path.join(hd, f"{instant}.commit"), "w") as fh:
         json.dump({"partitionToWriteStats": stats}, fh)
     os.remove(inflight)
 
 
-def file_slices(location: str, as_of: str | None = None):
+def _iter_listing(location: str, horizon: str, require_index: bool):
+    """Yield ('base'|'log', partition, name, abs_path) for every data
+    file / log dir — from the ``files-<horizon>.json`` metadata index
+    when present (NO directory listing), else (pre-index tables) from
+    an os.walk fallback. ``require_index=True`` raises instead of
+    falling back — the pin callers use to assert the listing-free
+    path."""
+    idx = _load_files_index(location, horizon)
+    if idx is not None:
+        for part in sorted(idx):
+            for name in idx[part]["bases"]:
+                yield "base", part, name, os.path.join(location, part, name)
+            for name in idx[part]["logs"]:
+                yield "log", part, name, os.path.join(location, part, name)
+        return
+    if require_index:
+        raise ValueError(
+            f"no metadata files index for instant {horizon} under "
+            f"{location} (require_index=True)"
+        )
+    for root, dirs, files in os.walk(location):
+        rel = os.path.relpath(root, location)
+        if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
+            continue
+        base = os.path.basename(root)
+        if base.startswith((".staging_", ".tmp_")):
+            dirs[:] = []  # concurrent writer's in-flight area: not data
+            continue
+        if base.startswith(".log_"):
+            partition = os.path.relpath(os.path.dirname(root), location)
+            yield "log", partition, base, root
+            dirs[:] = []
+            continue
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith("."):
+                continue
+            yield "base", rel, f, os.path.join(root, f)
+
+
+def file_slices(
+    location: str, as_of: str | None = None, require_index: bool = False
+):
     """(partition, file_id, instant, path) of the LATEST readable slice
-    per file group at the as-of instant (default: latest commit)."""
+    per file group at the as-of instant (default: latest commit).
+    Listing-free when the metadata files index exists (see
+    ``_write_files_index``); ``require_index=True`` pins that path."""
     completed = set(_timeline(location))
     if not completed:
         raise ValueError(f"empty Hudi timeline under {location}")
@@ -226,27 +394,21 @@ def file_slices(location: str, as_of: str | None = None):
         raise ValueError(f"unknown instant {horizon}")
     _check_clean_horizon(location, horizon)
     best: dict[tuple[str, str], tuple[str, str]] = {}
-    for root, dirs, files in os.walk(location):
-        rel = os.path.relpath(root, location)
-        if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
+    for kind, partition, f, path in _iter_listing(
+        location, horizon, require_index
+    ):
+        if kind != "base":
             continue
-        if os.path.basename(root).startswith((".staging_", ".tmp_")):
-            dirs[:] = []  # concurrent writer's in-flight area: not data
-            continue
-        partition = os.path.relpath(root, location)
-        for f in files:
-            if not f.endswith(".parquet") or f.startswith("."):
-                continue
-            stem = f[: -len(".parquet")]
-            try:
-                file_id, _token, instant = stem.rsplit("_", 2)
-            except ValueError:
-                raise ValueError(f"non-Hudi data file name {f!r}") from None
-            if instant not in completed or instant > horizon:
-                continue  # uncommitted or future slice: invisible
-            key = (partition, file_id)
-            if key not in best or instant > best[key][0]:
-                best[key] = (instant, os.path.join(root, f))
+        stem = f[: -len(".parquet")]
+        try:
+            file_id, _token, instant = stem.rsplit("_", 2)
+        except ValueError:
+            raise ValueError(f"non-Hudi data file name {f!r}") from None
+        if instant not in completed or instant > horizon:
+            continue  # uncommitted or future slice: invisible
+        key = (partition, file_id)
+        if key not in best or instant > best[key][0]:
+            best[key] = (instant, path)
     replaced = _replaced_groups(location, horizon)
     return [
         (part, fid, instant, path)
@@ -255,11 +417,17 @@ def file_slices(location: str, as_of: str | None = None):
     ]
 
 
-def snapshot(spark, location: str, as_of: str | None = None):
+def snapshot(
+    spark,
+    location: str,
+    as_of: str | None = None,
+    require_index: bool = False,
+):
     """Snapshot (or as-of time-travel) read: latest file slice per file
     group goes to Spark's native parquet reader. Returns
-    (DataFrame, n_file_groups)."""
-    slices = file_slices(location, as_of)
+    (DataFrame, n_file_groups). ``require_index=True`` raises unless
+    the read resolves from the metadata files index (no listing)."""
+    slices = file_slices(location, as_of, require_index=require_index)
     paths = [p for _, _, _, p in slices]
     return spark.read.parquet(*paths), len(slices)
 
@@ -338,16 +506,20 @@ def commit_mor(
         stats.setdefault(partition, []).append(
             {"fileId": file_id, "logDir": ldir}
         )
+    _write_files_index(location, instant, *_index_from_stats(stats))
     with open(os.path.join(hd, f"{instant}.deltacommit"), "w") as fh:
         json.dump({"partitionToWriteStats": stats}, fh)
     os.remove(inflight)
 
 
-def mor_file_slices(location: str, as_of: str | None = None):
+def mor_file_slices(
+    location: str, as_of: str | None = None, require_index: bool = False
+):
     """Latest readable MOR slice per file group:
     (partition, file_id, base_instant, base_path, [(log_instant,
     log_dir), ...]) — logs sorted by instant, only those newer than the
-    base and within the horizon."""
+    base and within the horizon. Listing-free when the metadata files
+    index exists; ``require_index=True`` pins that path."""
     completed = _completed(location)
     if not completed:
         raise ValueError(f"empty Hudi timeline under {location}")
@@ -357,42 +529,30 @@ def mor_file_slices(location: str, as_of: str | None = None):
     _check_clean_horizon(location, horizon)
     bases: dict[tuple[str, str], tuple[str, str]] = {}
     logs: dict[tuple[str, str], list[tuple[str, str]]] = {}
-    for root, dirs, files in os.walk(location):
-        rel = os.path.relpath(root, location)
-        if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
-            continue
-        base = os.path.basename(root)
-        if base.startswith((".staging_", ".tmp_")):
-            dirs[:] = []  # concurrent writer's in-flight area: not data
-            continue
-        if base.startswith(".log_"):
-            stem = base[len(".log_"):]
+    for kind, partition, name, path in _iter_listing(
+        location, horizon, require_index
+    ):
+        if kind == "log":
+            stem = name[len(".log_"):]
             try:
                 file_id, instant = stem.rsplit("_", 1)
             except ValueError:
-                raise ValueError(f"non-Hudi log dir {base!r}") from None
+                raise ValueError(f"non-Hudi log dir {name!r}") from None
             if instant in completed and instant <= horizon:
-                partition = os.path.relpath(
-                    os.path.dirname(root), location
-                )
                 logs.setdefault((partition, file_id), []).append(
-                    (instant, root)
+                    (instant, path)
                 )
             continue
-        partition = rel
-        for f in files:
-            if not f.endswith(".parquet") or f.startswith("."):
-                continue
-            stem = f[: -len(".parquet")]
-            try:
-                file_id, _token, instant = stem.rsplit("_", 2)
-            except ValueError:
-                raise ValueError(f"non-Hudi data file name {f!r}") from None
-            if instant not in completed or instant > horizon:
-                continue
-            key = (partition, file_id)
-            if key not in bases or instant > bases[key][0]:
-                bases[key] = (instant, os.path.join(root, f))
+        stem = name[: -len(".parquet")]
+        try:
+            file_id, _token, instant = stem.rsplit("_", 2)
+        except ValueError:
+            raise ValueError(f"non-Hudi data file name {name!r}") from None
+        if instant not in completed or instant > horizon:
+            continue
+        key = (partition, file_id)
+        if key not in bases or instant > bases[key][0]:
+            bases[key] = (instant, path)
     replaced = _replaced_groups(location, horizon)
     out = []
     for (partition, file_id), (bi, bpath) in sorted(bases.items()):
@@ -411,7 +571,8 @@ def mor_file_slices(location: str, as_of: str | None = None):
 
 
 def mor_snapshot(spark, location: str, key_col: str,
-                 as_of: str | None = None):
+                 as_of: str | None = None,
+                 require_index: bool = False):
     """MOR snapshot (or as-of) read: per file group, base rows merge
     with log rows KEY-LATEST-WINS (log instant beats base; later log
     beats earlier), and rows whose winning version carries
@@ -420,12 +581,15 @@ def mor_snapshot(spark, location: str, key_col: str,
     that group — the property that keeps MOR compaction and reads
     embarrassingly parallel across groups at 100 TB. Returns
     (DataFrame, n_file_groups, n_log_files)."""
-    latest, slices, n_logs = _mor_merged(spark, location, key_col, as_of)
+    latest, slices, n_logs = _mor_merged(
+        spark, location, key_col, as_of, require_index=require_index
+    )
     return latest.drop("__partition", "__file_id"), len(slices), n_logs
 
 
 def _mor_merged(spark, location: str, key_col: str,
-                as_of: str | None = None):
+                as_of: str | None = None,
+                require_index: bool = False):
     """Shared merge core for snapshot reads AND compaction: returns the
     surviving latest-version rows WITH their ``__partition`` and
     ``__file_id`` retained (compaction rewrites per FILE GROUP =
@@ -438,7 +602,7 @@ def _mor_merged(spark, location: str, key_col: str,
 
     from .avrolite import register_avrolite
 
-    slices = mor_file_slices(location, as_of)
+    slices = mor_file_slices(location, as_of, require_index=require_index)
     base_paths = {p: (part, fid, bi) for part, fid, bi, p, _ in slices}
     base = spark.read.parquet(*base_paths)
     file_info = spark.createDataFrame(
@@ -610,6 +774,7 @@ def compact_logs(spark, location: str, key_col: str, instant: str):
         .drop("__partition", "__file_id")
     )
     stats = _write_tagged_slices(location, instant, tagged, todo)
+    _write_files_index(location, instant, *_index_from_stats(stats))
     with open(os.path.join(hd, f"{instant}.commit"), "w") as fh:
         json.dump(
             {"partitionToWriteStats": stats, "operation": "compact"}, fh
@@ -658,6 +823,7 @@ def clean_slices(location: str, instant: str, keep_last: int = 1):
             for _li, ldir in logs:
                 reachable.add(ldir)
     n_files = n_logdirs = 0
+    removed: set[str] = set()
     for root, dirs, files in os.walk(location):
         rel = os.path.relpath(root, location)
         if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
@@ -672,6 +838,7 @@ def clean_slices(location: str, instant: str, keep_last: int = 1):
         if base.startswith(".log_"):
             if root not in reachable:
                 shutil.rmtree(root, ignore_errors=True)
+                removed.add(root)
                 n_logdirs += 1
             dirs[:] = []
             continue
@@ -680,7 +847,11 @@ def clean_slices(location: str, instant: str, keep_last: int = 1):
                 p = os.path.join(root, f)
                 if p not in reachable:
                     os.remove(p)
+                    removed.add(p)
                     n_files += 1
+    # keep the newest files index honest: later commits build on it, so
+    # reclaimed entries must not be carried forward forever
+    _prune_files_index(location, removed)
     hd = os.path.join(location, ".hoodie")
     with open(os.path.join(hd, f"{instant}.clean"), "w") as fh:
         json.dump(
@@ -776,6 +947,7 @@ def cluster_cow(
         (F.col("__hudi_part_i") * n + gexpr).cast("int"),
     ).drop("__hudi_part_i")
     stats = _write_tagged_slices(location, instant, tagged, names)
+    _write_files_index(location, instant, *_index_from_stats(stats))
     replaced = {
         partition: [fid for fid, _p in parts[partition]]
         for partition in part_order

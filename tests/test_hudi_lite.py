@@ -62,14 +62,23 @@ def test_inflight_slices_are_invisible(spark, tiny, tmp_path):
 
 
 def test_gates(spark, tiny, tmp_path):
+    import shutil
+
     loc = str(tmp_path / "tbl")
     commit(loc, "20240101000001", [("p=a", "fg1", tiny([(1, "x")]))])
     with pytest.raises(ValueError, match="unknown instant"):
         file_slices(loc, as_of="19990101000000")
     with open(os.path.join(loc, "p=a", "stray.parquet"), "wb") as fh:
         fh.write(b"")
+    # index read path: stray unindexed files are INVISIBLE (the metadata
+    # table is the source of truth — real Hudi's files index semantics)
+    assert len(file_slices(loc)) == 1
+    # walk fallback (pre-index tables): strays still fail loudly
+    shutil.rmtree(os.path.join(loc, ".hoodie", "metadata"))
     with pytest.raises(ValueError, match="non-Hudi"):
         file_slices(loc)
+    with pytest.raises(ValueError, match="require_index"):
+        file_slices(loc, require_index=True)
 
 
 def test_mor_merge_log_ordering_and_deletes(spark, tiny, tmp_path):
@@ -480,3 +489,60 @@ def test_clean_skips_concurrent_staging_dirs(spark, tiny, tmp_path):
     assert _os.path.exists(staged) and _os.path.exists(tmp_staged)
     df, _ = snapshot(spark, loc)
     assert [r["v"] for r in df.collect()] == ["X"]
+
+
+def test_index_read_path_performs_no_listing(
+    spark, tiny, tmp_path, monkeypatch
+):
+    """r12 pin: snapshot/time-travel/MOR reads on an indexed table
+    perform ZERO directory listings — os.walk is instrumented and must
+    never fire. The files index is maintained per commit from write
+    stats (never by listing), survives compaction/clean, and the
+    cleaner prunes reclaimed entries from the newest index."""
+    from pwc_challenge_dataengineer_spark.sources import hudi_lite as hl
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3, t4 = (f"2024010100000{i}" for i in (1, 2, 3, 4))
+    hl.commit(loc, t1, [("p=a", "fg1", tiny([(1, "x"), (2, "y")]))])
+    hl.commit(loc, t2, [("p=a", "fg1", tiny([(1, "X"), (2, "Y")]))])
+    mloc = str(tmp_path / "mor")
+    hl.commit_mor(
+        mloc, t1, base_writes=[("p=a", "fg1", tiny([(1, "b")]))]
+    )
+    hl.commit_mor(mloc, t2, log_writes=[("p=a", "fg1", tiny([(1, "L")]))])
+
+    walks = {"n": 0}
+    real_walk = os.walk
+
+    def counting_walk(*a, **kw):
+        walks["n"] += 1
+        return real_walk(*a, **kw)
+
+    monkeypatch.setattr(os, "walk", counting_walk)
+    df, n = hl.snapshot(spark, loc, require_index=True)
+    assert n == 1 and sorted(r["v"] for r in df.collect()) == ["X", "Y"]
+    old, _ = hl.snapshot(spark, loc, as_of=t1, require_index=True)
+    assert sorted(r["v"] for r in old.collect()) == ["x", "y"]
+    mdf, ng, nl = hl.mor_snapshot(
+        spark, mloc, key_col="id", require_index=True
+    )
+    assert (ng, nl) == (1, 1)
+    assert [r["v"] for r in mdf.collect()] == ["L"]
+    assert walks["n"] == 0, f"read path listed directories {walks['n']}x"
+    monkeypatch.setattr(os, "walk", real_walk)
+
+    # maintenance keeps the index usable: compaction commits an index
+    # for its instant; the cleaner (which MAY walk — it reclaims disk)
+    # prunes reclaimed entries from the newest index
+    ngc, nlogs = hl.compact_logs(spark, mloc, key_col="id", instant=t3)
+    assert (ngc, nlogs) == (1, 1)
+    hl.clean_slices(mloc, t4, keep_last=1)
+    monkeypatch.setattr(os, "walk", counting_walk)
+    mdf2, ng2, nl2 = hl.mor_snapshot(
+        spark, mloc, key_col="id", require_index=True
+    )
+    assert (ng2, nl2) == (1, 0)
+    assert [r["v"] for r in mdf2.collect()] == ["L"]
+    assert walks["n"] == 0
+    idx = hl._load_files_index(mloc, t3)
+    assert idx["p=a"]["logs"] == []  # cleaner pruned the absorbed log
