@@ -544,6 +544,299 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------- unigram-LM (SentencePiece-style) tokenizer training
+# The second canonical LLM tokenizer's TRAINING loop (Kudo 2018,
+# arXiv:1804.10959), r12 verdict task 4 — the repo had BPE training +
+# encoding and unigram SCORING, but not unigram training. Exact-
+# arithmetic doctrine (the bpe_learn_merges / kmeans_lloyd_fixed /
+# power-iteration pattern): integer counts everywhere, Laplace
+# probabilities as doubles derived from identical integer operands
+# (IEEE division is exactly rounded, so both engines produce the SAME
+# double), Viterbi scores as products of those doubles in identical
+# left-to-right order, and fixed (score DESC, path ASC) tiebreaks.
+#
+# Algorithm (hard-EM, the practical Viterbi-EM variant of the paper's
+# full EM): train on the FREQUENCY-CAPPED word dictionary (top
+# _UNI_WORDS words by count, length <= _UNI_MAXLEN — SentencePiece
+# itself trains on a capped dictionary), seed the vocab with every
+# single character plus the top _UNI_SEED_MULTI multi-char substrings
+# (length <= _UNI_MAXPIECE) by weighted occurrence count, then run
+# _UNI_ROUNDS unrolled EM rounds: E-step Viterbi-segments every word
+# under the current Laplace unigram probs, M-step re-counts piece usage
+# over the winning segmentations, and pruning drops multi-char pieces
+# whose expected count hit zero (single chars always survive —
+# coverage). Scale shape: corpus size enters ONLY through the one-time
+# word count (map-side combinable); every EM structure is dictionary-
+# sized and the Viterbi DP frontier is <= |dict| * MAXLEN rows.
+#
+# Spark/DuckDB equivalence: Spark runs the E-step as a true DP (argmax
+# per (tok, pos) each expansion step); the oracle ENUMERATES every
+# segmentation in a recursive CTE and takes the global per-word argmax.
+# These coincide: scores are multiplicative with positive factors, so
+# max-score prefixes extend to max-score paths, and for the (score
+# DESC, path ASC) tiebreak two same-(tok, pos) prefixes are never
+# prefix-of-each-other (same consumed chars, nonempty pieces), so the
+# first differing character decides both the prefix and any extension
+# — the DP's local winner is the global winner's prefix.
+
+_UNI_WORDS = 2000  # training dictionary cap (top words by count)
+_UNI_MAXLEN = 10  # max word length admitted to the training dict
+_UNI_MAXPIECE = 4  # max piece length
+_UNI_SEED_MULTI = 60  # multi-char seed pieces kept (all chars always kept)
+_UNI_ROUNDS = 2  # unrolled hard-EM rounds
+
+_UNI_WORDS_SQL = f"""
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS wcount
+        FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                  AS tok
+              FROM documents)
+        WHERE tok <> '' AND length(tok) <= {_UNI_MAXLEN}
+        GROUP BY 1
+        ORDER BY wcount DESC, tok
+        LIMIT {_UNI_WORDS}
+"""
+
+
+def _uni_oracle() -> str:
+    seeds = f"""
+    useeds AS MATERIALIZED (
+        SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt
+        FROM (
+            SELECT wcount,
+                   unnest(flatten(list_transform(
+                       range(1, length(tok) + 1), s ->
+                       list_transform(
+                           range(1, least({_UNI_MAXPIECE},
+                                          length(tok) - s + 1) + 1),
+                           l -> tok[s:s+l-1])))) AS piece
+            FROM uwords)
+        GROUP BY 1
+    ),
+    uvocab0 AS MATERIALIZED (
+        SELECT piece, cnt FROM useeds WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM useeds WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece LIMIT {_UNI_SEED_MULTI})
+    )"""
+
+    def round_ctes(r: int, vocab: str) -> str:
+        return f"""
+    utot{r} AS MATERIALIZED (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS nv
+        FROM {vocab}
+    ),
+    uprobs{r} AS MATERIALIZED (
+        SELECT piece, length(piece) AS plen,
+               CAST(cnt + 1 AS DOUBLE) / CAST(tot + nv AS DOUBLE) AS prob
+        FROM {vocab}, utot{r}
+    ),
+    upaths{r}(tok, wcount, pos, score, path) AS (
+        SELECT tok, wcount, 0, CAST(1.0 AS DOUBLE), ''
+        FROM uwords
+        UNION ALL
+        -- direct prefix join (NOT a comma join + JOIN with an outer
+        -- p reference: DuckDB silently planned that form to an empty
+        -- recursion in this query's full CTE context)
+        SELECT p.tok, p.wcount, p.pos + v.plen,
+               p.score * v.prob, p.path || v.piece || ' '
+        FROM upaths{r} p JOIN uprobs{r} v
+          ON substr(p.tok, p.pos + 1, v.plen) = v.piece
+        WHERE p.pos + v.plen <= length(p.tok)
+    ),
+    uwin{r} AS MATERIALIZED (
+        SELECT tok, wcount, path FROM (
+            SELECT tok, wcount, path,
+                   row_number() OVER (
+                       PARTITION BY tok ORDER BY score DESC, path) AS rn
+            FROM upaths{r} WHERE pos = length(tok))
+        WHERE rn = 1
+    ),
+    ucounts{r} AS MATERIALIZED (
+        SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt
+        FROM (SELECT wcount, unnest(string_split(trim(path), ' ')) AS piece
+              FROM uwin{r})
+        GROUP BY 1
+    )"""
+
+    return f"""
+    WITH RECURSIVE uwords AS MATERIALIZED ({_UNI_WORDS_SQL}),
+    {seeds},
+    {round_ctes(1, "uvocab0")},
+    uvocab1 AS MATERIALIZED (
+        SELECT v.piece, COALESCE(c.cnt, 0) AS cnt
+        FROM uvocab0 v LEFT JOIN ucounts1 c USING (piece)
+        WHERE length(v.piece) = 1 OR COALESCE(c.cnt, 0) > 0
+    ),
+    {round_ctes(2, "uvocab1")},
+    ujoined AS MATERIALIZED (
+        SELECT v.piece, v.cnt AS cnt1, COALESCE(c.cnt, 0) AS cnt2
+        FROM uvocab1 v LEFT JOIN ucounts2 c USING (piece)
+    ),
+    utotf AS (
+        SELECT CAST(SUM(cnt2) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS nv
+        FROM ujoined
+    )
+    SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt1, cnt2,
+           round(CAST(cnt2 + 1 AS DOUBLE) / CAST(tot + nv AS DOUBLE), 6)
+               AS p_final
+    FROM ujoined, utotf
+    """
+
+
+def _uni_estep(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Hard-EM E-step: Viterbi-segment each dictionary word under the
+    Laplace piece probabilities of ``vocab`` (piece, cnt); returns the
+    per-piece counts of the winning segmentations, weighted by word
+    frequency. True DP: each of the _UNI_MAXLEN expansion steps keeps
+    only the argmax row per (tok, pos) — frontier never exceeds
+    |dict| * MAXLEN rows — with a localCheckpoint per step to keep the
+    20-step lineage flat (the power-iteration lesson)."""
+    from pyspark.sql.window import Window
+
+    tots = vocab.agg(
+        F.sum("cnt").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("nv"),
+    )
+    probs = vocab.crossJoin(F.broadcast(tots)).select(
+        "piece",
+        F.length("piece").alias("plen"),
+        (
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("tot") + F.col("nv")).cast("double")
+        ).alias("prob"),
+    )
+    frontier = words.select(
+        "tok",
+        "wcount",
+        F.lit(0).alias("pos"),
+        F.lit(1.0).alias("score"),
+        F.lit("").alias("path"),
+    )
+    w = Window.partitionBy("tok", "pos").orderBy(
+        F.desc("score"), F.asc("path")
+    )
+    for _ in range(_UNI_MAXLEN):
+        active = frontier.filter(F.col("pos") < F.length("tok"))
+        done = frontier.filter(F.col("pos") >= F.length("tok"))
+        stepped = (
+            active.select(
+                "*",
+                F.explode(
+                    F.expr(
+                        f"sequence(1, least({_UNI_MAXPIECE},"
+                        " length(tok) - pos))"
+                    )
+                ).alias("l"),
+            )
+            .withColumn("cand", F.expr("substring(tok, pos + 1, l)"))
+            .join(
+                F.broadcast(probs),
+                (F.col("cand") == F.col("piece"))
+                & (F.col("l") == F.col("plen")),
+            )
+            .select(
+                "tok",
+                "wcount",
+                (F.col("pos") + F.col("l")).alias("pos"),
+                (F.col("score") * F.col("prob")).alias("score"),
+                F.concat("path", "piece", F.lit(" ")).alias("path"),
+            )
+        )
+        frontier = (
+            stepped.unionByName(done)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        frontier.filter(F.col("pos") == F.length("tok"))
+        .select(
+            "wcount",
+            F.explode(F.split(F.trim("path"), " ")).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wcount").cast("long").alias("cnt"))
+    )
+
+
+@register("unigram_tokenizer_train", oracle=_uni_oracle())
+def unigram_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING — see the
+    section comment above for the algorithm, the exact-arithmetic
+    doctrine, and the Spark-DP / oracle-enumeration equivalence proof.
+    Output: the post-prune vocabulary with round-1/round-2 expected
+    counts and the final Laplace probability (6dp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(
+            (F.col("tok") != "") & (F.length("tok") <= _UNI_MAXLEN)
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("wcount"))
+        .orderBy(F.desc("wcount"), F.asc("tok"))
+        .limit(_UNI_WORDS)
+        .localCheckpoint(eager=False)
+    )
+    subs = F.expr(
+        f"flatten(transform(sequence(1, length(tok)), s ->"
+        f" transform(sequence(1, least({_UNI_MAXPIECE},"
+        f" length(tok) - s + 1)), l -> substring(tok, s, l))))"
+    )
+    seeds = (
+        words.select("wcount", F.explode(subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcount").cast("long").alias("cnt"))
+    )
+    chars = seeds.filter(F.length("piece") == 1)
+    multi = (
+        seeds.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_UNI_SEED_MULTI)
+    )
+    vocab0 = chars.unionByName(multi).localCheckpoint(eager=False)
+    counts1 = _uni_estep(words, vocab0)
+    vocab1 = (
+        vocab0.join(
+            counts1.withColumnRenamed("cnt", "emcnt"), "piece", "left"
+        )
+        .filter(
+            (F.length("piece") == 1) | (F.coalesce("emcnt", F.lit(0)) > 0)
+        )
+        .select("piece", F.coalesce("emcnt", F.lit(0)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    counts2 = _uni_estep(words, vocab1)
+    joined = vocab1.withColumnRenamed("cnt", "cnt1").join(
+        counts2.withColumnRenamed("cnt", "cnt2"), "piece", "left"
+    ).select(
+        "piece", "cnt1", F.coalesce("cnt2", F.lit(0)).alias("cnt2")
+    )
+    totf = joined.agg(
+        F.sum("cnt2").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("nv"),
+    )
+    return joined.crossJoin(F.broadcast(totf)).select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "cnt1",
+        "cnt2",
+        F.round(
+            (F.col("cnt2") + 1).cast("double")
+            / (F.col("tot") + F.col("nv")).cast("double"),
+            6,
+        ).alias("p_final"),
+    )
+
+
 def _raw_kgrams(tokens_col, k: int):
     """ALL word k-grams of a pre-split token array, duplicates kept — the
     counting twin of functions.dedup_fuzzy.word_shingles (which dedups for
