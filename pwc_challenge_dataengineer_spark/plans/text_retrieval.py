@@ -1149,6 +1149,10 @@ def _chain_oracle() -> str:
 
 @register("retrieval_chain_pq_rrf_mmr", oracle=_chain_oracle())
 def retrieval_chain_pq_rrf_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _retrieval_chain_frames(spark, sf_dir)["final"]
+
+
+def _retrieval_chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dict:
     """The full production retrieval chain as ONE verified operator:
     PQ-ADC approximate nearest neighbors (semantic arm, top-20 for query
     vector 0 — the memory-bounded ANN a billion-vector corpus actually
@@ -1177,6 +1181,8 @@ def retrieval_chain_pq_rrf_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("int").alias("rank_sem"),
     )
+    if probe:
+        probe("s1_pq_ann", sem)
     lex_top = (
         bm25_keyword_search(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
@@ -1186,6 +1192,8 @@ def retrieval_chain_pq_rrf_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = lex_top.select(
         "doc_id", F.row_number().over(w_lex).cast("int").alias("rank_lex")
     )
+    if probe:
+        probe("s2_bm25", lex)
     fused = (
         lex.select("doc_id", "rank_lex", F.lit(0).alias("rank_sem"))
         .unionByName(
@@ -1234,6 +1242,8 @@ def retrieval_chain_pq_rrf_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    if probe:
+        probe("s3_rrf_cand", cand)
     e = emb.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
     ce = cand.join(e, cand.cid == e.vec_id).select("cid", "e")
     ps = (
@@ -1277,7 +1287,7 @@ def retrieval_chain_pq_rrf_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(t).alias("step"), F.col("score").alias("mmr"),
         )
         sel = sel.unionByName(pick)
-    return sel.select(
+    final = sel.select(
         F.col("step").cast("int").alias("rank"),
         F.col("cid").alias("doc_id"),
         F.col("rrf_rank").cast("int").alias("rrf_rank"),
@@ -1285,6 +1295,7 @@ def retrieval_chain_pq_rrf_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("relevance"),
         F.col("mmr").alias("mmr_score"),
     )
+    return {"final": final}
 
 
 _PRF_FB_DOCS = 5   # pseudo-relevant feedback set size

@@ -207,15 +207,44 @@ def main() -> int:
         sb = json.load(open(sb_path))
         ded = sb.get("pipelines", {}).get("dedup_segment_store", {})
         p50 = ded.get("batch_ms_p50")
+        ab = sb.get("ab")
         if p50 is None:
             problems.append("STREAM_BENCH.json has no dedup_segment_store leg")
+        elif ab is not None:
+            # r12 gate: the lockstep A/B ratio vs the pinned ref measures
+            # the CODE (both sides run in the same host window — the r10
+            # degraded-window adjudication was pure host variance), plus
+            # a generous absolute ceiling against absurd runs. The old
+            # tight 1300 ms bound stays as an informational print.
+            ratio = ab.get("p50_ratio")
+            head_p50 = ab.get("head_p50_ms", p50)
+            if ratio is None:
+                problems.append("STREAM_BENCH ab section has no p50_ratio")
+            elif ratio > 1.2:
+                problems.append(
+                    f"dedup store A/B p50 ratio {ratio} > 1.2 vs "
+                    f"ref {ab.get('ref_sha')} — code regression"
+                )
+            elif head_p50 > 2600:
+                problems.append(
+                    f"dedup store A/B head p50 {head_p50} ms > 2600 ms "
+                    "absolute ceiling"
+                )
+            else:
+                print(
+                    f"dedup p50 gate (A/B): ratio {ratio} <= 1.2 vs "
+                    f"{ab.get('ref_sha')}, head p50 {head_p50} ms <= 2600 "
+                    f"(in-suite p50 {p50} ms; legacy 1300 bound "
+                    f"{'met' if p50 <= 1300 else 'EXCEEDED — host-window'})"
+                )
         elif p50 > 1300:
             problems.append(
                 f"dedup store p50 {p50} ms > 1300 ms regression gate "
-                "(re-baselined floor ≈ 1.0–1.2 s; see SCALE.md r9)"
+                "(re-baselined floor ≈ 1.0–1.2 s; see SCALE.md r9) — "
+                "no A/B section; run scripts/stream_bench.py --ab <ref>"
             )
         else:
-            print(f"dedup p50 gate: {p50} ms <= 1300 ms")
+            print(f"dedup p50 gate: {p50} ms <= 1300 ms (legacy absolute)")
         if sb.get("flatness_gate") not in (None, "PASS"):
             problems.append(
                 f"STREAM_BENCH flatness gate: {sb.get('flatness_gate')}"

@@ -101,11 +101,7 @@ def _run(name: str, stream_df, sink_builder, results: dict) -> None:
     print(f"# {name}: {json.dumps(results[name])}", flush=True)
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    out_json = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/STREAM_BENCH.json"
+def main(sf_dir: str, out_json: str, ab_ref: str | None = None) -> None:
 
     from pwc_challenge_dataengineer_spark.schemas import (
         TRANSACTION_EVENT_SCHEMA,
@@ -483,6 +479,8 @@ def main() -> None:
             "50 batches with periodic compaction."
         ),
     }
+    if ab_ref is not None:
+        payload["ab"] = _ab_dedup(ab_ref, sf_dir)
     with open(out_json, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps({"stream_bench": out_json, "gate": payload["flatness_gate"]}))
@@ -490,5 +488,182 @@ def main() -> None:
         sys.exit(1)
 
 
+# ----------------------------------------------------------- A/B mode
+# r11 verdict task 5: bench.py --ab ended the batch host-variance debt,
+# but STREAM_BENCH stayed a whole-run artifact on a host that swings 2x
+# between sessions (the r10 degraded-window adjudication). This teaches
+# the GATED leg (dedup_segment_store) the same lockstep-ref pattern:
+# alternating HEAD / <ref-worktree> runs of the leg inside ONE bench
+# invocation, each in its own subprocess importing the package from its
+# own tree (same harness code, different engine code — the isolation
+# that measures the code, not the host). The p50 ratio vs ref is the
+# regression signal; check_round_close re-expresses the gate as
+# ratio <= 1.2 plus a generous absolute ceiling.
+
+
+def _dedup_leg_worker(tree: str, docs_dir: str) -> None:
+    """Run ONLY the dedup leg with the package imported from ``tree``;
+    print one JSON line of the leg stats."""
+    sys.path.insert(0, tree)
+    import pwc_challenge_dataengineer_spark as pkg
+
+    assert os.path.abspath(pkg.__file__).startswith(
+        os.path.abspath(tree) + os.sep
+    ), f"package resolved outside {tree}: {pkg.__file__}"
+    from pwc_challenge_dataengineer_spark.session import get_spark
+    from pwc_challenge_dataengineer_spark.streaming.dedup_stream import (
+        DedupSegmentStore,
+        make_dedup_batch_fn,
+    )
+
+    spark = get_spark(
+        "stream-bench-ab",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()
+    tmp = tempfile.mkdtemp(prefix="sb_ab_leg_")
+    try:
+        schema = spark.read.parquet(docs_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(docs_dir)
+        )
+        store = DedupSegmentStore(spark, os.path.join(tmp, "store"))
+        on_batch = make_dedup_batch_fn(store, os.path.join(tmp, "verdicts"))
+
+        def sink(df):
+            return (
+                df.writeStream.foreachBatch(on_batch)
+                .option("checkpointLocation", os.path.join(tmp, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        results: dict = {}
+        _run("dedup_segment_store", stream, sink, results)
+        print("ABLEG " + json.dumps(results["dedup_segment_store"]), flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _ab_dedup(ref: str, sf_dir: str, reps: int = 2) -> dict:
+    """Lockstep A/B of the gated dedup leg: H,R / R,H alternating rounds
+    (leader alternates so neither side systematically pays cache
+    warming), min-p50 per side, ratio HEAD/ref."""
+    import subprocess
+
+    here = "/root/repo"
+    sha = subprocess.check_output(
+        ["git", "-C", here, "rev-parse", "--short", ref], text=True
+    ).strip()
+    ref_tree = f"/tmp/stream_ab_{sha}"
+    if not os.path.isdir(os.path.join(ref_tree, ".git")) and not os.path.isfile(
+        os.path.join(ref_tree, ".git")
+    ):
+        import shutil as _sh
+
+        _sh.rmtree(ref_tree, ignore_errors=True)
+        subprocess.check_call(
+            ["git", "-C", here, "worktree", "add", "--force", "--detach",
+             ref_tree, ref],
+            stdout=sys.stderr,
+        )
+    # chunk the docs ONCE (shared input for both sides), then stop the
+    # driver session so the worker JVMs own the box
+    from pwc_challenge_dataengineer_spark.schemas import load_table
+    from pwc_challenge_dataengineer_spark.session import get_spark
+
+    spark = get_spark("stream-bench-ab-prep")
+    docs_dir = tempfile.mkdtemp(prefix="sb_ab_docs_")
+    _chunked(
+        load_table(spark, sf_dir, "documents"), docs_dir, N_CHUNKS, "doc_id"
+    )
+    spark.stop()
+
+    def leg(tree: str) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--dedup-leg", tree, docs_dir],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("ABLEG "):
+                return json.loads(line[len("ABLEG "):])
+        raise RuntimeError(
+            f"A/B leg in {tree} produced no stats:\n{out.stdout[-2000:]}"
+            f"\n{out.stderr[-2000:]}"
+        )
+
+    head_p50s, ref_p50s = [], []
+    try:
+        # discarded WARMUP leg: with one leg per side, slot 1 is the only
+        # cold-cache slot — without this, the leader of round 1 pays OS
+        # cache warming for everyone (measured: an unchanged-code HEAD
+        # read 1.12x in slots 1+4 vs ref in the warm middle slots)
+        leg(here)
+        for i in range(reps):
+            order = (
+                [("HEAD", here), ("ref", ref_tree)]
+                if i % 2 == 0
+                else [("ref", ref_tree), ("HEAD", here)]
+            )
+            for label, tree in order:
+                stats = leg(tree)
+                (head_p50s if label == "HEAD" else ref_p50s).append(
+                    stats["batch_ms_p50"]
+                )
+                print(
+                    f"# ab dedup [{label}]: p50 {stats['batch_ms_p50']} ms",
+                    file=sys.stderr,
+                )
+    finally:
+        shutil.rmtree(docs_dir, ignore_errors=True)
+    head_p50 = min(head_p50s)
+    ref_p50 = min(ref_p50s)
+    return {
+        "ref": ref,
+        "ref_sha": sha,
+        "reps": reps,
+        "leg": "dedup_segment_store",
+        "head_p50_ms": head_p50,
+        "ref_p50_ms": ref_p50,
+        "head_p50_runs": head_p50s,
+        "ref_p50_runs": ref_p50s,
+        "p50_ratio": round(head_p50 / ref_p50, 3) if ref_p50 else None,
+    }
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--dedup-leg":
+        _dedup_leg_worker(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--ab-only":
+        # refresh ONLY the A/B section of an existing STREAM_BENCH.json
+        _ref = sys.argv[2]
+        _sf = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        _out = sys.argv[4] if len(sys.argv) > 4 else (
+            "/root/repo/STREAM_BENCH.json"
+        )
+        with open(_out) as _fh:
+            _payload = json.load(_fh)
+        _payload["ab"] = _ab_dedup(_ref, _sf)
+        with open(_out, "w") as _fh:
+            json.dump(_payload, _fh, indent=1)
+        print(json.dumps({"stream_bench": _out, "ab": _payload["ab"]}))
+    else:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        ab = None
+        if "--ab" in sys.argv:
+            ab = sys.argv[sys.argv.index("--ab") + 1]
+            args = [a for a in args if a != ab]
+        main(
+            args[0] if args else os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+            ),
+            args[1] if len(args) > 1 else "/root/repo/STREAM_BENCH.json",
+            ab_ref=ab,
+        )
