@@ -145,7 +145,15 @@ def _sem_assign_prune(emb_all, sem_in):
             6,
         )
 
-    # centroid -> coarse group (K x sqrt(K) rows: metadata-scale)
+    # centroid -> coarse group (K x sqrt(K) rows: metadata-scale).
+    # SELF-ASSIGNMENT PIN: a centroid that IS a coarse vector belongs to
+    # its own group unconditionally (cent_id < c). Without it, two
+    # near-identical coarse vectors tie at 6dp (round(cos)=1.0) and the
+    # ASC tiebreak empties the higher-id group of ALL centroids — any
+    # vector whose nearest coarse is that group then inner-joins to zero
+    # candidates and silently DROPS from assign/pruned (a row-loss the
+    # mirrored oracle reproduces rather than catches). Every coarse
+    # group owning its quantizer point is also the IVF invariant.
     w_c2c = Window.partitionBy("cent_id").orderBy(
         F.desc("cos"), F.asc("coarse_id")
     )
@@ -160,7 +168,13 @@ def _sem_assign_prune(emb_all, sem_in):
         )
         .withColumn("rn", F.row_number().over(w_c2c))
         .filter(F.col("rn") == 1)
-        .select("cent_id", "coarse_id")
+        .crossJoin(F.broadcast(c_df))
+        .select(
+            "cent_id",
+            F.when(F.col("cent_id") < F.col("c"), F.col("cent_id"))
+            .otherwise(F.col("coarse_id"))
+            .alias("coarse_id"),
+        )
     )
     cent_g = cent.join(F.broadcast(c2c), "cent_id")  # K rows
     # vector -> coarse group (n x sqrt(K))
@@ -266,14 +280,22 @@ def _sem_cte_sql(in_rel: str, all_rel: str, p: str) -> str:
         WHERE vec_id < {p}cc.c
     ),
     {p}c2c AS MATERIALIZED (
-        SELECT cent_id, coarse_id FROM (
-            SELECT c.cent_id, g.coarse_id,
-                   row_number() OVER (
-                       PARTITION BY c.cent_id
-                       ORDER BY round({cosf(a="c.cvec", b="g.covec")}, 6)
-                                DESC, g.coarse_id) AS rn
-            FROM {p}cent c, {p}coarse g)
-        WHERE rn = 1
+        -- coarse centroids self-assign (cent_id < c): every coarse
+        -- group owns its quantizer point, so no group is ever empty of
+        -- candidates (mirrors the Spark-side row-loss pin)
+        SELECT cent_id,
+               CASE WHEN cent_id < cc2.c THEN cent_id
+                    ELSE coarse_id END AS coarse_id
+        FROM (
+            SELECT cent_id, coarse_id FROM (
+                SELECT c.cent_id, g.coarse_id,
+                       row_number() OVER (
+                           PARTITION BY c.cent_id
+                           ORDER BY round({cosf(a="c.cvec", b="g.covec")},
+                                          6)
+                                    DESC, g.coarse_id) AS rn
+                FROM {p}cent c, {p}coarse g)
+            WHERE rn = 1), {p}cc cc2
     ),
     {p}v2c AS MATERIALIZED (
         SELECT vec_id, coarse_id FROM (

@@ -80,18 +80,42 @@ def _write_files_index(
 ) -> None:
     """Write the files index for ``instant``: previous index (newest
     files-*.json older than this instant) plus this commit's additions,
-    all names partition-RELATIVE. No directory walk — additions come
-    from the writer's own stats."""
+    all names partition-RELATIVE; the normal path performs NO directory
+    walk — additions come from the writer's own stats. COMPLETENESS
+    GUARD: if any completed instant older than this one has no index
+    (a table upgraded from pre-index code, or a deleted metadata dir),
+    an incremental prev+stats index would be silently INCOMPLETE — and
+    readers prefer the index while the CLEANER computes reachability
+    through it, so an incomplete index converts into missed rows and
+    physical deletion of live files. That case rebuilds the full
+    listing with a one-time walk instead. Single-writer semantics, as
+    real Hudi requires absent a lock provider."""
     mdir = os.path.join(location, ".hoodie", "metadata")
     os.makedirs(mdir, exist_ok=True)
-    prev_instants = sorted(
+    covered = {
         f[len("files-"):-len(".json")]
         for f in os.listdir(mdir)
         if f.startswith("files-") and f.endswith(".json")
-    )
-    prev_instants = [t for t in prev_instants if t < instant]
+    }
+    hd = os.path.join(location, ".hoodie")
+    completed = set()
+    for f in os.listdir(hd):
+        for suffix in (".commit", ".deltacommit", ".replacecommit"):
+            if f.endswith(suffix):
+                completed.add(f[: -len(suffix)])
+    uncovered = [t for t in completed if t < instant and t not in covered]
+    prev_instants = sorted(t for t in covered if t < instant)
     merged: dict = {}
-    if prev_instants:
+    if uncovered:
+        # upgrade/recovery walk: some completed instant predates
+        # indexing — rebuild the complete listing once (this commit's
+        # already-renamed files dedup against the stats below)
+        for kind, part, name, _path in _iter_listing(location, "", False):
+            slot = merged.setdefault(part, {"bases": [], "logs": []})
+            key = "bases" if kind == "base" else "logs"
+            if name not in slot[key]:
+                slot[key].append(name)
+    elif prev_instants:
         prev = _load_files_index(location, prev_instants[-1]) or {}
         merged = {
             part: {"bases": list(v["bases"]), "logs": list(v["logs"])}

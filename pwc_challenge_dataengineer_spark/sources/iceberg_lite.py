@@ -383,12 +383,20 @@ def commit_snapshot(
         # schema — without this map, evolved scans of expired tables
         # would crash (or misresolve) on carried status-0 files
         prev_fs = md.get("file-schemas") or {}
-        walk = _added_schema_walk(md)
+        walk: dict | None = None  # lazy: the full manifest re-read is
+        # only needed for files predating the file-schemas map (first
+        # commit after upgrading an old table) — paying O(snapshots x
+        # files) avro decoding on EVERY commit made long-lived tables
+        # progressively slower
         fs: dict[str, int] = {}
         for path, _part, _cnt, _b in prior:
             if path in deleted_paths:
                 continue
-            sch = prev_fs.get(path, walk.get(path))
+            sch = prev_fs.get(path)
+            if sch is None:
+                if walk is None:
+                    walk = _added_schema_walk(md)
+                sch = walk.get(path)
             if sch is None:  # legacy file with no surviving ADDED row
                 sch = _oldest_schema_id(md)
             fs[path] = sch
@@ -462,8 +470,15 @@ def scan_metrics(
     n_skipped = 0
     for path, _part, _cnt, bounds in kept_part:
         b = bounds.get(column)
-        # bounds are INCLUSIVE [min, max]; predicate is [lo, hi)
-        if b is not None and (b[1] < lo or b[0] >= hi):
+        # bounds are INCLUSIVE [min, max]; predicate is [lo, hi).
+        # Null lower/upper (an all-null column's footer has no min/max
+        # — Iceberg's bounds are optional) = no stats = never skip.
+        if (
+            b is not None
+            and b[0] is not None
+            and b[1] is not None
+            and (b[1] < lo or b[0] >= hi)
+        ):
             n_skipped += 1
         else:
             opened.append(path)

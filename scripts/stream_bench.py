@@ -637,9 +637,18 @@ def _ab_dedup(ref: str, sf_dir: str, reps: int = 2) -> dict:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 4 and sys.argv[1] == "--dedup-leg":
+    # internal/flag modes FAIL LOUDLY on malformed argv — falling
+    # through to the full suite would silently overwrite
+    # STREAM_BENCH.json (including the ab section the close gate needs)
+    if sys.argv[1:2] == ["--dedup-leg"]:
+        if len(sys.argv) < 4:
+            sys.exit("usage: stream_bench.py --dedup-leg <tree> <docs_dir>")
         _dedup_leg_worker(sys.argv[2], sys.argv[3])
-    elif len(sys.argv) >= 3 and sys.argv[1] == "--ab-only":
+    elif sys.argv[1:2] == ["--ab-only"]:
+        if len(sys.argv) < 3:
+            sys.exit(
+                "usage: stream_bench.py --ab-only <ref> [sf_dir] [out_json]"
+            )
         # refresh ONLY the A/B section of an existing STREAM_BENCH.json
         _ref = sys.argv[2]
         _sf = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
@@ -656,8 +665,15 @@ if __name__ == "__main__":
         print(json.dumps({"stream_bench": _out, "ab": _payload["ab"]}))
     else:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        unknown = [
+            a for a in sys.argv[1:] if a.startswith("--") and a != "--ab"
+        ]
+        if unknown:
+            sys.exit(f"unknown flags {unknown}; see module docstring")
         ab = None
         if "--ab" in sys.argv:
+            if sys.argv.index("--ab") + 1 >= len(sys.argv):
+                sys.exit("--ab requires a git ref argument")
             ab = sys.argv[sys.argv.index("--ab") + 1]
             args = [a for a in args if a != ab]
         main(

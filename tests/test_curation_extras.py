@@ -84,3 +84,39 @@ def test_shard_assignment_is_dense_and_stable(con):
     # re-running yields the identical assignment (hash, not RNG)
     again = con.execute(ORACLES["shard_assignment_order"]).fetchall()
     assert sorted(rows) == sorted(again)
+
+
+def test_sem_assign_never_drops_vectors_on_coarse_ties(spark):
+    """r12 review pin: two near-identical coarse vectors tie at 6dp
+    (round(cos)=1.0) and the ASC tiebreak would otherwise strip the
+    higher-id coarse group of ALL centroids — a vector strictly nearest
+    that group then inner-joins to zero candidates and silently drops.
+    The coarse self-assignment pin keeps every group non-empty: assign
+    must emit exactly one row per input vector."""
+    import math
+
+    from pwc_challenge_dataengineer_spark.plans.curation_extras import (
+        _sem_assign_prune,
+    )
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = []
+    # coarse trio (n=64 -> k=8, c=3): 0 and 1 nearly identical (cos
+    # rounds to 1.0 at 6dp), 2 orthogonal
+    rows.append((0, vec(0.0)))
+    rows.append((1, vec(1.0e-4)))
+    rows.append((2, vec(math.pi / 2)))
+    # centroids 3..7 near coarse 2 so none lands in group 1 by argmax
+    for i in range(3, 8):
+        rows.append((i, vec(math.pi / 2 + (i - 2) * 1.0e-3)))
+    # filler vectors near coarse 2 to reach n=64 (k = floor(sqrt(64)))
+    for i in range(8, 63):
+        rows.append((i, vec(math.pi / 2 + (i - 7) * 1.0e-3)))
+    # the probe vector: strictly nearer coarse 1 than coarse 0 at 6dp
+    rows.append((63, vec(0.05)))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    assign, _pruned = _sem_assign_prune(emb, emb)
+    got = {r["vec_id"] for r in assign.collect()}
+    assert len(got) == 64 and 63 in got, (len(got), 63 in got)

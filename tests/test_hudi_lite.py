@@ -546,3 +546,37 @@ def test_index_read_path_performs_no_listing(
     assert walks["n"] == 0
     idx = hl._load_files_index(mloc, t3)
     assert idx["p=a"]["logs"] == []  # cleaner pruned the absorbed log
+
+
+def test_index_rebuild_covers_pre_index_commits(spark, tiny, tmp_path):
+    """r12 review pin: a commit on a table whose earlier instants have
+    no files index (pre-index/upgraded table, wiped metadata dir) must
+    NOT write an incomplete prev+stats index — readers prefer the index
+    and the CLEANER computes reachability through it, so incompleteness
+    means silent row loss and deletion of LIVE files. The writer
+    detects uncovered completed instants and rebuilds the full listing
+    once."""
+    import shutil
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        clean_slices,
+        commit,
+        snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3 = (f"2024010100000{i}" for i in (1, 2, 3))
+    commit(loc, t1, [("p=a", "fg1", tiny([(1, "x")]))])
+    # simulate a pre-index table: wipe the metadata dir entirely
+    shutil.rmtree(os.path.join(loc, ".hoodie", "metadata"))
+    commit(loc, t2, [("p=b", "fg2", tiny([(2, "y")]))])
+    # the t2 index must cover t1's group — index-only read sees both
+    df, n = snapshot(spark, loc, require_index=True)
+    assert n == 2
+    assert sorted(r["v"] for r in df.collect()) == ["x", "y"]
+    # and the cleaner (reachability via the index) must keep BOTH
+    # groups' live bases: nothing is reclaimable here
+    n_files, n_logs = clean_slices(loc, t3, keep_last=1)
+    assert (n_files, n_logs) == (0, 0)
+    df2, _ = snapshot(spark, loc, require_index=True)
+    assert sorted(r["v"] for r in df2.collect()) == ["x", "y"]
