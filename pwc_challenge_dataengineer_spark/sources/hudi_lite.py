@@ -388,12 +388,20 @@ def _iter_listing(location: str, horizon: str, require_index: bool):
         rel = os.path.relpath(root, location)
         if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
             continue
+        # one canonical spelling for the root partition: writer stats
+        # use '' while relpath says '.' — mixing them would index the
+        # same physical file under TWO partition keys (rows read twice,
+        # and _prune_files_index path reconstruction misses removals)
+        if rel == ".":
+            rel = ""
         base = os.path.basename(root)
         if base.startswith((".staging_", ".tmp_")):
             dirs[:] = []  # concurrent writer's in-flight area: not data
             continue
         if base.startswith(".log_"):
             partition = os.path.relpath(os.path.dirname(root), location)
+            if partition == ".":
+                partition = ""
             yield "log", partition, base, root
             dirs[:] = []
             continue

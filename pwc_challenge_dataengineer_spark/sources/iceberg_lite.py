@@ -222,7 +222,14 @@ def _active_entries_v1(location: str, snapshot_id: int | None = None):
         for status, _snap, data_file in read_ocf(manifest_path):
             if status == 2:  # DELETED
                 continue
-            file_path, _fmt, (part,), record_count, _size, bj = data_file
+            # tolerate pre-bounds manifests: read_ocf decodes with the
+            # file's EMBEDDED writer schema, so v1 manifests written
+            # before the 'bounds' field existed yield 5-tuples — a
+            # strict 6-way unpack would make every pre-existing table
+            # unreadable AND uncommittable (commit_snapshot carries
+            # prior entries forward through this walk)
+            file_path, _fmt, (part,), record_count, _size, *rest = data_file
+            bj = rest[0] if rest else ""
             files.append(
                 (file_path, part, record_count, json.loads(bj) if bj else {})
             )

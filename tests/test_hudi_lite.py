@@ -580,3 +580,29 @@ def test_index_rebuild_covers_pre_index_commits(spark, tiny, tmp_path):
     assert (n_files, n_logs) == (0, 0)
     df2, _ = snapshot(spark, loc, require_index=True)
     assert sorted(r["v"] for r in df2.collect()) == ["x", "y"]
+
+
+def test_root_partition_walk_uses_canonical_spelling(spark, tiny, tmp_path):
+    """r12 ADVICE pin: the index-recovery WALK spelled the table-root
+    partition '.' (os.path.relpath) while writer stats spell it '' — on
+    an unpartitioned table a rebuild could index the same physical file
+    under TWO partition keys, doubling its rows on snapshot reads. The
+    walk must normalize to the canonical '' spelling."""
+    import json
+    import shutil
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        _load_files_index,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2 = "20240101000001", "20240101000002"
+    commit(loc, t1, [("", "fg1", tiny([(1, "x")]))])
+    # pre-index table: wipe metadata so the t2 commit rebuilds via walk
+    shutil.rmtree(os.path.join(loc, ".hoodie", "metadata"))
+    commit(loc, t2, [("", "fg2", tiny([(2, "y")]))])
+    idx = _load_files_index(loc, t2)
+    assert idx is not None and set(idx) == {""}, idx  # one spelling only
+    df, n = snapshot(spark, loc, require_index=True)
+    assert n == 2
+    assert sorted(r["v"] for r in df.collect()) == ["x", "y"]  # no doubling

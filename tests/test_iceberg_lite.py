@@ -531,3 +531,35 @@ def test_metrics_bounds_skip_and_carry_forward(tmp_path, spark):
     # c and d carry no bounds -> both conservatively opened; residual
     # filtering is the caller's job (bounds are file-level)
     assert sorted(r["id"] for r in df3.collect()) == [7, 1000]
+
+
+def test_pre_bounds_v1_manifest_still_readable(tmp_path):
+    """r12 ADVICE pin: the v1 manifest data_file record GREW a 'bounds'
+    field, but read_ocf decodes with the file's embedded writer schema
+    — manifests written before that change yield 5-tuples. A strict
+    6-way unpack would make every pre-existing v1 table unreadable AND
+    uncommittable (reads, commit carry-forward and expire all walk
+    _active_entries_v1). The walk must tolerate old rows (bounds={})."""
+    import copy
+
+    loc = str(tmp_path / "tbl")
+    a = _touch(os.path.join(loc, "data", "a.parquet"))
+    b = _touch(os.path.join(loc, "data", "b.parquet"))
+    commit_snapshot(loc, "lang", [(a, "en", 10), (b, "de", 20)])
+    # simulate the pre-bounds writer: rewrite manifest-1 with the OLD
+    # 5-field data_file schema (no 'bounds')
+    old_schema = copy.deepcopy(_MANIFEST_SCHEMA)
+    df_fields = old_schema["fields"][2]["type"]["fields"]
+    assert df_fields[-1]["name"] == "bounds"
+    old_schema["fields"][2]["type"]["fields"] = df_fields[:-1]
+    mpath = os.path.join(loc, "metadata", "manifest-1.avro")
+    rows = [
+        (st, sid, tuple(df[:-1])) for st, sid, df in read_ocf(mpath)
+    ]
+    write_ocf(mpath, old_schema, rows)
+    # reads tolerate the 5-field rows
+    assert sorted(p for p, _, _ in active_files(loc)) == sorted([a, b])
+    # and a NEW commit carries them forward (EXISTING) without error
+    c = _touch(os.path.join(loc, "data", "c.parquet"))
+    commit_snapshot(loc, "lang", [(c, "fr", 5)], deleted_paths=(b,))
+    assert sorted(p for p, _, _ in active_files(loc)) == sorted([a, c])
