@@ -1676,6 +1676,97 @@ def iceberg_metrics_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _time_prune_agg(hits)
 
 
+# ----------------- Hudi metadata-table column-stats skipping (r13)
+_CSTAT_T1 = "20240103000001"
+
+
+def _build_hudi_colstats_table(spark: SparkSession, sf_dir: str) -> str:
+    """Hudi COW table over events, partitioned by event_type, one file
+    group per event_id range chunk (chunk = event_id // step, step =
+    max_id // 4 + 1 — the iceberg_metrics fixture's layout), committed
+    with ``stats_columns=['event_id']`` so the metadata-table col-stats
+    partition records every slice's [lower, upper] at WRITE time. The
+    (event_type, chunk) combinations come from ONE small groupBy job so
+    no empty file groups exist — every group is either inside the probe
+    range or skippable, keeping the skip-count assertion exact."""
+
+    def build(location: str) -> None:
+        from ..sources.hudi_lite import commit
+
+        events = load_table(spark, sf_dir, "events")
+        mx = int(events.agg(F.max("event_id")).first()[0])
+        step = mx // _METRICS_CHUNKS + 1
+        chunk = F.floor(F.col("event_id") / F.lit(step)).cast("long")
+        combos = sorted(
+            (r[0], int(r[1]))
+            for r in events.select(
+                "event_type", chunk.alias("__c")
+            ).distinct().collect()
+        )
+        writes = [
+            (
+                f"et={et}",
+                f"fg-{c}",
+                events.filter(
+                    (F.col("event_type") == et) & (chunk == c)
+                ),
+            )
+            for et, c in combos
+        ]
+        commit(location, _CSTAT_T1, writes, stats_columns=["event_id"])
+
+    return _fixture_dir("hudicolstats", sf_dir, build)
+
+
+@register(
+    "hudi_colstats_skipping",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    WHERE event_id >= (SELECT MAX(event_id) FROM events) // {_METRICS_CHUNKS} + 1
+      AND event_id < 2 * ((SELECT MAX(event_id) FROM events) // {_METRICS_CHUNKS} + 1)
+    GROUP BY event_type
+    """,
+)
+def hudi_colstats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi metadata-table COLUMN-STATS file-group skipping (r13 — the
+    data-skipping half of the Hudi metadata story that r12's files
+    partition began, mirroring ``iceberg_metrics_skipping``): commit
+    records each written slice's event_id [lower, upper] from its
+    parquet FOOTER into ``col-stats-<instant>.json``, and the range
+    read `step <= event_id < 2*step` drops every file group whose
+    bounds cannot intersect WITHOUT opening the file OR its footer.
+    Asserted against an independent truth: the WRITE layout named each
+    group ``fg-<chunk>``, so expected skips = groups not named fg-1 —
+    an over- or under-eager skip fails loudly. Reads are also
+    listing-free (require_index=True) and the pytest suite pins zero
+    footer decodes on the read path. The DuckDB oracle over raw events
+    pins the values; the residual predicate applies on survivors
+    (bounds are file-level)."""
+    from ..sources.hudi_lite import file_slices, snapshot_skipping
+
+    location = _build_hudi_colstats_table(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    mx = int(events.agg(F.max("event_id")).first()[0])
+    step = mx // _METRICS_CHUNKS + 1
+    lo, hi = step, 2 * step
+    slices = file_slices(location, require_index=True)
+    n_fg1 = sum(1 for _p, fid, _i, _path in slices if fid == "fg-1")
+    df, n_total, n_skipped = snapshot_skipping(
+        spark, location, "event_id", lo, hi, require_index=True
+    )
+    assert n_total == len(slices), (n_total, len(slices))
+    assert n_skipped == n_total - n_fg1 and n_skipped > 0, (
+        n_skipped, n_total, n_fg1,
+    )
+    hits = df.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+    return _time_prune_agg(hits)
+
+
 # ---------------------------------------------- Hudi clustering action
 _CLUST_T1, _CLUST_T2 = "20240102000001", "20240102000002"
 

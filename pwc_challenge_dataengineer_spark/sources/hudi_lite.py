@@ -188,6 +188,114 @@ def _prune_files_index(location: str, removed: set[str]) -> None:
     os.replace(tmp, newest)
 
 
+def _col_stats_path(location: str, instant: str) -> str:
+    return os.path.join(
+        location, ".hoodie", "metadata", f"col-stats-{instant}.json"
+    )
+
+
+def _load_col_stats_at(location: str, horizon: str) -> dict:
+    """Column-stats metadata partition at the NEWEST instant <= horizon:
+    {partition: {base_name: {column: [lower, upper]}}}. Unlike the files
+    index (which must exist per-instant for listing-free reads), stats
+    are best-effort — a missing/older file only means fewer skips, never
+    wrong rows, so the nearest-older snapshot of the stats is the right
+    read (new files simply have no entry yet and are opened)."""
+    mdir = os.path.join(location, ".hoodie", "metadata")
+    if not os.path.isdir(mdir):
+        return {}
+    cands = sorted(
+        f[len("col-stats-"):-len(".json")]
+        for f in os.listdir(mdir)
+        if f.startswith("col-stats-") and f.endswith(".json")
+    )
+    best = [t for t in cands if t <= horizon]
+    if not best:
+        return {}
+    with open(_col_stats_path(location, best[-1])) as fh:
+        return json.load(fh)
+
+
+def _footer_bounds(path: str, columns) -> dict:
+    """Best-effort {column: [lower, upper]} from the parquet FOOTER
+    (two tail reads, data pages never touched). Columns without footer
+    statistics, non-INT64 columns and empty files contribute nothing —
+    absent stats mean 'never skip', the only safe default."""
+    from .parquet_meta import int64_column_stats
+
+    out = {}
+    for col in columns or ():
+        try:
+            _n, lo, hi, _nulls = int64_column_stats(path, col)
+        except (KeyError, ValueError):
+            continue
+        out[col] = [lo, hi]
+    return out
+
+
+def _write_col_stats(
+    location: str, instant: str, stats: dict[str, list[dict]], columns
+) -> None:
+    """Write the col-stats metadata partition for ``instant``: the
+    newest previous stats carried forward plus this commit's written
+    files' footer bounds for ``columns`` — real Hudi's metadata-table
+    column_stats partition, recorded at WRITE time so range-predicate
+    reads skip file groups without opening any footer. No-op when
+    ``columns`` is empty AND no previous stats exist (tables that never
+    opted in pay nothing)."""
+    mdir = os.path.join(location, ".hoodie", "metadata")
+    prev = _load_col_stats_at(location, instant)
+    if not columns and not prev:
+        return
+    merged = {
+        part: {name: dict(cols) for name, cols in files.items()}
+        for part, files in prev.items()
+    }
+    for part, entries in stats.items():
+        for e in entries:
+            if "path" not in e:
+                continue
+            b = _footer_bounds(e["path"], columns)
+            if b:
+                merged.setdefault(part, {})[
+                    os.path.basename(e["path"])
+                ] = b
+    os.makedirs(mdir, exist_ok=True)
+    tmp = _col_stats_path(location, instant) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh)
+    os.replace(tmp, _col_stats_path(location, instant))
+
+
+def _prune_col_stats(location: str, removed: set[str]) -> None:
+    """Cleaner hook: drop reclaimed files from the NEWEST col-stats so
+    later commits stop carrying dead entries forward."""
+    mdir = os.path.join(location, ".hoodie", "metadata")
+    if not os.path.isdir(mdir):
+        return
+    cs = sorted(
+        f
+        for f in os.listdir(mdir)
+        if f.startswith("col-stats-") and f.endswith(".json")
+    )
+    if not cs:
+        return
+    newest = os.path.join(mdir, cs[-1])
+    with open(newest) as fh:
+        stats = json.load(fh)
+    for part, files in stats.items():
+        for name in [
+            n
+            for n in files
+            if os.path.join(location, part, n) in removed
+        ]:
+            del files[name]
+    tmp = newest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, newest)
+
+
 def _timeline(location: str) -> list[str]:
     hd = os.path.join(location, ".hoodie")
     if not os.path.isdir(hd):
@@ -346,19 +454,25 @@ def commit(
     location: str,
     instant: str,
     writes: list[tuple[str, str, object]],
+    stats_columns=None,
 ) -> None:
     """Write one COW commit: each (partition, file_id, df) becomes a new
     file slice ``<file_id>_0-0_<instant>.parquet`` — all slices written
     by ONE distributed job (see ``_write_base_slices``); the instant
     completes only when the ``.commit`` timeline file lands (written
     last, after an ``.inflight`` marker, mirroring Hudi's two-phase
-    timeline)."""
+    timeline). ``stats_columns``: INT64 columns whose per-file [lower,
+    upper] bounds are recorded into the metadata-table col-stats
+    partition at write time (footer tail reads on the files this commit
+    just wrote) so range-predicate reads skip file groups without
+    opening them (``file_slices_skipping``)."""
     hd = os.path.join(location, ".hoodie")
     os.makedirs(hd, exist_ok=True)
     inflight = os.path.join(hd, f"{instant}.inflight")
     open(inflight, "w").close()
     stats = _write_base_slices(location, instant, writes)
     _write_files_index(location, instant, *_index_from_stats(stats))
+    _write_col_stats(location, instant, stats, stats_columns)
     with open(os.path.join(hd, f"{instant}.commit"), "w") as fh:
         json.dump({"partitionToWriteStats": stats}, fh)
     os.remove(inflight)
@@ -462,6 +576,76 @@ def snapshot(
     slices = file_slices(location, as_of, require_index=require_index)
     paths = [p for _, _, _, p in slices]
     return spark.read.parquet(*paths), len(slices)
+
+
+def file_slices_skipping(
+    location: str,
+    column: str,
+    lo,
+    hi,
+    as_of: str | None = None,
+    require_index: bool = False,
+):
+    """COW file slices surviving metadata-table COLUMN-STATS skipping —
+    real Hudi's column_stats partition: each slice's per-column [lower,
+    upper] bounds were recorded at COMMIT time (``stats_columns``) into
+    ``col-stats-<instant>.json``, and a range predicate ``lo <= column
+    < hi`` drops every slice whose bounds cannot intersect WITHOUT
+    opening the file or its footer (bounds inclusive, predicate
+    hi-exclusive — the iceberg_lite ``scan_metrics`` convention).
+    Slices with no recorded bounds for ``column`` are conservatively
+    kept (no stats = no skip — never silently wrong); the RESIDUAL
+    predicate still applies on the survivors. COW semantics only: a MOR
+    group's logs may hold rows outside the base bounds, so the mor_*
+    read paths never skip. Returns (kept_slices, n_total, n_skipped)."""
+    slices = file_slices(location, as_of, require_index=require_index)
+    completed = _completed(location)
+    horizon = as_of if as_of is not None else max(completed)
+    stats = _load_col_stats_at(location, horizon)
+    kept = []
+    n_skipped = 0
+    for part, fid, instant, path in slices:
+        b = stats.get(part, {}).get(os.path.basename(path), {}).get(column)
+        if (
+            b is not None
+            and b[0] is not None
+            and b[1] is not None
+            and (b[1] < lo or b[0] >= hi)
+        ):
+            n_skipped += 1
+        else:
+            kept.append((part, fid, instant, path))
+    return kept, len(slices), n_skipped
+
+
+def snapshot_skipping(
+    spark,
+    location: str,
+    column: str,
+    lo,
+    hi,
+    as_of: str | None = None,
+    require_index: bool = False,
+):
+    """Snapshot read through column-stats skipping (COW): only slices
+    whose recorded bounds can intersect ``[lo, hi)`` reach Spark's
+    parquet reader. Returns (DataFrame, n_groups_total, n_skipped);
+    empty survivor set returns a schema-only frame read from one live
+    slice (metadata-only)."""
+    kept, n_total, n_skipped = file_slices_skipping(
+        location, column, lo, hi, as_of, require_index=require_index
+    )
+    if not kept:
+        all_slices = file_slices(
+            location, as_of, require_index=require_index
+        )
+        empty = spark.read.parquet(all_slices[0][3]).limit(0)
+        return empty, n_total, n_skipped
+    return (
+        spark.read.parquet(*[p for _, _, _, p in kept]),
+        n_total,
+        n_skipped,
+    )
 
 
 # ------------------------------------------------------- merge-on-read
@@ -884,6 +1068,7 @@ def clean_slices(location: str, instant: str, keep_last: int = 1):
     # keep the newest files index honest: later commits build on it, so
     # reclaimed entries must not be carried forward forever
     _prune_files_index(location, removed)
+    _prune_col_stats(location, removed)
     hd = os.path.join(location, ".hoodie")
     with open(os.path.join(hd, f"{instant}.clean"), "w") as fh:
         json.dump(

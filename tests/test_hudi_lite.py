@@ -606,3 +606,107 @@ def test_root_partition_walk_uses_canonical_spelling(spark, tiny, tmp_path):
     df, n = snapshot(spark, loc, require_index=True)
     assert n == 2
     assert sorted(r["v"] for r in df.collect()) == ["x", "y"]  # no doubling
+
+
+def test_colstats_skipping_no_footer_reads_on_read_path(
+    spark, tiny, tmp_path, monkeypatch
+):
+    """r13: metadata-table col-stats skipping. Bounds are recorded at
+    COMMIT time from parquet footers; the READ path must resolve them
+    from col-stats-<instant>.json alone — zero footer decodes, zero
+    listing — and drop only groups whose bounds cannot intersect."""
+    from pwc_challenge_dataengineer_spark.sources import hudi_lite, parquet_meta
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        file_slices_skipping,
+        snapshot_skipping,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1 = "20240101000001"
+
+    def mk(lo_id, n):
+        return spark.createDataFrame(
+            [(lo_id + i, "v") for i in range(n)], "id long, v string"
+        )
+
+    commit(
+        loc,
+        t1,
+        [
+            ("p=a", "fg-lo", mk(0, 5)),      # id [0, 4]
+            ("p=a", "fg-hi", mk(100, 5)),    # id [100, 104]
+            ("p=b", "fg-mid", mk(50, 5)),    # id [50, 54]
+        ],
+        stats_columns=["id"],
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("footer decoded on the read path")
+
+    monkeypatch.setattr(parquet_meta, "int64_column_stats", boom)
+    walks = []
+    real_walk = os.walk
+    monkeypatch.setattr(
+        hudi_lite.os, "walk", lambda *a, **k: walks.append(a) or real_walk(*a, **k)
+    )
+    kept, n_total, n_skipped = file_slices_skipping(
+        loc, "id", 0, 60, require_index=True
+    )
+    assert (n_total, n_skipped) == (3, 1)
+    assert sorted(fid for _p, fid, _i, _pp in kept) == ["fg-lo", "fg-mid"]
+    assert walks == []  # listing-free AND footer-free
+    df, n_total2, n_sk2 = snapshot_skipping(
+        spark, loc, "id", 0, 60, require_index=True
+    )
+    assert (n_total2, n_sk2) == (3, 1)
+    assert sorted(r["id"] for r in df.collect()) == list(range(5)) + list(
+        range(50, 55)
+    )
+    # boundary semantics: bounds inclusive, predicate hi-exclusive
+    _, _, n_sk3 = file_slices_skipping(loc, "id", 4, 100, require_index=True)
+    assert n_sk3 == 1  # fg-lo touches lo (kept); fg-hi fails hi-exclusive
+    # all-skipped returns a schema-only frame, still without opening data
+    e, n_t4, n_sk4 = snapshot_skipping(spark, loc, "id", 200, 300)
+    assert (n_t4, n_sk4, e.count()) == (3, 3, 0)
+
+
+def test_colstats_carry_forward_and_clean_prune(spark, tiny, tmp_path):
+    """Col-stats chain semantics: a later commit (even WITHOUT
+    stats_columns) carries previous bounds forward so old groups stay
+    skippable; a no-stats slice is conservatively kept; the cleaner
+    prunes reclaimed entries from the newest col-stats file."""
+    import json as _json
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        _col_stats_path,
+        clean_slices,
+        file_slices_skipping,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3 = (f"2024010100000{i}" for i in (1, 2, 3))
+
+    def mk(lo_id, n):
+        return spark.createDataFrame(
+            [(lo_id + i, "v") for i in range(n)], "id long, v string"
+        )
+
+    commit(loc, t1, [("p=a", "fg1", mk(0, 5))], stats_columns=["id"])
+    # t2 rewrites fg1 and adds fg2 WITHOUT stats: fg2 unskippable,
+    # fg1's new slice has no bounds either (its t1 bounds must not
+    # leak onto the new file), old entries carry forward harmlessly
+    commit(loc, t2, [("p=a", "fg1", mk(1000, 5)), ("p=a", "fg2", mk(100, 5))])
+    kept, n_total, n_skipped = file_slices_skipping(loc, "id", 0, 10)
+    assert (n_total, n_skipped) == (2, 0)  # no stats on live slices -> no skip
+    # t3 re-records stats on a rewrite of fg1
+    commit(loc, t3, [("p=a", "fg1", mk(2000, 5))], stats_columns=["id"])
+    kept3, n_t3, n_sk3 = file_slices_skipping(loc, "id", 0, 10)
+    assert (n_t3, n_sk3) == (2, 1)  # fg1 [2000,2004] skipped; fg2 no stats
+    assert [fid for _p, fid, _i, _pp in kept3] == ["fg2"]
+    # cleaner reclaims fg1's t1/t2 slices; newest col-stats drops them
+    removed_f, _ = clean_slices(loc, "20240101000004", keep_last=1)
+    assert removed_f == 2
+    with open(_col_stats_path(loc, t3)) as fh:
+        stats = _json.load(fh)
+    names = sorted(stats.get("p=a", {}))
+    assert names == [f"fg1_0-0_{t3}.parquet"], names
