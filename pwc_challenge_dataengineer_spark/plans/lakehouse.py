@@ -1767,6 +1767,95 @@ def hudi_colstats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _time_prune_agg(hits)
 
 
+# --------------------------------------- Hudi rollback action (r13)
+_RB_T1, _RB_T2, _RB_T3, _RB_T4 = (
+    f"2024010400000{i}" for i in (1, 2, 3, 4)
+)
+
+
+def _build_hudi_rollback_table(spark: SparkSession, sf_dir: str) -> str:
+    """Hudi COW table exercising the ROLLBACK failure-recovery action:
+    T1 commits en/de/es; T2 crash-simulates mid-commit — its partial
+    rewrite of the en group carries POISONED values (n_chars doubled)
+    and the crash happens at the nastiest point, AFTER the files index
+    was written but BEFORE the `.commit` landed; T3 rolls T2 back
+    (files + index + inflight removed, `.rollback` action recorded);
+    T4 commits fr on the recovered timeline. If rollback ever leaked a
+    poisoned file into T4's carried-forward index chain the oracle
+    hash over raw documents would flip."""
+
+    def build(location: str) -> None:
+        from ..sources.hudi_lite import (
+            _index_from_stats,
+            _write_base_slices,
+            _write_files_index,
+            commit,
+            rollback,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+
+        def part(lang):
+            return docs.filter(F.col("lang") == lang)
+
+        commit(
+            location,
+            _RB_T1,
+            [
+                ("lang=en", "fg-en", part("en")),
+                ("lang=de", "fg-de", part("de")),
+                ("lang=es", "fg-es", part("es")),
+            ],
+        )
+        hd = os.path.join(location, ".hoodie")
+        open(os.path.join(hd, f"{_RB_T2}.inflight"), "w").close()
+        poisoned = part("en").withColumn(
+            "n_chars", F.col("n_chars") * 2
+        )
+        stats = _write_base_slices(
+            location, _RB_T2, [("lang=en", "fg-en", poisoned)]
+        )
+        _write_files_index(location, _RB_T2, *_index_from_stats(stats))
+        # -- crash: no .commit ever lands for T2 --
+        n_files, n_logs = rollback(location, _RB_T2, _RB_T3)
+        assert (n_files, n_logs) == (1, 0), (n_files, n_logs)
+        commit(location, _RB_T4, [("lang=fr", "fg-fr", part("fr"))])
+
+    return _fixture_dir("hudirollback", sf_dir, build)
+
+
+@register(
+    "hudi_rollback_read",
+    oracle=_HUDI_ORACLE.format(
+        updated="1 = 0", langs="'en','de','es','fr'"
+    ),
+)
+def hudi_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read after a ROLLBACK recovered a crashed commit (r13 —
+    COVERAGE.md's last gated Hudi action): the rolled-back instant is
+    gone from the timeline (completed = {T1, T4}), the `.rollback`
+    action records what was reclaimed, reads stay LISTING-FREE
+    (require_index=True — T4's index chained past the deleted T2 index
+    onto T1's), and the poisoned partial write is invisible: n_updated
+    = 0 everywhere and the per-lang aggregate hash-matches DuckDB over
+    raw documents. The pytest suite additionally pins index health,
+    cleaner safety after rollback, completed-latest restore, and the
+    later-commits guard."""
+    import json as _json
+
+    from ..sources.hudi_lite import _timeline, snapshot
+
+    location = _build_hudi_rollback_table(spark, sf_dir)
+    assert _timeline(location) == [_RB_T1, _RB_T4], _timeline(location)
+    rb = os.path.join(location, ".hoodie", f"{_RB_T3}.rollback")
+    with open(rb) as fh:
+        action = _json.load(fh)
+    assert action["rolledBack"] == _RB_T2, action
+    df, n_groups = snapshot(spark, location, require_index=True)
+    assert n_groups == 4, n_groups
+    return _hudi_agg(df)
+
+
 # ---------------------------------------------- Hudi clustering action
 _CLUST_T1, _CLUST_T2 = "20240102000001", "20240102000002"
 

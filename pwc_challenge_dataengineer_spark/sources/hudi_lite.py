@@ -104,7 +104,12 @@ def _write_files_index(
             if f.endswith(suffix):
                 completed.add(f[: -len(suffix)])
     uncovered = [t for t in completed if t < instant and t not in covered]
-    prev_instants = sorted(t for t in covered if t < instant)
+    # chain only on COMPLETED instants' indexes: a crashed writer may
+    # have left files-<t>.json for an instant whose .commit never
+    # landed — its entries name files a rollback will delete
+    prev_instants = sorted(
+        t for t in covered if t < instant and t in completed
+    )
     merged: dict = {}
     if uncovered:
         # upgrade/recovery walk: some completed instant predates
@@ -997,6 +1002,81 @@ def compact_logs(spark, location: str, key_col: str, instant: str):
         )
     os.remove(inflight)
     return len(todo), n_logs
+
+
+def rollback(location: str, target: str, instant: str):
+    """Hudi ROLLBACK action — the timeline's failure-recovery
+    primitive: remove a FAILED/PARTIAL write (its data files, log dirs
+    and metadata-index files) and record a ``<instant>.rollback``
+    action so the recovery is itself part of the timeline. Target
+    rules, as in real Hudi: a PENDING instant (inflight or silently
+    crashed — no completed timeline file) can always be rolled back;
+    a COMPLETED instant only if it is the LATEST (restore semantics —
+    rolling back under later commits would corrupt their slice
+    lineage). File discovery walks the table once (this is the rare
+    recovery path — real Hudi uses marker files the same way; steady-
+    state reads stay listing-free) and removes exactly the files whose
+    encoded instant == target, plus the target's files/col-stats index
+    entries so later commits can't carry crashed files forward.
+    Returns (n_files_removed, n_log_dirs_removed)."""
+    import shutil
+
+    hd = os.path.join(location, ".hoodie")
+    completed = _completed(location)
+    if target in completed:
+        if max(completed) != target:
+            raise ValueError(
+                f"cannot roll back completed instant {target}: later "
+                f"commits exist (latest {max(completed)})"
+            )
+    n_files = n_logdirs = 0
+    for root, dirs, files in os.walk(location):
+        rel = os.path.relpath(root, location)
+        if rel == ".hoodie" or rel.startswith(".hoodie" + os.sep):
+            continue
+        base = os.path.basename(root)
+        if base.startswith((".staging_", ".tmp_")):
+            # the target's own staging leftovers ARE the partial write
+            if base in (f".staging_{target}", f".tmp_{target}"):
+                shutil.rmtree(root, ignore_errors=True)
+            dirs[:] = []
+            continue
+        if base.startswith(".log_"):
+            if base.endswith(f"_{target}"):
+                shutil.rmtree(root, ignore_errors=True)
+                n_logdirs += 1
+            dirs[:] = []
+            continue
+        for f in files:
+            if (
+                f.endswith(f"_{target}.parquet")
+                and not f.startswith(".")
+            ):
+                os.remove(os.path.join(root, f))
+                n_files += 1
+    # timeline + metadata-index files of the rolled-back instant
+    for name in (
+        f"{target}.inflight",
+        f"{target}.commit",
+        f"{target}.deltacommit",
+        f"{target}.replacecommit",
+    ):
+        p = os.path.join(hd, name)
+        if os.path.exists(p):
+            os.remove(p)
+    for p in (_index_path(location, target), _col_stats_path(location, target)):
+        if os.path.exists(p):
+            os.remove(p)
+    with open(os.path.join(hd, f"{instant}.rollback"), "w") as fh:
+        json.dump(
+            {
+                "rolledBack": target,
+                "removedFiles": n_files,
+                "removedLogDirs": n_logdirs,
+            },
+            fh,
+        )
+    return n_files, n_logdirs
 
 
 def _clean_horizon(location: str) -> str | None:

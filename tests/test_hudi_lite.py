@@ -710,3 +710,117 @@ def test_colstats_carry_forward_and_clean_prune(spark, tiny, tmp_path):
         stats = _json.load(fh)
     names = sorted(stats.get("p=a", {}))
     assert names == [f"fg1_0-0_{t3}.parquet"], names
+
+
+def test_rollback_crashed_commit_reclaims_files_and_index(
+    spark, tiny, tmp_path
+):
+    """r13: rollback of a writer that crashed AFTER writing data files
+    and the files index but BEFORE the .commit landed — the files and
+    the index entry must be reclaimed, a .rollback action recorded, and
+    a later commit's index chain must be complete and poison-free."""
+    import json as _json
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        _index_from_stats,
+        _load_files_index,
+        _write_base_slices,
+        _write_files_index,
+        clean_slices,
+        rollback,
+        snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3, t4, t5 = (f"2024010100000{i}" for i in (1, 2, 3, 4, 5))
+    commit(loc, t1, [("p=a", "fg1", tiny([(1, "x")]))])
+    # crash-simulate t2: partial rewrite of fg1, index written, no .commit
+    hd = os.path.join(loc, ".hoodie")
+    open(os.path.join(hd, f"{t2}.inflight"), "w").close()
+    stats = _write_base_slices(
+        loc, t2, [("p=a", "fg1", tiny([(1, "POISON")]))]
+    )
+    _write_files_index(loc, t2, *_index_from_stats(stats))
+    n_files, n_logs = rollback(loc, t2, t3)
+    assert (n_files, n_logs) == (1, 0)
+    with open(os.path.join(hd, f"{t3}.rollback")) as fh:
+        assert _json.load(fh)["rolledBack"] == t2
+    # physical file + index + inflight gone
+    assert not any(t2 in f for f in os.listdir(os.path.join(loc, "p=a")))
+    assert _load_files_index(loc, t2) is None
+    assert not os.path.exists(os.path.join(hd, f"{t2}.inflight"))
+    # later commit chains past the hole; index-only read is poison-free
+    commit(loc, t4, [("p=b", "fg2", tiny([(2, "y")]))])
+    idx = _load_files_index(loc, t4)
+    assert sorted(n for s in idx.values() for n in s["bases"]) == [
+        f"fg1_0-0_{t1}.parquet",
+        f"fg2_0-0_{t4}.parquet",
+    ]
+    df, n = snapshot(spark, loc, require_index=True)
+    assert n == 2 and sorted(r["v"] for r in df.collect()) == ["x", "y"]
+    # cleaner after rollback must keep both LIVE files
+    assert clean_slices(loc, t5, keep_last=1) == (0, 0)
+    df2, _ = snapshot(spark, loc, require_index=True)
+    assert sorted(r["v"] for r in df2.collect()) == ["x", "y"]
+
+
+def test_rollback_completed_latest_restores_previous_state(
+    spark, tiny, tmp_path
+):
+    """Restore semantics: rolling back the LATEST completed commit
+    removes its files/timeline/index and the table reads as before it;
+    rolling back a completed instant UNDER later commits raises."""
+    import pytest as _pytest
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        rollback,
+        snapshot,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3 = (f"2024010100000{i}" for i in (1, 2, 3))
+    commit(loc, t1, [("p=a", "fg1", tiny([(1, "x")]))])
+    commit(loc, t2, [("p=a", "fg1", tiny([(1, "X")])),
+                     ("p=b", "fg2", tiny([(2, "y")]))])
+    with _pytest.raises(ValueError, match="later commits exist"):
+        rollback(loc, t1, t3)
+    n_files, _ = rollback(loc, t2, t3)
+    assert n_files == 2
+    df, n = snapshot(spark, loc, require_index=True)
+    assert n == 1 and [r["v"] for r in df.collect()] == ["x"]
+
+
+def test_rollback_crashed_deltacommit_removes_log_dir(
+    spark, tiny, tmp_path
+):
+    """MOR: a crashed delta commit's log dir (named .log_<fid>_<t>)
+    must be reclaimed by rollback and the merged read must not see its
+    rows."""
+    import shutil
+
+    from pwc_challenge_dataengineer_spark.sources.hudi_lite import (
+        commit_mor,
+        mor_snapshot,
+        rollback,
+    )
+
+    loc = str(tmp_path / "tbl")
+    t1, t2, t3 = (f"2024010100000{i}" for i in (1, 2, 3))
+    commit_mor(loc, t1, base_writes=[("p=a", "fg1", tiny([(1, "x")]))])
+    # a real delta commit, then crash-simulate it: strip the timeline
+    # completion so only the log dir + inflight remain
+    commit_mor(
+        loc, t2, log_writes=[("p=a", "fg1", tiny([(1, "POISON")]))],
+        key_col="id",
+    )
+    hd = os.path.join(loc, ".hoodie")
+    os.remove(os.path.join(hd, f"{t2}.deltacommit"))
+    open(os.path.join(hd, f"{t2}.inflight"), "w").close()
+    n_files, n_logs = rollback(loc, t2, t3)
+    assert (n_files, n_logs) == (0, 1)
+    assert not any(
+        d.startswith(".log_") for d in os.listdir(os.path.join(loc, "p=a"))
+    )
+    df, n, n_log = mor_snapshot(spark, loc, "id")
+    assert (n, n_log) == (1, 0)
+    assert [r["v"] for r in df.collect()] == ["x"]
