@@ -1767,6 +1767,66 @@ def hudi_colstats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _time_prune_agg(hits)
 
 
+# --------------------- Iceberg manifest-list summaries (r13)
+def _build_manifest_summary_table(spark: SparkSession, sf_dir: str) -> str:
+    """Iceberg table where events arrive one event_type per COMMIT —
+    ONE distributed partitioned write, then five commits each adding
+    one partition's files. Manifest REUSE keeps each commit's manifest
+    immutable, so the current snapshot's manifest LIST references five
+    manifests, each with a tight one-partition [lo, hi] summary —
+    exactly the shape a time/type-ordered ingest produces at scale."""
+
+    def build(location: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+        entries = _write_partitioned(
+            events, "event_type", os.path.join(location, "data")
+        )
+        by_part: dict[str, list] = {}
+        for path, value, n in entries:
+            by_part.setdefault(value, []).append((path, value, n))
+        for value in sorted(by_part):
+            commit_snapshot(location, "event_type", by_part[value])
+
+    return _fixture_dir("icesummaries", sf_dir, build)
+
+
+@register(
+    "iceberg_manifest_summaries",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    WHERE event_type >= 'click' AND event_type <= 'error'
+    GROUP BY event_type
+    """,
+)
+def iceberg_manifest_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-LIST partition-summary skipping (r13): scan planning
+    reads the manifest list's per-manifest [lo, hi] partition summaries
+    and opens ONLY manifests that can intersect the predicate range —
+    the O(manifests) -> O(relevant-manifests) planning term that
+    matters at 100 TB with thousands of manifests (file-level pruning
+    alone still DECODES every manifest). The fixture commits one
+    event_type per commit, so the range ['click', 'error'] must skip
+    exactly the purchase/signup/view manifests (3 of 5) before any of
+    them is opened — pinned here by count and in pytest by
+    instrumenting the OCF decoder. Values hash-verified by the DuckDB
+    oracle over raw events."""
+    from ..sources.iceberg_lite import scan_summaries
+
+    location = _build_manifest_summary_table(spark, sf_dir)
+    df, n_manifests, n_skipped, n_live, n_pruned = scan_summaries(
+        spark, location, "click", "error"
+    )
+    assert n_manifests == 5, n_manifests
+    assert n_skipped == 3, n_skipped
+    assert n_pruned == 0, n_pruned  # skipped manifests ARE the exclusion
+    return _time_prune_agg(df)
+
+
 # --------------------------------------- Hudi rollback action (r13)
 _RB_T1, _RB_T2, _RB_T3, _RB_T4 = (
     f"2024010400000{i}" for i in (1, 2, 3, 4)

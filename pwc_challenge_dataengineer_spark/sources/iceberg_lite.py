@@ -165,6 +165,14 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "added_snapshot_id", "type": "long"},
+        # JSON {"lo": min_part, "hi": max_part, "n_deleted": N} — the
+        # lite rendering of the spec's per-manifest field_summary list:
+        # scan planning skips a whole manifest when its partition range
+        # cannot intersect the predicate, WITHOUT opening it ('' = no
+        # summary = never skip; manifests carrying DELETED tombstones
+        # are never skipped — a skipped tombstone would resurrect files
+        # added by an older, unskipped manifest of another partition)
+        {"name": "partition_summary", "type": "string"},
     ],
 }
 
@@ -203,10 +211,22 @@ def _load_metadata(location: str) -> dict | None:
     return md
 
 
-def _active_entries_v1(location: str, snapshot_id: int | None = None):
-    """(file_path, partition_value, record_count, bounds_dict) of every
-    live data file at the given snapshot (default: current), via
-    manifest-list -> manifest walk with DELETED entries dropped.
+def _entries_with_manifest_stats(
+    location: str,
+    snapshot_id: int | None = None,
+    part_range: tuple | None = None,
+):
+    """Core v1 scan planning: (live_entries, n_manifests, n_skipped)
+    where live_entries = [(file_path, partition_value, record_count,
+    bounds_dict)]. A snapshot's manifest LIST references every commit's
+    immutable manifest (incremental reuse — a commit never rewrites
+    prior manifests), so liveness is LAST-WRITER-WINS per file path on
+    the entry's snapshot id: the newest status governs, and DELETED
+    tombstones mask entries in older manifests. ``part_range=(lo, hi)``
+    (inclusive, partition-value ordering) skips whole manifests on the
+    manifest-list partition summaries WITHOUT opening them — the
+    O(manifests) -> O(relevant-manifests) planning term at 100 TB;
+    manifests with no summary or with tombstones are always opened.
     ``bounds_dict`` is {column: [lower, upper]} or {} when the writer
     recorded no metrics."""
     md = _load_metadata(location)
@@ -216,23 +236,49 @@ def _active_entries_v1(location: str, snapshot_id: int | None = None):
     sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
     if sid not in snaps:
         raise ValueError(f"unknown snapshot {sid} (have {sorted(snaps)})")
-    files = []
-    for mrow in read_ocf(snaps[sid]["manifest-list"]):
+    rows = read_ocf(snaps[sid]["manifest-list"])
+    n_skipped = 0
+    state: dict[str, tuple] = {}  # path -> (entry_sid, status, part, cnt, bj)
+    for mrow in rows:
         manifest_path = mrow[0]
-        for status, _snap, data_file in read_ocf(manifest_path):
-            if status == 2:  # DELETED
-                continue
+        # tolerate pre-summary manifest lists (4-tuples): no summary
+        summary = json.loads(mrow[4]) if len(mrow) > 4 and mrow[4] else None
+        if (
+            part_range is not None
+            and summary is not None
+            and summary.get("n_deleted", 1) == 0
+            and summary.get("lo") is not None
+            and (
+                summary["hi"] < part_range[0]
+                or summary["lo"] > part_range[1]
+            )
+        ):
+            n_skipped += 1
+            continue
+        for status, esnap, data_file in read_ocf(manifest_path):
             # tolerate pre-bounds manifests: read_ocf decodes with the
             # file's EMBEDDED writer schema, so v1 manifests written
             # before the 'bounds' field existed yield 5-tuples — a
             # strict 6-way unpack would make every pre-existing table
-            # unreadable AND uncommittable (commit_snapshot carries
-            # prior entries forward through this walk)
+            # unreadable AND uncommittable
             file_path, _fmt, (part,), record_count, _size, *rest = data_file
             bj = rest[0] if rest else ""
-            files.append(
-                (file_path, part, record_count, json.loads(bj) if bj else {})
-            )
+            cur = state.get(file_path)
+            if cur is None or esnap >= cur[0]:
+                state[file_path] = (esnap, status, part, record_count, bj)
+    files = [
+        (p, part, cnt, json.loads(bj) if bj else {})
+        for p, (_es, status, part, cnt, bj) in sorted(state.items())
+        if status != 2
+    ]
+    return files, len(rows), n_skipped
+
+
+def _active_entries_v1(location: str, snapshot_id: int | None = None):
+    """(file_path, partition_value, record_count, bounds_dict) of every
+    live data file at the given snapshot (default: current). See
+    ``_entries_with_manifest_stats`` for the reuse/tombstone rules."""
+    files, _n, _s = _entries_with_manifest_stats(location, snapshot_id)
     return files
 
 
@@ -307,10 +353,13 @@ def commit_snapshot(
     summary: dict | None = None,
     added_bounds: dict[str, dict] | None = None,
 ) -> int:
-    """Commit one snapshot: prior active files carry forward as EXISTING
-    entries (minus ``deleted_paths``, which append as DELETED tombstone
-    entries), ``added`` (path, partition_value, record_count) rows append
-    as ADDED. Writes manifest + manifest list + next metadata JSON.
+    """Commit one snapshot: prior manifests are REUSED verbatim by the
+    new manifest list (immutable, O(commit) not O(table) — see the
+    manifest-reuse block below); ``deleted_paths`` append as DELETED
+    tombstones and ``added`` (path, partition_value, record_count) rows
+    as ADDED in this commit's one new manifest, whose list row carries
+    a partition summary for manifest-level scan skipping. Writes
+    manifest + manifest list + next metadata JSON.
     ``summary`` key/values land on the snapshot entry (Iceberg's
     snapshot summary map — e.g. a streaming batch id for exactly-once
     sinks); the streaming-batch high-water mark is carried forward into
@@ -336,26 +385,58 @@ def commit_snapshot(
         if md and md["snapshots"]
         else 1
     )
+    # MANIFEST REUSE (r13): prior manifests are immutable — the new
+    # manifest list references them verbatim and this commit writes ONE
+    # new manifest holding only its ADDED entries plus DELETED
+    # tombstones for ``deleted_paths`` (which mask entries in older
+    # manifests under _entries_with_manifest_stats' last-writer-wins
+    # rule). Commit cost is O(this commit), not O(table); the list row
+    # carries a partition summary so scans can skip the whole manifest.
+    prior_rows: list[tuple] = []
+    if md is not None and md["snapshots"]:
+        cur = {s["snapshot-id"]: s for s in md["snapshots"]}[
+            md["current-snapshot-id"]
+        ]
+        for mrow in read_ocf(cur["manifest-list"]):
+            # tolerate pre-summary lists (4-tuples): no summary
+            prior_rows.append(
+                tuple(mrow) if len(mrow) > 4 else (*mrow, "")
+            )
+    prior_by_path = {p: (part, cnt, b) for p, part, cnt, b in prior}
     entries = []
-    for path, part, cnt, bounds in prior:
-        status = 2 if path in deleted_paths else 0
-        size = os.path.getsize(path)
+    n_deleted = 0
+    for path in deleted_paths:
+        if path not in prior_by_path:
+            continue
+        part, cnt, bounds = prior_by_path[path]
         bj = json.dumps(bounds) if bounds else ""
+        size = os.path.getsize(path) if os.path.exists(path) else 0
         entries.append(
-            (status, sid, (path, "PARQUET", (part,), cnt, size, bj))
+            (2, sid, (path, "PARQUET", (part,), cnt, size, bj))
         )
+        n_deleted += 1
+    parts_added = []
     for path, part, cnt in added:
         size = os.path.getsize(path)
         b = (added_bounds or {}).get(path)
         bj = json.dumps(b) if b else ""
         entries.append((1, sid, (path, "PARQUET", (part,), cnt, size, bj)))
+        parts_added.append(part)
     manifest = os.path.join(mdir, f"manifest-{sid}.avro")
     write_ocf(manifest, _MANIFEST_SCHEMA, entries)
+    psum = json.dumps(
+        {
+            "lo": min(parts_added) if parts_added else None,
+            "hi": max(parts_added) if parts_added else None,
+            "n_deleted": n_deleted,
+        }
+    )
     mlist = os.path.join(mdir, f"snap-{sid}.avro")
     write_ocf(
         mlist,
         _MANIFEST_LIST_SCHEMA,
-        [(manifest, os.path.getsize(manifest), 0, sid)],
+        prior_rows
+        + [(manifest, os.path.getsize(manifest), 0, sid, psum)],
     )
     snap_entry = {"snapshot-id": sid, "manifest-list": mlist}
     summary = _carry_batch_hwm(md, summary)
@@ -500,6 +581,108 @@ def scan_metrics(
         n_part_pruned,
         n_skipped,
     )
+
+
+def scan_summaries(
+    spark,
+    location: str,
+    part_lo: str,
+    part_hi: str,
+    snapshot_id: int | None = None,
+):
+    """Snapshot scan planned through MANIFEST-LIST PARTITION SUMMARIES:
+    manifests whose recorded [lo, hi] partition range cannot intersect
+    ``[part_lo, part_hi]`` (inclusive, partition-value ordering) are
+    skipped WITHOUT being opened — the planning term that matters at
+    100 TB with thousands of manifests — then file-level identity
+    pruning applies on the entries of the opened manifests. Manifests
+    with no summary (pre-summary tables) or carrying tombstones are
+    always opened. Returns (DataFrame, n_manifests, n_manifests_skipped,
+    n_files_live, n_files_pruned)."""
+    entries, n_manifests, n_skipped = _entries_with_manifest_stats(
+        location, snapshot_id, part_range=(part_lo, part_hi)
+    )
+    kept = [
+        p for p, part, _cnt, _b in entries if part_lo <= part <= part_hi
+    ]
+    n_pruned = len(entries) - len(kept)
+    if not kept:
+        if not entries:
+            raise ValueError(
+                "iceberg-lite scan: no live files in range"
+            )
+        empty = spark.read.parquet(entries[0][0]).limit(0)
+        return empty, n_manifests, n_skipped, len(entries), n_pruned
+    return (
+        spark.read.parquet(*kept),
+        n_manifests,
+        n_skipped,
+        len(entries),
+        n_pruned,
+    )
+
+
+def rewrite_manifests(location: str) -> tuple[int, int]:
+    """Maintenance: squash the CURRENT snapshot's manifest chain. Live
+    entries are rewritten into fresh manifests grouped by partition
+    value (tight [lo, hi] = [v, v] summaries, zero tombstones) and a
+    new snapshot references ONLY those. Incremental commits reuse every
+    prior manifest, so without periodic rewrites the newest snapshot
+    references every manifest ever written and expire_snapshots can
+    reclaim none of them; after a rewrite, expiry drops the old chain.
+    Data files are untouched (metadata-only operation, as in Iceberg's
+    rewrite_manifests action). Returns (n_manifests_before,
+    n_manifests_after)."""
+    md = _load_metadata(location)
+    if md is None or not md["snapshots"]:
+        raise FileNotFoundError(f"no Iceberg snapshots under {location}")
+    entries, n_before, _ = _entries_with_manifest_stats(location)
+    mdir = os.path.join(location, "metadata")
+    sid = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+    groups: dict[str, list] = {}
+    for path, part, cnt, bounds in entries:
+        groups.setdefault(part, []).append((path, part, cnt, bounds))
+    rows = []
+    for k, part in enumerate(sorted(groups)):
+        manifest = os.path.join(mdir, f"manifest-{sid}-{k}.avro")
+        write_ocf(
+            manifest,
+            _MANIFEST_SCHEMA,
+            [
+                (
+                    0,
+                    sid,
+                    (
+                        path,
+                        "PARQUET",
+                        (pv,),
+                        cnt,
+                        os.path.getsize(path),
+                        json.dumps(b) if b else "",
+                    ),
+                )
+                for path, pv, cnt, b in groups[part]
+            ],
+        )
+        psum = json.dumps({"lo": part, "hi": part, "n_deleted": 0})
+        rows.append((manifest, os.path.getsize(manifest), 0, sid, psum))
+    mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    write_ocf(mlist, _MANIFEST_LIST_SCHEMA, rows)
+    snap_entry = {"snapshot-id": sid, "manifest-list": mlist}
+    summary = _carry_batch_hwm(md, {"operation": "rewrite-manifests"})
+    if summary:
+        snap_entry["summary"] = dict(summary)
+    if md.get("schemas") is not None:
+        snap_entry["schema-id"] = md["current-schema-id"]
+    new_md = dict(md)
+    new_md["snapshots"] = md["snapshots"] + [snap_entry]
+    new_md["current-snapshot-id"] = sid
+    version = _next_version(location)
+    tmp = os.path.join(mdir, f"v{version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(new_md, fh)
+    os.replace(tmp, os.path.join(mdir, f"v{version}.metadata.json"))
+    return n_before, len(rows)
 
 
 # ----------------------------------------------------- bucket transform
@@ -724,10 +907,12 @@ def commit_snapshot_v2(
     manifest = os.path.join(mdir, f"manifest-{sid}.avro")
     write_ocf(manifest, _MANIFEST_SCHEMA_V2, entries)
     mlist = os.path.join(mdir, f"snap-{sid}.avro")
+    # v2 keeps the rewrite-per-snapshot manifest shape ('' = no
+    # partition summary — the v2 scan never skips manifests)
     write_ocf(
         mlist,
         _MANIFEST_LIST_SCHEMA,
-        [(manifest, os.path.getsize(manifest), 0, sid)],
+        [(manifest, os.path.getsize(manifest), 0, sid, "")],
     )
     snap_entry = {
         "snapshot-id": sid,
@@ -924,17 +1109,27 @@ def set_schema(location: str, fields: list[dict]) -> int:
 
 def _added_schema_walk(md) -> dict[str, int]:
     """{file_path: writer schema-id} from the surviving snapshots'
-    status=1 ADDED manifest rows. Exact only for files whose adding
-    snapshot is still in metadata — expire_snapshots can drop it while
-    the file lives on as a carried status-0 entry (see the
-    ``file-schemas`` metadata map, the persistent record)."""
+    status=1 ADDED manifest rows. Manifest REUSE means one list
+    references manifests from many commits, so the schema comes from
+    the entry's own adder snapshot id (not the referencing snapshot),
+    and each physical manifest is decoded once. Exact only for files
+    whose adding snapshot is still in metadata — expire_snapshots can
+    drop it while the file lives on (see the ``file-schemas`` metadata
+    map, the persistent record)."""
+    sid_schema = {
+        s["snapshot-id"]: s.get("schema-id", md["current-schema-id"])
+        for s in md["snapshots"]
+    }
     out: dict[str, int] = {}
+    seen: set[str] = set()
     for s in md["snapshots"]:
-        sch = s.get("schema-id", md["current-schema-id"])
         for mrow in read_ocf(s["manifest-list"]):
-            for status, _snap, data_file in read_ocf(mrow[0]):
-                if status == 1:  # ADDED here
-                    out[data_file[0]] = sch
+            if mrow[0] in seen:
+                continue
+            seen.add(mrow[0])
+            for status, esnap, data_file in read_ocf(mrow[0]):
+                if status == 1 and esnap in sid_schema:  # ADDED here
+                    out[data_file[0]] = sid_schema[esnap]
     return out
 
 
@@ -1123,10 +1318,16 @@ def expire_snapshots(location: str, keep_last: int = 1):
         if os.path.exists(p):
             os.remove(p)
             removed += 1
+    # manifest REUSE: a manifest may be referenced by many snapshots'
+    # lists — reclaim only those no kept snapshot references
+    kept_manifests: set[str] = set()
+    for s in kept:
+        for mrow in read_ocf(s["manifest-list"]):
+            kept_manifests.add(mrow[0])
     for s in expired:
         for mrow in read_ocf(s["manifest-list"]):
             manifest = mrow[0]
-            if os.path.exists(manifest):
+            if manifest not in kept_manifests and os.path.exists(manifest):
                 os.remove(manifest)
         os.remove(s["manifest-list"])
     new_md = dict(md)

@@ -39,7 +39,11 @@ def test_ocf_round_trip_nested_records(tmp_path):
     write_ocf(p, _MANIFEST_SCHEMA, rows)
     assert read_ocf(p) == rows
     lp = str(tmp_path / "l.avro")
-    write_ocf(lp, _MANIFEST_LIST_SCHEMA, [(p, os.path.getsize(p), 0, 5)])
+    write_ocf(
+        lp,
+        _MANIFEST_LIST_SCHEMA,
+        [(p, os.path.getsize(p), 0, 5, '{"lo": "de", "hi": "en"}')],
+    )
     assert read_ocf(lp)[0][0] == p
 
 
@@ -60,9 +64,23 @@ def test_commit_carry_forward_and_tombstones(tmp_path):
     # time travel: snapshot 1 still sees a AND b
     then = active_files(loc, snapshot_id=1)
     assert sorted(p for p, _, _ in then) == sorted([a, b])
-    # the snapshot-2 manifest physically records all three statuses
+    # manifest REUSE (r13): snapshot 2's manifest holds ONLY its own
+    # delta (c ADDED, b DELETED tombstone); snapshot 1's manifest is
+    # referenced verbatim by snap-2's list, never rewritten
     entries = read_ocf(os.path.join(loc, "metadata", "manifest-2.avro"))
-    assert sorted(e[0] for e in entries) == [0, 1, 2]
+    assert sorted(e[0] for e in entries) == [1, 2]
+    m1 = read_ocf(os.path.join(loc, "metadata", "manifest-1.avro"))
+    assert sorted(e[0] for e in m1) == [1, 1]
+    mlist = read_ocf(os.path.join(loc, "metadata", "snap-2.avro"))
+    assert [os.path.basename(r[0]) for r in mlist] == [
+        "manifest-1.avro",
+        "manifest-2.avro",
+    ]
+    # and the new list row carries a partition summary
+    import json as _json
+
+    summ = _json.loads(mlist[1][4])
+    assert (summ["lo"], summ["hi"], summ["n_deleted"]) == ("fr", "fr", 1)
 
 
 def test_unknown_snapshot_and_version_gate(tmp_path):
@@ -563,3 +581,147 @@ def test_pre_bounds_v1_manifest_still_readable(tmp_path):
     c = _touch(os.path.join(loc, "data", "c.parquet"))
     commit_snapshot(loc, "lang", [(c, "fr", 5)], deleted_paths=(b,))
     assert sorted(p for p, _, _ in active_files(loc)) == sorted([a, c])
+
+
+def _write_pq(spark, path: str, vals) -> str:
+    import shutil
+
+    tmp = path + ".tmpdir"
+    spark.createDataFrame([(v,) for v in vals], "id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.replace(os.path.join(tmp, part), path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def test_manifest_summary_skipping_counts_opens(tmp_path, spark, monkeypatch):
+    """r13: manifest-list partition summaries — a range scan opens only
+    manifests whose [lo, hi] can intersect, pinned by instrumenting the
+    OCF decoder: N one-partition commits, a one-partition range query
+    must decode exactly 1 manifest + the list."""
+    from pwc_challenge_dataengineer_spark.sources import iceberg_lite as il
+
+    loc = str(tmp_path / "tbl")
+    for i, part in enumerate(["a", "b", "c", "d"]):
+        f = _write_pq(
+            spark, os.path.join(loc, "data", f"{part}.parquet"), [i * 10]
+        )
+        commit_snapshot(loc, "p", [(f, part, 1)])
+    opened = []
+    real = il.read_ocf
+
+    def counting(path):
+        opened.append(os.path.basename(path))
+        return real(path)
+
+    monkeypatch.setattr(il, "read_ocf", counting)
+    df, n_manifests, n_skipped, n_live, n_pruned = il.scan_summaries(
+        spark, loc, "b", "b"
+    )
+    assert (n_manifests, n_skipped, n_live, n_pruned) == (4, 3, 1, 0)
+    assert [r["id"] for r in df.collect()] == [10]
+    manifests_opened = [f for f in opened if f.startswith("manifest-")]
+    assert len(manifests_opened) == 1, opened  # 3 of 4 never decoded
+
+
+def test_tombstone_manifest_never_skipped(tmp_path, spark):
+    """A skipped tombstone would RESURRECT a file added by an older
+    manifest: deleting partition-a's file in a commit that also adds a
+    partition-z file must keep a's file dead even for a range query
+    [a, a] that excludes z."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        scan_summaries,
+    )
+
+    loc = str(tmp_path / "tbl")
+    fa = _write_pq(spark, os.path.join(loc, "data", "a.parquet"), [1])
+    commit_snapshot(loc, "p", [(fa, "a", 1)])
+    fz = _write_pq(spark, os.path.join(loc, "data", "z.parquet"), [99])
+    commit_snapshot(loc, "p", [(fz, "z", 1)], deleted_paths=(fa,))
+    df, n_m, n_skipped, n_live, _ = scan_summaries(spark, loc, "a", "a")
+    # manifest 2 has a tombstone -> opened despite its z-range summary
+    assert n_skipped == 0 and n_live == 1
+    assert df.count() == 0  # a's file is dead, not resurrected
+
+
+def test_readd_after_delete_last_writer_wins(tmp_path, spark):
+    """A path deleted at snapshot 2 and re-added at snapshot 3 is LIVE:
+    the re-add entry (higher snapshot id) beats the old tombstone that
+    snapshot 3's list still references via manifest reuse."""
+    loc = str(tmp_path / "tbl")
+    fa = _write_pq(spark, os.path.join(loc, "data", "a.parquet"), [1])
+    commit_snapshot(loc, "p", [(fa, "a", 1)])
+    commit_snapshot(loc, "p", [], deleted_paths=(fa,))
+    assert active_files(loc) == []
+    commit_snapshot(loc, "p", [(fa, "a", 1)])
+    assert [p for p, _, _ in active_files(loc)] == [fa]
+    # and time travel still sees each era correctly
+    assert active_files(loc, snapshot_id=2) == []
+    assert [p for p, _, _ in active_files(loc, snapshot_id=1)] == [fa]
+
+
+def test_rewrite_manifests_then_expire_reclaims_chain(tmp_path, spark):
+    """Incremental commits reuse every prior manifest, so the newest
+    snapshot references the whole chain and expiry alone reclaims no
+    manifest files. rewrite_manifests squashes live entries into
+    per-partition manifests (tight summaries, zero tombstones); expiry
+    after it removes the entire old chain while reads stay correct."""
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        expire_snapshots,
+        rewrite_manifests,
+        scan_summaries,
+    )
+
+    loc = str(tmp_path / "tbl")
+    paths = []
+    for i, part in enumerate(["a", "b", "a", "c"]):
+        f = _write_pq(
+            spark, os.path.join(loc, "data", f"f{i}.parquet"), [i]
+        )
+        paths.append(f)
+        commit_snapshot(loc, "p", [(f, part, 1)])
+    commit_snapshot(loc, "p", [], deleted_paths=(paths[1],))
+    n_before, n_after = rewrite_manifests(loc)
+    assert n_before == 5 and n_after == 2  # partitions a (2 files) + c
+    n_expired, n_files_removed = expire_snapshots(loc, keep_last=1)
+    assert n_expired == 5
+    assert n_files_removed == 1  # only b's file was dead
+    mdir = os.path.join(loc, "metadata")
+    live_manifests = sorted(
+        f for f in os.listdir(mdir) if f.startswith("manifest-")
+    )
+    assert live_manifests == ["manifest-6-0.avro", "manifest-6-1.avro"]
+    df, n_m, n_skipped, n_live, _ = scan_summaries(spark, loc, "a", "a")
+    assert (n_m, n_skipped, n_live) == (2, 1, 2)
+    assert sorted(r["id"] for r in df.collect()) == [0, 2]
+
+
+def test_pre_summary_manifest_list_tolerated(tmp_path, spark):
+    """Manifest lists written before the partition_summary field
+    (4-tuples under the embedded writer schema) stay readable, and
+    their manifests are conservatively never skipped."""
+    import copy
+
+    from pwc_challenge_dataengineer_spark.sources.iceberg_lite import (
+        scan_summaries,
+    )
+
+    loc = str(tmp_path / "tbl")
+    fa = _write_pq(spark, os.path.join(loc, "data", "a.parquet"), [1])
+    commit_snapshot(loc, "p", [(fa, "a", 1)])
+    # rewrite snap-1 with the OLD 4-field list schema
+    old_schema = copy.deepcopy(_MANIFEST_LIST_SCHEMA)
+    assert old_schema["fields"][-1]["name"] == "partition_summary"
+    old_schema["fields"] = old_schema["fields"][:-1]
+    lp = os.path.join(loc, "metadata", "snap-1.avro")
+    rows = [tuple(r[:4]) for r in read_ocf(lp)]
+    write_ocf(lp, old_schema, rows)
+    assert [p for p, _, _ in active_files(loc)] == [fa]
+    df, _n_m, n_skipped, n_live, _ = scan_summaries(spark, loc, "z", "z")
+    assert n_skipped == 0 and n_live == 1  # no summary -> never skipped
+    assert df.count() == 0  # file-level pruning still applies
