@@ -1680,26 +1680,36 @@ def _chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dict:
     # and land in the tail, the conservative CCNet treatment. Scale:
     # the KN tables are vocab-bounded broadcasts; the tercile itself is
     # one window partitioned BY LANGUAGE — never a global sort.
+    from ..operators.scalable import grouped_exact_ranks
     from .text_retrieval import kn_bigram_lm_score
 
     kn = kn_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_nll")
-    w_kn = Window.partitionBy("lang").orderBy(
-        F.col("avg_nll").isNull().cast("int").asc(),
-        F.col("avg_nll").asc(),
-        F.col("doc_id").asc(),
-    )
-    knbuck = (
+    # r13: the tercile rank was a Window.partitionBy(lang) row_number —
+    # one task per LANGUAGE, the chain's dominant scale term (5.11x max
+    # stage ratio at x100, and a 1000-executor bottleneck with a
+    # handful of languages). grouped_exact_ranks range-partitions each
+    # language across many ordered slices and stitches exact ranks from
+    # per-slice offsets — identical rank semantics (nulls last via the
+    # flag column, avg_nll asc, doc_id tiebreak; null rows coalesce to
+    # one equal value so the tiebreak alone orders them, as before).
+    scored = (
         s4.join(docs.select("doc_id", "lang").hint("merge"), "doc_id")
         .join(kn.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             "lang",
-            F.row_number().over(w_kn).cast("long").alias("rn"),
-            F.count("*")
-            .over(Window.partitionBy("lang"))
-            .cast("long")
-            .alias("n"),
+            F.col("avg_nll").isNull().cast("int").alias("__nf"),
+            F.coalesce("avg_nll", F.lit(0.0)).alias("__nll"),
         )
+    )
+    ranked = grouped_exact_ranks(
+        scored, ["lang"], ["__nf", "__nll", "doc_id"], rank_col="rn"
+    )
+    nlang = ranked.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    knbuck = (
+        ranked.join(F.broadcast(nlang), "lang")
         .select(
             "doc_id",
             F.when(

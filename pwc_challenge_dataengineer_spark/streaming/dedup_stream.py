@@ -137,9 +137,10 @@ class DedupSegmentStore:
         self.path = path
         if cache_max_rows is not None:
             self.cache_max_rows = cache_max_rows
-        # list of (profiles_df, sigs_df) per live segment, frames backed by
-        # in-memory checkpoint blocks; None = cold (warm lazily from disk)
-        self._cache: list[tuple[DataFrame, DataFrame]] | None = None
+        # {seg_id: (profiles_df, sigs_df)} per live segment, frames backed
+        # by in-memory checkpoint blocks; None = cold (warm lazily from
+        # disk). Keyed by id so tiered compaction can fold a SUBSET
+        self._cache: dict[str, tuple[DataFrame, DataFrame]] | None = None
         # monotone: once the store outgrows cache_max_rows reads stay on
         # disk (the store only grows)
         self._cache_disabled = False
@@ -225,26 +226,26 @@ class DedupSegmentStore:
         if self.total_rows() > self.cache_max_rows:
             self._cache_disabled = True
             return False
-        segs: list[tuple[DataFrame, DataFrame]] = []
+        segs: dict[str, tuple[DataFrame, DataFrame]] = {}
         for s in self._load()["segments"]:
             pdir = os.path.join(self.path, "profiles", f"seg={s}")
             sdir = os.path.join(self.path, "sigs", f"seg={s}")
             if not os.path.isdir(pdir):
                 continue  # manifest-only empty-survivor segment
-            segs.append(
-                (
-                    self.spark.read.schema(self._PROFILE_SCHEMA)
-                    .parquet(pdir)
-                    .localCheckpoint(eager=True),
-                    self.spark.read.schema(self._SIG_SCHEMA)
-                    .parquet(sdir)
-                    .localCheckpoint(eager=True),
-                )
+            segs[s] = (
+                self.spark.read.schema(self._PROFILE_SCHEMA)
+                .parquet(pdir)
+                .localCheckpoint(eager=True),
+                self.spark.read.schema(self._SIG_SCHEMA)
+                .parquet(sdir)
+                .localCheckpoint(eager=True),
             )
         self._cache = segs
         return True
 
-    def _cache_push(self, prof: DataFrame, sig: DataFrame, n: int) -> None:
+    def _cache_push(
+        self, seg_id: str, prof: DataFrame, sig: DataFrame, n: int
+    ) -> None:
         """Extend the warm cache with a just-committed segment; drop to disk
         reads permanently once the store outgrows the cap."""
         if self._cache is None or self._cache_disabled:
@@ -255,11 +256,9 @@ class DedupSegmentStore:
         # lazy projections over prof's ALREADY-checkpointed blocks — no
         # extra materialization per batch; sh_set/signature reads are narrow
         # column slices of those blocks at join time
-        self._cache.append(
-            (
-                prof.select("doc_id", "sh_set", "n_sh"),
-                sig.select("doc_id", "signature", "band"),
-            )
+        self._cache[seg_id] = (
+            prof.select("doc_id", "sh_set", "n_sh"),
+            sig.select("doc_id", "signature", "band"),
         )
 
     def append(
@@ -340,9 +339,13 @@ class DedupSegmentStore:
         state["segments"].append(seg_id)
         state["applied"].append(seg_id)
         state["rows"][seg_id] = n
+        # monotone append counter + per-segment [min, max] append range:
+        # the TTL-expiry horizon (see compact) is measured in appends
+        state["nseq"] = state.get("nseq", 0) + 1
+        state.setdefault("seq", {})[seg_id] = [state["nseq"], state["nseq"]]
         self._swap(state)
         if sig is not None:
-            self._cache_push(prof, sig, n)
+            self._cache_push(seg_id, prof, sig, n)
         return True
 
     def _union(self, kind: str) -> DataFrame | None:
@@ -357,7 +360,7 @@ class DedupSegmentStore:
         return out
 
     def _cached_union(self, idx: int) -> DataFrame | None:
-        frames = [pair[idx] for pair in self._cache or []]
+        frames = [pair[idx] for pair in (self._cache or {}).values()]
         if not frames:
             return None
         out = frames[0]
@@ -378,48 +381,138 @@ class DedupSegmentStore:
     def read_sigs(self) -> DataFrame | None:
         return self._cached_union(1) if self._warm() else self._union("sigs")
 
-    def compact(self) -> None:
-        """Fold all active segments into one. Superseded dirs are removed
-        only after the manifest swap."""
+    def compact(
+        self,
+        fanout: int | None = None,
+        ttl_appends: int | None = None,
+    ) -> None:
+        """Fold segments; optionally expire beyond-horizon ones (r13).
+
+        ``fanout=None`` (legacy): fold ALL live segments into one — an
+        O(store) rewrite, fine for bounded runs and bulk back-fills.
+        ``fanout=k``: SIZE-TIERED fold — merge only the ``k`` smallest
+        live segments (LSM-style). Micro-segments fold into runs at
+        constant cost; a run is re-folded only once enough smaller
+        segments outgrow it, so every row is rewritten O(log_k n) times
+        total instead of O(n / compact_every), which is what turned the
+        dedup leg's long-horizon tail from rising to flat. Superseded
+        dirs are removed only after the manifest swap, as before.
+
+        ``ttl_appends``: horizon in APPEND counts — only the most
+        recent ``ttl_appends`` appends' segments survive; older ones
+        (newest contributing append <= ``nseq - ttl_appends``) are
+        DROPPED whole (manifest + dirs), bounding store size at
+        O(horizon); duplicates of dropped documents are no longer
+        detected (the bounded-state trade, the watermark analog for
+        fuzzy dedup). Fold records the [min, max] append range it
+        covers, so expiry granularity degrades to run width — bounded,
+        and never drops a segment NEWER than the horizon."""
         state = self._load()
-        if len(state["segments"]) <= 1:
+        seqs = state.setdefault("seq", {})
+        live = list(state["segments"])
+        expired: list[str] = []
+        if ttl_appends is not None:
+            cur = state.get("nseq", len(state["applied"]))
+            horizon = cur - ttl_appends
+            expired = [
+                s for s in live if seqs.get(s, [cur, cur])[1] <= horizon
+            ]
+            live = [s for s in live if s not in expired]
+        merge = sorted(live, key=lambda s: (state["rows"].get(s, 0), s))
+        if fanout is not None:
+            merge = merge[:fanout] if len(live) >= fanout else []
+        if len(merge) <= 1 and not expired:
             return
-        cid = f"c{state['ncompact']}"
-        sigs = self.read_sigs()  # cache-served when warm
         folded: list[tuple[DataFrame, DataFrame]] = []
-        if sigs is not None:
-            nfiles = max(1, -(-sum(state["rows"].values()) // self.rows_per_file))
-            prof = self.read().localCheckpoint(eager=True)
-            sigs = sigs.localCheckpoint(eager=True)
-            pdir = os.path.join(self.path, "profiles", f"seg={cid}")
-            sdir = os.path.join(self.path, "sigs", f"seg={cid}")
-            prof.coalesce(nfiles).write.mode("overwrite").parquet(pdir)
-            sigs.select("doc_id", "signature", "band").coalesce(
-                nfiles
-            ).write.mode("overwrite").partitionBy("band").parquet(sdir)
-            folded = [(prof, sigs.select("doc_id", "signature", "band"))]
-        old = state["segments"]
+        cid = None
+        if len(merge) > 1:
+            cid = f"c{state['ncompact']}"
+            pairs = self._seg_frames(merge)
+            nrows = sum(state["rows"].get(s, 0) for s in merge)
+            if pairs:
+                prof = pairs[0][0]
+                sigs = pairs[0][1]
+                for pp, ss in pairs[1:]:
+                    prof = prof.unionByName(pp)
+                    sigs = sigs.unionByName(ss)
+                nfiles = max(1, -(-nrows // self.rows_per_file))
+                prof = prof.localCheckpoint(eager=True)
+                sigs = sigs.localCheckpoint(eager=True)
+                pdir = os.path.join(self.path, "profiles", f"seg={cid}")
+                sdir = os.path.join(self.path, "sigs", f"seg={cid}")
+                prof.coalesce(nfiles).write.mode("overwrite").parquet(pdir)
+                sigs.select("doc_id", "signature", "band").coalesce(
+                    nfiles
+                ).write.mode("overwrite").partitionBy("band").parquet(sdir)
+                folded = [(prof, sigs.select("doc_id", "signature", "band"))]
+        gone = set(expired) | set(merge if cid else [])
+        new_segments = [s for s in state["segments"] if s not in gone]
+        new_rows = {
+            s: n for s, n in state["rows"].items() if s not in gone
+        }
+        new_seq = {s: r for s, r in seqs.items() if s not in gone}
+        if cid:
+            new_segments.append(cid)
+            new_rows[cid] = sum(
+                state["rows"].get(s, 0) for s in merge
+            )
+            covered = [seqs[s] for s in merge if s in seqs]
+            if covered:
+                new_seq[cid] = [
+                    min(r[0] for r in covered),
+                    max(r[1] for r in covered),
+                ]
         self._swap(
             {
-                "segments": [cid],
-                # applied batch ids MUST survive the fold — they are the
-                # replay-idempotency record (a replayed batch must still
-                # find itself applied after its segment was compacted away)
+                "segments": new_segments,
+                # applied batch ids MUST survive fold AND expiry — they
+                # are the replay-idempotency record (a replayed batch
+                # must still find itself applied after its segment was
+                # compacted away or aged out)
                 "applied": state["applied"],
-                "ncompact": state["ncompact"] + 1,
-                "rows": {cid: sum(state["rows"].values())},
+                "ncompact": state["ncompact"] + (1 if cid else 0),
+                "rows": new_rows,
+                "nseq": state.get("nseq", len(state["applied"])),
+                "seq": new_seq,
             }
         )
         if self._cache is not None and not self._cache_disabled:
-            # fold the cache with the disk layout: one segment, the frames
-            # just checkpointed for the compaction write
-            self._cache = folded
-        for s in old:
+            for s in gone:
+                self._cache.pop(s, None)
+            if cid and folded:
+                self._cache[cid] = folded[0]
+        for s in gone:
             for kind in ("profiles", "sigs"):
                 shutil.rmtree(
                     os.path.join(self.path, kind, f"seg={s}"),
                     ignore_errors=True,
                 )
+
+    def _seg_frames(
+        self, seg_ids: list[str]
+    ) -> list[tuple[DataFrame, DataFrame]]:
+        """(profiles, sigs) frames for the given live segments — cache-
+        served when warm, else read from the segment dirs; manifest-only
+        empty segments contribute nothing."""
+        out: list[tuple[DataFrame, DataFrame]] = []
+        warm = self._warm()
+        for s in seg_ids:
+            if warm and s in (self._cache or {}):
+                out.append(self._cache[s])
+                continue
+            pdir = os.path.join(self.path, "profiles", f"seg={s}")
+            sdir = os.path.join(self.path, "sigs", f"seg={s}")
+            if not os.path.isdir(pdir):
+                continue
+            out.append(
+                (
+                    self.spark.read.schema(self._PROFILE_SCHEMA).parquet(
+                        pdir
+                    ),
+                    self.spark.read.schema(self._SIG_SCHEMA).parquet(sdir),
+                )
+            )
+        return out
 
 
 def _resolve_chains(dup_of: DataFrame, rounds: int = _RESOLVE_ROUNDS) -> DataFrame:
@@ -452,9 +545,20 @@ def make_dedup_batch_fn(
     compact_every: int = 8,
     batch_shuffle_partitions: int | None = 4,
     candidate_distinct: bool = False,
+    compact_fanout: int | None = "auto",
+    ttl_appends: int | None = None,
 ):
     """foreachBatch function: cross-batch MinHash dedup against ``store``,
     verdicts appended to ``out_path`` as parquet.
+
+    ``compact_fanout``: size-tiered fold width passed to
+    ``store.compact`` — "auto" (default) = ``max(2, compact_every -
+    2)``, so each fold merges only the smallest segments (micro-
+    segments + outgrown runs) instead of rewriting the WHOLE store
+    every ``compact_every`` batches; None restores the legacy all-fold.
+    ``ttl_appends``: optional expiry horizon (see ``compact``) — beyond
+    it, old signatures age out whole-segment-wise and store size stays
+    O(horizon).
 
     ``batch_shuffle_partitions``: shuffle width for the per-micro-batch
     plans. A micro-batch is orders of magnitude smaller than the session's
@@ -794,8 +898,13 @@ def make_dedup_batch_fn(
 
         # compact LAST: the verdict plan above lazily reads the pre-append
         # segments; folding them away earlier deletes files under a live plan
-        if store.n_segments() >= compact_every:
-            store.compact()
+        if store.n_segments() >= compact_every or ttl_appends is not None:
+            fanout = (
+                max(2, compact_every - 2)
+                if compact_fanout == "auto"
+                else compact_fanout
+            )
+            store.compact(fanout=fanout, ttl_appends=ttl_appends)
 
     return on_batch
 

@@ -97,6 +97,15 @@ def _run(name: str, stream_df, sink_builder, results: dict) -> None:
         "batch_ms_p95": round(_percentile(durs, 0.95), 1),
         "batch_ms_max": round(max(durs), 1) if durs else 0,
         "p95_second_half_over_first": round(flat, 3),
+        "p50_second_half_over_first": round(
+            (
+                _percentile(durs[half:], 0.50)
+                / _percentile(durs[:half], 0.50)
+            )
+            if half and _percentile(durs[:half], 0.50)
+            else 1.0,
+            3,
+        ),
     }
     print(f"# {name}: {json.dumps(results[name])}", flush=True)
 
@@ -636,6 +645,73 @@ def _ab_dedup(ref: str, sf_dir: str, reps: int = 2) -> dict:
     }
 
 
+def endurance(sf_dir: str, out_json: str, n_batches: int = 200) -> None:
+    """r13 (r12 verdict task 3): ENDURANCE run of the dedup leg —
+    ``n_batches`` micro-batches (vs the suite's 50) so a rising
+    per-batch profile that hides inside a short run has room to show.
+    The r12 store folded the WHOLE store every compact_every batches
+    (O(history) rewrites — the one leg with p95 second-half/first-half
+    1.33); size-tiered compaction bounds each fold to the smallest
+    segments. Gate printed here: second-half/first-half p50 AND p95
+    ratios; the close gate requires p50 <= 1.1."""
+    from pwc_challenge_dataengineer_spark.schemas import load_table
+    from pwc_challenge_dataengineer_spark.session import get_spark
+    from pwc_challenge_dataengineer_spark.streaming.dedup_stream import (
+        DedupSegmentStore,
+        make_dedup_batch_fn,
+    )
+
+    spark = get_spark("stream-endurance", shuffle_partitions=int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    ))
+    # recentProgress keeps only the last ~100 updates by default — an
+    # endurance run must retain EVERY batch or the halves compare
+    # silently narrows to the tail
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(n_batches + 50)
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()
+    tmp = tempfile.mkdtemp(prefix="stream_endurance_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs_dir = _chunked(
+            docs, os.path.join(tmp, "docs"), n_batches, "doc_id"
+        )
+        store = DedupSegmentStore(spark, os.path.join(tmp, "store"))
+        on_batch = make_dedup_batch_fn(
+            store, os.path.join(tmp, "verdicts")
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(docs_dir)
+        )
+        results: dict = {}
+        _run(
+            "dedup_segment_store_endurance",
+            stream,
+            lambda df: (
+                df.writeStream.foreachBatch(on_batch)
+                .option("checkpointLocation", os.path.join(tmp, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            ),
+            results,
+        )
+        leg = results["dedup_segment_store_endurance"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    payload = {
+        "sf_dir": sf_dir,
+        "n_batches_requested": n_batches,
+        "leg": leg,
+        "gate_p50_second_half": leg.get("p50_second_half_over_first"),
+    }
+    with open(out_json, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({"stream_endurance": out_json, "leg": leg}))
+
+
 if __name__ == "__main__":
     # internal/flag modes FAIL LOUDLY on malformed argv — falling
     # through to the full suite would silently overwrite
@@ -644,6 +720,20 @@ if __name__ == "__main__":
         if len(sys.argv) < 4:
             sys.exit("usage: stream_bench.py --dedup-leg <tree> <docs_dir>")
         _dedup_leg_worker(sys.argv[2], sys.argv[3])
+    elif sys.argv[1:2] == ["--endurance"]:
+        _rest = sys.argv[2:]
+        _n = int(_rest[0]) if _rest and _rest[0].isdigit() else 200
+        if _rest and _rest[0].isdigit():
+            _rest = _rest[1:]
+        endurance(
+            _rest[0] if _rest else os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+            ),
+            _rest[1] if len(_rest) > 1 else (
+                "/root/repo/STREAM_ENDURANCE.json"
+            ),
+            n_batches=_n,
+        )
     elif sys.argv[1:2] == ["--ab-only"]:
         if len(sys.argv) < 3:
             sys.exit(

@@ -245,3 +245,77 @@ def test_negative_doc_id_rejected_not_corrupted(spark, tmp_path):
             ),
             0,
         )
+
+
+def _mk_prof(spark, rows):
+    from pwc_challenge_dataengineer_spark.functions.dedup_fuzzy import (
+        minhash_doc_profiles,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    return minhash_doc_profiles(df, "doc_id", "text", k=3, n_bands=4)
+
+
+def test_tiered_compaction_folds_only_smallest(spark, tmp_path):
+    """r13: size-tiered compaction — compact(fanout=k) merges only the k
+    SMALLEST live segments, leaving bigger runs untouched (the O(store)
+    every-fold rewrite was the one rising STREAM_BENCH tail). Rows are
+    conserved and reads see everything."""
+    store = DedupSegmentStore(spark, str(tmp_path / "store"))
+    # one BIG segment (6 docs), then 4 micro segments (1 doc each)
+    big = [(100 + i, f"big doc {i} words alpha beta gamma {i}") for i in range(6)]
+    assert store.append(_mk_prof(spark, big), seg_id="big") is True
+    for b in range(4):
+        assert store.append(
+            _mk_prof(spark, [(b, f"micro doc {b} unique tail {b}")]),
+            seg_id=f"m{b}",
+        )
+    rows_before = store.total_rows()
+    store.compact(fanout=4)  # folds the 4 micros, NOT the big segment
+    segs = store._load()["segments"]
+    assert "big" in segs and len(segs) == 2, segs
+    assert store.total_rows() == rows_before
+    assert store.read().count() == rows_before
+    # fewer live segments than fanout: fold is a no-op (no all-fold)
+    store.compact(fanout=4)
+    assert store._load()["segments"] == segs
+
+
+def test_ttl_expiry_drops_old_segments_keeps_replay_idempotent(
+    spark, tmp_path
+):
+    """r13: ttl_appends expiry — segments beyond the append horizon are
+    dropped whole (store size O(horizon)); a duplicate of a dropped doc
+    is no longer detected (the documented bounded-state trade) but
+    replaying the DROPPED batch is still a no-op, and newer docs still
+    dedup."""
+    store = DedupSegmentStore(spark, str(tmp_path / "store"))
+    for b in range(5):
+        assert store.append(
+            _mk_prof(spark, [(b, f"doc number {b} unique body text {b}")]),
+            seg_id=str(b),
+        )
+    # horizon 2: only the segments of the last 2 appends survive
+    # (fanout larger than live count -> expiry only, no fold)
+    store.compact(fanout=10, ttl_appends=2)
+    state = store._load()
+    assert state["segments"] == ["3", "4"], state["segments"]
+    assert store.total_rows() == 2
+    import os as _os
+
+    assert not _os.path.isdir(
+        _os.path.join(str(tmp_path / "store"), "profiles", "seg=0")
+    )
+    # replay of an EXPIRED batch: still applied, still a no-op
+    assert store.has_segment("0") is True
+    assert (
+        store.append(
+            _mk_prof(spark, [(0, "doc number 0 unique body text 0")]),
+            seg_id="0",
+        )
+        is False
+    )
+    # expiry composes with a fold: survivors can still be folded later
+    store.compact(fanout=2)
+    assert len(store._load()["segments"]) == 1
+    assert store.total_rows() == 2
