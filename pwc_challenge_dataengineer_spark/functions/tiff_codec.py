@@ -14,8 +14,10 @@ are independent implementations of the public TIFF 6.0 specification:
   set, decompresses PackBits per strip (literal runs, replicate runs,
   -128 no-op), and returns top-down row-major RGB pixels.
 
-LZW-compressed, tiled, multi-IFD and 16-bit TIFFs raise
-NotImplementedError — stated, not silently mangled.
+LZW strips (compression tag 5, MSB-first EarlyChange variant — r13)
+decode through the independent tiff_lzw_decode below; tiled, multi-IFD
+and 16-bit TIFFs raise NotImplementedError — stated, not silently
+mangled.
 """
 
 from __future__ import annotations
@@ -83,10 +85,151 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def make_tiff(seed: int, width: int = _TIFF_W, height: int = _TIFF_H) -> bytes:
-    """Two PackBits strips of 4 rows each; header endianness II/MM by
-    seed parity; IFD placed after the strip data."""
+# ------------------------------------------------------------- TIFF LZW
+# TIFF 6.0 §13 LZW with the EarlyChange behavior every real writer uses
+# (the spec's own famous off-by-one, standardized by libtiff): codes are
+# MSB-first, ClearCode=256, EOI=257, first table entry 258, width starts
+# at 9 and bumps when NextCode reaches 2^width - 1 (one EARLY relative
+# to the naive rule); the table is cleared before NextCode would exceed
+# 4093. Unlike GIF's LZW (functions/gif_codec.py — LSB-first packing,
+# palette-sized roots, sub-block framing), roots here are the 256 byte
+# values and the stream is one unframed strip.
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW over raw strip bytes (MSB-first, EarlyChange)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w_seq = b""
+    for b in data:
+        wc = w_seq + bytes([b])
+        if wc in table:
+            w_seq = wc
+            continue
+        emit(table[w_seq], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:
+            # table full under EarlyChange: clear and restart
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w_seq = bytes([b])
+    if w_seq:
+        emit(table[w_seq], width)
+        # mirror the decoder: it ADDS an entry while processing this
+        # final data code, which can bump its read width for EOI — the
+        # encoder must simulate that add so EOI is emitted at the width
+        # the decoder will read it with
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """Independent TIFF LZW decoder: MSB-first reads, KwKwK case,
+    EarlyChange width bumps mirrored, clear handling."""
+    CLEAR, EOI = 256, 257
+    pos = 0  # bit position
+
+    def read(w: int) -> int:
+        nonlocal pos
+        end = pos + w
+        if end > len(data) * 8:
+            raise ValueError("TIFF LZW: bitstream exhausted")
+        acc = 0
+        p = pos
+        while p < end:
+            byte = data[p // 8]
+            take = min(8 - p % 8, end - p)
+            shift = 8 - p % 8 - take
+            acc = (acc << take) | ((byte >> shift) & ((1 << take) - 1))
+            p += take
+        pos = end
+        return acc
+
+    roots = [bytes([i]) for i in range(256)]
+    table: list[bytes] = []
+    width = 9
+    next_code = 258
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table, width, next_code, prev = [], 9, 258, None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError(
+                    "TIFF LZW: first code after clear not a root"
+                )
+            entry = roots[code]
+        else:
+            if code < 256:
+                entry = roots[code]
+            elif code - 258 < len(table):
+                entry = table[code - 258]
+            elif code == next_code:  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"TIFF LZW: code {code} beyond table")
+            table.append(prev + entry[:1])
+            next_code += 1
+            # EarlyChange DECODER rule (PDF LZWDecode EarlyChange=1 /
+            # libtiff): bump at 2^w - 2 — one add-count earlier than
+            # the encoder's 2^w - 1, because the decoder's table count
+            # lags the encoder by exactly one entry
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+        if len(out) > expected:
+            raise ValueError("TIFF LZW: decoded more bytes than expected")
+    if len(out) != expected:
+        raise ValueError("TIFF LZW: decoded fewer bytes than expected")
+    return bytes(out)
+
+
+def make_tiff(
+    seed: int,
+    width: int = _TIFF_W,
+    height: int = _TIFF_H,
+    compression: str = "packbits",
+) -> bytes:
+    """Two compressed strips of 4 rows each; header endianness II/MM by
+    seed parity; IFD placed after the strip data. ``compression``:
+    "packbits" (default, tag 32773) or "lzw" (tag 5, TIFF-variant LZW
+    with EarlyChange)."""
     endian = "<" if seed % 2 == 0 else ">"
+    if compression == "packbits":
+        comp_tag, comp_fn = 32773, packbits_encode
+    elif compression == "lzw":
+        comp_tag, comp_fn = 5, tiff_lzw_encode
+    else:
+        raise ValueError(f"unsupported compression {compression!r}")
     rows_per_strip = 4
     strips = []
     for s in range(2):
@@ -94,7 +237,7 @@ def make_tiff(seed: int, width: int = _TIFF_W, height: int = _TIFF_H) -> bytes:
         for y in range(s * rows_per_strip, (s + 1) * rows_per_strip):
             for x in range(width):
                 raw += bytes(tiff_pixel(seed, y * width + x))
-        strips.append(packbits_encode(bytes(raw)))
+        strips.append(comp_fn(bytes(raw)))
 
     header_len = 8
     strip_offsets = []
@@ -123,7 +266,7 @@ def make_tiff(seed: int, width: int = _TIFF_W, height: int = _TIFF_H) -> bytes:
         entry(256, 3, 1, width),  # ImageWidth
         entry(257, 3, 1, height),  # ImageLength
         entry(258, 3, 3, bits_off),  # BitsPerSample -> offset
-        entry(259, 3, 1, 32773),  # Compression: PackBits
+        entry(259, 3, 1, comp_tag),  # Compression: PackBits or LZW
         entry(262, 3, 1, 2),  # Photometric: RGB
         entry(273, 4, 2, offsets_off),  # StripOffsets (LONGs)
         entry(277, 3, 1, 3),  # SamplesPerPixel
@@ -201,9 +344,7 @@ def parse_tiff(data: bytes):
     width = values(256)[0]
     height = values(257)[0]
     comp = values(259)[0]
-    if comp == 5:
-        raise NotImplementedError("LZW TIFF")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF")
@@ -219,9 +360,12 @@ def parse_tiff(data: bytes):
         rows = min(rows_per_strip, height - s * rows_per_strip)
         expected = rows * width * 3
         chunk = data[off : off + cnt]
-        raw += (
-            packbits_decode(chunk, expected) if comp == 32773 else chunk
-        )
+        if comp == 32773:
+            raw += packbits_decode(chunk, expected)
+        elif comp == 5:
+            raw += tiff_lzw_decode(chunk, expected)
+        else:
+            raw += chunk
     pixels = [
         (raw[3 * p], raw[3 * p + 1], raw[3 * p + 2])
         for p in range(width * height)

@@ -360,6 +360,7 @@ _TIFF_SCHEMA = T.StructType(
         T.StructField("px0_b", T.IntegerType(), True),
         T.StructField("img_sum", T.LongType(), True),
         T.StructField("strip2_sum", T.LongType(), True),
+        T.StructField("is_lzw", T.IntegerType(), True),
     ]
 )
 
@@ -388,7 +389,8 @@ _TIFF_SCHEMA = T.StructType(
            CAST((b.seed + 1) % 256 AS INT) AS px0_r,
            CAST((b.seed + 3) % 256 AS INT) AS px0_g,
            CAST((b.seed + 4) % 256 AS INT) AS px0_b,
-           agg.img_sum, agg.strip2_sum
+           agg.img_sum, agg.strip2_sum,
+           CAST(CASE WHEN b.seed % 3 = 0 THEN 1 ELSE 0 END AS INT) AS is_lzw
     FROM base b JOIN agg ON b.doc_id = agg.doc_id
     """,
 )
@@ -400,8 +402,11 @@ def tiff_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset values, left-justified inline SHORTs), strip assembly,
     PackBits runs. ``strip2_sum`` (rows 4-7) is only right if the second
     strip's offset/count round the IFD correctly; ``is_big_endian``
-    pins the MM branch onto half the corpus. LZW/tiled/multi-page/16-bit
-    TIFFs stay honestly gated."""
+    pins the MM branch onto half the corpus. r13: a THIRD of the corpus
+    (seed % 3 == 0, pinned by the oracle's is_lzw column) compresses
+    with TIFF-variant LZW (MSB-first, EarlyChange) instead of PackBits
+    — same closed-form pixel oracle, so a wrong code-width bump or KwKwK
+    flip breaks the hash. Tiled/multi-page/16-bit stay honestly gated."""
     import pandas as pd
 
     from ..functions.tiff_codec import make_tiff, parse_tiff
@@ -410,7 +415,8 @@ def tiff_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             rows = []
             for did, seed in zip(pdf["doc_id"], pdf["seed"]):
-                data = make_tiff(int(seed))
+                comp = "lzw" if int(seed) % 3 == 0 else "packbits"
+                data = make_tiff(int(seed), compression=comp)
                 w, h, px = parse_tiff(data)
                 tot = sum(sum(t) for t in px)
                 s2 = sum(sum(t) for t in px[4 * w :])
@@ -425,6 +431,7 @@ def tiff_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "px0_b": px[0][2],
                         "img_sum": tot,
                         "strip2_sum": s2,
+                        "is_lzw": 1 if comp == "lzw" else 0,
                     }
                 )
             yield pd.DataFrame(rows)

@@ -298,3 +298,51 @@ def test_gif_animation_census_and_frames():
     w, h, nf, delay, loop, frames = parse_gif_animation(make_gif(9))
     assert nf == 1 and loop is False
     assert frames[0] == [gif_index(9, p) for p in range(64)]
+
+
+def test_tiff_lzw_roundtrip_and_width_growth():
+    """r13: TIFF-variant LZW (MSB-first, EarlyChange) — roundtrips
+    through the independent decoder across width bumps (9->10->11->12)
+    and a table reset, plus the KwKwK case and the EOI-width edge (the
+    decoder's add on the final data code can bump its read width; the
+    encoder must simulate it)."""
+    import random
+
+    from pwc_challenge_dataengineer_spark.functions.tiff_codec import (
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    rnd = random.Random(13)
+    for n in (0, 1, 2, 144, 510, 511, 512, 5000, 40000):
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        assert tiff_lzw_decode(tiff_lzw_encode(data), n) == data, n
+    # KwKwK: immediate self-extending sequence
+    data = b"ababababab" * 50
+    assert tiff_lzw_decode(tiff_lzw_encode(data), len(data)) == data
+    # long runs then high-entropy tail (forces reset mid-structure)
+    data = b"z" * 8000 + bytes(range(256)) * 32
+    assert tiff_lzw_decode(tiff_lzw_encode(data), len(data)) == data
+
+
+def test_tiff_lzw_full_file_decode_both_endians():
+    """LZW TIFFs parse end-to-end on II and MM headers with the same
+    closed-form pixels as PackBits files."""
+    from pwc_challenge_dataengineer_spark.functions.tiff_codec import (
+        make_tiff,
+        parse_tiff,
+        tiff_pixel,
+    )
+
+    for seed in (0, 1, 6, 33):
+        data = make_tiff(seed, compression="lzw")
+        w, h, px = parse_tiff(data)
+        assert (w, h) == (6, 8)
+        assert px == [tiff_pixel(seed, p) for p in range(w * h)]
+    # compression tag is honestly recorded: 5 vs 32773
+    import struct
+
+    lzw = make_tiff(2, compression="lzw")
+    pb = make_tiff(2, compression="packbits")
+    assert b"\x05\x00" in lzw or b"\x00\x05" in lzw
+    assert lzw != pb
