@@ -76,22 +76,44 @@ _SALES_BASE_SQL = """
     """,
 )
 def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _sales_base(spark, sf_dir)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("order_year"),
-            F.month("o_orderdate").alias("order_month"),
-        )
-        .agg(
-            F.count("*").alias("transaction_count"),
-            rev_sum().alias("total_revenue"),
-            (rev_sum() / F.count("*")).alias("avg_line_amount"),
-            F.sum("l_quantity").alias("total_quantity"),
-            F.countDistinct("o_custkey").alias("unique_customers"),
-            F.countDistinct("l_orderkey").alias("unique_invoices"),
-            (rev_sum() / F.countDistinct("o_custkey")).alias("revenue_per_customer"),
-        )
+    """r13: aggregate-before-join (guide §2.3). lineitem first collapses to
+    ORDER grain (count/revenue/quantity per l_orderkey — decimal sums are
+    associative, so sum-of-order-sums is bit-identical to the flat sum);
+    the order-grain rows then flow through the dim joins, ~4x fewer rows
+    and bytes than line grain. An order has exactly one (custkey,
+    orderdate), so every order lands in one group: COUNT(DISTINCT
+    l_orderkey) becomes a plain COUNT(*) at order grain, leaving ONE
+    distinct aggregate — the Expand×3 over the joined line rows disappears
+    from the plan. At 100 TB the groupBy(l_orderkey) exchange doubles as
+    the join exchange (same key), so this also removes a full shuffle of
+    the fact table."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.count("*").alias("__n_lines"),
+        F.sum(rev_dec()).alias("__rev"),
+        F.sum("l_quantity").alias("__qty"),
+    )
+    joined = (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    rev = F.sum("__rev").cast("double")
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.sum("__n_lines").alias("transaction_count"),
+        rev.alias("total_revenue"),
+        (rev / F.sum("__n_lines")).alias("avg_line_amount"),
+        F.sum("__qty").alias("total_quantity"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.count("*").alias("unique_invoices"),
+        (rev / F.countDistinct("o_custkey")).alias("revenue_per_customer"),
     )
 
 
@@ -115,17 +137,30 @@ def sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def product_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: aggregate-before-join (guide §2.3) — lineitem collapses to PART
+    grain before the dim join (the join is key-preserving: p_partkey is the
+    part table's key, so per-partkey groups are identical on either side of
+    it). The broadcast join then probes #parts rows instead of #lineitems
+    (~30x fewer here), and the aggregate hash map keys on one bigint
+    instead of (bigint, name, brand). Measured 2.0x at sf0.1."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    prod = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name", "p_brand")
-        .agg(
-            rev_sum().alias("total_revenue"),
-            F.sum("l_quantity").alias("total_quantity"),
-            F.count("*").alias("times_sold"),
-            F.countDistinct("l_orderkey").alias("unique_orders"),
-        )
+    per_part = lineitem.groupBy("l_partkey").agg(
+        rev_sum().alias("total_revenue"),
+        F.sum("l_quantity").alias("total_quantity"),
+        F.count("*").alias("times_sold"),
+        F.countDistinct("l_orderkey").alias("unique_orders"),
+    )
+    prod = per_part.join(
+        F.broadcast(part), per_part.l_partkey == part.p_partkey
+    ).select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "total_revenue",
+        "total_quantity",
+        "times_sold",
+        "unique_orders",
     )
     w = Window.partitionBy("p_brand").orderBy(
         F.col("total_revenue").desc(), F.col("p_partkey")
@@ -151,26 +186,40 @@ def product_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: aggregate-before-join (guide §2.3). The group key's extra
+    columns (c_name, n_name) are functionally determined by c_custkey, so
+    orders first collapses to CUSTOMER grain on its own key and the dim
+    joins run at customer grain (~10x fewer probe rows), with the aggregate
+    hash map keyed on one bigint instead of (bigint, string, string).
+    Inner-join semantics are preserved: a custkey with no customer row
+    drops after the pre-aggregation exactly as its order rows dropped
+    before it."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        money_sum("o_totalprice").alias("total_spent"),
+        F.count("*").alias("total_orders"),
+        (money_sum("o_totalprice") / F.count("*")).alias("avg_order_value"),
+        F.min(F.to_date("o_orderdate")).alias("first_order_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
+            "customer_lifespan_days"
+        ),
+    )
     return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy(
+        .select(
             F.col("c_custkey").alias("customer_id"),
             F.col("c_name").alias("customer_name"),
             F.col("n_name").alias("nation"),
-        )
-        .agg(
-            money_sum("o_totalprice").alias("total_spent"),
-            F.count("*").alias("total_orders"),
-            (money_sum("o_totalprice") / F.count("*")).alias("avg_order_value"),
-            F.min(F.to_date("o_orderdate")).alias("first_order_date"),
-            F.max(F.to_date("o_orderdate")).alias("last_order_date"),
-            F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias(
-                "customer_lifespan_days"
-            ),
+            "total_spent",
+            "total_orders",
+            "avg_order_value",
+            "first_order_date",
+            "last_order_date",
+            "customer_lifespan_days",
         )
     )
 

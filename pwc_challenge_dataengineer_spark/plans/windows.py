@@ -292,19 +292,30 @@ def scd2_rebuild_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top3_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N per group: rank-and-filter. At scale Catalyst rewrites the
-    rank<=k filter into a per-partition top-k (WindowGroupLimit)."""
+    rank<=k filter into a per-partition top-k (WindowGroupLimit).
+
+    r13: aggregate-before-join (guide §2.3) — orders collapses to customer
+    grain on its own key first (the nation/name group columns are
+    functionally determined by c_custkey), so the dim joins probe ~10x
+    fewer rows and the aggregate keys on one bigint instead of
+    (string, bigint, string). Inner-join semantics unchanged: custkeys
+    with no customer row drop after the pre-agg as their orders did
+    before."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("total_spent")
+    )
     spend = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy(
+        .select(
             F.col("n_name").alias("nation"),
             F.col("c_custkey").alias("customer_id"),
             F.col("c_name").alias("customer_name"),
+            "total_spent",
         )
-        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total_spent"))
     )
     w = Window.partitionBy("nation").orderBy(F.col("total_spent").desc(), "customer_id")
     return spend.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
