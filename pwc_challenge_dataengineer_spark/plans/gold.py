@@ -252,16 +252,31 @@ def time_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     The moving average is SUM-over-frame / COUNT-over-frame with the sum in
     exact decimal, so the value is order-independent and oracle-identical.
     """
+    # r13: aggregate-before-join (guide §2.3) — lineitem collapses to order
+    # grain first (decimal sums are associative), the dim joins run at ~4x
+    # fewer rows, and COUNT(DISTINCT l_orderkey) becomes COUNT(*) at order
+    # grain (orders land in exactly one (nation, day) group), dropping the
+    # two-phase distinct aggregation. Measured 1.19x at sf0.1.
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(rev_dec()).alias("__rev"),
+        F.sum("l_quantity").alias("__qty"),
+    )
     daily = (
-        _sales_base(spark, sf_dir)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.to_date("o_orderdate").alias("order_date"),
         )
         .agg(
-            F.sum(rev_dec()).alias("rev_dec"),
-            F.sum("l_quantity").alias("daily_quantity"),
-            F.countDistinct("l_orderkey").alias("daily_orders"),
+            F.sum("__rev").alias("rev_dec"),
+            F.sum("__qty").alias("daily_quantity"),
+            F.count("*").alias("daily_orders"),
         )
     )
     w = Window.partitionBy("nation").orderBy("order_date").rowsBetween(-6, 0)
