@@ -277,9 +277,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # lazy checkpoint: materialized once on the first action, reused by the
     # bucket join and both verify joins (no plan-construction side effect).
-    prof = minhash_doc_profiles(docs, "doc_id", "text", k=3, n_bands=4).localCheckpoint(
-        eager=False
-    )
+    # spread=True parallelizes the explode stage when the scan yields fewer
+    # splits than cores (no-op at scale — see spread_small_scan).
+    prof = minhash_doc_profiles(
+        docs, "doc_id", "text", k=3, n_bands=4, spread=True
+    ).localCheckpoint(eager=False)
     sig = profiles_to_signatures(prof, "doc_id", n_bands=4)
     # hint_small on the bucket join only: the checkpointed signature table
     # is a few MB but carries no stats, so Catalyst cannot choose the
@@ -341,9 +343,9 @@ def minhash_lsh_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup_fuzzy import jaccard_verify_profiles, minhash_doc_profiles, profiles_to_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    prof = minhash_doc_profiles(docs, "doc_id", "text", k=3, n_bands=4).localCheckpoint(
-        eager=False
-    )
+    prof = minhash_doc_profiles(
+        docs, "doc_id", "text", k=3, n_bands=4, spread=True
+    ).localCheckpoint(eager=False)
     sig = profiles_to_signatures(prof, "doc_id", n_bands=4)
     cand = lsh_candidate_pairs(sig, "doc_id", bucket_cap=4)
     return jaccard_verify_profiles(cand, prof, "doc_id")
