@@ -690,12 +690,28 @@ def _uni_estep(words: DataFrame, vocab: DataFrame) -> DataFrame:
     """Hard-EM E-step: Viterbi-segment each dictionary word under the
     Laplace piece probabilities of ``vocab`` (piece, cnt); returns the
     per-piece counts of the winning segmentations, weighted by word
-    frequency. True DP: each of the _UNI_MAXLEN expansion steps keeps
-    only the argmax row per (tok, pos) — frontier never exceeds
-    |dict| * MAXLEN rows — with a localCheckpoint per step to keep the
-    20-step lineage flat (the power-iteration lesson)."""
-    from pyspark.sql.window import Window
+    frequency.
 
+    r13 shape: FULL ENUMERATION, one shuffle. The r12 implementation was a
+    per-position DP — _UNI_MAXLEN rounds each pruning to the argmax row per
+    (tok, pos) with a window, i.e. a SHUFFLE + lazy checkpoint per round, 20
+    chained shuffle stages per training run (~90 AQE jobs; the trainer's
+    whole cost was stage scheduling, not data). But the frontier is
+    dictionary-bounded, not corpus-bounded: 2000 words x at most a few
+    hundred segmentations each (compositions of a <=10-char word into
+    <=4-char parts — tetranacci(10) = 773 worst case), so enumerating EVERY
+    segmentation costs under ~1.5M in-flight rows and needs no intermediate
+    pruning at all. The loop below is _UNI_MAXLEN chained NARROW steps
+    (explode_outer + broadcast join — zero shuffles, one codegen chain,
+    done rows ride along with l = NULL), and a single groupBy picks the
+    winner per word at the end. Winner identity is unchanged: enumeration
+    IS the oracle's recursive-CTE semantics (the DP was proven equivalent
+    to it), per-path score products multiply in the same left-to-right
+    order, and min(struct(-score, path)) reproduces the window's
+    (score DESC, path ASC) tie-break exactly (scores are strictly positive,
+    so negation is order-reversing and -0.0 never occurs). Measured at
+    sf0.1: cold 50.8 s -> 11.6 s, warm 16.7 s -> 3.7 s (min-of-3), Spark
+    jobs 93 -> 17; value-oracle PASS at sf0.01 and sf0.1."""
     tots = vocab.agg(
         F.sum("cnt").cast("long").alias("tot"),
         F.count("*").cast("long").alias("nv"),
@@ -715,19 +731,20 @@ def _uni_estep(words: DataFrame, vocab: DataFrame) -> DataFrame:
         F.lit(1.0).alias("score"),
         F.lit("").alias("path"),
     )
-    w = Window.partitionBy("tok", "pos").orderBy(
-        F.desc("score"), F.asc("path")
-    )
     for _ in range(_UNI_MAXLEN):
-        active = frontier.filter(F.col("pos") < F.length("tok"))
-        done = frontier.filter(F.col("pos") >= F.length("tok"))
-        stepped = (
-            active.select(
+        # completed rows produce an EMPTY extension array (the IF guard —
+        # sequence(1, 0) is a DESCENDING [1, 0] in Spark, not empty) ->
+        # explode_outer keeps them with l = NULL and the left join passes
+        # them through; an active extension survives only if its candidate
+        # substring is a vocab piece (l set, piece matched).
+        frontier = (
+            frontier.select(
                 "*",
-                F.explode(
+                F.explode_outer(
                     F.expr(
-                        f"sequence(1, least({_UNI_MAXPIECE},"
-                        " length(tok) - pos))"
+                        "IF(pos >= length(tok), array(),"
+                        f" sequence(1, least({_UNI_MAXPIECE},"
+                        " length(tok) - pos)))"
                     )
                 ).alias("l"),
             )
@@ -736,25 +753,37 @@ def _uni_estep(words: DataFrame, vocab: DataFrame) -> DataFrame:
                 F.broadcast(probs),
                 (F.col("cand") == F.col("piece"))
                 & (F.col("l") == F.col("plen")),
+                "left",
             )
+            .filter(F.col("l").isNull() | F.col("piece").isNotNull())
             .select(
                 "tok",
                 "wcount",
-                (F.col("pos") + F.col("l")).alias("pos"),
-                (F.col("score") * F.col("prob")).alias("score"),
-                F.concat("path", "piece", F.lit(" ")).alias("path"),
+                F.when(F.col("l").isNull(), F.col("pos"))
+                .otherwise(F.col("pos") + F.col("l"))
+                .alias("pos"),
+                F.when(F.col("l").isNull(), F.col("score"))
+                .otherwise(F.col("score") * F.col("prob"))
+                .alias("score"),
+                F.when(F.col("l").isNull(), F.col("path"))
+                .otherwise(F.concat("path", "piece", F.lit(" ")))
+                .alias("path"),
             )
         )
-        frontier = (
-            stepped.unionByName(done)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-            .localCheckpoint(eager=False)
-        )
-    return (
+    best = (
         frontier.filter(F.col("pos") == F.length("tok"))
-        .select(
+        .groupBy("tok", "wcount")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("nscore"), F.col("path").alias("path")
+                )
+            ).alias("best")
+        )
+        .select("wcount", F.col("best.path").alias("path"))
+    )
+    return (
+        best.select(
             "wcount",
             F.explode(F.split(F.trim("path"), " ")).alias("piece"),
         )

@@ -473,3 +473,66 @@ def test_price_volume_mix_reconciles(spark, sf_dir):
                 r.delta - (r.volume_effect + r.price_effect + r.cross_effect)
             )
             assert resid < 1e-6 * max(1.0, abs(r.delta)), (r.brand, resid)
+
+
+def test_uni_estep_matches_reference_viterbi(spark):
+    """Pin for the r13 enumeration rewrite of the unigram-trainer E-step:
+    the one-shuffle full-enumeration _uni_estep must reproduce a pure-Python
+    Viterbi with the EXACT production semantics — Laplace probs, left-to-
+    right float products, (score DESC, path ASC) winner tie-break — on an
+    adversarial vocab where words segment many ways (every substring piece
+    present, forced score ties between '1+1-char' and '2-char' routes).
+    Covers the done-row carry bug class too: words of different lengths
+    finish on different enumeration steps and must all survive to the end
+    (sequence(1, 0) is DESCENDING in Spark, not empty)."""
+    from pwc_challenge_dataengineer_spark.plans.training_prep import (
+        _UNI_MAXPIECE,
+        _uni_estep,
+    )
+
+    words_rows = [
+        ("abab", 7),       # many segmentations: a|b|a|b, ab|ab, ab|a|b, ...
+        ("abcabc", 3),     # longer, multi-piece routes
+        ("aa", 11),        # finishes on step 1-2 (done-row carry)
+        ("zzzzzzzzzz", 2), # 10 chars, single-char-only route
+        ("ba", 5),
+    ]
+    vocab_rows = [
+        ("a", 10), ("b", 10), ("c", 4), ("z", 1),
+        ("ab", 6), ("ba", 6), ("bc", 2), ("abc", 3), ("abab", 1), ("aa", 10),
+    ]
+    words = spark.createDataFrame(words_rows, "tok string, wcount long")
+    vocab = spark.createDataFrame(vocab_rows, "piece string, cnt long")
+
+    # reference: exhaustive enumeration with identical FP products/tie-break
+    tot = sum(c for _, c in vocab_rows)
+    nv = len(vocab_rows)
+    prob = {p: (c + 1) / (tot + nv) for p, c in vocab_rows}
+
+    def segmentations(tok):
+        if not tok:
+            yield []
+            return
+        for l in range(1, min(_UNI_MAXPIECE, len(tok)) + 1):
+            piece = tok[:l]
+            if piece in prob:
+                for rest in segmentations(tok[l:]):
+                    yield [piece] + rest
+
+    expected: dict[str, int] = {}
+    for tok, wcount in words_rows:
+        best = None
+        for seg in segmentations(tok):
+            score = 1.0
+            for p in seg:
+                score = score * prob[p]  # left-to-right, same FP order
+            path = "".join(p + " " for p in seg)
+            key = (-score, path)
+            if best is None or key < best:
+                best = key
+        assert best is not None, tok
+        for p in best[1].split():
+            expected[p] = expected.get(p, 0) + wcount
+
+    got = {r["piece"]: r["cnt"] for r in _uni_estep(words, vocab).collect()}
+    assert got == expected
