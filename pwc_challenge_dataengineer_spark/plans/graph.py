@@ -86,7 +86,11 @@ def pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ed = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ed = ed.localCheckpoint()  # reused every iteration — cut the lineage once
-    deg = ed.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # node-count-sized; broadcast every iteration — checkpoint or each
+    # broadcast re-runs the degree aggregation over the full edge list
+    deg = ed.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(
+        eager=False
+    )
     nn = deg.agg(F.count("*").alias("n"))
 
     ranks = deg.crossJoin(F.broadcast(nn)).select(
@@ -310,16 +314,15 @@ def kcore_bipartite_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle verifies the whole peel trajectory, not just the fixpoint.
 
     Each round is two degree aggregations + two filter joins — the same
-    one-shuffle-per-iteration shape as pagerank above. Round r's summary
-    and round r+1 both re-derive the lineage; that recompute was MEASURED
-    cheaper here than a per-round localCheckpoint barrier (16.6 s vs
-    40.1 s at sf0.1 — materializing every round's edge set costs more
-    than re-running four cheap hash aggregations), so unlike the
-    diameter-bounded dedup_components iteration this plan deliberately
-    stays lineage-only; checkpointing starts paying once per-round
-    recompute beats storage, i.e. at much deeper peels. Exact integer
-    counts throughout; the thresholds are one ceil of a mean of integers
-    (identical IEEE ops cross-engine)."""
+    one-shuffle-per-iteration shape as pagerank above. Round r's survivor
+    set is consumed THREE times (its two degree aggregations, the filter
+    join, and round r's summary), so each round's edge set is LAZILY
+    localCheckpointed: computed once on first use, reused by every
+    consumer (r13 — re-measured at 9.5 s lineage-only vs 4.4 s with
+    lazy per-round barriers at sf0.1; an earlier EAGER-checkpoint
+    variant measured slower, which is why r12 shipped lineage-only).
+    Exact integer counts throughout; the thresholds are one ceil of a
+    mean of integers (identical IEEE ops cross-engine)."""
     li = load_table(spark, sf_dir, "lineitem")
     e = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
@@ -344,7 +347,7 @@ def kcore_bipartite_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p").cast("bigint").alias("n_parts"),
         ).select("peel_round", "n_edges", "n_suppliers", "n_parts")
 
-    cur = e
+    cur = e.localCheckpoint(eager=False)
     out = summary(cur, 0)
     for r in range(1, _PEEL_ROUNDS + 1):
         ds = cur.groupBy("s").agg(F.count("*").alias("c_s"))
@@ -355,6 +358,7 @@ def kcore_bipartite_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(th))
             .filter((F.col("c_s") >= F.col("ks")) & (F.col("c_p") >= F.col("kp")))
             .select("s", "p")
+            .localCheckpoint(eager=False)  # 3 consumers per round
         )
         out = out.unionAll(summary(cur, r))
     return out
@@ -408,13 +412,15 @@ def bfs_hops_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frontier BFS is the at-scale shape: each round touches only edges
     incident to the CURRENT frontier (one equi-join), then subtracts the
     visited set (one anti-join) — never the whole reachable set per round,
-    so per-round cost tracks frontier size, not graph size. Like
-    kcore_bipartite_peel this stays lineage-only across its 4 bounded
-    rounds (the per-round recompute is two cheap hash joins; a per-round
-    checkpoint barrier MEASURED slower on that peel); the shared edge list
-    is lazily checkpointed once. Min-hop is guaranteed by construction —
-    a node enters visited the first round it is reachable — so no min()
-    reconciliation is needed. Integer-exact output."""
+    so per-round cost tracks frontier size, not graph size. Each round's
+    newly-reached set (frontier-sized, small) is lazily localCheckpointed:
+    it is consumed twice (next round's frontier join AND the visited
+    union), so without the barrier the visited lineage doubles per round
+    (r13 measured 6.8 s lineage-only vs 6.3 s warm / 23.7 vs 8.8 s cold
+    at sf0.1); the shared edge list is lazily checkpointed once. Min-hop
+    is guaranteed by construction — a node enters visited the first round
+    it is reachable — so no min() reconciliation is needed. Integer-exact
+    output."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     e = li.select(
@@ -444,7 +450,7 @@ def bfs_hops_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new = nxt.join(visited, "node", "left_anti").withColumn(
             "hops", F.lit(r).cast("int")
-        )
+        ).localCheckpoint(eager=False)  # 2 consumers: union + next frontier
         visited = visited.unionByName(new)
         frontier = new.select("node")
     return visited
@@ -742,7 +748,10 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ed = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ed = ed.localCheckpoint()
-    deg = ed.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # same reasoning as pagerank_bipartite: deg broadcasts every iteration
+    deg = ed.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint(
+        eager=False
+    )
     seeds = supplier.filter(F.col("s_nationkey") == 0).select(
         F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("snode")
     )

@@ -339,10 +339,13 @@ def alert_eval_cooldown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.alerts import CooldownAlertRule, evaluate_with_cooldown
 
     events = load_table(spark, sf_dir, "events")
+    # checkpoint the hourly aggregate (hours-count rows): find_violations
+    # filters it once per rule, and without the barrier each rule branch
+    # re-scans and re-aggregates the full events table
     m = events.groupBy(F.date_trunc("hour", "ts").alias("window_start")).agg(
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_revenue"),
         F.count("*").alias("n_events"),
-    )
+    ).localCheckpoint(eager=False)
     rules = [
         CooldownAlertRule("high_revenue_spike", "total_revenue", ">", 1000.0,
                           severity="high", cooldown_minutes=360),

@@ -2059,6 +2059,9 @@ def kmeans_lloyd_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface of advanced_features.py:364-408, re-expressed as a fully
     reproducible training loop."""
     orders = load_table(spark, sf_dir, "orders")
+    # checkpoint the feature table: every round's assignment crossJoin
+    # re-reads it, and without the barrier each round re-scans orders and
+    # re-runs the RFM aggregation
     pts = orders.groupBy(F.col("o_custkey").alias("cid")).agg(
         F.datediff(
             F.lit(AS_OF).cast("date"), F.max(F.to_date("o_orderdate"))
@@ -2067,7 +2070,7 @@ def kmeans_lloyd_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
         F.count("*").cast("bigint").alias("f"),
         F.sum(dec("o_totalprice") * 100).cast("bigint").alias("mc"),
-    )
+    ).localCheckpoint(eager=False)
     mc_scale = float(_KM_MC_SCALE)
     pr = F.col("r").cast("double")
     pf = F.col("f").cast("double")
@@ -2123,6 +2126,10 @@ def kmeans_lloyd_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("c.cm"),
                 ).alias("cm"),
             )
+            # K rows; referenced twice next round (assignment broadcast +
+            # centroid update join) — without the barrier the centroid
+            # lineage doubles per round (2^rounds recomputes of round 1)
+            .localCheckpoint(eager=False)
         )
     return (
         upd.join(ctr, "cluster_id")

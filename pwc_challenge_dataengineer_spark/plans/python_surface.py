@@ -221,6 +221,16 @@ def cogroup_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max("value").cast("double").alias("err_value"))
     )
+    # Pin the co-shuffle's parallelism: this stage's cost is per-GROUP (one
+    # pandas merge_asof call each), which AQE's byte-based partition
+    # coalescing cannot see — at bench SF it folds the ~MB co-shuffle down
+    # to one task and serializes every group call through one Python
+    # worker. An explicit numPartitions opts this exchange out of
+    # coalescing; defaultParallelism tracks cluster cores, so the pin
+    # stays correct at any scale.
+    n_par = spark.sparkContext.defaultParallelism
+    purchases = purchases.repartition(n_par, "user_id")
+    errors = errors.repartition(n_par, "user_id")
 
     def merge_group(purch: pd.DataFrame, err: pd.DataFrame) -> pd.DataFrame:
         if purch.empty:

@@ -842,10 +842,15 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import as_double_array, cosine, cosine_topk_brute
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # checkpoint the 10-row candidate set: the MMR unroll references it in
+    # every round (anti-join, penalty join, union), and without the barrier
+    # each reference re-runs the corpus-wide cosine top-k lineage
     cand = cosine_topk_brute(
         emb.filter(F.col("vec_id") == 0), emb, id_col="vec_id",
         vec_col="embedding", k=_MMR_CAND,
-    ).select(F.col("neighbor_id").alias("cid"), F.col("cosine_sim").alias("rel"))
+    ).select(
+        F.col("neighbor_id").alias("cid"), F.col("cosine_sim").alias("rel")
+    ).localCheckpoint(eager=False)
     e = emb.select("vec_id", as_double_array(F.col("embedding")).alias("e"))
     ce = cand.join(e, cand.cid == e.vec_id).select("cid", "e")
     # Non-equi pair join over the k-row candidate set: broadcast the right
@@ -860,6 +865,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.cid").alias("cb"),
             F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("sim"),
         )
+        .localCheckpoint(eager=False)
     )
     sel = cand.orderBy(F.col("rel").desc(), "cid").limit(1).select(
         "cid", "rel", F.lit(1).alias("step"), F.col("rel").alias("mmr")
@@ -887,7 +893,13 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick = scores.orderBy(F.col("score").desc(), "cid").limit(1).select(
             "cid", "rel", F.lit(t).alias("step"), F.col("score").alias("mmr")
         )
+        # <=5 rows; referenced 3x next step (anti-join, penalty, union) —
+        # the barrier keeps the unrolled plan linear instead of 3^steps
+        # (the final step stays un-checkpointed so the emitted plan is
+        # inspectable end to end)
         sel = sel.unionByName(pick)
+        if t < _MMR_OUT:
+            sel = sel.localCheckpoint(eager=False)
     return sel.select(
         F.col("step").cast("int").alias("rank"),
         F.col("cid").alias("neighbor_id"),

@@ -1286,7 +1286,13 @@ def _retrieval_chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dic
             "cid", "rrf", "rrf_rank", "rel",
             F.lit(t).alias("step"), F.col("score").alias("mmr"),
         )
+        # <=5 rows; referenced 3x next step (anti-join, penalty, union) —
+        # the barrier keeps the unrolled plan linear instead of 3^steps
+        # (the final step stays un-checkpointed so the emitted plan is
+        # inspectable end to end)
         sel = sel.unionByName(pick)
+        if t < _CHAIN_OUT:
+            sel = sel.localCheckpoint(eager=False)
     final = sel.select(
         F.col("step").cast("int").alias("rank"),
         F.col("cid").alias("doc_id"),
