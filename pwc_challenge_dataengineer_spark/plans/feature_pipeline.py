@@ -198,12 +198,15 @@ def _ppi_spark(spark: SparkSession, sf_dir: str):
         F.sum("xi").cast("bigint").alias("ssum"),
         F.count("*").cast("bigint").alias("n"),
     )
+    # the centered corpus matrix is read twice per round (matvec + update)
+    # plus the final projection — checkpoint or each read re-runs the
+    # explode + per-dim stats join (2*rounds+1 recomputes)
     y = x.join(F.broadcast(st), "pos").select(
         "r",
         "label",
         "pos",
         (F.col("xi") * F.col("n") - F.col("ssum")).alias("yv"),
-    )
+    ).localCheckpoint(eager=False)
     v = st.select("pos", F.lit(100000).cast("bigint").alias("vq"))
     unit = None
     for _i in range(_PPI_ROUNDS):

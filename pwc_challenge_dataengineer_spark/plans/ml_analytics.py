@@ -1026,7 +1026,9 @@ def kmeans_quality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = 5
     model = KMeans(k=k, seed=42, featuresCol="features").fit(scaled)
-    preds = model.transform(scaled)
+    # consumed by four separate actions (sizes, per-dim means, total SS,
+    # count) — checkpoint or each action re-runs assemble+scale+predict
+    preds = model.transform(scaled).localCheckpoint(eager=False)
     sizes = {
         r["prediction"]: r["c"]
         for r in preds.groupBy("prediction").agg(F.count("*").alias("c")).collect()

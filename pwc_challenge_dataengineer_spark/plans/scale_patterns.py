@@ -569,7 +569,15 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-replica partial aggregates fuse into one pass over the scan."""
     from pyspark.sql.window import Window
 
-    orders = load_table(spark, sf_dir, "orders")
+    from ..functions.dedup_fuzzy import spread_small_scan
+
+    # the x20 replica fan-out does an md5 per (row, replica) directly on
+    # the scan; at bench SF orders is ONE split, so the whole 3M-hash
+    # stage ran on one task. Spread when splits < cores (no-op at scale);
+    # measured 4.4 -> 1.2 s at sf0.1, rows identical.
+    orders = spread_small_scan(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
     reps = spark.range(0, _BOOT_B).select(F.col("id").cast("int").alias("b"))
     weighted = orders.crossJoin(F.broadcast(reps)).select(
         "b",
