@@ -278,7 +278,6 @@ def cosine_near_dup_lsh(
     import pandas as pd
 
     from pyspark.sql import types as T
-    from pyspark.sql.window import Window
 
     out_schema = T.StructType(
         [
@@ -288,27 +287,32 @@ def cosine_near_dup_lsh(
         ]
     )
     planes = hyperplane_signs(n_planes, dims)
-    base = (
-        emb.select(
-            F.col(id_col).alias("vid"),
-            as_double_array(F.col(vec_col)).alias("v"),
-            lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    # Bucket occupancy via a map-side-combined aggregate + broadcast join,
+    # NOT a count(*) window: the window shuffled + sorted the FULL vector
+    # payload by bucket only to attach one integer, and the groupBy below
+    # then shuffled the payload a second time on (bucket, sub). The
+    # aggregate shuffles 2^n_planes count rows instead, so the heavy
+    # vectors cross the network exactly once (guide §2.3/§8: decide with
+    # small rows, move big rows once).
+    sized = emb.select(
+        F.col(id_col).alias("vid"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    n_sub = F.broadcast(
+        sized.groupBy("bucket").agg(
+            F.ceil(F.count("*") / F.lit(float(max_block)))
+            .cast("int")
+            .alias("n_sub")
         )
-        .withColumn(
-            "n_sub",
-            F.ceil(
-                F.count("*").over(Window.partitionBy("bucket"))
-                / F.lit(float(max_block))
-            ).cast("int"),
-        )
+    )
+    base = sized.join(n_sub, "bucket").withColumn(
         # hash of id, not the raw id: structured id spaces (e.g. all-even
         # ids) would collapse residue classes into one sub-block and void
         # the <= 2*max_block per-task memory bound; output is invariant to
         # the assignment (every sub-block pair is compared).
-        .withColumn(
-            "sub",
-            F.pmod(F.xxhash64(F.col("vid")), F.col("n_sub")).cast("int"),
-        )
+        "sub",
+        F.pmod(F.xxhash64(F.col("vid")), F.col("n_sub")).cast("int"),
     )
     blocks = base.groupBy("bucket", "sub").agg(
         F.collect_list(F.struct("vid", "v")).alias("items")

@@ -462,20 +462,27 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cnt")
     ).withColumn("cid", F.col("cx") * 100 + F.col("cy"))
     th = cells.agg(F.ceil(1.1 * F.avg("cnt")).cast("bigint").alias("mp"))
+    # core feeds BOTH sides of the adjacency self-join, the label init and
+    # the final re-join (4 consumers) — barrier it once or the cells
+    # groupBy + threshold agg re-run per consumer
     core = cells.crossJoin(F.broadcast(th)).filter(
         F.col("cnt") >= F.col("mp")
-    ).select("cid", "cx", "cy", "cnt")
+    ).select("cid", "cx", "cy", "cnt").localCheckpoint(eager=False)
     a = core.select(
         F.col("cid").alias("ca"), F.col("cx").alias("ax"), F.col("cy").alias("ay")
     )
     b = core.select(
         F.col("cid").alias("cb"), F.col("cx").alias("bx"), F.col("cy").alias("by")
     )
+    # broadcast twice per round (edge probe + the final join's labels):
+    # without barriers each of the 5 rounds embeds TWO copies of the prior
+    # round's whole subtree, 2^rounds lineage — the captured before-plan
+    # held 1012 Exchange / 126 BroadcastHashJoin nodes for grid-sized data
     edges = a.join(
         b,
         F.abs(F.col("ax") - F.col("bx")) + F.abs(F.col("ay") - F.col("by"))
         == 1,
-    ).select("ca", "cb")
+    ).select("ca", "cb").localCheckpoint(eager=False)
     lab = core.select("cid", F.col("cid").alias("lab"))
     for _ in range(_LP_ROUNDS):
         nb = lab.select(F.col("cid").alias("cb"), F.col("lab").alias("nlab"))
@@ -488,6 +495,7 @@ def grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cid",
                 F.least(F.col("lab"), F.coalesce("mn", "lab")).alias("lab"),
             )
+            .localCheckpoint(eager=False)
         )
     return (
         lab.join(core, "cid")
