@@ -75,18 +75,22 @@ def cdc_scd2_apply(
     event timestamp ``ts_col`` (castable to timestamp), key and tracked
     columns. Returns the new SCD2 frame; pure — callers own persistence.
     """
+    from functools import reduce
+
     from pyspark.sql.window import Window
 
     order = [F.col(ts_col).desc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).desc())
     w = Window.partitionBy(*key_cols).orderBy(*order)
+    # LWW leaves exactly ONE row per key, so every later step keyed on
+    # key_cols matches at most one change row and one open version.
     lww = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
             *key_cols,
-            *tracked_cols,
+            *[F.col(c).alias(f"__s_{c}") for c in tracked_cols],
             "op",
             F.col(ts_col).cast("timestamp").alias("__eff"),
         )
@@ -95,83 +99,95 @@ def cdc_scd2_apply(
     cur = target.filter(F.col("is_current"))
     history = target.filter(~F.col("is_current"))
 
-    # Cross-batch late-data guard: LWW above resolves conflicts only
-    # WITHIN the batch. A late event whose ts predates the open
-    # version's valid_from lost the conflict in a PRIOR batch — applying
-    # it would close the current version with valid_to < valid_from and
-    # install the stale row as current. Resolve by event time across
-    # state, as the reference cdc_processor does: drop changes older
-    # than the matching current row's start.
-    cur_vf = cur.select(*key_cols, F.col("valid_from").alias("__cur_vf"))
-    # Post-delete guard: after a delete there is NO current row, so the
-    # __cur_vf check alone would let a straggler upsert with ts older than
-    # the delete resurrect the key. The key's true event-time high-water
-    # mark is max(valid_to) over its CLOSED versions (a delete's boundary
-    # lives there) — compare against that too. History is semi-joined to
-    # the batch's keys first so the aggregate is batch-sized, not
-    # dimension-sized (the micro-batch key set broadcasts).
-    batch_keys = lww.select(*key_cols).distinct()
+    # Post-delete event-time high-water mark: after a delete there is NO
+    # current row, so the open-version guard below cannot see the key's
+    # boundary — it lives in max(valid_to) over the CLOSED versions.
+    # History is semi-joined to the batch's keys first so the aggregate is
+    # batch-sized, not dimension-sized (lww is already one row per key —
+    # no distinct needed; the micro-batch key set broadcasts).
     hist_hwm = (
-        history.join(F.broadcast(batch_keys), key_cols, "left_semi")
+        history.join(F.broadcast(lww.select(*key_cols)), key_cols, "left_semi")
         .groupBy(*key_cols)
         .agg(F.max("valid_to").alias("__hist_vt"))
     )
-    lww = (
-        lww.join(cur_vf, key_cols, "left")
+
+    # ONE full-outer join lines up each key's open version with its
+    # surviving change; every decision the old multi-join pipeline made
+    # (late-data guard, changed-or-new anti-join, delete semi-join, close
+    # inner join, untouched anti-join) becomes a row-local expression, and
+    # the 0-2 output rows per key (closed and/or inserted version) are
+    # emitted through one explode. Join keys match null-unsafe, like the
+    # dominant joins of the previous formulation (key columns are non-null
+    # in every producer: CDC keys and dimension keys).
+    m = (
+        cur.withColumn("__has_cur", F.lit(True))
+        .join(lww.withColumn("__has_chg", F.lit(True)), key_cols, "full_outer")
         .join(F.broadcast(hist_hwm), key_cols, "left")
-        .filter(
-            (
-                F.col("__cur_vf").isNull()
-                | (F.col("__eff") >= F.col("__cur_vf"))
-            )
-            & (
-                F.col("__hist_vt").isNull()
-                | (F.col("__eff") >= F.col("__hist_vt"))
-            )
+    )
+
+    has_cur = F.coalesce(F.col("__has_cur"), F.lit(False))
+    # Cross-batch late-data guard: LWW resolves conflicts only WITHIN the
+    # batch. A change whose ts predates the open version's valid_from (or
+    # the key's closed-version HWM) lost the conflict in a PRIOR batch —
+    # applying it would close the current version with valid_to <
+    # valid_from or resurrect a deleted key with a stale row. Resolve by
+    # event time across state, as the reference cdc_processor does.
+    guard_ok = (
+        (~has_cur | (F.col("__eff") >= F.col("valid_from")))
+        & (
+            F.col("__hist_vt").isNull()
+            | (F.col("__eff") >= F.col("__hist_vt"))
         )
-        .drop("__cur_vf", "__hist_vt")
     )
+    chg_ok = F.coalesce(F.col("__has_chg"), F.lit(False)) & guard_ok
+    same_tracked = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__s_{c}").eqNullSafe(F.col(c)) for c in tracked_cols],
+    )
+    # changed-or-new upsert: no open version, or tracked values differ
+    # (null-safe) from it — a chatty no-op upsert inserts nothing
+    changed = chg_ok & (F.col("op") != "d") & (~has_cur | ~same_tracked)
+    is_del = chg_ok & (F.col("op") == "d") & has_cur
+    close_cur = has_cur & (changed | is_del)
 
-    ups = lww.filter(F.col("op") != "d")
-    # changed-or-new: no current row null-safe equal on key+tracked
-    cmp_cols = key_cols + tracked_cols
-    cur_cmp = cur.select(*cmp_cols).alias("__t")
-    changed = ups.alias("__s").join(
-        cur_cmp,
-        [F.col(f"__s.{c}").eqNullSafe(F.col(f"__t.{c}")) for c in cmp_cols],
-        "left_anti",
+    key_fields = [F.col(c).alias(c) for c in key_cols]
+    ts_null = F.lit(None).cast("timestamp")
+    closed_row = F.struct(
+        *key_fields,
+        *[F.col(c).alias(c) for c in tracked_cols],
+        F.col("valid_from").alias("valid_from"),
+        # per-key close boundary: the closing change's OWN timestamp
+        F.col("__eff").alias("valid_to"),
+        F.lit(False).alias("is_current"),
     )
-    # deletes that hit an open version; misses are no-ops
-    dels = lww.filter(F.col("op") == "d").join(
-        cur.select(*key_cols), key_cols, "left_semi"
+    untouched_row = F.struct(
+        *key_fields,
+        *[F.col(c).alias(c) for c in tracked_cols],
+        F.col("valid_from").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        F.col("is_current").alias("is_current"),
     )
-    # per-key close boundary: the closing change's OWN timestamp. A key
-    # appears in at most one of changed/dels (LWW kept one row per key).
-    closers = changed.select(*key_cols, "__eff").unionByName(
-        dels.select(*key_cols, "__eff")
-    )
-
-    closed = (
-        cur.join(closers, key_cols)
-        .withColumn("valid_to", F.col("__eff"))
-        .withColumn("is_current", F.lit(False))
-        .drop("__eff")
-    )
-    untouched = cur.join(closers.select(*key_cols), key_cols, "left_anti")
-    inserts = changed.select(
-        *key_cols,
-        *tracked_cols,
+    inserted_row = F.struct(
+        *key_fields,
+        *[
+            F.col(f"__s_{c}").cast(dict(target.dtypes)[c]).alias(c)
+            for c in tracked_cols
+        ],
         F.col("__eff").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
+        ts_null.alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
-    cols = [*key_cols, *tracked_cols, "valid_from", "valid_to", "is_current"]
-    return (
-        history.select(cols)
-        .unionByName(untouched.select(cols))
-        .unionByName(closed.select(cols))
-        .unionByName(inserts)
+    emitted = F.array_compact(
+        F.array(
+            F.when(close_cur, closed_row).otherwise(
+                F.when(has_cur, untouched_row)
+            ),
+            F.when(changed, inserted_row),
+        )
     )
+    out = m.select(F.explode(emitted).alias("__r")).select("__r.*")
+    cols = [*key_cols, *tracked_cols, "valid_from", "valid_to", "is_current"]
+    return history.select(cols).unionByName(out.select(cols))
 
 
 def make_cdc_scd2_batch_fn(
