@@ -119,7 +119,11 @@ def pca_project(
     from pyspark.ml.feature import PCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = df.withColumn("__vec", array_to_vector(F.col(array_col).cast("array<double>")))
+    vecs = df.withColumn(
+        "__vec", array_to_vector(F.col(array_col).cast("array<double>"))
+    ).localCheckpoint(eager=False)  # fit's covariance pass AND transform
+    # each read this frame — without a barrier the caller's whole upstream
+    # (scan, feature build) runs twice
     model = PCA(k=k, inputCol="__vec", outputCol="__pc").fit(vecs)
     out = model.transform(vecs).select(
         *id_cols, vector_to_array("__pc").alias(out_col)

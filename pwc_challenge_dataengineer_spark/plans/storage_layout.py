@@ -203,6 +203,15 @@ def _ensure_bucketed_gold(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     t_orders = f"gold_orders_bkt_{tag}"
     t_lineitem = f"gold_lineitem_bkt_{tag}"
 
+    # Report the written sort order at read time: each bucket holds exactly
+    # one file (the aligned repartition below guarantees it), so the scan
+    # can expose per-bucket ordering and the merge join needs NO Sort on
+    # either side (2 Sorts of the full fact removed). The conf's documented
+    # cost is planning-time file listing to CHECK one-file-per-bucket —
+    # Spark still falls back to sorting when a bucket has several files, so
+    # this is a planning-cost trade, not a correctness trade (guide §6).
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
     def ensure(name: str, table: str, key: str) -> None:
         if spark.catalog.tableExists(name):
             return
@@ -217,6 +226,12 @@ def _ensure_bucketed_gold(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         (
             load_table(spark, sf_dir, table)
+            # align writer partitions with the bucket function (both are
+            # pmod(murmur3(key), n)): N parallel writer tasks instead of
+            # one task sorting + writing every bucket file serially, and
+            # each bucket still receives exactly ONE file — which the
+            # sorted-scan read path above requires
+            .repartition(_N_BUCKETS, F.col(key))
             .write.bucketBy(_N_BUCKETS, key)
             .sortBy(key)
             .mode("overwrite")
@@ -619,7 +634,14 @@ def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REUSE one dir instead of leaking a fresh mkdtemp each run
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"avro_rt_{tag}", "orders_avro")
-    orders = load_table(spark, sf_dir, "orders").select(
+    from ..functions.dedup_fuzzy import spread_small_scan
+
+    # the per-row pure-Python Avro encode is the query's dominant cost and
+    # the audit-SF orders scan is a single split — spread it so the encode
+    # runs on every core (scale-adaptive: a no-op once the scan yields >=
+    # cores splits); more writer tasks also means the read back plans more
+    # container files to decode in parallel
+    orders = spread_small_scan(load_table(spark, sf_dir, "orders")).select(
         "o_orderkey",
         "o_orderstatus",
         F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),

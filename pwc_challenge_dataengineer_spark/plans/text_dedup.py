@@ -1151,35 +1151,62 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes cross-size pairs before the verify intersect (same bound as
     jaccard_verify_profiles' min_jaccard)."""
     from ..functions.dedup_fuzzy import exploded_shingles
-    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     sh = exploded_shingles(docs, "doc_id", "text").localCheckpoint(
         eager=False
     )
     df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    n_tbl = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ordered = sh.join(F.broadcast(df_tbl), "shingle").join(
-        F.broadcast(n_tbl), "doc_id"
-    )
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    prefix = (
-        ordered.withColumn("pos", F.row_number().over(w))
-        .filter(
-            F.col("pos")
-            # 1e-6 slack matches the 6dp rounding of the final jaccard
-            # compare: a true J in [t - 5e-7, t) rounds UP to t and must
-            # survive the prefix bound, so the effective threshold used
-            # for pruning is t - 1e-6 (same convention as
-            # jaccard_verify_profiles' min_jaccard).
-            <= F.col("n") - F.ceil(F.lit(_PF_T - 1e-6) * F.col("n")) + 1
+    # ONE groupBy(doc_id) builds the df-sorted shingle array per doc; the
+    # per-doc count (size), the df-rank positions (array index), and the
+    # verify profiles (field projection) all derive from it narrowly. The
+    # previous shape paid three separate full-shingle shuffles for the
+    # same facts: a count aggregate, a row_number window (shuffle + sort),
+    # and a collect_set profile aggregate (guide §2.4). Shingles are
+    # distinct per doc (word_shingles), so sort_array over (df, shingle)
+    # structs reproduces the window's deterministic order exactly.
+    arr_tbl = (
+        sh.join(F.broadcast(df_tbl), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias(
+                "arr"
+            )
         )
-        .select("doc_id", "shingle", "n", "pos")
-        # both legs of the self-join below reference this frame; without a
-        # checkpoint Spark computes the df-join + window ONCE PER LEG
-        # (subplans aren't shared across join legs) — at 30x that doubles
-        # the query's dominant stage. Lazy: materializes on first use.
+        .withColumn("n", F.size("arr"))
+        # prefix legs, profiles and the verify all branch from here —
+        # materialize once, everything downstream is narrow. Lazy:
+        # materializes on first use.
         .localCheckpoint(eager=False)
+    )
+    prefix = (
+        arr_tbl.select(
+            "doc_id",
+            "n",
+            F.posexplode(
+                # keep the first n - ceil(t*n) + 1 df-rarest shingles.
+                # 1e-6 slack matches the 6dp rounding of the final jaccard
+                # compare: a true J in [t - 5e-7, t) rounds UP to t and
+                # must survive the prefix bound, so the effective
+                # threshold used for pruning is t - 1e-6 (same convention
+                # as jaccard_verify_profiles' min_jaccard).
+                F.slice(
+                    F.col("arr"),
+                    1,
+                    (
+                        F.col("n")
+                        - F.ceil(F.lit(_PF_T - 1e-6) * F.col("n"))
+                        + 1
+                    ).cast("int"),
+                )
+            ).alias("pos0", "el"),
+        )
+        .select(
+            "doc_id",
+            F.col("el.shingle").alias("shingle"),
+            "n",
+            (F.col("pos0") + 1).alias("pos"),
+        )
     )
     # Positional + length filtering (PPJoin) on top of the prefix match,
     # still lossless: with the same global (df, shingle) order in every
@@ -1224,14 +1251,12 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the x30 stress corpus (see SCALE_STRESS_x30_dedup.json history).
     from ..functions.dedup_fuzzy import jaccard_verify_profiles
 
-    profiles = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.collect_set("shingle").alias("sh_set"),
-            F.count("*").alias("n_sh"),
-        )
-        # two verify legs (id_a, id_b) reference this — compute once
-        .localCheckpoint(eager=False)
+    # profiles fall out of the checkpointed per-doc array — a field
+    # projection instead of a second collect aggregate over the shingles
+    profiles = arr_tbl.select(
+        "doc_id",
+        F.transform("arr", lambda x: x.shingle).alias("sh_set"),
+        F.col("n").alias("n_sh"),
     )
     return jaccard_verify_profiles(
         cand, profiles, "doc_id", min_jaccard=_PF_T
