@@ -96,6 +96,17 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     sort-before-repartition (on by default, SPARK-23207)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # Cheap pre-check first (r13 verdict nit): df.rdd converts the logical
+    # plan to an RDD just to count splits — driver-side re-planning per
+    # invocation. A file-backed scan with >= target files always yields
+    # >= target splits, so the common at-scale case (many files) passes
+    # through without planning; only few-file inputs (where listing and
+    # planning are tiny) pay the exact split count below.
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file source — fall through to the exact count
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -298,7 +298,11 @@ def cosine_near_dup_lsh(
         F.col(id_col).alias("vid"),
         as_double_array(F.col(vec_col)).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+        # barrier (r13 advice): sized feeds BOTH the occupancy aggregate
+        # and the main join — without it the upstream scan + bucket
+        # hashing runs twice per action, giving back part of the saved
+        # payload shuffle
+    ).localCheckpoint(eager=False)
     n_sub = F.broadcast(
         sized.groupBy("bucket").agg(
             F.ceil(F.count("*") / F.lit(float(max_block)))

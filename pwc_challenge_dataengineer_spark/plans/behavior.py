@@ -1532,7 +1532,18 @@ def item_item_cf_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ut = ut.localCheckpoint(eager=False)  # 4 consumers
     item_n = ut.groupBy("item").agg(F.count("*").cast("bigint").alias("n"))
-    a, b = ut.alias("a"), ut.alias("b")
+    # Support-prune BEFORE the pair join (r14): n_ij <= min(n_i, n_j), so
+    # an item with fewer than _REC_MIN_CO distinct buyers can never pass
+    # the n_ij >= _REC_MIN_CO filter below — dropping those rows from BOTH
+    # pair-join inputs is semantics-free and shrinks the quadratic
+    # per-user fan-out at its source (guide §3.2: reduce the big side
+    # before the join). The broadcast semi is narrow (no new exchange);
+    # at a scale where the frequent-item list outgrows broadcast, the
+    # same prune becomes a Bloom filter over item ids (§3.2) — false
+    # positives only cost pair rows the n_ij filter still removes.
+    freq = item_n.filter(F.col("n") >= _REC_MIN_CO).select("item")
+    utf = ut.join(F.broadcast(freq), "item", "left_semi")
+    a, b = utf.alias("a"), utf.alias("b")
     # co-occurrence counts are symmetric (binary vectors), so generate each
     # unordered pair ONCE (a.item < b.item) and mirror after the aggregate
     # + support filter: halves the pair fan-out and the (i, j) shuffle

@@ -203,15 +203,6 @@ def _ensure_bucketed_gold(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     t_orders = f"gold_orders_bkt_{tag}"
     t_lineitem = f"gold_lineitem_bkt_{tag}"
 
-    # Report the written sort order at read time: each bucket holds exactly
-    # one file (the aligned repartition below guarantees it), so the scan
-    # can expose per-bucket ordering and the merge join needs NO Sort on
-    # either side (2 Sorts of the full fact removed). The conf's documented
-    # cost is planning-time file listing to CHECK one-file-per-bucket —
-    # Spark still falls back to sorting when a bucket has several files, so
-    # this is a planning-cost trade, not a correctness trade (guide §6).
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-
     def ensure(name: str, table: str, key: str) -> None:
         if spark.catalog.tableExists(name):
             return
@@ -275,8 +266,26 @@ def bucketed_gold_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (advanced_partitioning_strategy.py:472-777); results are layout-
     independent, which the oracle (plain parquet join) pins."""
     t_orders, t_lineitem = _ensure_bucketed_gold(spark, sf_dir)
-    o = spark.table(t_orders).select("o_orderkey", "o_orderstatus")
-    li = spark.table(t_lineitem)
+    # Sorted-scan conf ISOLATED in a child session (r13 verdict: setting it
+    # on the shared session leaked into every later bucketed scan's
+    # planning). The physical plan is produced at ACTION time — after this
+    # function returns — so a set/restore inside the function would silently
+    # undo the Sort elimination; newSession() shares the SparkContext,
+    # warehouse catalog and block manager but carries its own SQLConf, so
+    # the returned DataFrame plans with the conf ON while the caller's
+    # session stays untouched. Why the conf: each bucket holds exactly one
+    # file (the aligned repartition in ensure() guarantees it), so the scan
+    # can expose the written per-bucket order and the merge join needs NO
+    # Sort on either side. Its documented cost is planning-time file listing
+    # to CHECK one-file-per-bucket; Spark falls back to sorting when a
+    # bucket has several files, so this is a planning-cost trade, not a
+    # correctness trade (guide §6).
+    bspark = spark.newSession()
+    bspark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    o = bspark.table(t_orders).select("o_orderkey", "o_orderstatus")
+    li = bspark.table(t_lineitem)
     j = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
     return j.groupBy("o_orderkey", "o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n_lines"),

@@ -74,6 +74,14 @@ def cdc_scd2_apply(
     ``changes`` rows carry ``op`` ('c'/'u'/'r' upsert, 'd' delete), the
     event timestamp ``ts_col`` (castable to timestamp), key and tracked
     columns. Returns the new SCD2 frame; pure — callers own persistence.
+
+    Contract: key columns must be NON-NULL in both inputs. The apply
+    joins keys null-unsafely (like SQL equality everywhere else in the
+    pipeline); a null key in ``changes`` would never match an open
+    version, so instead of suppressing a no-op upsert it would insert a
+    fresh current row per batch. Debezium envelopes carry the key in the
+    payload's primary-key fields, which are non-null by definition;
+    enforce upstream if a source can emit null keys.
     """
     from functools import reduce
 
@@ -140,9 +148,13 @@ def cdc_scd2_apply(
         )
     )
     chg_ok = F.coalesce(F.col("__has_chg"), F.lit(False)) & guard_ok
+    # initial value (r13 advice): a key-only dimension (tracked_cols empty)
+    # degenerates to "always equal", matching the old cmp_cols = key_cols +
+    # tracked_cols formulation (keys are equal by join construction).
     same_tracked = reduce(
         lambda a, b: a & b,
         [F.col(f"__s_{c}").eqNullSafe(F.col(c)) for c in tracked_cols],
+        F.lit(True),
     )
     # changed-or-new upsert: no open version, or tracked values differ
     # (null-safe) from it — a chatty no-op upsert inserts nothing

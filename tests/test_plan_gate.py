@@ -76,6 +76,23 @@ def test_bucketed_gold_join_has_zero_exchanges(spark, sf_dir):
     assert not gate_violations([st])
 
 
+def test_bucketed_gold_conf_does_not_leak(spark, sf_dir):
+    """r14: the sorted-bucket-scan conf lives in an isolated child session;
+    the caller's session must come back (and plan later bucketed scans)
+    with the legacy flag untouched."""
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    before = spark.conf.get(key, None)
+    df = QUERIES["bucketed_gold_order_profile"](spark, sf_dir)
+    assert df.count() > 0
+    assert spark.conf.get(key, None) == before
+    # and the optimization itself still holds: merge join with ZERO
+    # standalone Sort operators ("Sort " never matches "SortMergeJoin")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Sort ") == 0, plan
+    st = audit_df("bucketed_gold_order_profile", df)
+    assert st.exchanges == 0 and st.smj == 1, st
+
+
 def test_recursive_plan_is_unionloop_with_hash_joins(spark, sf_dir):
     """The recursion family must plan as UnionLoop with per-iteration
     hash joins — a CartesianProduct or nested-loop fallback inside the
