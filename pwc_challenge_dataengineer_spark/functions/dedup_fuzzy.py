@@ -64,15 +64,24 @@ def exploded_shingles(
     text_col: str,
     k: int = 3,
     keep_empty_docs: bool = False,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """``keep_empty_docs=True`` uses explode_outer so a doc with < k tokens
     (empty shingle array) still yields ONE row with a NULL shingle — needed
     by consumers that must emit a result for EVERY input doc (the streaming
-    dedup verdict contract) without a second scan + join over the source."""
-    toked = df.select(
-        F.col(id_col),
-        F.split(F.lower(F.trim(F.col(text_col))), "\\s+").alias("__toks"),
-    )
+    dedup verdict contract) without a second scan + join over the source.
+
+    ``pretokenized=True``: ``text_col`` already holds the token ARRAY
+    produced by the same split(lower(trim(text)), '\\s+') — callers that
+    tokenize once for several stages (the curation chain's shared barrier)
+    skip the re-split; shingles are identical either way."""
+    if pretokenized:
+        toked = df.select(F.col(id_col), F.col(text_col).alias("__toks"))
+    else:
+        toked = df.select(
+            F.col(id_col),
+            F.split(F.lower(F.trim(F.col(text_col))), "\\s+").alias("__toks"),
+        )
     explode = F.explode_outer if keep_empty_docs else F.explode
     return toked.select(
         F.col(id_col), explode(word_shingles(F.col("__toks"), k)).alias("shingle")
@@ -152,6 +161,7 @@ def minhash_doc_profiles(
     n_bands: int = 4,
     keep_empty_docs: bool = False,
     spread: bool = False,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """ONE explode + ONE doc-level groupBy producing everything the
     LSH pipeline needs per doc: sorted shingle set, shingle count, and all
@@ -174,7 +184,12 @@ def minhash_doc_profiles(
     if spread:
         df = spread_small_scan(df)
     sh = exploded_shingles(
-        df, id_col, text_col, k, keep_empty_docs=keep_empty_docs
+        df,
+        id_col,
+        text_col,
+        k,
+        keep_empty_docs=keep_empty_docs,
+        pretokenized=pretokenized,
     ).withColumn("__h", F.md5("shingle"))
     # The verify set stores 64-bit hashes, not the shingle strings:
     # array_intersect over bigints is ~3x cheaper than over strings
@@ -416,6 +431,7 @@ def minhash_lsh_near_dups(
     n_bands: int = 4,
     threshold: float = 0.5,
     hint_small: bool = False,
+    pretokenized: bool = False,
 ) -> DataFrame:
     """Full pipeline: one fused shingle pass → per-doc profiles
     (checkpointed lazily: 1 row/doc, materialized once on the first action
@@ -430,7 +446,8 @@ def minhash_lsh_near_dups(
     for sub-broadcast-envelope corpora (checkpointed frames have no
     stats)."""
     prof = minhash_doc_profiles(
-        df, id_col, text_col, k, n_bands, spread=True
+        df, id_col, text_col, k, n_bands, spread=True,
+        pretokenized=pretokenized,
     ).localCheckpoint(eager=False)
     sig = profiles_to_signatures(prof, id_col, n_bands)
     cand = lsh_candidate_pairs(sig, id_col, hint_small=hint_small)

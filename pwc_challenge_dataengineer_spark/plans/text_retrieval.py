@@ -539,7 +539,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nll GROUP BY 1
     """,
 )
-def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unigram_lm_score(
+    spark: SparkSession,
+    sf_dir: str,
+    toked: DataFrame | None = None,
+) -> DataFrame:
     """Per-document cross-entropy under the corpus's own unigram language
     model (Laplace-smoothed: p(tok) = (cnt+1)/(T+V)) — the cheap stand-in
     for the KenLM perplexity filter every pretraining pipeline runs: docs
@@ -548,9 +552,18 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tok) aggregation with map-side combine builds the |vocab|-row LM,
     which broadcasts into the token stream; the per-doc average is a
     single shuffle on doc_id. Training the LM and scoring against it are
-    the SAME two-pass job at 100 TB — no driver-side model object."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _toks(docs)
+    the SAME two-pass job at 100 TB — no driver-side model object.
+
+    ``toked``: optional (doc_id, t) pre-split token-array frame (the
+    curation chain's shared tokenize barrier); explode+filter here is
+    row-identical to _toks. Default None keeps the standalone plan."""
+    if toked is not None:
+        toks = toked.select(
+            "doc_id", F.explode("t").alias("tok")
+        ).filter(F.col("tok") != "")
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = _toks(docs)
     vc = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     # T and V fall out of the |vocab|-row LM itself — no extra pass over
     # the token stream, and no global count_distinct shuffle
@@ -1609,7 +1622,11 @@ _KN_D = 0.75  # fixed Kneser-Ney discount
     FROM scored GROUP BY 1
     """,
 )
-def kn_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kn_bigram_lm_score(
+    spark: SparkSession,
+    sf_dir: str,
+    toked: DataFrame | None = None,
+) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring — the published-standard
     smoothing behind KenLM/CCNet-style perplexity filters, upgrading
     bigram_lm_score's Laplace mix (r9 verdict item 6). Absolute
@@ -1622,12 +1639,20 @@ def kn_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     history and continuation tables are vocab(^2)-bounded aggregates
     with map-side combine, broadcast back onto the bigram stream; the
     per-doc average is one shuffle on doc_id. Training and scoring stay
-    a single distributed job with no model object."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
-    )
+    a single distributed job with no model object.
+
+    ``toked``: optional (doc_id, t) pre-split token-array frame (the
+    curation chain's shared tokenize barrier) — the bigram stream below
+    reads the identical array either way. Default None keeps the
+    standalone plan."""
+    if toked is not None:
+        d = toked.select("doc_id", "t")
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        d = docs.select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+        )
     bg = (
         d.filter(F.size("t") >= 2)
         .select(

@@ -1035,7 +1035,11 @@ _QC_W = (-2.0, 4.0, 0.5, 3.0, -5.0)
     FROM feat
     """,
 )
-def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_classifier_score(
+    spark: SparkSession,
+    sf_dir: str,
+    toked: DataFrame | None = None,
+) -> DataFrame:
     """fastText-style linear quality classifier over per-document text
     features — the scoring half of the standard pretraining quality
     filter (a trained classifier's coefficients slot into _QC_W without
@@ -1044,12 +1048,25 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword share, mean token length, type-token ratio, top-token share.
     The logit is a single fixed-order IEEE expression over one-division
     ratios, so Spark and DuckDB agree bit-for-bit — no unordered float
-    sums anywhere. Keep decision at sigmoid >= 0.5."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    sums anywhere. Keep decision at sigmoid >= 0.5.
+
+    ``toked``: optional (doc_id, t) frame with ``t`` the ALREADY-split
+    token array (same split(lower(trim(text)), '\\s+') expression) — the
+    curation chain passes its shared tokenized barrier so the corpus is
+    scanned and split once per chain run instead of once per stage; the
+    exploded rows are identical either way. Default None keeps the
+    registered standalone plan unchanged."""
+    if toked is not None:
+        toks = toked.select("doc_id", F.explode("t").alias("tok"))
+    else:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+            ).alias("tok"),
+        )
+    toks = toks.filter(F.col("tok") != "")
     tc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     feat = tc.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
@@ -1618,17 +1635,40 @@ def _chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dict:
     from .text_retrieval import unigram_lm_score
 
     docs = load_table(spark, sf_dir, "documents")
-    qc = quality_classifier_score(spark, sf_dir).select(
+    # r14: ONE scan + ONE tokenize for the whole chain. Five stages
+    # (quality features, unigram LM, minhash shingles, KN bigram LM, the
+    # budget stage's token count) each re-scanned documents and re-ran the
+    # identical split(lower(trim(text)), '\s+') — the chain's dominant
+    # repeated work (guide §1.2 item 1 / §8: compute the shared proxy
+    # once, fan the decisions out from it). The barrier is docs-grain
+    # (one row per document, the token array ≈ the text's own bytes), so
+    # at 100 TB it materializes once what the old shape re-read 5x.
+    # NOT spread: an in-session alternating A/B measured the spread-first
+    # variant 12.7 vs 8.8 s (min-of-4) — round-robining the doc-grain
+    # barrier multiplies every consumer's partial-aggregation merge work,
+    # the same failure mode as r13's rejected per-query _toks spread.
+    # minhash still spreads ITS OWN expensive shingle+md5 stage internally.
+    toked = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("t"),
+    ).localCheckpoint(eager=False)
+    qc = quality_classifier_score(spark, sf_dir, toked=toked).select(
         "doc_id",
         (F.col("quality_score") >= F.lit(_CHAIN_Q_MIN)).alias("q_keep"),
     )
-    lm = unigram_lm_score(spark, sf_dir).select("doc_id", "unigram_ppl")
+    lm = unigram_lm_score(spark, sf_dir, toked=toked).select(
+        "doc_id", "unigram_ppl"
+    )
     base = qc.join(lm, "doc_id").localCheckpoint(eager=False)
     s1 = base.filter("q_keep").select("doc_id", "unigram_ppl")
     if probe:
         probe("s1_quality", s1)
     pairs = minhash_lsh_near_dups(
-        docs, "doc_id", "text", threshold=0.5, hint_small=True
+        toked, "doc_id", "t", threshold=0.5, hint_small=True,
+        pretokenized=True,
     )
     pairs2 = pairs.join(
         F.broadcast(s1.select(F.col("doc_id").alias("id_a"))),
@@ -1712,7 +1752,9 @@ def _chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dict:
     from ..operators.scalable import grouped_exact_ranks
     from .text_retrieval import kn_bigram_lm_score
 
-    kn = kn_bigram_lm_score(spark, sf_dir).select("doc_id", "avg_nll")
+    kn = kn_bigram_lm_score(spark, sf_dir, toked=toked).select(
+        "doc_id", "avg_nll"
+    )
     # r13: the tercile rank was a Window.partitionBy(lang) row_number —
     # one task per LANGUAGE, the chain's dominant scale term (5.11x max
     # stage ratio at x100, and a 1000-executor bottleneck with a
@@ -1722,7 +1764,7 @@ def _chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dict:
     # flag column, avg_nll asc, doc_id tiebreak; null rows coalesce to
     # one equal value so the tiebreak alone orders them, as before).
     scored = (
-        s4.join(docs.select("doc_id", "lang").hint("merge"), "doc_id")
+        s4.join(toked.select("doc_id", "lang").hint("merge"), "doc_id")
         .join(kn.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
@@ -1759,16 +1801,11 @@ def _chain_frames(spark: SparkSession, sf_dir: str, probe=None) -> dict:
         probe("s4k_kn_terciles", s4k)
     # --- r10 stage: per-source token budget over the tercile survivors
     # (cumulative window PARTITIONED by source — never a global sort)
-    bscored = docs.join(s4k.hint("merge"), "doc_id").select(
+    bscored = toked.join(s4k.hint("merge"), "doc_id").select(
         "source",
         "doc_id",
         "n_chars",
-        F.size(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), "\\s+"),
-                lambda t: t != "",
-            )
-        )
+        F.size(F.filter(F.col("t"), lambda t: t != ""))
         .cast("long")
         .alias("n_tokens"),
     )
