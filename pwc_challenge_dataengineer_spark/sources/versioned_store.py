@@ -84,27 +84,127 @@ class VersionedTable:
         )
         return version
 
+    def write_split(
+        self,
+        base: DataFrame,
+        append: DataFrame | None,
+        operation: str = "write_split",
+    ) -> int:
+        """Split commit: rewrite only the mutable slice (``base``) and
+        append an immutable segment (``append``); prior append segments
+        carry over BY MANIFEST REFERENCE, never rewritten. This is the
+        file-level-manifest upgrade the module docstring promised for
+        100 TB tables: for an SCD2 dimension the closed history only ever
+        grows, so a per-batch commit writes |current| + |newly closed|
+        bytes instead of the whole table (O(batches) total instead of
+        O(batches^2)).
+
+        Contract: ``read()`` of the new version = ``base`` ∪ carried
+        appends ∪ ``append``. When the PREVIOUS commit was a legacy full
+        snapshot (or this is the first commit), the caller must pass the
+        ENTIRE immutable slice as ``append`` (a one-time rebase — the
+        previous snapshot's dirs cannot be referenced because they mix
+        mutable and immutable rows); when the previous commit was itself
+        a split, ``append`` holds only the NEW immutable rows. Pass
+        ``append=None`` when there are none."""
+        prev = self.latest_version()
+        prev_entry = self._resolve(prev) if prev is not None else None
+        version = (prev if prev is not None else -1) + 1
+        vdir = os.path.join(self.path, f"v={version}")
+        base.write.mode("errorifexists").parquet(os.path.join(vdir, "base"))
+        if prev_entry is not None and "appends" in prev_entry:
+            appends = list(prev_entry["appends"])
+        else:
+            appends = []  # first commit or rebase over a legacy snapshot
+        if append is not None:
+            append.write.mode("errorifexists").parquet(
+                os.path.join(vdir, "append")
+            )
+            appends.append(version)
+        self._append_manifest(
+            {
+                "version": version,
+                "ts": time.time(),
+                "operation": operation,
+                "appends": appends,
+            }
+        )
+        return version
+
+    def read_base(
+        self,
+        version_as_of: int | None = None,
+        timestamp_as_of: float | None = None,
+    ) -> DataFrame:
+        """The mutable slice of a split commit (the full snapshot for a
+        legacy commit — callers filter)."""
+        entry = self._resolve(version_as_of, timestamp_as_of)
+        return self.spark.read.parquet(self._entry_paths(entry)[0])
+
+    def read_appends(
+        self,
+        version_as_of: int | None = None,
+        timestamp_as_of: float | None = None,
+    ) -> DataFrame | None:
+        """Union of a split commit's immutable append segments (None when
+        it has none, or for a legacy commit)."""
+        entry = self._resolve(version_as_of, timestamp_as_of)
+        paths = self._entry_paths(entry)[1:]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def is_split(self, version_as_of: int | None = None) -> bool:
+        try:
+            return "appends" in self._resolve(version_as_of)
+        except FileNotFoundError:
+            return False
+
+    def _resolve(
+        self,
+        version_as_of: int | None = None,
+        timestamp_as_of: float | None = None,
+    ) -> dict:
+        entries = self._load_manifest()
+        if not entries:
+            raise FileNotFoundError(f"versioned table {self.path} has no commits")
+        if version_as_of is not None:
+            by_v = {e["version"]: e for e in entries}
+            if version_as_of not in by_v:
+                raise ValueError(
+                    f"version {version_as_of} not in {sorted(by_v)}"
+                )
+            return by_v[version_as_of]
+        if timestamp_as_of is not None:
+            eligible = [e for e in entries if e["ts"] <= timestamp_as_of]
+            if not eligible:
+                raise ValueError(f"no version committed at or before {timestamp_as_of}")
+            return max(eligible, key=lambda e: e["version"])
+        return entries[-1]
+
+    def _entry_paths(self, entry: dict) -> list[str]:
+        """Data directories composing a version: a legacy full snapshot is
+        its own ``v=N`` dir; a split commit is its ``v=N/base`` (the
+        rewritten slice) plus every referenced append segment — files from
+        OLDER versions carried forward by manifest reference instead of
+        being rewritten (the Delta-MERGE file-skipping analogue)."""
+        v = entry["version"]
+        if "appends" not in entry:
+            return [os.path.join(self.path, f"v={v}")]
+        paths = [os.path.join(self.path, f"v={v}", "base")]
+        paths += [
+            os.path.join(self.path, f"v={a}", "append")
+            for a in entry["appends"]
+        ]
+        return paths
+
     def read(
         self,
         version_as_of: int | None = None,
         timestamp_as_of: float | None = None,
     ) -> DataFrame:
-        entries = self._load_manifest()
-        if not entries:
-            raise FileNotFoundError(f"versioned table {self.path} has no commits")
-        if version_as_of is not None:
-            versions = [e["version"] for e in entries]
-            if version_as_of not in versions:
-                raise ValueError(f"version {version_as_of} not in {versions}")
-            v = version_as_of
-        elif timestamp_as_of is not None:
-            eligible = [e["version"] for e in entries if e["ts"] <= timestamp_as_of]
-            if not eligible:
-                raise ValueError(f"no version committed at or before {timestamp_as_of}")
-            v = max(eligible)
-        else:
-            v = entries[-1]["version"]
-        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+        entry = self._resolve(version_as_of, timestamp_as_of)
+        return self.spark.read.parquet(*self._entry_paths(entry))
 
     def diff(
         self, keys: list[str], from_version: int, to_version: int
@@ -256,15 +356,30 @@ class VersionedTable:
     # -- retention ---------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (Delta VACUUM).
-        Time travel to a vacuumed version then errors, matching Delta."""
+        Time travel to a vacuumed version then errors, matching Delta.
+        Split commits reference OLDER versions' append segments; a version
+        dir still referenced by any kept entry survives on disk even when
+        its own manifest entry is dropped (Delta keeps data files alive
+        the same way — retention applies to unreferenced files only)."""
         entries = self._load_manifest()
         if len(entries) <= keep_last:
             return []
         drop, keep = entries[:-keep_last], entries[-keep_last:]
+        referenced: set[int] = set()
+        for e in keep:
+            referenced.add(e["version"])
+            referenced.update(e.get("appends", []))
+        dropped = []
         for e in drop:
-            shutil.rmtree(os.path.join(self.path, f"v={e['version']}"), ignore_errors=True)
+            if e["version"] in referenced:
+                continue  # data still carried by a kept split commit
+            shutil.rmtree(
+                os.path.join(self.path, f"v={e['version']}"),
+                ignore_errors=True,
+            )
+            dropped.append(e["version"])
         self._write_manifest(keep)
-        return [e["version"] for e in drop]
+        return dropped
 
 
 def zorder_code(

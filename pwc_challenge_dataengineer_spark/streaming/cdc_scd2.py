@@ -68,6 +68,7 @@ def cdc_scd2_apply(
     tracked_cols: list[str],
     ts_col: str = "ts",
     tiebreak_col: str | None = None,
+    include_history: bool = True,
 ) -> DataFrame:
     """Apply one CDC batch (op/ts/key/tracked columns) to an SCD2 frame.
 
@@ -82,6 +83,12 @@ def cdc_scd2_apply(
     fresh current row per batch. Debezium envelopes carry the key in the
     payload's primary-key fields, which are non-null by definition;
     enforce upstream if a source can emit null keys.
+
+    ``include_history=False`` returns ONLY the rows this batch produced
+    or touched (the new/updated current rows and the versions it closed)
+    WITHOUT unioning the pass-through closed history — the delta a
+    split-commit store persists so untouched history files carry over by
+    reference instead of being rewritten every batch.
     """
     from functools import reduce
 
@@ -199,6 +206,8 @@ def cdc_scd2_apply(
     )
     out = m.select(F.explode(emitted).alias("__r")).select("__r.*")
     cols = [*key_cols, *tracked_cols, "valid_from", "valid_to", "is_current"]
+    if not include_history:
+        return out.select(cols)
     return history.select(cols).unionByName(out.select(cols))
 
 
@@ -224,18 +233,40 @@ def make_cdc_scd2_batch_fn(
         changes = parse_debezium(batch_df, payload_schema).withColumn(
             "ts", F.timestamp_millis(F.col("ts_ms"))
         )
-        if table.latest_version() is None:
+        latest = table.latest_version()
+        # Split commit (r14, the module docstring's promised file-skipping):
+        # closed history is immutable, so each batch persists ONLY the new
+        # current slice + the versions it closed; prior history segments
+        # carry over by manifest reference. Bytes written per batch drop
+        # from O(|dimension|) to O(|current| + |batch|) — at 100 TB the
+        # difference between rewriting the dimension every trigger and a
+        # Delta-MERGE-sized commit.
+        split = latest is not None and table.is_split(latest)
+        if latest is None:
             target = scd2_empty(
                 spark,
                 {c: payload_schema[c].dataType.simpleString() for c in key_cols},
                 {c: payload_schema[c].dataType.simpleString() for c in tracked_cols},
             )
+        elif split:
+            cur = table.read_base(latest)
+            hist = table.read_appends(latest)
+            target = cur if hist is None else cur.unionByName(hist)
         else:
-            target = table.read()
-        out = cdc_scd2_apply(
+            target = table.read()  # legacy full snapshot: one-time rebase
+        delta = cdc_scd2_apply(
             target, changes, key_cols, tracked_cols,
             ts_col="ts", tiebreak_col=tiebreak_col,
+            # on the rebase path the returned frame must carry the FULL
+            # closed history into this commit's append segment
+            include_history=not split,
+        ).localCheckpoint(eager=True)
+        new_cur = delta.filter(F.col("is_current"))
+        newly_closed = delta.filter(~F.col("is_current"))
+        table.write_split(
+            new_cur,
+            None if newly_closed.isEmpty() else newly_closed,
+            operation="cdc_scd2",
         )
-        table.write(out.localCheckpoint(eager=True), operation="cdc_scd2")
 
     return on_batch

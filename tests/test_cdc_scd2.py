@@ -133,6 +133,55 @@ def test_cdc_scd2_kill_and_restart_converges(spark, tmp_path):
     assert _state(table) == EXPECTED  # content fixed point
 
 
+def test_cdc_scd2_split_commits_skip_history_rewrite(spark, tmp_path):
+    """r14: each batch commits only the current slice + the versions it
+    closed; prior history segments carry over by manifest reference. The
+    store must (a) return the identical state through read(), (b) never
+    rewrite an earlier append segment, (c) survive vacuum without
+    dropping carried segments."""
+    import os
+
+    src = str(tmp_path / "cdc_src")
+    _write_chunks(spark, src, CHUNKS)
+    table = VersionedTable(spark, str(tmp_path / "dim"))
+    _run(spark, src, table, str(tmp_path / "ckpt"))
+    assert _state(table) == EXPECTED
+
+    def seg_files(v):
+        d = tmp_path / "dim" / f"v={v}" / "append"
+        if not d.exists():
+            return {}
+        return {
+            p.name: (p.stat().st_size, p.stat().st_mtime)
+            for p in d.glob("*.parquet")
+        }
+
+    entries = json.load(open(tmp_path / "dim" / "_manifest.json"))
+    assert all("appends" in e for e in entries)  # every commit was split
+    # closed rows accumulated across batches via references, not rewrites:
+    # the final version references earlier versions' append dirs
+    final = entries[-1]
+    assert any(a < final["version"] for a in final["appends"])
+    before = {v: seg_files(v) for v in final["appends"]}
+
+    # replay the last batch: a fixed point — new version, same state,
+    # NO append segment rewritten (byte sizes and mtimes unchanged)
+    fn = make_cdc_scd2_batch_fn(table, PAYLOAD, ["user_id"], ["balance"])
+    replay = spark.createDataFrame([(v,) for v in CHUNKS[3]], "value STRING")
+    fn(replay, 99)
+    assert _state(table) == EXPECTED
+    after = {v: seg_files(v) for v in before}
+    assert after == before
+
+    # vacuum to the newest commit only: carried segments survive
+    table.vacuum(keep_last=1)
+    assert _state(table) == EXPECTED
+    # and the base (current slice) stays bounded by the live keys
+    cur = table.read_base()
+    assert cur.count() == sum(1 for r in EXPECTED if r[4])
+    assert os.path.isdir(str(tmp_path / "dim"))
+
+
 def test_cdc_scd2_cross_batch_late_event_dropped(spark, tmp_path):
     """A late event arriving in a LATER batch with a ts OLDER than the
     open version's valid_from lost the conflict by event time — it must
